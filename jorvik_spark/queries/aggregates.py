@@ -1,0 +1,227 @@
+"""Aggregation queries (SURVEY.md §2B "Aggregations").
+
+Shapes mirror the reference's customer-summary pipeline
+(/root/reference/examples/databricks/transactions/silver/nb_create_customer_summary.py:26-49:
+groupBy + count/sum/avg/min/max, left join to the dimension, when/otherwise
+segmentation, projection/rename) re-expressed over the test lake.
+
+Scale notes (100 TB): every aggregation here is a hash aggregate with
+map-side partial aggregation (Spark plans partial_* + final automatically);
+the flagship join keys the fact side on its groupBy key so the shuffle done
+for the aggregate is reused for the sort-merge join — no extra exchange.
+No collect(), no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jorvik_spark.tables import load_table
+from jorvik_spark.queries.registry import davg, dsum, query, sql_davg, sql_dsum
+
+_SEGMENT_HI = 300_000.0
+_SEGMENT_MID = 150_000.0
+
+
+def customer_order_summary(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Flagship: per-customer order stats + segment bucket (reference shape)."""
+    stats = orders.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("total_orders"),
+        dsum("o_totalprice").alias("total_spent"),
+        davg("o_totalprice").alias("avg_order_value"),
+        F.min("o_orderdate").alias("first_order_date"),
+        F.max("o_orderdate").alias("last_order_date"),
+    )
+    # Left join keeps every active customer; at scale both sides shuffle on
+    # the customer key (stats is already partitioned on it by the groupBy).
+    out = (
+        stats.join(customer, stats.o_custkey == customer.c_custkey, "left")
+        .withColumn(
+            "customer_segment",
+            F.when(F.col("total_spent") >= _SEGMENT_HI, "High Value")
+            .when(F.col("total_spent") >= _SEGMENT_MID, "Medium Value")
+            .otherwise("Low Value"),
+        )
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            "total_orders",
+            "total_spent",
+            "avg_order_value",
+            "first_order_date",
+            "last_order_date",
+            "customer_segment",
+        )
+    )
+    return out
+
+
+@query(
+    "agg_group_stats",
+    oracle=f"""
+    WITH stats AS (
+        SELECT o_custkey AS customer_id,
+               COUNT(o_orderkey) AS total_orders,
+               {sql_dsum('o_totalprice')} AS total_spent,
+               {sql_davg('o_totalprice')} AS avg_order_value,
+               MIN(o_orderdate) AS first_order_date,
+               MAX(o_orderdate) AS last_order_date
+        FROM orders GROUP BY o_custkey)
+    SELECT s.customer_id,
+           c.c_name AS customer_name,
+           s.total_orders, s.total_spent, s.avg_order_value,
+           s.first_order_date, s.last_order_date,
+           CASE WHEN s.total_spent >= {_SEGMENT_HI} THEN 'High Value'
+                WHEN s.total_spent >= {_SEGMENT_MID} THEN 'Medium Value'
+                ELSE 'Low Value' END AS customer_segment
+    FROM stats s LEFT JOIN customer c ON s.customer_id = c.c_custkey
+    """,
+)
+def agg_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return customer_order_summary(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS sum_price,
+           {sql_davg('l_discount')} AS avg_discount,
+           MIN(l_shipdate) AS min_shipdate,
+           MAX(l_shipdate) AS max_shipdate
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation without grouping (reference: isolation.py history max)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("sum_price"),
+        davg("l_discount").alias("avg_discount"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+@query(
+    "agg_min_max_dates",
+    oracle="""
+    SELECT o_orderpriority,
+           MIN(o_orderdate) AS first_dt,
+           MAX(o_orderdate) AS last_dt,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_min_max_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min("o_orderdate").alias("first_dt"),
+        F.max("o_orderdate").alias("last_dt"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@query("agg_approx_distinct")  # approximate → rows-only check by design
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — the scale path (no full shuffle of keys).
+
+    At 100 TB ``approx_count_distinct`` is the default recommendation; the
+    exact variant is registered separately (``agg_distinct``).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("sum_price")
+    )
+
+
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — BENCH q1 (BASELINE.md)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

@@ -1,0 +1,47 @@
+"""Loaders for the test-lake tables (TESTDATA.md).
+
+Every query in the library reads through :func:`load_table` so the
+nanosecond-timestamp normalization for ``events`` (FIXTURES.md) happens in
+exactly one place, and so a future move from path-addressed parquet to a
+catalog only touches this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one lake table; normalizes ``events.ts`` (ns → µs timestamp)."""
+    if name == "events":
+        # events.parquet stores INT64 TIMESTAMP(NANOS); Spark 4.x reads it
+        # only as LongType under spark.sql.legacy.parquet.nanosAsLong.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}

@@ -1,0 +1,62 @@
+"""Local re-implementation of the driver's DuckDB-oracle comparison.
+
+Runs an engine query and its oracle SQL side by side and asserts
+row-count + column-name + value equality (order-insensitive, column-name
+sorted — mirroring CORRECTNESS_r{N}.json's method) so mismatches surface
+in pytest before the driver runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from jorvik_spark.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype("int64").where(s.notna())
+        elif s.dtype == object:
+            df[c] = s.astype(str).where(s.notna())
+    key = df.columns.tolist()
+    return df.sort_values(by=key, na_position="first").reset_index(drop=True)
+
+
+def _values_close(a, b) -> bool:
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?"):
+    got = _normalize(spark_df.toPandas())
+    want = _normalize(con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    for c in got.columns:
+        gv, wv = got[c].tolist(), want[c].tolist()
+        bad = [
+            (i, g, w) for i, (g, w) in enumerate(zip(gv, wv)) if not _values_close(g, w)
+        ]
+        assert not bad, f"{name}: column {c} first mismatches {bad[:5]}"
