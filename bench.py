@@ -1,0 +1,84 @@
+"""Benchmark harness — runs the headline BASELINE.md shapes and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Usage: python bench.py
+Env:   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS    (default 32)
+
+Method mirrors BASELINE.md: per query, 1 warm-up + 3 timed runs of a full
+materialization (collect), median reported. The six BASELINE shapes map to
+registered engine queries:
+
+  q1 → agg_pricing_summary   (filter+groupBy+5 aggs over lineitem)
+  q3 → join_q3_topk          (3-way join + agg + top-10)
+  q5 → join_q5_regional      (5-way join + agg + sort)
+  w1 → window_rank_per_user  (lag + row_number, top-3 per user)
+  s1 → stream_tumbling_agg   (1-hour tumbling window agg)
+  d1 → agg_approx_distinct   (HLL distinct over orders)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jorvik_spark.session import get_session  # noqa: E402
+from jorvik_spark.queries import QUERIES  # noqa: E402
+
+BENCH_QUERIES = {
+    "q1": "agg_pricing_summary",
+    "q3": "join_q3_topk",
+    "q5": "join_q5_regional",
+    "w1": "window_rank_per_user",
+    "s1": "stream_tumbling_agg",
+    "d1": "agg_approx_distinct",
+}
+
+N_RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+    spark = get_session("jorvik_spark_bench", master=f"local[{cpus}]")
+
+    # sf tag from the directory name (sf0.1 → 0.1)
+    tail = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(tail.replace("sf", ""))
+    except ValueError:
+        sf = tail
+
+    times: dict[str, float] = {}
+    for label, qname in BENCH_QUERIES.items():
+        fn = QUERIES[qname]
+        fn(spark, sf_dir).collect()  # warm-up: JIT, scan cache, broadcast
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        times[label] = round(statistics.median(runs), 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_median_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,8 @@ def customer_order_summary(orders: DataFrame, customer: DataFrame) -> DataFrame:
         F.min("o_orderdate").alias("first_order_date"),
         F.max("o_orderdate").alias("last_order_date"),
     )
-    # Left join keeps every active customer; at scale both sides shuffle on
+    # Left join keeps every customer WITH orders (stats is the left side)
+    # and null-pads unmatched dimension rows; at scale both sides shuffle on
     # the customer key (stats is already partitioned on it by the groupBy).
     out = (
         stats.join(customer, stats.o_custkey == customer.c_custkey, "left")
@@ -145,15 +146,15 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("agg_approx_distinct")  # approximate → rows-only check by design
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct — the scale path (no full shuffle of keys).
+    """HyperLogLog++ distinct — the scale path (no exact-distinct shuffle).
 
     At 100 TB ``approx_count_distinct`` is the default recommendation; the
-    exact variant is registered separately (``agg_distinct``).
+    exact variant is registered separately (``agg_distinct``), so this plan
+    contains only the HLL sketch aggregation — no key-distinct expand.
     """
     o = load_table(spark, sf_dir, "orders")
     return o.agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
     )
 
 

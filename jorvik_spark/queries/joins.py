@@ -1,0 +1,260 @@
+"""Join queries (SURVEY.md §2B "Joins").
+
+Shapes mirror the reference's own join usage — inner equi-join on a key
+list (/root/reference/test/fixtures/pipelines.py:39-41), left outer join to
+a dimension (/root/reference/examples/databricks/transactions/silver/
+nb_create_customer_summary.py:59) — plus the gap-fill joins (full outer,
+semi, anti, range) the reference never exercises, and the BENCH q3/q5
+multi-way join shapes pinned in BASELINE.md.
+
+Scale notes (100 TB):
+  * Dimension sides (``nation``, ``region``, price-band literals) are
+    explicitly ``F.broadcast``-hinted — no shuffle of the fact side for
+    those joins, and the range join becomes a broadcast nested-loop over a
+    4-row build side instead of a cartesian shuffle.
+  * Fact⋈fact joins (orders⋈lineitem) shuffle on the join key; AQE handles
+    skew splitting. The q3/q5 filters sit *before* the joins so Catalyst
+    pushes them into the parquet scans (PushedFilters) and the join inputs
+    shrink at the source.
+  * Semi/anti joins use Spark's native left_semi/left_anti — no distinct
+    or exists-subquery materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jorvik_spark.tables import load_table
+from jorvik_spark.queries.registry import dsum, query, sql_dsum
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact→dimension (reference pipelines.py:39-41 shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, big.o_orderkey, big.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) big
+      ON c.c_custkey = big.o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched left rows (null-padded)."""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(cu.nk, su.nk) AS nationkey, cu.n_customers, su.n_suppliers
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+          FROM customer GROUP BY c_nationkey) cu
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+          FROM supplier GROUP BY s_nationkey) su
+      ON cu.nk = su.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two per-nation aggregates (nulls on both sides)."""
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    su = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cu.join(su, cu.nk == su.nk, "full").select(
+        F.coalesce(cu.nk, su.nk).alias("nationkey"), "n_customers", "n_suppliers"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — customers with ≥1 very large order (EXISTS shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — customers with no urgent orders (NOT EXISTS shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_PRICE_BANDS = [
+    ("small", 0.0, 50_000.0),
+    ("medium", 50_000.0, 150_000.0),
+    ("large", 150_000.0, 350_000.0),
+    ("jumbo", 350_000.0, 1_000_000.0),
+]
+
+
+@query(
+    "join_range",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES
+        ('small', 0.0, 50000.0), ('medium', 50000.0, 150000.0),
+        ('large', 150000.0, 350000.0), ('jumbo', 350000.0, 1000000.0))
+    SELECT b.band, COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS sum_price
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a tiny broadcast band table.
+
+    At 100 TB the build side is 4 rows → broadcast nested-loop join, one
+    pass over the fact table, no shuffle before the final 4-group agg.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    cond = (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi)
+    return (
+        o.join(F.broadcast(bands), cond, "inner")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_q3_topk",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def join_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH q3 — filter + 3-way join + agg + top-10 (TPC-H Q3 shape).
+
+    Filters precede the joins → pushed into the parquet scans; the filtered
+    customer side is small → broadcast hint removes one shuffle; top-10 is
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "join_q5_regional",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM region r
+    JOIN nation n ON r.r_regionkey = n.n_regionkey
+    JOIN customer c ON n.n_nationkey = c.c_nationkey
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def join_q5_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH q5 — 5-way join + agg + sort (TPC-H Q5 shape).
+
+    region⋈nation collapses to a broadcast build of ≤25 rows applied to
+    customer; the only real shuffles are customer⋈orders and
+    orders⋈lineitem on their keys, then a 25-group agg. Date filter is
+    pushed to the orders scan.
+    """
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dim = F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(dim, c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )

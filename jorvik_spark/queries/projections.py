@@ -1,0 +1,193 @@
+"""Projection / filter / scalar-expression queries (SURVEY.md §2B).
+
+Shapes mirror the reference's clean-transactions pipeline
+(/root/reference/examples/databricks/transactions/silver/
+nb_clean_transactions.py:40-48: SQL-string filter, arithmetic+cast,
+to_date/hour extraction, select) and customer-summary rename/when-otherwise
+(nb_create_customer_summary.py:36-49), re-expressed over the test lake.
+
+Scale notes (100 TB): all pure narrow transformations — no shuffle at all.
+Filters and column selection are expressed declaratively so Catalyst pushes
+predicates into the parquet scan (PushedFilters) and prunes unread columns
+(ReadSchema). Everything stays inside whole-stage codegen; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jorvik_spark.tables import load_table
+from jorvik_spark.queries.registry import query
+
+
+@query(
+    "project_select",
+    oracle="SELECT p_partkey, p_name, p_retailprice FROM part",
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection — prunes the scan to 3 of 6 columns (ReadSchema)."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
+@query(
+    "project_rename",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_name AS customer_name,
+           c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename via withColumnRenamed (reference nb_create_customer_summary:48)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "customer_id")
+        .withColumnRenamed("c_name", "customer_name")
+        .withColumnRenamed("c_mktsegment", "segment")
+    )
+
+
+@query(
+    "filter_predicate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
+    """,
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string predicate filter (reference .filter("quantity > 0") shape).
+
+    The string predicate parses to the same Catalyst expression as the
+    column form → pushed to the parquet scan.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter("l_quantity > 45 AND l_discount < 0.02")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    )
+
+
+@query(
+    "filter_isin",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P') AND o_orderpriority = '1-URGENT'
+    """,
+)
+def filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-expression filter with isin (reference isolation.py:108 shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "expr_arith_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity * l_extendedprice AS REAL) AS line_total,
+           CAST(l_quantity AS INTEGER) AS qty_int
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def expr_arith_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic computed column + cast (reference nb_clean_transactions:42).
+
+    Both engines compute in double and round once to float32 → bitwise
+    identical results.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") * F.col("l_extendedprice"))
+        .cast("float")
+        .alias("line_total"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+    )
+
+
+@query(
+    "expr_case_when",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'regular'
+                ELSE 'premium' END AS balance_tier
+    FROM customer
+    """,
+)
+def expr_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise CASE buckets (reference nb_create_customer_summary:36-41)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "regular")
+        .otherwise("premium")
+        .alias("balance_tier"),
+    )
+
+
+@query(
+    "expr_date_parts",
+    oracle="""
+    SELECT event_id,
+           date_trunc('day', CAST(ts AS TIMESTAMP)) AS event_date,
+           CAST(EXTRACT(year FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS event_year,
+           CAST(EXTRACT(month FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS event_month,
+           CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS event_hour
+    FROM events WHERE event_id < 2000
+    """,
+)
+def expr_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_date / year / month / hour extraction (reference nb_clean:43-44).
+
+    The oracle casts ``ts`` to µs-resolution TIMESTAMP explicitly so the
+    SQL works whether the DuckDB view exposes raw TIMESTAMP_NS or the
+    normalized form (no-op in the latter case).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        # date_trunc keeps TIMESTAMP type — dates render identically across
+        # Spark/DuckDB/pandas, unlike DATE (datetime.date vs datetime64).
+        F.date_trunc("day", "ts").alias("event_date"),
+        F.year("ts").cast("long").alias("event_year"),
+        F.month("ts").cast("long").alias("event_month"),
+        F.hour("ts").cast("long").alias("event_hour"),
+    )
+
+
+@query(
+    "expr_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           SUBSTR(p_name, 1, 8) AS name_prefix,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, ' ', '_', 'g') AS name_snake
+    FROM part
+    """,
+)
+def expr_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex scalar functions over part.p_name (§2B gap-fill)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+    )

@@ -1,0 +1,313 @@
+"""Window / sort / set-operation queries (SURVEY.md §2B).
+
+The reference uses no window functions of its own; the closest shapes are
+top-k (/root/reference/test/data_lineage/test_write_log.py:32-33 latest-row
+select; /root/reference/jorvik/storage/isolation.py:109 history().limit(1))
+and unionByName (/root/reference/test/fixtures/pipelines.py:135). This
+module fills the §2B gap: ranking, analytic lag/lead, frame-spec running
+aggregates, multi-column sorts, and the three set ops, plus the tumbling /
+session event-time window shapes (batch equivalents of the streaming ops,
+BENCH w1/s1).
+
+Scale notes (100 TB):
+  * Every window partitions by a high-cardinality key (``user_id``) — one
+    hash shuffle, then per-partition sort; no global sort anywhere.
+  * Top-k uses ``orderBy().limit(k)`` → TakeOrderedAndProject: per-partition
+    heap + driver merge of k rows, not a full sort.
+  * Running sums aggregate in exact decimal (registry convention) so the
+    result is identical regardless of plan or engine.
+  * Tumbling/session windows are the exact batch twins of the structured-
+    streaming operators in jorvik_spark.streaming — same F.window /
+    F.session_window expressions, so correctness proved here transfers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jorvik_spark.tables import load_table
+from jorvik_spark.queries.registry import dsum, query, sql_dsum
+
+_DEC = "decimal(25,6)"
+
+
+@query(
+    "window_rank_per_user",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                           event_id DESC) AS rn,
+               LAG(value) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                         event_id DESC) AS prev_value
+        FROM events)
+    SELECT user_id, event_id, ts, value, prev_value, rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def window_rank_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH w1 — lag + row_number per user, top-3 most recent events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "ts", "value", "prev_value", "rn")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           LAG(value)  OVER (PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead along each user's purchase timeline."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                OVER (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+    FROM events WHERE user_id < 100
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec running sum (rowsBetween unboundedPreceding→currentRow).
+
+    Decimal-accumulated so segment-tree vs sequential accumulation order
+    cannot drift the double result between engines.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by value (reference history().limit(1) / latest-row shape).
+
+    Plans as TakeOrderedAndProject — no full sort, no single-partition
+    shuffle of the whole table.
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(15)
+    )
+
+
+@query(
+    "sort_multi",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_extendedprice
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus, l_extendedprice DESC,
+             l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column mixed-direction sort with deterministic tiebreak."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            "l_linestatus", "l_extendedprice",
+        )
+        .orderBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.desc("l_extendedprice"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_name AS entity_name,
+           'customer' AS entity_kind
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_key, s_name AS entity_name,
+           'supplier' AS entity_kind
+    FROM supplier
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName across differently-ordered schemas (reference
+    test/fixtures/pipelines.py:135)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.lit("customer").alias("entity_kind"),
+    )
+    # Deliberately different column order — unionByName must align by name.
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("entity_kind"),
+        F.col("s_name").alias("entity_name"),
+        F.col("s_suppkey").alias("entity_key"),
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — customers with both F and O orders."""
+    o = load_table(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_cust.intersect(o_cust)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) — customers who never ordered urgent."""
+    o = load_table(spark, sf_dir, "orders")
+    all_cust = o.select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return all_cust.subtract(urgent)
+
+
+@query(
+    "stream_tumbling_agg",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH s1 — tumbling 1-hour event-time window aggregation.
+
+    Exact batch twin of the streaming groupBy(F.window(...)) operator in
+    jorvik_spark.streaming — identical window expression, so this oracle
+    check validates the streaming semantics too.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        FROM events WHERE user_id < 50),
+    marked AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_session
+        FROM seq),
+    sessions AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) — batch twin of streaming.
+
+    Spark merges per-event windows ``[ts, ts+gap)`` on overlap, so a gap of
+    exactly 30 minutes starts a new session; the oracle's ``>=`` condition
+    mirrors that boundary.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+    )

@@ -56,11 +56,17 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply engine confs that are runtime-settable onto an existing session.
 
     Used when the session is provided by a host (e.g. the verification
-    driver) whose builder we do not control. Static confs are skipped.
+    driver) whose builder we do not control. Static confs are skipped, and
+    parallelism knobs the host may have tuned deliberately are never
+    overridden (we only fill them in when unset-or-default is detectable
+    isn't possible, so we simply leave them alone).
     """
+    _host_tuned = {"spark.sql.shuffle.partitions"}
     for k, v in ENGINE_CONFS.items():
+        if k in _host_tuned:
+            continue
         try:
             spark.conf.set(k, v)
-        except Exception:  # static conf on a live session — leave as-is
-            pass
+        except Exception:  # pyspark raises AnalysisException CANNOT_MODIFY_CONFIG
+            pass  # static conf on a live session — leave as-is
     return spark

@@ -36,9 +36,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # Integer division (ts div 1000) matches DuckDB's truncating
+            # CAST(TIMESTAMP_NS AS TIMESTAMP); float division would round
+            # ~12.7% of values up by 1µs and break oracle value-hash parity.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

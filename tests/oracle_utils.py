@@ -21,9 +21,18 @@ SF_DIR = "/root/testdata/sf0.001"
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        if t == "events":
+            # Normalize ns→µs exactly like jorvik_spark.tables.load_table
+            # (truncating cast), so oracle comparisons see µs on both sides.
+            con.execute(
+                "CREATE VIEW events AS SELECT event_id, "
+                "CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props "
+                f"FROM read_parquet('{sf_dir}/events.parquet')"
+            )
+        else:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
     return con
 
 
@@ -31,6 +40,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
+        if s.dtype == object and s.map(
+            lambda v: v is None or hasattr(v, "toordinal"), na_action="ignore"
+        ).all() and s.notna().any():
+            s = pd.to_datetime(s)  # datetime.date objects → datetime64
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype("int64").where(s.notna())
         elif s.dtype == object:

@@ -1,7 +1,7 @@
 """Every oracle-checkable registered query must match DuckDB at sf0.001.
 
-This mirrors the driver's t2 gate (which runs at sf0.01 — run
-``python scripts/check_correctness.py`` for the full-size check).
+This mirrors the driver's t2 gate (which runs at sf0.01 — set
+``SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01`` to run the full-size check).
 """
 
 import os
