@@ -7,6 +7,7 @@ contract in ``__spark_entry__.py`` re-exports ``QUERIES`` / ``ORACLES``.
 from jorvik_spark.queries.registry import ORACLES, QUERIES  # noqa: F401
 
 # Import order = SURVEY.md §2B/§2C category order. Each import registers.
+from jorvik_spark.queries import storage_ops  # noqa: F401,E402
 from jorvik_spark.queries import projections  # noqa: F401,E402
 from jorvik_spark.queries import joins  # noqa: F401,E402
 from jorvik_spark.queries import aggregates  # noqa: F401,E402

@@ -1,0 +1,242 @@
+"""Storage operators as verifiable queries (SURVEY.md §2B scans/sinks/MERGE).
+
+Each query exercises the real BasicStorage surface end-to-end (write to a
+scratch directory → read back → return the DataFrame), so the driver's
+DuckDB comparison proves A1/A3/A5/A6 semantics, not just plan shapes.
+
+The MERGE oracles reconstruct the post-merge state relationally (left join
+for update-or-keep + anti-join for inserts) — the model the reference's
+own expected-row tables use (/root/reference/test/storage/test_basic.py:137-146).
+
+Scratch dirs are created per invocation (the returned DataFrame keeps
+reading from them lazily, so they are not deleted here).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jorvik_spark.queries.registry import query
+from jorvik_spark.storage.basic import BasicStorage
+from jorvik_spark.tables import load_table
+
+
+def _scratch(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"jorvik_spark_{tag}_")
+
+
+_ORDER_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+
+@query(
+    "scan_parquet_roundtrip",
+    oracle="SELECT * FROM orders",
+)
+def scan_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 write + A1 read round-trip, parquet (reference test_basic.py:27-43)."""
+    st = BasicStorage()
+    target = _scratch("parquet") + "/t"
+    st.write(load_table(spark, sf_dir, "orders"), target, "parquet", "overwrite")
+    return st.read(target, "parquet")
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="SELECT * FROM orders",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = BasicStorage()
+    target = _scratch("orc") + "/t"
+    st.write(load_table(spark, sf_dir, "orders"), target, "orc", "overwrite")
+    return st.read(target, "orc")
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle=f"SELECT {', '.join(_ORDER_COLS)} FROM orders",
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip on the columns that survive inference exactly; ints
+    re-cast to long as the reference's own test does (test_basic.py:40-41)."""
+    st = BasicStorage()
+    target = _scratch("csv") + "/t"
+    st.write(
+        load_table(spark, sf_dir, "orders").select(*_ORDER_COLS),
+        target, "csv", "overwrite",
+    )
+    out = st.read(target, "csv")
+    return out.select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double"),
+    )
+
+
+@query(
+    "scan_json_roundtrip",
+    oracle=f"SELECT {', '.join(_ORDER_COLS)} FROM orders",
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = BasicStorage()
+    target = _scratch("json") + "/t"
+    st.write(
+        load_table(spark, sf_dir, "orders").select(*_ORDER_COLS),
+        target, "json", "overwrite",
+    )
+    out = st.read(target, "json")
+    return out.select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double"),
+    )
+
+
+@query(
+    "sink_partitioned_write",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    """,
+)
+def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitionBy write + partition-discovering read (A3).
+
+    At 100 TB partitioning by a low-cardinality column like l_returnflag
+    (3 values) gives partition pruning on the read side; the write itself
+    is shuffle-free (each task writes its rows into per-value files).
+    """
+    st = BasicStorage()
+    target = _scratch("part") + "/t"
+    st.write(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+        ),
+        target, "parquet", "overwrite",
+        partition_fields="l_returnflag",
+    )
+    return st.read(target, "parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@query(
+    "stream_passthrough",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def stream_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 readStream → A4 writeStream file passthrough (reference
+    test_basic.py:52-69), drained synchronously, then read as batch."""
+    st = BasicStorage()
+    base = _scratch("stream")
+    src, dst, cp = f"{base}/src", f"{base}/dst", f"{base}/cp"
+    st.write(
+        load_table(spark, sf_dir, "orders").select(*_ORDER_COLS),
+        src, "parquet", "overwrite",
+    )
+    stream = st.readStream(src, "parquet")
+    q = st.writeStream(stream, dst, "parquet", checkpoint=cp)
+    q.processAllAvailable()
+    q.stop()
+    return st.read(dst, "parquet")
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH full_t AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0),
+    inc AS (
+        SELECT o_orderkey, 'R' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0),
+    upd AS (
+        SELECT f.o_orderkey,
+               CASE WHEN i.o_orderkey IS NOT NULL AND i.o_totalprice > 200000
+                    THEN i.o_orderstatus ELSE f.o_orderstatus END AS o_orderstatus,
+               CASE WHEN i.o_orderkey IS NOT NULL AND i.o_totalprice > 200000
+                    THEN i.o_totalprice ELSE f.o_totalprice END AS o_totalprice
+        FROM full_t f LEFT JOIN inc i ON f.o_orderkey = i.o_orderkey),
+    ins AS (
+        SELECT i.o_orderkey, i.o_orderstatus, i.o_totalprice
+        FROM inc i
+        WHERE NOT EXISTS (SELECT 1 FROM full_t f
+                          WHERE f.o_orderkey = i.o_orderkey)
+          AND i.o_totalprice <= 500000)
+    SELECT * FROM upd UNION ALL SELECT * FROM ins
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 conditional MERGE end-to-end (reference basic.py:136-191):
+    target = orders with key % 3 != 0; incremental = doubled-price 'R' rows
+    for even keys; update only when incremental price > 200k, insert only
+    when <= 500k. Returns the post-merge table for oracle comparison."""
+    st = BasicStorage()
+    target = _scratch("merge") + "/t"
+    orders = load_table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    st.write(
+        orders.filter(F.col("o_orderkey") % 3 != 0),
+        target, "parquet", "overwrite",
+    )
+    incremental = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    st.merge(
+        incremental,
+        target,
+        merge_condition="full.o_orderkey == incremental.o_orderkey",
+        update_condition="incremental.o_totalprice > 200000",
+        insert_condition="incremental.o_totalprice <= 500000",
+    )
+    return st.read(target, "parquet")
+
+
+@query(
+    "merge_schema_evolution",
+    oracle="""
+    WITH full_t AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0),
+    inc AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0),
+    upd AS (
+        SELECT f.c_custkey,
+               CASE WHEN i.c_custkey IS NOT NULL THEN CAST(NULL AS VARCHAR)
+                    ELSE f.c_name END AS c_name,
+               CASE WHEN i.c_custkey IS NOT NULL THEN i.c_acctbal
+                    ELSE CAST(NULL AS DOUBLE) END AS c_acctbal
+        FROM full_t f LEFT JOIN inc i ON f.c_custkey = i.c_custkey),
+    ins AS (
+        SELECT i.c_custkey, CAST(NULL AS VARCHAR) AS c_name, i.c_acctbal
+        FROM inc i
+        WHERE NOT EXISTS (SELECT 1 FROM full_t f
+                          WHERE f.c_custkey = i.c_custkey))
+    SELECT * FROM upd UNION ALL SELECT * FROM ins
+    """,
+)
+def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 null-fill schema evolution through MERGE (reference
+    basic.py:193-220): target has (key, name), incremental has (key,
+    acctbal); merge_schemas=True null-fills both directions. Updated rows
+    take the incremental values — including NULL name, exactly like Delta
+    UpdateAll after evolution (reference test_basic.py:170-180)."""
+    st = BasicStorage()
+    target = _scratch("evolve") + "/t"
+    customer = load_table(spark, sf_dir, "customer")
+    st.write(
+        customer.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name"),
+        target, "parquet", "overwrite",
+    )
+    incremental = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_acctbal"
+    )
+    st.merge(
+        incremental,
+        target,
+        merge_condition="full.c_custkey == incremental.c_custkey",
+        merge_schemas=True,
+    )
+    return st.read(target, "parquet")

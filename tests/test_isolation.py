@@ -1,0 +1,181 @@
+"""Isolation path algebra + delegation tests, ported from
+/root/reference/test/storage/test_isolation.py:47-129 (parametrized path
+tables kept verbatim) and :192-274 (delegation with a fake storage).
+"""
+
+import pytest
+
+from jorvik_spark.storage.isolation import (
+    ISOLATION_FOLDER_CONF,
+    MOUNT_POINT_CONF,
+    IsolatedStorage,
+)
+
+
+class FakeStorage:
+    """Record-only storage double; exists() always True so the isolation
+    folder probe and the isolated-copy check both pass."""
+
+    def __init__(self, exists=True):
+        self._exists = exists
+        self.calls = []
+
+    def exists(self, path):
+        self.calls.append(("exists", path))
+        return self._exists
+
+    def read(self, path, format="parquet", options=None):
+        self.calls.append(("read", path))
+        return f"df@{path}"
+
+    def readStream(self, path, format="parquet", options=None, schema=None):
+        self.calls.append(("readStream", path))
+        return f"stream@{path}"
+
+    def write(self, df, path, format="parquet", mode="append",
+              partition_fields="", options=None):
+        self.calls.append(("write", path))
+
+    def writeStream(self, df, path, format="parquet", checkpoint=None,
+                    partition_fields="", options=None):
+        self.calls.append(("writeStream", path))
+        return f"query@{path}"
+
+    def merge(self, df, path, merge_condition, **kwargs):
+        self.calls.append(("merge", path))
+
+
+@pytest.fixture
+def set_conf(spark):
+    keys = [MOUNT_POINT_CONF, ISOLATION_FOLDER_CONF]
+
+    def _set(mount, folder):
+        spark.conf.set(MOUNT_POINT_CONF, mount)
+        spark.conf.set(ISOLATION_FOLDER_CONF, folder)
+
+    yield _set
+    for k in keys:
+        spark.conf.unset(k)
+
+
+@pytest.mark.parametrize(
+    "mount_point, isolation_folder, isolation_context, input_path, expected",
+    [
+        ("", "folder/", "branch", "/mnt/data/file.parquet",
+         "/mnt/folder/branch/data/file.parquet"),
+        ("", "folder", "/branch/", "/mnt/data/file.parquet",
+         "/mnt/folder/branch/data/file.parquet"),
+        ("/mnt/", "folder/", "branch", "/mnt/data/file.parquet",
+         "/mnt/folder/branch/data/file.parquet"),
+        ("/mnt/", "/folder/", "/branch/", "/mnt/data/file.parquet",
+         "/mnt/folder/branch/data/file.parquet"),
+        ("data", "iso", "dev", "/data/file.parquet",
+         "/data/iso/dev/file.parquet"),
+        ("/data", "iso", "dev", "/data/file.parquet",
+         "/data/iso/dev/file.parquet"),
+    ],
+)
+def test_create_isolation_path(
+    spark, set_conf, mount_point, isolation_folder, isolation_context,
+    input_path, expected,
+):
+    set_conf(mount_point, isolation_folder)
+    st = IsolatedStorage(
+        storage=FakeStorage(), isolation_provider=lambda: isolation_context
+    )
+    assert st._create_isolation_path(input_path) == expected
+
+
+def test_create_isolation_path_requires_folder(spark, set_conf):
+    set_conf("/mnt", "iso")
+    st = IsolatedStorage(
+        storage=FakeStorage(exists=False), isolation_provider=lambda: "dev"
+    )
+    with pytest.raises(RuntimeError, match="does not exist"):
+        st._create_isolation_path("/mnt/data")
+
+
+@pytest.mark.parametrize(
+    "input_path, isolation_folder, isolation_context, expected",
+    [
+        ("/mnt/data/file.parquet", "container", "branch",
+         "/mnt/data/file.parquet"),
+        ("/mnt/container/branch/data/file.parquet", "container", "branch",
+         "/mnt/data/file.parquet"),
+        ("/mnt/foo/bar/data/file.parquet", "container", "branch",
+         "/mnt/foo/bar/data/file.parquet"),
+    ],
+)
+def test_remove_isolation_path(
+    spark, set_conf, input_path, isolation_folder, isolation_context, expected
+):
+    set_conf("/mnt", isolation_folder)
+    st = IsolatedStorage(
+        storage=FakeStorage(), isolation_provider=lambda: isolation_context
+    )
+    assert st._remove_isolation_path(input_path) == expected
+
+
+@pytest.mark.parametrize(
+    "input_path, mount_point, expected",
+    [
+        ("/mnt/folder/bronze/my_table", "", "folder...bronze/my_table"),
+        ("/dbfs///folder/bronze/foo/bar/table", "", "folder...bar/table"),
+        ("/mnt/data/folder/file/////", "", "data...folder/file"),
+        ("/mnt/bronze/my_table", "", "bronze...my_table"),
+        ("/mnt/justone", "", "justone"),
+        ("/mnt/", "", "Unknown"),
+        ("", "", "Unknown"),
+        ("/", "", "Unknown"),
+        ("/custom/bronze/my_table", "custom", "bronze...my_table"),
+    ],
+)
+def test_verbose_table_name(spark, set_conf, input_path, mount_point, expected):
+    set_conf(mount_point, "iso")
+    st = IsolatedStorage(storage=FakeStorage(), isolation_provider=lambda: "")
+    assert st._verbose_table_name(input_path) == expected
+
+
+def test_read_prefers_isolated_copy(spark, set_conf):
+    set_conf("/mnt", "iso")
+    fake = FakeStorage(exists=True)
+    st = IsolatedStorage(storage=fake, isolation_provider=lambda: "dev")
+    result = st.read("/mnt/data/t", "parquet")
+    assert result == "df@/mnt/iso/dev/data/t"
+
+
+def test_read_falls_back_to_production(spark, set_conf):
+    set_conf("/mnt", "iso")
+    fake = FakeStorage(exists=True)
+    # isolated copy missing (second exists call), folder present (first call)
+    answers = iter([True, False])
+    fake.exists = lambda path: next(answers)
+    st = IsolatedStorage(storage=fake, isolation_provider=lambda: "dev")
+    assert st.read("/mnt/data/t", "parquet") == "df@/mnt/data/t"
+
+
+def test_read_production_data_strips_isolation(spark, set_conf):
+    set_conf("/mnt", "iso")
+    fake = FakeStorage()
+    st = IsolatedStorage(storage=fake, isolation_provider=lambda: "dev")
+    assert st.read_production_data("/mnt/iso/dev/data/t", "parquet") == "df@/mnt/data/t"
+
+
+def test_write_always_isolated(spark, set_conf):
+    set_conf("/mnt", "iso")
+    fake = FakeStorage()
+    st = IsolatedStorage(storage=fake, isolation_provider=lambda: "dev")
+    st.write("df", "/mnt/data/t", "parquet", "overwrite")
+    assert ("write", "/mnt/iso/dev/data/t") in fake.calls
+
+
+def test_merge_always_isolated(spark, set_conf):
+    """Q6 fix: merge targets the isolated path even when no isolated copy
+    exists yet (the reference would merge into production)."""
+    set_conf("/mnt", "iso")
+    fake = FakeStorage(exists=True)
+    answers = iter([True, False])  # folder exists; isolated copy does NOT
+    fake.exists = lambda path: next(answers)
+    st = IsolatedStorage(storage=fake, isolation_provider=lambda: "dev")
+    st.merge("df", "/mnt/data/t", "full.id == incremental.id")
+    assert ("merge", "/mnt/iso/dev/data/t") in fake.calls
