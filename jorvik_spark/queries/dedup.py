@@ -1,0 +1,271 @@
+"""Deduplication operators over ``documents`` (§2C north-star extensions).
+
+Four strategies, each the scale-appropriate Spark shape:
+
+* exact          — hash groupBy on a content key, keep-first-by-priority
+                   window (one shuffle on the content hash).
+* n-gram Jaccard — inverted index: explode distinct shingles, self-join on
+                   shingle, pair-count = |intersection| (never an all-pairs
+                   cross join; hot-shingle cap bounds skew).
+* MinHash+LSH    — Spark ML HashingTF → MinHashLSH.approxSimilarityJoin
+                   (banded OR-of-ANDs buckets), then iterative smallest-id
+                   label propagation for connected components.
+* SimHash        — 64-bit signature from per-token xxhash64 bit votes;
+                   banded self-join on 16-bit sub-keys, hamming-distance
+                   verify via bit_count(xor). All built-ins, no UDFs.
+
+The exact and Jaccard variants carry DuckDB oracles; the LSH/SimHash
+variants are rows-only (their hash families are engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jorvik_spark.tables import load_table
+from jorvik_spark.queries.registry import query
+from jorvik_spark.queries.text_analysis import _SQL_TOKENS, _TOKENS
+
+# Shingles: distinct 3-token windows (guarded against short docs — see
+# text_analysis.py on Spark's descending sequence()).
+_SHINGLES = (
+    f"array_distinct(if(size({_TOKENS}) >= 3, "
+    f"transform(sequence(1, size({_TOKENS}) - 2), "
+    f"i -> concat_ws(' ', element_at({_TOKENS}, i), element_at({_TOKENS}, i+1), "
+    f"element_at({_TOKENS}, i+2))), array()))"
+)
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, source, n_chars,
+               md5(text) AS content_key,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents)
+    SELECT doc_id, lang, source, n_chars, content_key
+    FROM keyed WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on content hash, keeping the lowest doc_id per group.
+
+    One shuffle on md5(text); at 100 TB the hash key distributes uniformly
+    so no skew handling is needed (identical docs collide by design —
+    that's the dedup).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_key").orderBy("doc_id")
+    return (
+        docs.withColumn("content_key", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "content_key")
+    )
+
+
+# Shingles seen in more than this many docs are dropped from the inverted
+# index: they generate quadratic candidate pairs while carrying almost no
+# similarity signal (stopword-only shingles). Pairs that are truly similar
+# share many other shingles. At 100 TB this cap is what keeps the self-join
+# from exploding on hot shingles.
+_MAX_SHINGLE_DF = 100
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    df AS (SELECT shingle FROM ex GROUP BY shingle
+           HAVING COUNT(*) <= {_MAX_SHINGLE_DF}),
+    exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN df USING (shingle)),
+    inter AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_common
+        FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT i.i AS doc_a, i.j AS doc_b,
+           round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.i = sa.doc_id
+    JOIN sizes sb ON i.j = sb.doc_id
+    WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (≥ 0.8) via inverted index.
+
+    |intersection| falls out of the shingle self-join group count because
+    shingle sets are distinct per doc; no cross join exists anywhere in
+    the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.expr(_SHINGLES).alias("s"))
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
+    rare = (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    exf = ex.join(rare, "shingle")
+    a = exf.alias("a")
+    b = exf.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("dedup_minhash_lsh")  # engine-specific hash family → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup clusters: shingle → HashingTF sparse vector →
+    MinHashLSH banded candidate join (Jaccard distance ≤ 0.4) → connected
+    components by iterative smallest-id propagation (bounded).
+
+    The LSH join only compares docs sharing a band bucket — the 100 TB
+    path, vs the exact query's inverted index which is quadratic in hot
+    buckets. Component resolution loops at most 5 rounds of a small
+    pair-table join (chains longer than 2^5 hops are not meaningful for
+    near-dup clusters).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.expr(_SHINGLES).alias("s")).filter(
+        F.size("s") > 0
+    )
+    tf = HashingTF(inputCol="s", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = (
+        model.approxSimilarityJoin(feats, feats, 0.4, distCol="dist")
+        .select(
+            F.col("datasetA.doc_id").alias("a"),
+            F.col("datasetB.doc_id").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+    # Smallest-id label propagation over the (tiny) near-dup pair graph.
+    labels = sh.select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    for _ in range(5):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neighbor_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+    return labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+@query("dedup_simhash")  # xxhash64 family is Spark-specific → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature from per-token bit votes,
+    4×16-bit band blocking, hamming ≤ 3 verification.
+
+    Entirely built-in expressions: xxhash64 per token, bit votes via an
+    array aggregate, band extraction with shiftright/mask, verification
+    with bit_count(a ^ b). By pigeonhole, any pair at hamming ≤ 3 agrees
+    on at least one of the 4 bands, so blocking loses nothing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t")).filter(
+        F.size("t") > 0
+    )
+    # votes[b] = Σ_tokens (bit b of xxhash64(token) ? +1 : -1); sign → bit.
+    sig = toks.select(
+        "doc_id",
+        F.expr(
+            "aggregate(t, array_repeat(0L, 64), (acc, tok) -> "
+            "zip_with(acc, transform(sequence(0, 63), "
+            "b -> if(((xxhash64(tok) >> b) & 1) = 1, 1L, -1L)), "
+            "(x, y) -> x + y))"
+        ).alias("votes"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(0, 63), 0L, "
+            "(acc, b) -> if(element_at(votes, b + 1) > 0, "
+            "acc | (1L << b), acc))"
+        ).alias("simhash"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "k -> named_struct('band', k, "
+                "'key', (simhash >> (k * 16)) & 65535))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )

@@ -1,0 +1,85 @@
+"""Multimodal (binary-column) operators (§2C north-star extensions).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata. The
+Spark-side plumbing — binaryFile source, schema, Arrow-batched
+``mapInPandas`` decode/feature stage, partitioning — is real and tested;
+the actual media decode is STUBBED with a deterministic fake (this
+container has no image/audio libraries), clearly marked below.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jorvik_spark.queries.registry import query
+
+_FEATURE_SCHEMA = (
+    "path string, n_bytes long, content_sha256 string, "
+    "fake_width long, fake_height long"
+)
+
+
+def decode_media(content: bytes) -> dict:
+    """STUB media decode. A real deployment would decode image/audio here
+    (PIL / torchaudio / ffmpeg are not in this container). The fake is
+    deterministic in the content bytes so tests and the driver get stable
+    output: 'dimensions' are derived from the content digest."""
+    digest = hashlib.sha256(content).digest()
+    return {
+        "content_sha256": digest.hex(),
+        "fake_width": 1 + digest[0] % 64,
+        "fake_height": 1 + digest[1] % 64,
+    }
+
+
+def _extract_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction over binary content. Each incoming
+    batch holds up to spark.sql.execution.arrow.maxRecordsPerBatch rows;
+    per-batch work stays columnar (pandas) on the executor."""
+    for batch in batches:
+        feats = [decode_media(bytes(c)) for c in batch["content"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "n_bytes", batch["content"].map(len).astype("int64"))
+        out.insert(0, "path", batch["path"].values)
+        out["fake_width"] = out["fake_width"].astype("int64")
+        out["fake_height"] = out["fake_height"].astype("int64")
+        yield out
+
+
+@query("multimodal_binary_scan")  # binary source metadata → rows-only
+def multimodal_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan: each file becomes (path, modificationTime, length,
+    content binary). At 100 TB the source parallelizes per-file and prunes
+    with pathGlobFilter; content stays off-heap until touched."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select("path", "length")
+        .orderBy("path")
+    )
+
+
+@query("multimodal_feature_extract")  # stubbed decode → rows-only
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal pipeline shape: binary scan → repartition for decode
+    parallelism → Arrow-batched mapInPandas feature extraction.
+
+    The repartition sizes decode tasks independently of file layout (media
+    decode is CPU-bound, so at scale you want ~1 batch per core, not 1 per
+    file)."""
+    binaries = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select("path", "content")
+        .repartition(8)
+    )
+    return binaries.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)

@@ -1,0 +1,163 @@
+"""Similarity search over ``embeddings`` (§2C north-star extensions).
+
+* ``simsearch_topk``       — exact brute-force cosine top-k for a query
+                             set: broadcast the (small) query side, one
+                             streaming pass over candidates, per-query
+                             heap via window top-k. The correctness
+                             baseline, DuckDB-checkable.
+* ``simsearch_lsh``        — BucketedRandomProjectionLSH candidate join:
+                             the 100 TB path (compares only vectors
+                             sharing a hash bucket, never all pairs).
+* ``dedup_embedding_cosine`` — near-dup pairs by cosine threshold via the
+                             same broadcast/bucketed pattern.
+
+Dot products are pure built-ins (zip_with + aggregate in double); cosines
+are rounded to 6 decimals on both engines so float-summation-order noise
+cannot flip the hash comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jorvik_spark.tables import load_table
+from jorvik_spark.queries.registry import query
+
+_TOPK = 5
+_N_QUERIES = 5  # vec_id < 5 form the query set
+
+# Cosine between two array<double> columns, built-ins only.
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def _cosine(a: str, b: str) -> F.Column:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
+
+
+_SQL_COS = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+def _vec_double(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "v", F.expr("transform(embedding, x -> cast(x AS double))")
+    )
+
+
+@query(
+    "simsearch_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS candidate_id,
+               round({_SQL_COS.format(a='q.qe', b='c.embedding')}, 6) AS cosine
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, candidate_id) AS rank
+        FROM scored)
+    SELECT query_id, candidate_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_TOPK}
+    """,
+)
+def simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: O(|queries| × |corpus|) with the query side
+    broadcast — the right plan whenever |queries| ≪ |corpus| (ANN below
+    is the path when both sides are huge)."""
+    emb = _vec_double(load_table(spark, sf_dir, "embeddings"))
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    cands = emb.select(F.col("vec_id").alias("candidate_id"), "v")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "candidate_id"
+    )
+    return (
+        cands.join(queries, F.col("candidate_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(_cosine("qv", "v"), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+    )
+
+
+@query("simsearch_lsh")  # hash-family specific → rows-only
+def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighbor pairs via BucketedRandomProjectionLSH: random
+    hyperplane projections bucket the space; the join compares only
+    same-bucket vectors. Returns candidate pairs under a Euclidean
+    distance threshold with their exact distance."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _vec_double(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", array_to_vector("v").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=4,
+        seed=42,
+    )
+    model = lsh.fit(emb)
+    return (
+        model.approxSimilarityJoin(emb, emb, 3.0, distCol="euclidean")
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("euclidean", 6).alias("euclidean"),
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 6)
+                   AS cosine
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.vec_id < b.vec_id AND a.label = b.label)
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.4 within the same label block.
+
+    Blocking on ``label`` is the generic template — at 100 TB the block
+    key is an LSH bucket or IVF cell id (see simsearch_lsh); the exact
+    within-block pair scoring stays identical.
+    """
+    emb = _vec_double(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
+        F.col("v").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(b, (F.col("vec_a") < F.col("vec_b")) & (F.col("la") == F.col("lb")))
+        .select(
+            "vec_a", "vec_b", F.round(_cosine("va", "vb"), 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )

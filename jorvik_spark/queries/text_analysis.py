@@ -1,0 +1,238 @@
+"""Text-analysis operators over ``documents`` (§2C north-star extensions).
+
+Large-scale training-data pipeline primitives: token statistics, n-gram
+counts, quality scoring, language identification (stopword heuristic),
+and document fingerprinting. All pure built-in expressions — narrow
+transformations with no shuffle except the final aggregations, no UDFs,
+fully whole-stage-codegen'd, so they stream over 100 TB of text at scan
+speed.
+
+Tokenization contract (mirrored exactly in the DuckDB oracles):
+``lower(text)`` split on ``\\s+`` with empty tokens dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jorvik_spark.tables import load_table
+from jorvik_spark.queries.registry import query
+
+# Spark-side tokens expression (array<string>).
+_TOKENS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+# DuckDB twin.
+_SQL_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+# Tiny per-language stopword lists for the heuristic language ID.
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "es": ["el", "la", "de", "y", "un"],
+    "fr": ["le", "la", "et", "un", "des"],
+    "zh": ["de", "le", "he", "shi", "zai"],
+}
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_tokens,
+           CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS n_token_chars
+    FROM toks
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document (whitespace tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr(_TOKENS)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_unique_tokens"),
+        F.expr(
+            f"aggregate({_TOKENS}, 0L, (acc, x) -> acc + length(x))"
+        ).alias("n_token_chars"),
+    )
+
+
+@query(
+    "text_ngram_counts",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    grams AS (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+               AS bigram
+        FROM toks)
+    SELECT bigram, COUNT(*) AS n
+    FROM grams GROUP BY bigram
+    HAVING COUNT(*) >= 50
+    """,
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (explode → count), frequent grams only.
+
+    At 100 TB this is the canonical map-side-combining aggregation; the
+    HAVING filter keeps the result bounded (the full histogram would be
+    the corpus vocabulary squared).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # if() guard: sequence(1, 0) DESCENDS in Spark (DuckDB range is empty),
+    # so short docs must short-circuit to an empty array explicitly.
+    bigrams = F.expr(
+        f"if(size({_TOKENS}) >= 2, "
+        f"transform(sequence(1, size({_TOKENS}) - 1), "
+        f"i -> concat_ws(' ', element_at({_TOKENS}, i), element_at({_TOKENS}, i + 1))), "
+        f"array())"
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, n_chars, {_SQL_TOKENS} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           round(list_sum(list_transform(t, x -> len(x))) * 1.0
+                 / greatest(len(t), 1), 6) AS avg_token_len,
+           round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                 * 1.0 / greatest(len(t), 1), 6) AS stopword_ratio,
+           CAST(CASE WHEN len(t) BETWEEN 10 AND 100000
+                      AND list_sum(list_transform(t, x -> len(x)))
+                          / greatest(len(t), 1) BETWEEN 2 AND 15
+                     THEN 1 ELSE 0 END AS BIGINT) AS passes_quality
+    FROM toks
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, mean token length, stopword
+    ratio, and a pass/fail gate — the standard pre-training corpus filter
+    shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.expr(f"size({_TOKENS})").cast("long")
+    sum_len = F.expr(f"aggregate({_TOKENS}, 0L, (acc, x) -> acc + length(x))")
+    stop_hits = F.expr(
+        f"size(filter({_TOKENS}, x -> x IN ('the', 'a', 'of', 'and', 'to')))"
+    )
+    avg_len = sum_len / F.greatest(n_tokens, F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(sum_len * 1.0 / F.greatest(n_tokens, F.lit(1)), 6).alias(
+            "avg_token_len"
+        ),
+        F.round(stop_hits * 1.0 / F.greatest(n_tokens, F.lit(1)), 6).alias(
+            "stopword_ratio"
+        ),
+        F.when(
+            n_tokens.between(10, 100_000) & avg_len.between(2, 15), 1
+        ).otherwise(0).cast("long").alias("passes_quality"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return f"len(list_filter(t, x -> x IN ({words})))"
+
+
+def _lang_hits_spark(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return f"size(filter({_TOKENS}, x -> x IN ({words})))"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               {_lang_hits_sql('en')} AS hits_en,
+               {_lang_hits_sql('de')} AS hits_de,
+               {_lang_hits_sql('es')} AS hits_es,
+               {_lang_hits_sql('fr')} AS hits_fr,
+               {_lang_hits_sql('zh')} AS hits_zh
+        FROM toks)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE greatest(hits_en, hits_de, hits_es, hits_fr, hits_zh)
+                WHEN hits_en THEN 'en' WHEN hits_de THEN 'de'
+                WHEN hits_es THEN 'es' WHEN hits_fr THEN 'fr'
+                ELSE 'zh' END AS predicted_lang,
+           CAST(greatest(hits_en, hits_de, hits_es, hits_fr, hits_zh)
+                AS BIGINT) AS top_hits
+    FROM scored
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-list language ID with a deterministic priority tiebreak
+    (en > de > es > fr > zh, via CASE evaluation order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            F.expr(_lang_hits_spark(lg)).alias(f"hits_{lg}")
+            for lg in ("en", "de", "es", "fr", "zh")
+        ],
+    )
+    top = F.greatest(*[F.col(f"hits_{lg}") for lg in ("en", "de", "es", "fr", "zh")])
+    pred = (
+        F.when(F.col("hits_en") == top, "en")
+        .when(F.col("hits_de") == top, "de")
+        .when(F.col("hits_es") == top, "es")
+        .when(F.col("hits_fr") == top, "fr")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("predicted_lang"),
+        top.cast("long").alias("top_hits"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_transform(range(1, len(t) - 3),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   || ' ' || t[i+3] || ' ' || t[i+4]) AS shingles
+        FROM toks)
+    SELECT doc_id,
+           list_min(list_transform(shingles, s -> md5(s))) AS fingerprint,
+           CAST(len(list_distinct(shingles)) AS BIGINT) AS n_shingles
+    FROM sh
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-winnowing fingerprint: md5 over rolling 5-token windows,
+    keep the minimum — a deterministic doc signature whose collision
+    across docs implies shared content (MinHash with one permutation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # if() guard: see text_ngram_counts — avoids Spark's descending sequence.
+    shingles = F.expr(
+        f"if(size({_TOKENS}) >= 5, "
+        f"transform(sequence(1, size({_TOKENS}) - 4), "
+        f"i -> concat_ws(' ', element_at({_TOKENS}, i), element_at({_TOKENS}, i+1), "
+        f"element_at({_TOKENS}, i+2), element_at({_TOKENS}, i+3), "
+        f"element_at({_TOKENS}, i+4))), "
+        f"array())"
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"),
+        F.size(F.array_distinct(shingles)).cast("long").alias("n_shingles"),
+    )
