@@ -12,6 +12,7 @@ from jorvik_spark.queries import projections  # noqa: F401,E402
 from jorvik_spark.queries import joins  # noqa: F401,E402
 from jorvik_spark.queries import aggregates  # noqa: F401,E402
 from jorvik_spark.queries import windows  # noqa: F401,E402
+from jorvik_spark.queries import udfs  # noqa: F401,E402
 from jorvik_spark.queries import text_analysis  # noqa: F401,E402
 from jorvik_spark.queries import dedup  # noqa: F401,E402
 from jorvik_spark.queries import similarity  # noqa: F401,E402

@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jorvik_spark.tables import load_table
@@ -257,4 +257,130 @@ def join_q5_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(revenue).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, big.o_orderkey, big.o_totalprice
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) big
+    RIGHT JOIN customer c ON big.o_custkey = c.c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of join_left_outer, preserved right side).
+
+    Catalyst rewrites right joins as left joins with swapped inputs, so at
+    scale the plan is identical to the left-outer variant — registered to
+    prove the semantic, not a new physical shape.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return big.join(c, big.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two tiny dimensions (5 × 25 rows).
+
+    Cross joins are only ever acceptable when at least one side is
+    broadcast-small; the hint makes that a BroadcastNestedLoopJoin with no
+    shuffle. A fact⋈fact cross join is a plan bug, never a strategy.
+    """
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH latest_per_day AS (
+        -- dedup the right side at equal timestamps so the as-of pick is
+        -- deterministic on both engines
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                           ORDER BY o_orderkey DESC) AS rn
+              FROM orders) t
+        WHERE rn = 1)
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice
+    FROM events e
+    ASOF LEFT JOIN latest_per_day o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the most recent order (o_orderdate ≤ ts)
+    of the same user. Spark has no ASOF JOIN; the scale-safe shape is the
+    union-and-carry-forward trick, NOT an equi-join + per-pair filter:
+
+      union orders and events on (user, time), sort within user, and carry
+      the last seen order forward with last(..., ignorenulls) over an
+      unbounded-preceding window.
+
+    One shuffle on user_id, O(n log n) per user, and — unlike the naive
+    join-then-max — no |events_u| × |orders_u| pair blowup for hot users.
+    Ties (order at exactly the event ts) sort orders first → inclusive ≤,
+    matching DuckDB ASOF semantics.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("uid"), F.col("ts").alias("t")
+    )
+    # Deterministic right side: one order per (user, timestamp).
+    w_dedup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("uid"),
+            F.col("o_orderdate").alias("t"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    unioned = od.withColumn("event_id", F.lit(None).cast("long")).withColumn(
+        "is_event", F.lit(0)
+    ).unionByName(
+        ev.select(
+            "uid",
+            "t",
+            F.lit(None).cast("long").alias("o_orderkey"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+            "event_id",
+            F.lit(1).alias("is_event"),
+        )
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn(
+            "asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "asof_totalprice", F.last("o_totalprice", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("uid").alias("user_id"),
+            F.col("t").alias("ts"),
+            "asof_orderkey",
+            "asof_totalprice",
+        )
     )

@@ -1,0 +1,148 @@
+"""UDF / UDAF surface (SURVEY.md §2B "UDF / UDAF / UDTF").
+
+The reference has no row-level UDFs (its transform functions are
+driver-side Python composing built-ins — /root/reference/jorvik/pipelines/
+etl.py:179); these two queries pin down the *engine policy* for when
+Python in the data path is unavoidable:
+
+* ``udf_pandas_scalar``  — ``@pandas_udf``: Arrow-batched, vectorized
+  numpy arithmetic. ~10-100× faster than row-at-a-time ``F.udf`` and the
+  only acceptable scalar-Python shape at 100 TB. The computation itself
+  (net price) is chosen to be SQL-expressible so the DuckDB oracle proves
+  the UDF path end-to-end, not just rows-only.
+* ``udaf_grouped_apply`` — ``groupBy().applyInPandas``: grouped custom
+  aggregation (median — not a single built-in expression shape) over a
+  *high-cardinality* key (``l_suppkey``) so groups are many and small.
+  That is the applyInPandas scale contract: each group must fit one
+  executor's memory, and group count must exceed core count or the stage
+  serializes. Never applyInPandas on a handful of giant groups.
+
+Both stay deterministic cross-engine: per-row IEEE double arithmetic in
+identical operation order, and exact math (whole-number quantities,
+(a+b)/2 medians) in the aggregate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from jorvik_spark.tables import load_table
+from jorvik_spark.queries.registry import query
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_price
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar Pandas UDF (Arrow batches) computing net price.
+
+    The filter stays *outside* the UDF so it pushes down to the parquet
+    scan; only surviving rows cross the JVM↔Python Arrow boundary.
+    """
+    # Defined here (not module level): pandas_udf validates its return
+    # type against the active session, which doesn't exist at import time.
+    @pandas_udf("double")
+    def _net_price(ext: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        # Left-associative, same op order as the oracle SQL → bitwise-equal
+        # IEEE doubles on both engines.
+        return ext * (1.0 - disc) * (1.0 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _net_price("l_extendedprice", "l_discount", "l_tax").alias("net_price"),
+    )
+
+
+def _supplier_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    q = pdf["l_quantity"].sort_values().to_numpy()
+    n = len(q)
+    # Exact median: middle element, or (a+b)/2 of the two middles —
+    # matching DuckDB's median() formula bit for bit (quantities are
+    # whole-number doubles, so all arithmetic here is exact).
+    med = q[n // 2] if n % 2 else (q[n // 2 - 1] + q[n // 2]) / 2.0
+    p = pdf["l_extendedprice"]
+    return pd.DataFrame(
+        {
+            "l_suppkey": [pdf["l_suppkey"].iloc[0]],
+            "n_rows": [n],
+            "sum_qty": [q.sum()],  # whole numbers → exact in any order
+            "median_qty": [med],
+            "price_range": [p.max() - p.min()],
+        }
+    )
+
+
+@query(
+    "udaf_grouped_apply",
+    oracle="""
+    SELECT l_suppkey,
+           COUNT(*) AS n_rows,
+           SUM(l_quantity) AS sum_qty,
+           median(l_quantity) AS median_qty,
+           MAX(l_extendedprice) - MIN(l_extendedprice) AS price_range
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def udaf_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregation via ``applyInPandas`` (one Arrow batch
+    per supplier group; one shuffle on the group key, same as a hash agg)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_suppkey").applyInPandas(
+        _supplier_stats,
+        schema=(
+            "l_suppkey long, n_rows long, sum_qty double, "
+            "median_qty double, price_range double"
+        ),
+    )
+
+
+@query("udf_map_in_pandas")  # iterator plumbing demo → rows-only
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInPandas`` partition-wise transform: per-Arrow-batch z-score
+    of event values against *running* partition statistics.
+
+    The iterator form processes one Arrow batch at a time — constant
+    memory per partition regardless of partition size, the required shape
+    for 100 TB map-side Python (feature extraction, tokenizer calls).
+    Rows-only check: the running (per-partition) baseline is
+    partitioning-dependent by design.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+
+    def zscore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, s, s2 = 0, 0.0, 0.0
+        for pdf in batches:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            s2 += float((pdf["value"] ** 2).sum())
+            mean = s / n
+            var = max(s2 / n - mean * mean, 1e-12)
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "value": pdf["value"],
+                    "running_z": (pdf["value"] - mean) / (var**0.5),
+                }
+            )
+
+    return ev.mapInPandas(
+        zscore, schema="event_id long, value double, running_z double"
+    )

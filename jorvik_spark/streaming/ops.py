@@ -1,0 +1,177 @@
+"""Event-time streaming transformations.
+
+All functions are stream/batch agnostic (Structured Streaming's unified
+DataFrame model): applied to a streaming DataFrame they run incrementally
+with state in the checkpoint; applied to a batch DataFrame they compute
+the same answer in one pass — which is exactly how the DuckDB oracles in
+``jorvik_spark.queries.windows`` verify their semantics
+(``stream_tumbling_agg`` / ``stream_session_window`` use these window
+expressions verbatim).
+
+Scale notes (100 TB/day stream):
+  * Watermarks bound state: without one, windowed state grows forever.
+    Every op here takes a ``watermark`` delay and applies it when the
+    input is streaming.
+  * State lives in the state store keyed by (group, window) — the shuffle
+    key. Skewed group keys skew state; pick keys accordingly (or salt and
+    re-aggregate downstream).
+  * ``applyInPandasWithState`` state must stay small per key (a few
+    scalars here); unbounded per-key state is the streaming analogue of a
+    driver collect.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _with_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame:
+    # Batch plans reject withWatermark; same code path must serve both.
+    if df.isStreaming and delay:
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    keys: Tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window: count + sum per (window, keys).
+
+    Identical expression to the batch-twin ``stream_tumbling_agg`` query,
+    whose DuckDB ``time_bucket`` oracle pins the semantics.
+    """
+    df = _with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    keys: Tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) window — each event lands in window/slide buckets."""
+    df = _with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window, slide), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    keys: Tuple[str, ...] = ("user_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (inactivity gap): merge-on-overlap per-event windows.
+
+    Batch twin: ``stream_session_window`` (gap-and-running-sum oracle).
+    """
+    df = _with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(*keys, F.session_window(ts_col, gap))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(*keys, "session_start", "session_last", "n_events")
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: Tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Drop duplicate keys arriving within the watermark horizon.
+
+    State holds one entry per key seen in the last ``delay`` — bounded,
+    unlike streaming ``dropDuplicates`` whose state never expires. This is
+    the at-least-once → effectively-once repair for replayed sources.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return df.dropDuplicates(list(keys))
+
+
+def running_user_totals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator: per-key running (count, sum) emitted each
+    micro-batch, via ``applyInPandasWithState``.
+
+    The canonical shape for operators Spark's built-ins can't express
+    (per-key counters, custom sessionization, CDC conflation): state is a
+    few scalars per key, input arrives as an iterator of Arrow batches.
+    Batch inputs get the equivalent one-shot groupBy aggregate.
+    """
+    if not df.isStreaming:
+        return df.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

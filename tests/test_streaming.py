@@ -1,0 +1,150 @@
+"""Live Structured Streaming tests for jorvik_spark.streaming.
+
+Method (reference test model: /root/reference/test/storage/test_basic.py:52-69):
+file source → transformation → memory/file sink, ``availableNow`` trigger,
+``awaitTermination`` — then compare against the batch twin computed on the
+same rows, which is the unified-model guarantee the module documents.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jorvik_spark import streaming as S
+from jorvik_spark.storage import BasicStorage
+from jorvik_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, tmp_path_factory):
+    """events (µs-normalized) rewritten as a file-stream source dir."""
+    path = str(tmp_path_factory.mktemp("events_src"))
+    load_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+def _stream(spark, path):
+    st = BasicStorage()
+    return st.readStream(path, "parquet")
+
+
+def _run_to_memory(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _sorted_rows(df, *cols):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+def test_tumbling_agg_stream_matches_batch(spark, events_src):
+    stream = S.tumbling_agg(_stream(spark, events_src))
+    _run_to_memory(stream, "t_tumbling", "complete")
+    got = spark.table("t_tumbling")
+    want = S.tumbling_agg(spark.read.parquet(events_src))
+    assert _sorted_rows(got, "window_start", "event_type") == _sorted_rows(
+        want, "window_start", "event_type"
+    )
+
+
+def test_sliding_agg_stream_matches_batch(spark, events_src):
+    stream = S.sliding_agg(_stream(spark, events_src))
+    _run_to_memory(stream, "t_sliding", "complete")
+    got = spark.table("t_sliding")
+    want = S.sliding_agg(spark.read.parquet(events_src))
+    assert got.count() == want.count() > 0
+    assert _sorted_rows(got, "window_start", "event_type") == _sorted_rows(
+        want, "window_start", "event_type"
+    )
+
+
+def test_session_agg_stream_matches_batch(spark, events_src):
+    stream = S.session_agg(_stream(spark, events_src))
+    _run_to_memory(stream, "t_session", "complete")
+    got = spark.table("t_session")
+    want = S.session_agg(spark.read.parquet(events_src))
+    assert _sorted_rows(got, "user_id", "session_start") == _sorted_rows(
+        want, "user_id", "session_start"
+    )
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "dup_src")
+    # Each event twice → stream dedup on event_id must halve it.
+    ev = load_table(spark, SF_DIR, "events").limit(200)
+    ev.unionAll(ev).write.mode("overwrite").parquet(src)
+    stream = S.dedup_within_watermark(_stream(spark, src))
+    _run_to_memory(stream, "t_dedup", "append")
+    assert spark.table("t_dedup").count() == 200
+    assert (
+        spark.table("t_dedup").select("event_id").distinct().count() == 200
+    )
+
+
+def test_running_user_totals_stateful(spark, events_src):
+    stream = S.running_user_totals(_stream(spark, events_src))
+    _run_to_memory(stream, "t_state", "update")
+    # update-mode memory sink appends each emitted update; the last row per
+    # user is the final state — compare with the batch aggregate.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    got = (
+        spark.table("t_state")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    want = S.running_user_totals(spark.read.parquet(events_src))
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
+    wnt = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in want.collect()}
+    assert set(g) == set(wnt)
+    for k in wnt:
+        assert g[k][0] == wnt[k][0]
+        assert abs(g[k][1] - wnt[k][1]) < 1e-4
+
+
+def test_foreach_batch_merge_upserts(spark, tmp_path):
+    st = BasicStorage()
+    target = str(tmp_path / "target")
+    src = str(tmp_path / "updates")
+    cp = str(tmp_path / "cp")
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, v double"
+    )
+    st.write(base, target, mode="overwrite")
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", 30.0)], "id long, name string, v double"
+    )
+    updates.write.mode("overwrite").parquet(src)
+
+    stream = st.readStream(src, "parquet")
+    q = S.foreach_batch_merge(
+        stream, st, target, "full.id = incremental.id", checkpoint=cp
+    )
+    q.awaitTermination(120)
+
+    rows = {r["id"]: (r["name"], r["v"]) for r in st.read(target).collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0)}
+
+
+def test_foreach_batch_merge_requires_checkpoint(spark, tmp_path):
+    st = BasicStorage()
+    ev = spark.createDataFrame([(1,)], "id long")
+    src = str(tmp_path / "s")
+    ev.write.mode("overwrite").parquet(src)
+    stream = st.readStream(src, "parquet")
+    with pytest.raises(ValueError, match="checkpoint"):
+        S.foreach_batch_merge(stream, st, str(tmp_path / "t"), "full.id = incremental.id", checkpoint="")
