@@ -161,3 +161,98 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.4)
     )
+
+
+_IVF_K = 8  # coarse cells
+_IVF_NPROBE = 2  # cells searched per query
+
+# Euclidean distance between two array<double> columns, built-ins only.
+_EUCL = (
+    "sqrt(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "0D, (acc, x) -> acc + x))"
+)
+_SQL_EUCL = "list_distance(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+@query(
+    "simsearch_ivf",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cv
+        FROM embeddings WHERE vec_id < {_IVF_K}),
+    assign AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_SQL_EUCL.format(a='e.embedding', b='c.cv')}, 6),
+                            c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+    cells AS (SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS qe, cent_id AS cell
+        FROM assign WHERE vec_id < {_N_QUERIES} AND rn <= {_IVF_NPROBE}),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS candidate_id,
+               round({_SQL_COS.format(a='p.qe', b='c.embedding')}, 6) AS cosine
+        FROM probes p JOIN cells c ON p.cell = c.cell
+        WHERE c.vec_id <> p.query_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, candidate_id) AS rank
+        FROM scored)
+    SELECT query_id, candidate_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_TOPK}
+    """,
+)
+def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into K cells,
+    search only the query's nprobe nearest cells.
+
+    Deterministic "training": the first K vectors serve as centroids (a
+    real deployment would k-means a sample on the driver — the assignment
+    and search plan below is unchanged), which keeps the whole index
+    DuckDB-checkable, unlike the random-hyperplane LSH variant.
+
+    Scale shape: centroids are a K-row broadcast; cell assignment is one
+    narrow pass over the corpus (broadcast nested-loop + per-row top-1);
+    the search join is cell-equi — a shuffle on cell id touching only
+    nprobe/K of the corpus per query. At 100 TB you'd persist `cells`
+    partitioned by cell id so queries prune cells at the scan.
+    """
+    emb = _vec_double(load_table(spark, sf_dir, "embeddings"))
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < _IVF_K).select(
+            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        )
+    )
+    dist = F.round(F.expr(_EUCL.format(a="v", b="cv")), 6)
+    assign_w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    assign = (
+        emb.crossJoin(cents)
+        .select("vec_id", "v", "cent_id", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(assign_w))
+    )
+    cells = assign.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("v").alias("cv_cand"),
+        F.col("cent_id").alias("cell"),
+    )
+    probes = assign.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cent_id").alias("cell"),
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
+    return (
+        probes.join(cells, "cell")
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(_cosine("qv", "cv_cand"), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= _TOPK)
+    )

