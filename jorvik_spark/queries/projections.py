@@ -191,3 +191,34 @@ def expr_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
         F.regexp_replace("p_name", " ", "_").alias("name_snake"),
     )
+
+
+@query(
+    "expr_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def expr_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props string column.
+
+    ``get_json_object`` evaluates JVM-side inside codegen — semi-structured
+    columns at 100 TB never need a Python parse. For repeated multi-field
+    access, ``from_json`` with a declared schema amortizes the parse once;
+    single-field access like this stays with the path extractor.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            k.alias("k"),
+            (k % 10).alias("k_mod"),
+        )
+        .filter(F.col("k") >= 50)
+    )
