@@ -14,3 +14,36 @@ Design principles (SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# Top-level API mirrors the reference's (/root/reference/jorvik/__init__.py)
+# so a reference user's imports port by renaming the package alone:
+#   from jorvik import etl, FileInput, configure_storage
+#   from jorvik_spark import etl, FileInput, configure_storage
+from jorvik_spark.data_lineage.observer import DataLineageLogger  # noqa: E402,F401
+from jorvik_spark.pipelines import (  # noqa: E402,F401
+    FileInput,
+    FileOutput,
+    Input,
+    Output,
+    StreamFileInput,
+    StreamFileOutput,
+    etl,
+)
+from jorvik_spark import storage  # noqa: E402
+
+Storage = storage.Storage
+configure_storage = storage.configure
+
+__all__ = [
+    "DataLineageLogger",
+    "configure_storage",
+    "Storage",
+    "etl",
+    "FileInput",
+    "FileOutput",
+    "StreamFileInput",
+    "StreamFileOutput",
+    "Input",
+    "Output",
+    "__version__",
+]

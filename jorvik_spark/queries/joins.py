@@ -384,3 +384,46 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "asof_totalprice",
         )
     )
+
+
+_SALT_N = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join — the manual skew-mitigation pattern, proven
+    equivalent to the plain join by the oracle.
+
+    Fact rows get a deterministic salt in [0, N); the dimension side is
+    exploded N× so every (key, salt) pair exists. A hot key's rows then
+    spread over N shuffle partitions instead of one straggler task. AQE's
+    skew-join split handles moderate skew automatically; explicit salting
+    is for the pathological key (one user = 30% of events) where even a
+    split partition is one reducer's worth of a single key.
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.col("o_orderkey"), F.lit(_SALT_N)).cast("int")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt", F.explode(F.array([F.lit(i) for i in range(_SALT_N)]))
+        )
+    )
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )

@@ -311,3 +311,39 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_last", "n_events")
     )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w AS DOUBLE)
+               / 1000000.0 / COUNT(value) OVER w AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: trailing 1-hour moving average per user.
+
+    rangeBetween over epoch microseconds (not ROWS): the frame is defined
+    by event *time*, so irregular event spacing is handled correctly.
+    State per partition is one frame's rows — bounded by event rate × 1h,
+    not partition size. Average is fixed-point (registry.py convention)
+    for cross-engine hash parity.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    qsum = F.sum(F.round(F.col("value") * 1_000_000).cast("long")).over(w)
+    cnt = F.count("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (qsum.cast("double") / 1_000_000.0 / cnt).alias("avg_1h"),
+    )
