@@ -253,3 +253,46 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+_PIVOT_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts per status × priority.
+
+    The pivot values are given explicitly — with them, Spark pivots in a
+    single pass; without, it runs an extra distinct job to discover the
+    columns (an avoidable full shuffle at 100 TB).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PIVOT_PRIORITIES)
+        .count()
+    )
+    renames = dict(
+        zip(_PIVOT_PRIORITIES, ["urgent", "high", "medium", "notspec", "low"])
+    )
+    out = wide
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot yields nulls for empty cells; the oracle's FILTER yields 0.
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )

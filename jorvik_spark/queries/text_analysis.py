@@ -236,3 +236,27 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"),
         F.size(F.array_distinct(shingles)).cast("long").alias("n_shingles"),
     )
+
+
+@query(
+    "text_explode_positional",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+                  WHERE doc_id < 100)
+    SELECT doc_id,
+           CAST(unnest(range(0, len(t))) AS INTEGER) AS pos,
+           unnest(t) AS tok
+    FROM toks
+    """,
+)
+def text_explode_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (lateral unnest with ordinality): one row per token with
+    its position. The explode is a narrow transformation — rows fan out
+    within the partition, no shuffle; at 100 TB the only care is output
+    row width (drop the original text column *before* exploding, as here,
+    or every token row drags the full document along)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+    return toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    )
