@@ -240,3 +240,60 @@ def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_schemas=True,
     )
     return st.read(target, "parquet")
+
+
+@query(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           SUM(CAST(round(o.o_totalprice * 1000000) AS BIGINT)) / 1000000.0
+               AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables + shuffle-free co-located join.
+
+    Both sides are written ``bucketBy(8, key).sortBy(key)``; Spark's
+    catalog then knows their physical partitioning, so the join plans as a
+    sort-merge join with NO Exchange on either side (asserted in
+    tests/test_plans.py). This is the 100 TB pattern for a fact table
+    joined repeatedly on the same key: pay the bucketing shuffle once at
+    write time, never again at read time.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    for name, src, key in (
+        ("jvs_bucketed_orders", "orders", "o_custkey"),
+        ("jvs_bucketed_customer", "customer", "c_custkey"),
+    ):
+        # A fresh session's catalog forgets the table but its warehouse
+        # location survives; clear both or saveAsTable errors.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if wh:
+            shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+        (
+            load_table(spark, sf_dir, src)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o = spark.table("jvs_bucketed_orders")
+    c = spark.table("jvs_bucketed_customer")
+    qsum = F.sum(F.round(F.col("o_totalprice") * 1_000_000).cast("long"))
+    # hint("merge") pins the sort-merge strategy (at test SF the dimension
+    # is broadcast-small, which would hide the bucketing); with both sides
+    # bucketed on the key, the SMJ needs no Exchange at all.
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (qsum / 1_000_000.0).alias("sum_price"),
+        )
+    )

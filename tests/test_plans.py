@@ -46,6 +46,7 @@ _IO_QUERIES = {
     "scan_csv_roundtrip",
     "scan_json_roundtrip",
     "sink_partitioned_write",
+    "sink_bucketed_join",  # covered by its dedicated plan test below
     "stream_passthrough",
     "merge_upsert",
     "merge_schema_evolution",
@@ -127,3 +128,13 @@ def test_no_python_eval_in_hot_paths(spark, name):
     assert "BatchEvalPython" not in plan, f"{name} runs row-at-a-time Python"
     assert "ArrowEvalPython" not in plan, f"{name} runs Python UDFs"
     assert "CartesianProduct" not in plan, f"{name} has an unhinted cross join"
+
+
+def test_bucketed_join_has_no_join_shuffle(spark):
+    plan = _plan(spark, "sink_bucketed_join")
+    tree = plan.split("\n\n")[0]  # node tree; details repeat node names
+    assert "SortMergeJoin" in tree
+    # Bucketed-on-key scans feed the SMJ directly; the only Exchange in the
+    # whole plan is the final groupBy(c_mktsegment) aggregation shuffle.
+    assert tree.count("Exchange") == 1, tree
+    assert "Bucketed: true" in plan
