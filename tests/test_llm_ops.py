@@ -87,3 +87,20 @@ def test_multimodal_feature_extract_deterministic(spark):
     assert a == b
     for r in a:
         assert 1 <= r[3] <= 64 and 1 <= r[4] <= 64
+
+
+def test_simsearch_ivf_recall_vs_exact(spark):
+    """IVF (nprobe=2 of K=8 cells) must recover most exact top-5 neighbors.
+
+    Measured 0.96 recall@5 at sf0.001; the bound is deliberately loose —
+    it guards against a broken cell assignment (recall → ~nprobe/K), not
+    run-to-run noise (both queries are deterministic)."""
+    exact = {
+        (r.query_id, r.candidate_id)
+        for r in _QUERIES["simsearch_topk"](spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r.query_id, r.candidate_id)
+        for r in _QUERIES["simsearch_ivf"](spark, SF_DIR).collect()
+    }
+    assert len(exact & ivf) / len(exact) >= 0.6

@@ -148,3 +148,39 @@ def test_foreach_batch_merge_requires_checkpoint(spark, tmp_path):
     stream = st.readStream(src, "parquet")
     with pytest.raises(ValueError, match="checkpoint"):
         S.foreach_batch_merge(stream, st, str(tmp_path / "t"), "full.id = incremental.id", checkpoint="")
+
+
+def test_stateful_accumulates_across_microbatches(spark, tmp_path):
+    """maxFilesPerTrigger=1 over a 4-file source forces 4 micro-batches,
+    so per-key state must survive and accumulate between batches — the
+    property the single-batch availableNow run cannot exercise."""
+    src = str(tmp_path / "multi")
+    load_table(spark, SF_DIR, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    st = BasicStorage()
+    stream = st.readStream(src, "parquet", options={"maxFilesPerTrigger": 1})
+    out = S.running_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_state_multi")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from pyspark.sql import Window
+
+    sink = spark.table("t_state_multi")
+    # >1 batch ⇒ more emitted rows than distinct users
+    n_users = sink.select("user_id").distinct().count()
+    assert sink.count() > n_users
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        sink.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    want = S.running_user_totals(spark.read.parquet(src))
+    g = {r["user_id"]: r["n_events"] for r in final.collect()}
+    wnt = {r["user_id"]: r["n_events"] for r in want.collect()}
+    assert g == wnt
