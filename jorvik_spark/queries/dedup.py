@@ -110,8 +110,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select("doc_id", F.expr(_SHINGLES).alias("s"))
-    sizes = sh.select("doc_id", F.size("s").alias("n"))
-    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
+    # Persist the exploded inverted index: it feeds three consumers (the
+    # document-frequency filter, both sides of the pair self-join) and the
+    # per-doc sizes — without the cache each branch re-scans documents and
+    # re-tokenizes, 5 passes over 100 TB instead of 1.
+    ex = sh.select("doc_id", F.explode("s").alias("shingle")).persist()
+    # Shingle sets are distinct per doc, so |set| = exploded row count.
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = (
         ex.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -166,7 +171,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("s") > 0
     )
     tf = HashingTF(inputCol="s", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(sh)
+    # feats is both sides of the self-join plus the LSH fit input — cache
+    # it or every consumer re-tokenizes the corpus.
+    feats = tf.transform(sh).persist()
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     )
@@ -203,6 +210,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("neighbor_component"), F.col("component")),
                 ).alias("component"),
             )
+            # cache each round: without it, round k recomputes rounds 1..k-1
+            # (quadratic lineage re-execution at the final action)
+            .persist()
         )
     return labels.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),
@@ -241,17 +251,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acc | (1L << b), acc))"
         ).alias("simhash"),
     )
-    bands = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), "
-                "k -> named_struct('band', k, "
-                "'key', (simhash >> (k * 16)) & 65535))"
-            )
-        ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    # bands is both sides of the blocking self-join — cache it so the
+    # signature computation (a 64-way bit vote per doc) runs once.
+    bands = (
+        sig.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 3), "
+                    "k -> named_struct('band', k, "
+                    "'key', (simhash >> (k * 16)) & 65535))"
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "simhash", "bk.band", "bk.key")
+        .persist()
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -227,10 +227,13 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = F.round(F.expr(_EUCL.format(a="v", b="cv")), 6)
     assign_w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    # assign feeds both the cell table and the query probes — cache it so
+    # the K-way distance scan over the corpus runs once.
     assign = (
         emb.crossJoin(cents)
         .select("vec_id", "v", "cent_id", dist.alias("dist"))
         .withColumn("rn", F.row_number().over(assign_w))
+        .persist()
     )
     cells = assign.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("candidate_id"),
