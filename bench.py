@@ -57,6 +57,11 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for label, qname in BENCH_QUERIES.items():
+        # Rebuild the DataFrame every run: repeated collect() on one DF
+        # skips already-materialized shuffle map stages (MapOutputTracker
+        # reuse), which times only the result stage (~10× too fast). A
+        # fresh DF per run forces full re-execution — the honest number,
+        # and the regime BASELINE.md's figures are in.
         fn = QUERIES[qname]
         fn(spark, sf_dir).collect()  # warm-up: JIT, scan cache, broadcast
         runs = []
