@@ -27,13 +27,17 @@ from jorvik_spark.tables import load_table
 from jorvik_spark.queries.registry import query
 from jorvik_spark.queries.text_analysis import _SQL_TOKENS, _TOKENS
 
-# Shingles: distinct 3-token windows (guarded against short docs — see
-# text_analysis.py on Spark's descending sequence()).
-_SHINGLES = (
-    f"array_distinct(if(size({_TOKENS}) >= 3, "
-    f"transform(sequence(1, size({_TOKENS}) - 2), "
-    f"i -> concat_ws(' ', element_at({_TOKENS}, i), element_at({_TOKENS}, i+1), "
-    f"element_at({_TOKENS}, i+2))), array()))"
+# Shingles: distinct 3-token windows over a MATERIALIZED token column `t`
+# (guarded against short docs — see text_analysis.py on Spark's descending
+# sequence()). Never inline the tokenizer here: Catalyst's projection
+# collapse substitutes it into every element_at, re-splitting the document
+# O(tokens²) times (measured 22 s vs 4 s at sf0.1) — hence
+# _tokenized_docs() below materializes `t` behind a cache first.
+_SHINGLES_T = (
+    "array_distinct(if(size(t) >= 3, "
+    "transform(sequence(1, size(t) - 2), "
+    "i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), "
+    "element_at(t, i+2))), array()))"
 )
 _SQL_SHINGLES = (
     "list_distinct(list_transform(range(1, len(t) - 1), "
@@ -68,6 +72,34 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars", "content_key")
+    )
+
+
+def _repartitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across all cores.
+
+    The testdata ships one parquet file per table; tokenize/shingle/hash
+    work is CPU-bound per row, so a single input split serializes the
+    whole query on one core (measured 145 s → ~7 s for SimHash at sf0.1).
+    At 100 TB the source has thousands of splits and this repartition
+    collapses into the scan, but an explicit spread is the correct
+    defensive shape for compute-heavy narrow stages.
+    """
+    n = spark.sparkContext.defaultParallelism
+    return load_table(spark, sf_dir, "documents").repartition(n)
+
+
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, t) with the token array materialized behind a cache.
+
+    The cache is a deliberate optimizer barrier as much as a reuse: it
+    stops projection collapse from re-inlining the tokenizer into each
+    downstream element_at (see _SHINGLES_T note).
+    """
+    return (
+        _repartitioned_docs(spark, sf_dir)
+        .select("doc_id", F.expr(_TOKENS).alias("t"))
+        .persist()
     )
 
 
@@ -108,8 +140,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets are distinct per doc; no cross join exists anywhere in
     the plan.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.expr(_SHINGLES).alias("s"))
+    toks = _tokenized_docs(spark, sf_dir)
+    sh = toks.select("doc_id", F.expr(_SHINGLES_T).alias("s"))
     # Persist the exploded inverted index: it feeds three consumers (the
     # document-frequency filter, both sides of the pair self-join) and the
     # per-doc sizes — without the cache each branch re-scans documents and
@@ -166,8 +198,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.expr(_SHINGLES).alias("s")).filter(
+    toks = _tokenized_docs(spark, sf_dir)
+    sh = toks.select("doc_id", F.expr(_SHINGLES_T).alias("s")).filter(
         F.size("s") > 0
     )
     tf = HashingTF(inputCol="s", outputCol="features", numFeatures=1 << 18)
@@ -230,17 +262,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with bit_count(a ^ b). By pigeonhole, any pair at hamming ≤ 3 agrees
     on at least one of the 4 bands, so blocking loses nothing.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t")).filter(
-        F.size("t") > 0
-    )
+    toks = _tokenized_docs(spark, sf_dir).filter(F.size("t") > 0)
     # votes[b] = Σ_tokens (bit b of xxhash64(token) ? +1 : -1); sign → bit.
+    # Hash every token exactly once up front — folding xxhash64 into the
+    # per-bit lambda would recompute it 64× per token (measured 20× slower).
     sig = toks.select(
+        "doc_id", F.expr("transform(t, tok -> xxhash64(tok))").alias("h")
+    ).select(
         "doc_id",
         F.expr(
-            "aggregate(t, array_repeat(0L, 64), (acc, tok) -> "
+            "aggregate(h, array_repeat(0L, 64), (acc, hv) -> "
             "zip_with(acc, transform(sequence(0, 63), "
-            "b -> if(((xxhash64(tok) >> b) & 1) = 1, 1L, -1L)), "
+            "b -> if(((hv >> b) & 1) = 1, 1L, -1L)), "
             "(x, y) -> x + y))"
         ).alias("votes"),
     ).select(

@@ -114,8 +114,12 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     )
     model = lsh.fit(emb)
+    # Threshold sits at ~the 1st percentile of the pairwise-distance
+    # distribution (measured 1.19 at sf0.01): a threshold near the median
+    # accepts almost every pair and degenerates into the all-pairs join
+    # this operator exists to avoid.
     return (
-        model.approxSimilarityJoin(emb, emb, 3.0, distCol="euclidean")
+        model.approxSimilarityJoin(emb, emb, 1.2, distCol="euclidean")
         .select(
             F.col("datasetA.vec_id").alias("vec_a"),
             F.col("datasetB.vec_id").alias("vec_b"),

@@ -67,7 +67,7 @@ def test_simsearch_lsh_subset_of_truth(spark):
     rows = _QUERIES["simsearch_lsh"](spark, SF_DIR).collect()
     for r in rows:
         assert r.vec_a < r.vec_b
-        assert r.euclidean <= 3.0
+        assert r.euclidean <= 1.2
 
 
 def test_multimodal_binary_scan(spark):
