@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from jorvik_spark.tables import load_table
 from jorvik_spark.queries.registry import query
-from jorvik_spark.queries.text_analysis import _SQL_TOKENS, _TOKENS
+from jorvik_spark.queries.text_analysis import (
+    _SQL_TOKENS,
+    _TOKENS,  # noqa: F401  (kept for shingle-doc references)
+    _repartitioned_docs,
+    _tokenized_docs,
+)
 
 # Shingles: distinct 3-token windows over a MATERIALIZED token column `t`
 # (guarded against short docs — see text_analysis.py on Spark's descending
@@ -72,34 +77,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars", "content_key")
-    )
-
-
-def _repartitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents, spread across all cores.
-
-    The testdata ships one parquet file per table; tokenize/shingle/hash
-    work is CPU-bound per row, so a single input split serializes the
-    whole query on one core (measured 145 s → ~7 s for SimHash at sf0.1).
-    At 100 TB the source has thousands of splits and this repartition
-    collapses into the scan, but an explicit spread is the correct
-    defensive shape for compute-heavy narrow stages.
-    """
-    n = spark.sparkContext.defaultParallelism
-    return load_table(spark, sf_dir, "documents").repartition(n)
-
-
-def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, t) with the token array materialized behind a cache.
-
-    The cache is a deliberate optimizer barrier as much as a reuse: it
-    stops projection collapse from re-inlining the tokenizer into each
-    downstream element_at (see _SHINGLES_T note).
-    """
-    return (
-        _repartitioned_docs(spark, sf_dir)
-        .select("doc_id", F.expr(_TOKENS).alias("t"))
-        .persist()
     )
 
 

@@ -24,6 +24,34 @@ _TOKENS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
 # DuckDB twin.
 _SQL_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
+def _repartitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across all cores.
+
+    The testdata ships one parquet file per table; tokenize/shingle/hash
+    work is CPU-bound per row, so a single input split serializes the
+    whole query on one core. At 100 TB the source has thousands of splits
+    and this repartition collapses into the scan; an explicit spread is
+    the defensive shape for compute-heavy narrow stages.
+    """
+    n = spark.sparkContext.defaultParallelism
+    return load_table(spark, sf_dir, "documents").repartition(n)
+
+
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, t) with the token array materialized behind a cache.
+
+    The cache is a deliberate optimizer barrier as much as a reuse:
+    Catalyst's projection collapse re-inlines a non-materialized tokenizer
+    into every downstream element_at — O(tokens²) per doc for window-style
+    expressions (measured 22 s vs 4 s at sf0.1 for 3-gram shingles).
+    """
+    return (
+        _repartitioned_docs(spark, sf_dir)
+        .select("doc_id", "lang", F.expr(_TOKENS).alias("t"))
+        .persist()
+    )
+
+
 # Tiny per-language stopword lists for the heuristic language ID.
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "to"],
@@ -46,16 +74,16 @@ _STOPWORDS = {
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting per document (whitespace tokenizer)."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.expr(_TOKENS)
-    return docs.select(
+    """Token counting per document (tokenize once, stats off the cached
+    array — not three separate tokenizer evaluations per row)."""
+    toks = _tokenized_docs(spark, sf_dir)
+    return toks.select(
         "doc_id",
         "lang",
-        F.size(t).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(t)).cast("long").alias("n_unique_tokens"),
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_unique_tokens"),
         F.expr(
-            f"aggregate({_TOKENS}, 0L, (acc, x) -> acc + length(x))"
+            "aggregate(t, 0L, (acc, x) -> acc + length(x))"
         ).alias("n_token_chars"),
     )
 
@@ -80,17 +108,19 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING filter keeps the result bounded (the full histogram would be
     the corpus vocabulary squared).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokenized_docs(spark, sf_dir)
     # if() guard: sequence(1, 0) DESCENDS in Spark (DuckDB range is empty),
     # so short docs must short-circuit to an empty array explicitly.
+    # Built over the materialized `t` (see _tokenized_docs) — inlining the
+    # tokenizer into each element_at would be O(tokens²) per doc.
     bigrams = F.expr(
-        f"if(size({_TOKENS}) >= 2, "
-        f"transform(sequence(1, size({_TOKENS}) - 1), "
-        f"i -> concat_ws(' ', element_at({_TOKENS}, i), element_at({_TOKENS}, i + 1))), "
-        f"array())"
+        "if(size(t) >= 2, "
+        "transform(sequence(1, size(t) - 1), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1))), "
+        "array())"
     )
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        toks.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 50)
