@@ -63,7 +63,19 @@ def main() -> None:
         # fresh DF per run forces full re-execution — the honest number,
         # and the regime BASELINE.md's figures are in.
         fn = QUERIES[qname]
-        fn(spark, sf_dir).collect()  # warm-up: JIT, scan cache, broadcast
+        # Adaptive warm-up: the first queries of a fresh session otherwise
+        # pay one-time JVM JIT/codegen-compile costs inside their timed
+        # runs (measured: q1 takes ~5 invocations to go 5.5 s → 0.65 s
+        # steady state). BASELINE.md's figures are "warm median-of-3", so
+        # warm until run-to-run improvement stops (≤10%), max 6 runs.
+        prev = float("inf")
+        for _ in range(6):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            cur = time.perf_counter() - t0
+            if cur > prev * 0.9:
+                break
+            prev = cur
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
