@@ -41,5 +41,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each oracle-checkable query."""
-    return dict(ORACLES)
+    """DuckDB-runnable ANSI SQL twin for each oracle-checkable query.
+
+    Oracles for filesystem-backed queries (binaryFile scans) carry a
+    ``{sf_dir}`` placeholder — resolved here to the driver's correctness
+    scale (sf0.01), overridable via ``SPARK_GRAFT_TEST_SF`` so the local
+    parity suite can run the same oracles at other SFs.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    return {
+        name: sql.replace("{sf_dir}", sf_dir) for name, sql in ORACLES.items()
+    }

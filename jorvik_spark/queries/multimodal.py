@@ -5,6 +5,13 @@ Spark-side plumbing — binaryFile source, schema, Arrow-batched
 ``mapInPandas`` decode/feature stage, partitioning — is real and tested;
 the actual media decode is STUBBED with a deterministic fake (this
 container has no image/audio libraries), clearly marked below.
+
+Both queries are fully oracle-checked: DuckDB's ``read_blob`` reads the
+same files, so path/size/digest/fake-dimensions are compared value-for-
+value across engines — the whole binary → Arrow batch → Python decode →
+typed-metadata pipeline is proven end-to-end, not just rows-only. The
+oracle SQL embeds the scan directory via the ``{sf_dir}`` placeholder
+resolved in ``__spark_entry__.oracle_sql()``.
 """
 
 from __future__ import annotations
@@ -28,8 +35,14 @@ def decode_media(content: bytes) -> dict:
     """STUB media decode. A real deployment would decode image/audio here
     (PIL / torchaudio / ffmpeg are not in this container). The fake is
     deterministic in the content bytes so tests and the driver get stable
-    output: 'dimensions' are derived from the content digest."""
-    digest = hashlib.sha256(content).digest()
+    output: 'dimensions' are derived from the content digest.
+
+    The digest is sha256 over the *lowercase-hex encoding* of the bytes
+    (not the raw bytes): DuckDB's sha256() accepts VARCHAR only, so
+    hashing ``lower(hex(content))`` is the form both engines can compute —
+    which is what makes this stub oracle-checkable.
+    """
+    digest = hashlib.sha256(content.hex().encode("ascii")).digest()
     return {
         "content_sha256": digest.hex(),
         "fake_width": 1 + digest[0] % 64,
@@ -53,7 +66,20 @@ def _extract_features(
         yield out
 
 
-@query("multimodal_binary_scan")  # binary source metadata → rows-only
+# Spark's binaryFile source renders local paths as file:... URIs; DuckDB's
+# read_blob reports plain filesystem paths. Strip the scheme so the two
+# engines agree on the join/compare key.
+_STRIP_SCHEME = r"^file:(//)?"
+
+
+@query(
+    "multimodal_binary_scan",
+    oracle="""
+    SELECT filename AS path, size AS length
+    FROM read_blob('{sf_dir}/*.parquet')
+    ORDER BY path
+    """,
+)
 def multimodal_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile scan: each file becomes (path, modificationTime, length,
     content binary). At 100 TB the source parallelizes per-file and prunes
@@ -62,12 +88,29 @@ def multimodal_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
         .load(sf_dir)
-        .select("path", "length")
+        .select(
+            F.regexp_replace("path", _STRIP_SCHEME, "").alias("path"),
+            "length",
+        )
         .orderBy("path")
     )
 
 
-@query("multimodal_feature_extract")  # stubbed decode → rows-only
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH blobs AS (
+        SELECT filename, size, sha256(lower(hex(content))) AS digest
+        FROM read_blob('{sf_dir}/*.parquet')
+    )
+    SELECT filename AS path,
+           size AS n_bytes,
+           digest AS content_sha256,
+           1 + ('0x' || substr(digest, 1, 2))::BIGINT % 64 AS fake_width,
+           1 + ('0x' || substr(digest, 3, 2))::BIGINT % 64 AS fake_height
+    FROM blobs
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal pipeline shape: binary scan → repartition for decode
     parallelism → Arrow-batched mapInPandas feature extraction.
@@ -79,7 +122,10 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
         .load(sf_dir)
-        .select("path", "content")
+        .select(
+            F.regexp_replace("path", _STRIP_SCHEME, "").alias("path"),
+            "content",
+        )
         .repartition(8)
     )
     return binaries.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)

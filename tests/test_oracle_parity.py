@@ -12,6 +12,9 @@ import __spark_entry__ as entrymod
 from tests.oracle_utils import duck_con, compare
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+# Pin the {sf_dir} oracle placeholder (binaryFile-scan oracles) to the SF
+# this suite runs at — the driver resolves it to sf0.01.
+os.environ["SPARK_GRAFT_TEST_SF"] = SF_DIR
 
 _QUERIES = entrymod.queries()
 _ORACLES = entrymod.oracle_sql()
