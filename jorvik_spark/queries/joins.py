@@ -159,7 +159,11 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the fact table, no shuffle before the final 4-group agg.
     """
     o = load_table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    # VALUES → JVM LocalRelation. createDataFrame would ship these 4 rows
+    # through a Python RDD (applySchemaToPythonRDD), paying a Python-worker
+    # round-trip on every invocation (~0.7 s of a ~1 s query).
+    rows = ", ".join(f"('{b}', {lo}D, {hi}D)" for b, lo, hi in _PRICE_BANDS)
+    bands = spark.sql(f"SELECT * FROM VALUES {rows} AS bands(band, lo, hi)")
     cond = (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi)
     return (
         o.join(F.broadcast(bands), cond, "inner")

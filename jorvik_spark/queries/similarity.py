@@ -148,21 +148,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking on ``label`` is the generic template — at 100 TB the block
     key is an LSH bucket or IVF cell id (see simsearch_lsh); the exact
     within-block pair scoring stays identical.
+
+    Each side's norm is computed once per ROW (not per pair — that
+    triples the per-pair array aggregates, measured 3× slower), and the
+    probe side is spread across cores: the testdata ships one split per
+    table, which would otherwise serialize the whole pair loop on one
+    task. The quotient dot/(sqrt(na)·sqrt(nb)) is bit-identical to the
+    per-pair form, so the DuckDB oracle is unaffected.
     """
-    emb = _vec_double(load_table(spark, sf_dir, "embeddings"))
+    n = spark.sparkContext.defaultParallelism
+    emb = _vec_double(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "n2", F.expr(_DOT.format(a="v", b="v"))
+    )
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
-        F.col("v").alias("va"),
-    )
+        F.col("v").alias("va"), F.col("n2").alias("na"),
+    ).repartition(n)
     b = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
-        F.col("v").alias("vb"),
+        F.col("v").alias("vb"), F.col("n2").alias("nb"),
     )
+    dot = F.expr(_DOT.format(a="va", b="vb"))
+    cosine = F.round(dot / (F.sqrt("na") * F.sqrt("nb")), 6)
     return (
         a.join(b, (F.col("vec_a") < F.col("vec_b")) & (F.col("la") == F.col("lb")))
-        .select(
-            "vec_a", "vec_b", F.round(_cosine("va", "vb"), 6).alias("cosine")
-        )
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.4)
     )
 
