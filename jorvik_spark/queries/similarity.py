@@ -72,23 +72,31 @@ def simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: O(|queries| × |corpus|) with the query side
     broadcast — the right plan whenever |queries| ≪ |corpus| (ANN below
     is the path when both sides are huge)."""
-    emb = _vec_double(load_table(spark, sf_dir, "embeddings"))
+    # Squared norms once per ROW: per-pair norm recomputation triples the
+    # interpreted array aggregates on the |queries| × |corpus| stream. The
+    # quotient dot/(sqrt(nq)·sqrt(nc)) is bit-identical to the per-pair
+    # form, so the DuckDB oracle is unaffected.
+    emb = _vec_double(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "n2", F.expr(_DOT.format(a="v", b="v"))
+    )
     queries = F.broadcast(
         emb.filter(F.col("vec_id") < _N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("n2").alias("nq"),
         )
     )
-    cands = emb.select(F.col("vec_id").alias("candidate_id"), "v")
+    cands = emb.select(
+        F.col("vec_id").alias("candidate_id"), "v", F.col("n2").alias("nc")
+    )
+    dot = F.expr(_DOT.format(a="qv", b="v"))
+    cosine = F.round(dot / (F.sqrt("nq") * F.sqrt("nc")), 6)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), "candidate_id"
     )
     return (
         cands.join(queries, F.col("candidate_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "candidate_id",
-            F.round(_cosine("qv", "v"), 6).alias("cosine"),
-        )
+        .select("query_id", "candidate_id", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOPK)
     )
@@ -233,7 +241,12 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/K of the corpus per query. At 100 TB you'd persist `cells`
     partitioned by cell id so queries prune cells at the scan.
     """
-    emb = _vec_double(load_table(spark, sf_dir, "embeddings"))
+    # Squared norm once per ROW (carried through the assignment) — see
+    # simsearch_topk; the cosine quotient is bit-identical to the per-pair
+    # form, so the DuckDB oracle is unaffected.
+    emb = _vec_double(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "n2", F.expr(_DOT.format(a="v", b="v"))
+    )
     cents = F.broadcast(
         emb.filter(F.col("vec_id") < _IVF_K).select(
             F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
@@ -245,13 +258,14 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the K-way distance scan over the corpus runs once.
     assign = (
         emb.crossJoin(cents)
-        .select("vec_id", "v", "cent_id", dist.alias("dist"))
+        .select("vec_id", "v", "n2", "cent_id", dist.alias("dist"))
         .withColumn("rn", F.row_number().over(assign_w))
         .persist()
     )
     cells = assign.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("candidate_id"),
         F.col("v").alias("cv_cand"),
+        F.col("n2").alias("nc"),
         F.col("cent_id").alias("cell"),
     )
     probes = assign.filter(
@@ -259,17 +273,16 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("n2").alias("nq"),
         F.col("cent_id").alias("cell"),
     )
+    dot = F.expr(_DOT.format(a="qv", b="cv_cand"))
+    cosine = F.round(dot / (F.sqrt("nq") * F.sqrt("nc")), 6)
     rank_w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
     return (
         probes.join(cells, "cell")
         .filter(F.col("candidate_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "candidate_id",
-            F.round(_cosine("qv", "cv_cand"), 6).alias("cosine"),
-        )
+        .select("query_id", "candidate_id", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= _TOPK)
     )
