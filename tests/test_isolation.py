@@ -179,3 +179,82 @@ def test_merge_always_isolated(spark, set_conf):
     st = IsolatedStorage(storage=fake, isolation_provider=lambda: "dev")
     st.merge("df", "/mnt/data/t", "full.id == incremental.id")
     assert ("merge", "/mnt/iso/dev/data/t") in fake.calls
+
+
+# configure() factory (A9), mirroring the four contract tests at
+# /root/reference/test/storage/test_storage.py::test_configure_*.
+
+
+@pytest.fixture
+def conf_keys(spark):
+    from jorvik_spark.storage import LINEAGE_LOG_PATH_CONF, PRODUCTION_CONTEXT_CONF
+
+    keys = [
+        LINEAGE_LOG_PATH_CONF,
+        PRODUCTION_CONTEXT_CONF,
+        "io.jorvik.storage.isolation_provider",
+    ]
+    yield
+    for k in keys:
+        try:
+            spark.conf.unset(k)
+        except Exception:
+            pass
+
+
+def test_configure_no_arguments_no_config(spark, conf_keys):
+    """Defaults: NO_ISOLATION provider + no lineage path → plain
+    BasicStorage with no observers."""
+    from jorvik_spark import storage
+
+    st = storage.configure()
+    assert type(st) is storage.BasicStorage
+    assert st.output_observers == []
+
+
+def test_configure_with_isolation_provider(spark, conf_keys):
+    """A non-production context from an explicit provider → IsolatedStorage."""
+    from jorvik_spark import storage
+
+    st = storage.configure(isolation_provider=lambda: "feature-x")
+    assert isinstance(st, IsolatedStorage)
+    assert st.isolation_provider() == "feature-x"
+
+
+def test_configure_production_context_not_isolated(spark, conf_keys):
+    """Contexts in the production list (default main,master,production,prod)
+    stay un-sandboxed, case-insensitively."""
+    from jorvik_spark import storage
+
+    for ctx in ("main", "MASTER", "prod"):
+        st = storage.configure(isolation_provider=lambda c=ctx: c)
+        assert type(st) is storage.BasicStorage
+
+
+def test_configure_with_track_lineage(spark, conf_keys, tmp_path):
+    """A lineage log path in the Spark conf attaches the observer; the
+    track_lineage=False escape hatch removes it."""
+    from jorvik_spark import storage
+    from jorvik_spark.storage import LINEAGE_LOG_PATH_CONF
+    from jorvik_spark.data_lineage.observer import DataLineageLogger
+
+    spark.conf.set(LINEAGE_LOG_PATH_CONF, str(tmp_path / "lineage"))
+    st = storage.configure()
+    assert any(isinstance(o, DataLineageLogger) for o in st.output_observers)
+    st2 = storage.configure(track_lineage=False)
+    assert st2.output_observers == []
+
+
+def test_configure_with_config(spark, conf_keys):
+    """Session conf overrides the production-context list (Q12: session
+    beats context conf, so both are runtime-settable)."""
+    from jorvik_spark import storage
+    from jorvik_spark.storage import PRODUCTION_CONTEXT_CONF
+
+    spark.conf.set(PRODUCTION_CONTEXT_CONF, "trunk")
+    assert type(storage.configure(isolation_provider=lambda: "trunk")) is (
+        storage.BasicStorage
+    )
+    assert isinstance(
+        storage.configure(isolation_provider=lambda: "main"), IsolatedStorage
+    )
