@@ -258,3 +258,52 @@ def test_configure_with_config(spark, conf_keys):
     assert isinstance(
         storage.configure(isolation_provider=lambda: "main"), IsolatedStorage
     )
+
+
+# Verbose diagnostics (A16), mirroring
+# /root/reference/test/storage/test_isolation.py::test_verbose_*.
+
+
+def _verbose_st(spark, set_conf):
+    set_conf("/mnt", "iso")
+    return IsolatedStorage(
+        storage=FakeStorage(), isolation_provider=lambda: "dev", verbose=True
+    )
+
+
+def test_verbose_print_path(spark, set_conf, capsys):
+    st = _verbose_st(spark, set_conf)
+    st._verbose_print_path("/mnt/data/sales/orders", "Reading")
+    out = capsys.readouterr().out
+    assert out.startswith("Reading: data...sales/orders ")
+    assert out.rstrip().endswith("path: /mnt/data/sales/orders")
+
+
+def test_verbose_output_triggers_last_updated_for_reading_delta(
+    spark, set_conf, capsys, tmp_path
+):
+    """Reading/Merging a delta|parquet table appends the table-age line
+    (here via the Hadoop-FS mtime fallback — no delta-spark installed)."""
+    st = _verbose_st(spark, set_conf)
+    d = tmp_path / "t"
+    d.mkdir()
+    st._verbose_output(str(d), "Reading", "parquet")
+    out = capsys.readouterr().out
+    assert "Table was last updated:" in out
+
+
+def test_verbose_output_skips_last_updated_when_not_reading_merging_delta(
+    spark, set_conf, capsys
+):
+    st = _verbose_st(spark, set_conf)
+    st._verbose_output("/mnt/data/t", "Writing", "parquet")
+    st._verbose_output("/mnt/data/t", "Reading", "csv")
+    out = capsys.readouterr().out
+    assert "last updated" not in out
+    assert "No update history" not in out
+
+
+def test_verbose_print_last_updated_missing_table(spark, set_conf, capsys):
+    st = _verbose_st(spark, set_conf)
+    st._verbose_print_last_updated("/no/such/path")
+    assert "No update history found" in capsys.readouterr().out
