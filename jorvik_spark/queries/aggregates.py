@@ -247,7 +247,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n,
-               CAST(SUM(CAST(round(l_extendedprice * 1000000) AS BIGINT))
+               CAST(SUM(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT))
                     AS DOUBLE) / 1000000.0 AS sum_price
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())

@@ -246,7 +246,7 @@ def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_bucketed_join",
     oracle="""
     SELECT c.c_mktsegment, COUNT(*) AS n_orders,
-           SUM(CAST(round(o.o_totalprice * 1000000) AS BIGINT)) / 1000000.0
+           SUM(CAST(floor(o.o_totalprice * 1000000 + 0.5) AS BIGINT)) / 1000000.0
                AS sum_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -285,7 +285,7 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     o = spark.table("jvs_bucketed_orders")
     c = spark.table("jvs_bucketed_customer")
-    qsum = F.sum(F.round(F.col("o_totalprice") * 1_000_000).cast("long"))
+    qsum = F.sum(F.floor(F.col("o_totalprice") * 1_000_000 + F.lit(0.5)))
     # hint("merge") pins the sort-merge strategy (at test SF the dimension
     # is broadcast-small, which would hide the bucketing); with both sides
     # bucketed on the key, the SMJ needs no Exchange at all.

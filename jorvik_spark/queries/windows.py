@@ -317,7 +317,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg",
     oracle="""
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w AS DOUBLE)
+           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
                / 1000000.0 / COUNT(value) OVER w AS avg_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
@@ -339,7 +339,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
-    qsum = F.sum(F.round(F.col("value") * 1_000_000).cast("long")).over(w)
+    qsum = F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5))).over(w)
     cnt = F.count("value").over(w)
     return ev.select(
         "event_id",

@@ -247,43 +247,50 @@ class BasicStorage:
         joined = joined.withColumn("__upd__", upd_ok)
 
         # Delta MERGE raises when several source rows would update the same
-        # target row; reproduce that contract.
+        # target row; reproduce that contract. The guard count and the
+        # final write are two actions over a plan anchored on
+        # monotonically_increasing_id — persist the joined frame across
+        # both so they cannot see different id assignments (e.g. if the
+        # source's partitioning changes between actions).
         w = Window.partitionBy(F.col(f"full.{_FID}"))
         joined = joined.withColumn(
             "__n_upd__", F.sum(F.col("__upd__").cast("int")).over(w)
-        )
-        if joined.filter(F.col("__n_upd__") > 1).limit(1).count() > 0:
-            raise ValueError(
-                "Multiple source rows matched and would update the same "
-                "target row (merge condition is not selective enough)."
+        ).persist()
+        try:
+            if joined.filter(F.col("__n_upd__") > 1).limit(1).count() > 0:
+                raise ValueError(
+                    "Multiple source rows matched and would update the same "
+                    "target row (merge condition is not selective enough)."
+                )
+
+            # One output row per target row: the updating source row if any
+            # (__upd__ desc sorts True first), else the original row once.
+            pick = Window.partitionBy(F.col(f"full.{_FID}")).orderBy(
+                F.col("__upd__").desc()
+            )
+            kept_or_updated = (
+                joined.withColumn("__rn__", F.row_number().over(pick))
+                .filter(F.col("__rn__") == 1)
+                .select(
+                    [
+                        F.when(F.col("__upd__"), F.col(f"incremental.{c}"))
+                        .otherwise(F.col(f"full.{c}"))
+                        .alias(c)
+                        for c in out_cols
+                    ]
+                )
             )
 
-        # One output row per target row: the updating source row if any
-        # (__upd__ desc sorts True first), else the original row once.
-        pick = Window.partitionBy(F.col(f"full.{_FID}")).orderBy(
-            F.col("__upd__").desc()
-        )
-        kept_or_updated = (
-            joined.withColumn("__rn__", F.row_number().over(pick))
-            .filter(F.col("__rn__") == 1)
-            .select(
-                [
-                    F.when(F.col("__upd__"), F.col(f"incremental.{c}"))
-                    .otherwise(F.col(f"full.{c}"))
-                    .alias(c)
-                    for c in out_cols
-                ]
+            inserts = df.alias("incremental").join(
+                full.alias("full"), F.expr(merge_condition), "left_anti"
             )
-        )
+            if insert_condition is not None:
+                inserts = inserts.filter(F.expr(insert_condition))
+            result = kept_or_updated.unionByName(inserts.select(out_cols))
 
-        inserts = df.alias("incremental").join(
-            full.alias("full"), F.expr(merge_condition), "left_anti"
-        )
-        if insert_condition is not None:
-            inserts = inserts.filter(F.expr(insert_condition))
-        result = kept_or_updated.unionByName(inserts.select(out_cols))
-
-        self._atomic_overwrite(result, path, fmt, partition_fields)
+            self._atomic_overwrite(result, path, fmt, partition_fields)
+        finally:
+            joined.unpersist()
         self.notify_output_observers(df, path)
 
     def _merge_schema(
@@ -351,9 +358,21 @@ class BasicStorage:
     ) -> None:
         """Rewrite ``path`` with ``result`` while ``result`` still reads
         from ``path``: materialize into a temp sibling, then swap via the
-        Hadoop FileSystem API (portable across local/HDFS/S3A)."""
+        Hadoop FileSystem API (portable across local/HDFS/S3A).
+
+        Swap protocol is rename-aside, so a crash at any step leaves a
+        recoverable table: (1) write to ``…__tmp__``; (2) rename ``path``
+        → ``…__old__``; (3) rename ``…__tmp__`` → ``path`` (restoring
+        ``…__old__`` on failure); (4) delete ``…__old__``. The table is
+        absent only inside the (2)–(3) rename pair — never deleted before
+        its replacement exists. Note HDFS/local renames are atomic but
+        the pair is not one transaction; object stores without atomic
+        rename (raw S3) want a manifest-committer or Delta instead.
+        """
         spark = _active_session()
-        tmp = path.rstrip("/") + "__jorvik_merge_tmp__"
+        base = path.rstrip("/")
+        tmp = base + "__jorvik_merge_tmp__"
+        old = base + "__jorvik_merge_old__"
         writer = result.write.format(format).mode("overwrite")
         if partition_fields:
             writer = writer.partitionBy(partition_fields)
@@ -363,9 +382,13 @@ class BasicStorage:
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         HPath = jvm.org.apache.hadoop.fs.Path
         fs = HPath(path).getFileSystem(hconf)
-        fs.delete(HPath(path), True)
+        fs.delete(HPath(old), True)  # stale leftover from a prior crash
+        if fs.exists(HPath(path)) and not fs.rename(HPath(path), HPath(old)):
+            raise IOError(f"Swap failed: could not move {path} aside")
         if not fs.rename(HPath(tmp), HPath(path)):
-            raise IOError(f"Atomic swap failed: could not rename {tmp} -> {path}")
+            fs.rename(HPath(old), HPath(path))  # restore the original
+            raise IOError(f"Swap failed: could not rename {tmp} -> {path}")
+        fs.delete(HPath(old), True)
 
     # -- existence --------------------------------------------------------
 

@@ -88,15 +88,26 @@ class IsolatedStorage:
         return re.sub("/+", "/", rewritten)
 
     def _remove_isolation_path(self, path: str) -> str:
-        """Inverse rewrite for forced production reads (isolation.py:66-83)."""
+        """Inverse rewrite for forced production reads (isolation.py:66-83).
+
+        Anchored to the exact ``<mount>/<folder>/<context>/`` prefix that
+        :meth:`_create_isolation_path` produces, unlike the reference's
+        global substring replace (which corrupts e.g. ``/mnt/datalake/x``
+        → ``/mnt/lake/x`` when the context is ``data``). A path without
+        the isolation prefix is returned unchanged (slash-normalized).
+        """
+        mount = self._mount_point()
         folder = self._isolation_folder()
-        context = self.isolation_provider() or ""
-        stripped = path
-        if folder:
-            stripped = stripped.replace(folder, "")
-        if context:
-            stripped = stripped.replace(context, "")
-        return re.sub("/+", "/", stripped)
+        context = (self.isolation_provider() or "").strip("/")
+        normalized = re.sub("/+", "/", path)
+        prefix = re.sub(
+            "/+", "/", os.path.join(mount, folder, context)
+        ).rstrip("/")
+        if normalized.startswith(prefix + "/"):
+            return re.sub(
+                "/+", "/", mount + "/" + normalized[len(prefix) + 1:]
+            )
+        return normalized
 
     # -- verbose diagnostics ---------------------------------------------
 

@@ -13,9 +13,22 @@ import subprocess
 from jorvik_spark.utils.paths import get_codefile_path
 
 
+class GitUtilsError(Exception):
+    """Raised when the current git branch cannot be determined
+    (reference git.py:6,43)."""
+
+
 def get_current_git_branch() -> str:
     """Return the current branch name of the repo that owns the calling
-    code file; empty string when not in a git repo."""
+    code file.
+
+    Raises :class:`GitUtilsError` when the git client is missing, the
+    directory is not a repo, or the subprocess fails — so a broken git
+    environment can never silently yield an empty isolation context and
+    route feature-branch writes to production paths. An empty string is
+    returned only on a *successful* call with no symbolic branch
+    (detached HEAD), matching ``git branch --show-current``.
+    """
     code_dir = os.path.dirname(os.path.abspath(get_codefile_path())) or "."
     try:
         out = subprocess.run(
@@ -26,6 +39,8 @@ def get_current_git_branch() -> str:
             timeout=30,
             check=True,
         )
-        return out.stdout.strip()
-    except (subprocess.SubprocessError, OSError):
-        return ""
+    except (subprocess.SubprocessError, OSError) as e:
+        raise GitUtilsError(
+            f"Could not determine the current git branch in {code_dir}: {e}"
+        ) from e
+    return out.stdout.strip()

@@ -104,6 +104,13 @@ def test_create_isolation_path_requires_folder(spark, set_conf):
          "/mnt/data/file.parquet"),
         ("/mnt/foo/bar/data/file.parquet", "container", "branch",
          "/mnt/foo/bar/data/file.parquet"),
+        # Anchored strip: a context that happens to be a substring of a
+        # table path must not corrupt it (the reference's global-replace
+        # bug would turn /mnt/datalake into /mnt/lake for context 'data').
+        ("/mnt/datalake/file.parquet", "container", "data",
+         "/mnt/datalake/file.parquet"),
+        ("/mnt/container/data/datalake/file.parquet", "container", "data",
+         "/mnt/datalake/file.parquet"),
     ],
 )
 def test_remove_isolation_path(

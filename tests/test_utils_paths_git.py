@@ -6,7 +6,9 @@ test_get_current_git_branch_*.
 import subprocess
 from unittest import mock
 
-from jorvik_spark.utils.git import get_current_git_branch
+import pytest
+
+from jorvik_spark.utils.git import GitUtilsError, get_current_git_branch
 from jorvik_spark.utils.paths import get_codefile_path
 
 
@@ -29,11 +31,14 @@ def test_get_current_git_branch_success():
         assert m.call_args.kwargs["cwd"]  # resolved from the code file, not ""
 
 
-def test_get_current_git_branch_subprocess_error():
+def test_get_current_git_branch_subprocess_error_raises():
+    """A failed git client raises (reference git.py:43 GitUtilsError) —
+    it must not silently produce an empty isolation context."""
     with mock.patch(
         "subprocess.run", side_effect=subprocess.SubprocessError("boom")
     ):
-        assert get_current_git_branch() == ""
+        with pytest.raises(GitUtilsError, match="boom"):
+            get_current_git_branch()
 
 
 def test_get_current_git_branch_real_repo():
