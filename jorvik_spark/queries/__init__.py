@@ -39,6 +39,7 @@ _CHECK_PRIORITY = [
     "text_language_id",
     "text_fingerprint",
     "text_explode_positional",
+    "text_token_bpe",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -80,7 +81,6 @@ _CHECK_PRIORITY = [
     "expr_string_funcs",
     "expr_json_extract",
     "agg_global",
-    "agg_distinct",
 ]
 
 

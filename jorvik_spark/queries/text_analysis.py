@@ -88,6 +88,70 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer regex, restricted to the syntax subset that
+# Java regex (Spark) and RE2 (DuckDB) interpret identically — notably no
+# lookahead, which RE2 rejects. Alternation order matters (leftmost-first
+# in both engines): contractions, then space-prefixed letter runs, digit
+# runs, punctuation runs. The leading-space convention marks word starts,
+# as in byte-pair-encoding vocabularies.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+# SQL string literal form: the contraction apostrophe doubles inside '...'
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+@query(
+    "text_token_bpe",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(lower(text), '{_BPE_PAT_SQL}') AS t
+        FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(t) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_bpe,
+           CAST(len(list_filter(t, x -> x LIKE ' %')) AS BIGINT)
+               AS n_word_starts,
+           round(list_sum(list_transform(t, x -> len(x))) * 1.0
+                 / greatest(len(t), 1), 6) AS avg_bpe_len
+    FROM toks
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token counting: a GPT-2-shaped pretokenizer regex
+    (contractions / letter runs / digit runs / punctuation runs, leading
+    space = word start) as a proxy for LLM token budgets.
+
+    The regex runs once per row (the token array is materialized behind a
+    cache so four stat expressions don't re-inline four regex scans), all
+    JVM-side — no UDF, scan-speed at 100 TB.
+    """
+    toks = (
+        _repartitioned_docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), 0).alias(
+                "t"
+            ),
+        )
+        .persist()
+    )
+    return toks.select(
+        "doc_id",
+        "lang",
+        F.size("t").cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_unique_bpe"),
+        F.size(F.expr("filter(t, x -> x LIKE ' %')"))
+        .cast("long")
+        .alias("n_word_starts"),
+        F.round(
+            F.expr("aggregate(t, 0L, (acc, x) -> acc + length(x))")
+            / F.greatest(F.size("t"), F.lit(1)),
+            6,
+        ).alias("avg_bpe_len"),
+    )
+
+
 @query(
     "text_ngram_counts",
     oracle=f"""
