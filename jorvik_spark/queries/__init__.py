@@ -50,6 +50,7 @@ _CHECK_PRIORITY = [
     "simsearch_ivf",
     "multimodal_binary_scan",
     "multimodal_feature_extract",
+    "multimodal_frame_sample",
     # -- bench shapes (BASELINE.md) --
     "agg_pricing_summary",
     "join_q3_topk",
@@ -80,7 +81,6 @@ _CHECK_PRIORITY = [
     "expr_arith_cast",
     "expr_string_funcs",
     "expr_json_extract",
-    "agg_global",
 ]
 
 

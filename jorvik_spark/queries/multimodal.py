@@ -129,3 +129,77 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8)
     )
     return binaries.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+
+
+_FRAME_SCHEMA = "path string, frame_idx long, frame_sha256 string"
+_FRAME_STRIDE = 2
+
+
+def sample_frames(content: bytes, stride: int = _FRAME_STRIDE) -> list[dict]:
+    """STUB video frame sampling (every ``stride``-th frame). A real
+    deployment would ffmpeg-decode here; the fake derives a deterministic
+    frame count from the content size (1..7) and a per-frame digest from
+    the content hex + frame index, so both engines can reproduce it."""
+    hexc = content.hex()
+    n_frames = 1 + len(content) % 7
+    return [
+        {
+            "frame_idx": i,
+            "frame_sha256": hashlib.sha256(
+                f"{hexc}:{i}".encode("ascii")
+            ).hexdigest(),
+        }
+        for i in range(0, n_frames, stride)
+    ]
+
+
+def _sample_frames_batched(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 1:N frame explosion — each input row (one media file)
+    yields a variable number of frame rows."""
+    cols = ["path", "frame_idx", "frame_sha256"]
+    for batch in batches:
+        rows = [
+            {"path": path, **frame}
+            for path, c in zip(batch["path"], batch["content"])
+            for frame in sample_frames(bytes(c))
+        ]
+        yield pd.DataFrame(rows, columns=cols)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH blobs AS (
+        SELECT filename, size, lower(hex(content)) AS hexc
+        FROM read_blob('{sf_dir}/*.parquet')),
+    frames AS (
+        SELECT filename, hexc,
+               unnest(range(0, 1 + size % 7, 2)) AS frame_idx
+        FROM blobs)
+    SELECT filename AS path,
+           frame_idx,
+           sha256(hexc || ':' || frame_idx) AS frame_sha256
+    FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media: binaryFile scan → Arrow-batched
+    ``mapInPandas`` that explodes each file into its sampled frames (1:N —
+    the row-multiplying shape resize/crop/frame pipelines need, vs the
+    1:1 feature extraction above).
+
+    At 100 TB the explode happens executor-side inside one narrow stage:
+    no shuffle, output partitioning inherits the decode repartition."""
+    binaries = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select(
+            F.regexp_replace("path", _STRIP_SCHEME, "").alias("path"),
+            "content",
+        )
+        .repartition(8)
+    )
+    return binaries.mapInPandas(_sample_frames_batched, schema=_FRAME_SCHEMA)
