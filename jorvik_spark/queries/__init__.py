@@ -66,14 +66,14 @@ _CHECK_PRIORITY = [
     "sink_partitioned_write",
     "stream_passthrough",
     "stream_session_window",
+    "stream_sliding_agg",
+    "stream_foreachbatch_merge",
     "join_inner_equi",
     "join_left_outer",
     "join_full_outer",
     "join_semi",
     "join_anti",
     "join_range",
-    "join_asof",
-    "window_lag_lead",
     "window_running_sum",
     "sort_topk",
     "filter_predicate",

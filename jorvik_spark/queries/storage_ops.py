@@ -243,6 +243,65 @@ def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_foreachbatch_merge",
+    oracle="""
+    WITH full_t AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0),
+    inc AS (
+        SELECT o_orderkey, 'R' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0),
+    upd AS (
+        SELECT f.o_orderkey,
+               COALESCE(i.o_orderstatus, f.o_orderstatus) AS o_orderstatus,
+               COALESCE(i.o_totalprice, f.o_totalprice) AS o_totalprice
+        FROM full_t f LEFT JOIN inc i ON f.o_orderkey = i.o_orderkey),
+    ins AS (
+        SELECT i.o_orderkey, i.o_orderstatus, i.o_totalprice
+        FROM inc i
+        WHERE NOT EXISTS (SELECT 1 FROM full_t f
+                          WHERE f.o_orderkey = i.o_orderkey))
+    SELECT * FROM upd UNION ALL SELECT * FROM ins
+    """,
+)
+def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE: readStream (A2, schema pre-inferred) →
+    ``foreachBatch`` upsert sink (A4+A5 composed) → availableNow drain.
+
+    The reference's signature CDC deployment shape: each micro-batch is
+    applied transactionally through storage.merge, so checkpoint replays
+    converge instead of duplicating. The oracle reconstructs the post-
+    merge state relationally, proving the stream → merge path end-to-end
+    (same model as ``merge_upsert``, but arriving via the stream)."""
+    from jorvik_spark.streaming.sinks import foreach_batch_merge
+
+    st = BasicStorage()
+    base = _scratch("fbmerge")
+    target, src, ckpt = base + "/t", base + "/src", base + "/ckpt"
+    orders = load_table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    st.write(
+        orders.filter(F.col("o_orderkey") % 3 != 0),
+        target, "parquet", "overwrite",
+    )
+    incremental = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    st.write(incremental, src, "parquet", "overwrite")
+    q = foreach_batch_merge(
+        st.readStream(src, "parquet"),
+        st,
+        target,
+        "full.o_orderkey == incremental.o_orderkey",
+        checkpoint=ckpt,
+    )
+    q.awaitTermination()
+    return st.read(target, "parquet")
+
+
+@query(
     "sink_bucketed_join",
     oracle="""
     SELECT c.c_mktsegment, COUNT(*) AS n_orders,

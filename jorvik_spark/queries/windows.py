@@ -314,6 +314,49 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_agg",
+    oracle=f"""
+    WITH doubled AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+               unnest([0, 1]) AS k
+        FROM events),
+    win AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+                   - k * INTERVAL 30 MINUTE AS window_start,
+               event_type, value
+        FROM doubled)
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM win GROUP BY 1, 2
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h duration, 30 min slide) — batch twin
+    of the streaming ``sliding_agg`` operator (jorvik_spark.streaming.ops).
+
+    Every event lands in exactly duration/slide = 2 windows; Spark plans
+    this as one Expand (2 rows per event) + hash agg — the oracle mirrors
+    that expansion with unnest([0,1]). Epoch-aligned window starts on both
+    engines (Spark startTime=0 default == DuckDB time_bucket).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
     "window_moving_avg",
     oracle="""
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -104,3 +104,33 @@ def test_simsearch_ivf_recall_vs_exact(spark):
         for r in _QUERIES["simsearch_ivf"](spark, SF_DIR).collect()
     }
     assert len(exact & ivf) / len(exact) >= 0.6
+
+
+def test_sample_frames_deterministic_and_strided():
+    """Frame sampler contract: frame count = ceil((1 + n%7)/stride),
+    indices are the even ones, digests deterministic in (content, idx)."""
+    from jorvik_spark.queries.multimodal import sample_frames
+
+    content = b"\x01\x02video-ish-bytes\xff" * 3
+    frames = sample_frames(content)
+    n_frames = 1 + len(content) % 7
+    assert [f["frame_idx"] for f in frames] == list(range(0, n_frames, 2))
+    assert frames == sample_frames(content)  # deterministic
+    assert all(len(f["frame_sha256"]) == 64 for f in frames)
+    # different content -> different digests
+    other = sample_frames(content + b"x")
+    assert frames[0]["frame_sha256"] != other[0]["frame_sha256"]
+
+
+def test_frame_sample_query_schema_and_multiplicity(spark):
+    """1:N explode: at least one file yields >1 frame row, schema as
+    declared, every path from the binary scan appears."""
+    df = _QUERIES["multimodal_frame_sample"](spark, SF_DIR)
+    rows = df.collect()
+    assert df.columns == ["path", "frame_idx", "frame_sha256"]
+    per_path = {}
+    for r in rows:
+        per_path[r.path] = per_path.get(r.path, 0) + 1
+    n_files = len(per_path)
+    assert n_files >= 5  # the sf dir has >=10 parquet files
+    assert len(rows) >= n_files  # 1:N, never losing a file

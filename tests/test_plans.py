@@ -138,3 +138,23 @@ def test_bucketed_join_has_no_join_shuffle(spark):
     # whole plan is the final groupBy(c_mktsegment) aggregation shuffle.
     assert tree.count("Exchange") == 1, tree
     assert "Bucketed: true" in plan
+
+
+def test_sliding_window_is_expand_not_join(spark):
+    """Sliding windows must plan as Expand (2 rows/event) + hash agg —
+    not a self-join or Python path."""
+    plan = _plan(spark, "stream_sliding_agg")
+    assert "Expand" in plan
+    assert "Join" not in plan
+    assert "PythonEval" not in plan
+
+
+def test_frame_sample_single_narrow_python_stage(spark):
+    """The 1:N frame explode stays one ArrowEvalPython/MapInPandas stage
+    after the decode repartition — no shuffle introduced by the explode."""
+    plan = _plan(spark, "multimodal_frame_sample")
+    assert "MapInPandas" in plan
+    # exactly the one decode repartition Exchange, nothing after the UDF
+    # (count tree lines only — the details section repeats node names)
+    tree = plan.split("\n\n", 1)[0]
+    assert sum("Exchange" in ln for ln in tree.splitlines()) == 1
