@@ -130,3 +130,77 @@ def test_merge_matches_relational_model(spark, tmp_path_factory, target, source)
     tmap = dict(target)
     tmap.update(dict(source))
     assert got == set(tmap.items())
+
+
+# -- isolation path algebra: create/remove round-trip -----------------------
+
+_SEG = st.text("abcdefghijklmnopqrstuvwxyz0123456789_-", min_size=1, max_size=8)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    segments=st.lists(_SEG, min_size=1, max_size=4),
+    folder=_SEG,
+    context=_SEG,
+)
+def test_isolation_path_roundtrip(spark, segments, folder, context):
+    """_remove_isolation_path inverts _create_isolation_path for any
+    mount-rooted path — including contexts that appear as substrings of
+    table-path segments (the anchored-strip law behind the reference's
+    global-replace bug fix)."""
+    from jorvik_spark.storage.isolation import (
+        ISOLATION_FOLDER_CONF,
+        MOUNT_POINT_CONF,
+        IsolatedStorage,
+    )
+    from tests.test_isolation import FakeStorage
+
+    spark.conf.set(MOUNT_POINT_CONF, "/mnt")
+    spark.conf.set(ISOLATION_FOLDER_CONF, folder)
+    try:
+        st_ = IsolatedStorage(
+            storage=FakeStorage(), isolation_provider=lambda: context
+        )
+        prod = "/mnt/" + "/".join(segments)
+        isolated = st_._create_isolation_path(prod)
+        assert isolated == f"/mnt/{folder}/{context}/" + "/".join(segments)
+        assert st_._remove_isolation_path(isolated) == prod
+        # a path that was never isolated comes back unchanged
+        assert st_._remove_isolation_path(prod) == prod
+    finally:
+        spark.conf.unset(MOUNT_POINT_CONF)
+        spark.conf.unset(ISOLATION_FOLDER_CONF)
+
+
+def test_fixed_point_quantization_cross_engine(spark):
+    """The dsum/davg quantization floor(x*1e6 + 0.5) must produce the
+    same LONG for the same IEEE double in Spark and DuckDB — including
+    half-boundary, negative, and subnormal-ish magnitudes. This is the
+    bitwise law the oracle hash parity of every money aggregation rests
+    on."""
+    import duckdb
+
+    from jorvik_spark.queries.registry import _q
+
+    vals = [
+        0.0, -0.0, 1.5e-6, -1.5e-6, 0.5e-6, -0.5e-6,
+        123.4567895, -123.4567895, 0.1, 0.2, 0.3, 1 / 3, 2 / 3,
+        949.9999995, -949.9999995, 9211.6249999999,
+        104949.50000000001, -104949.50000000001,
+        8999999.999999, 0.0000005, 0.0000015, 0.0000025,
+    ] + [x * 0.1 + 7e-7 for x in range(-50, 50)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r.q for r in df.select(_q("x").alias("q")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT CAST(floor(? * 1000000 + 0.5) AS BIGINT)", [v]
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want, [
+        (v, g, w) for v, g, w in zip(vals, got, want) if g != w
+    ][:5]
