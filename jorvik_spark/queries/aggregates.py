@@ -159,6 +159,36 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based aggregate).
+
+    Exact ``percentile`` holds the group's values for the final sort —
+    fine for bounded group counts; at 100 TB-scale cardinalities the
+    sketch path is ``approx_percentile`` (KLL/GK — one pass, bounded
+    memory), which is engine-specific and therefore not the oracle shape.
+    Both engines interpolate linearly, so values match bitwise (rounded
+    at 1e-6 for hash stability).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "agg_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
