@@ -17,6 +17,7 @@ from jorvik_spark.queries import text_analysis  # noqa: F401,E402
 from jorvik_spark.queries import dedup  # noqa: F401,E402
 from jorvik_spark.queries import similarity  # noqa: F401,E402
 from jorvik_spark.queries import multimodal  # noqa: F401,E402
+from jorvik_spark.queries import sampling  # noqa: F401,E402
 
 # The verification driver records a bounded prefix of the queries() dict
 # (round 2 recorded exactly the first 50 of 70 entries, in registration
@@ -51,6 +52,7 @@ _CHECK_PRIORITY = [
     "multimodal_binary_scan",
     "multimodal_feature_extract",
     "multimodal_frame_sample",
+    "sample_stratified_split",
     # -- bench shapes (BASELINE.md) --
     "agg_pricing_summary",
     "join_q3_topk",
@@ -80,7 +82,6 @@ _CHECK_PRIORITY = [
     "project_select",
     "expr_arith_cast",
     "expr_string_funcs",
-    "expr_json_extract",
 ]
 
 

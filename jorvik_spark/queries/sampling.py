@@ -1,0 +1,95 @@
+"""Deterministic sampling operators over ``documents`` (§2C training-data
+pipeline extensions).
+
+Training-data mixing needs *reproducible* sampling: the same doc must land
+in the same split on every run, under task retries, repartitioning, and
+cluster-size changes. ``df.sample()``/RAND are none of those (per-task RNG
+state), so the scale pattern is **hash-mod bucketing**: a stable content
+key hashed to a bucket in [0, 1000), with rate/range predicates on the
+bucket. Pure narrow expressions — no shuffle, no RNG state, identical on
+any engine that has md5 (which is what makes these oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jorvik_spark.queries.registry import query
+from jorvik_spark.tables import load_table
+
+# Per-language sampling rates (per-mille): a data-mixing config —
+# downsample the dominant language, keep the rest.
+_RATES = {"en": 600, "de": 900, "es": 900, "fr": 900, "zh": 900}
+_DEFAULT_RATE = 1000
+
+# train/val/test split boundaries on a second, independent bucket
+# (different md5 salt so split and sampling decisions don't correlate).
+_VAL_LO, _TEST_LO = 800, 900
+
+
+def _bucket(col, salt: str):
+    key = F.concat(F.lit(salt), col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 1000
+
+
+def _sql_bucket(expr: str, salt: str) -> str:
+    return (
+        f"('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 8))"
+        "::BIGINT % 1000"
+    )
+
+
+_RATE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {rate}" for lang, rate in _RATES.items()
+) + f" ELSE {_DEFAULT_RATE} END"
+
+
+@query(
+    "sample_stratified_split",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT doc_id, lang,
+               {_sql_bucket('doc_id', 'mix:')} AS mix_bucket,
+               {_sql_bucket('doc_id', 'split:')} AS split_bucket
+        FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN split_bucket >= {_TEST_LO} THEN 'test'
+                WHEN split_bucket >= {_VAL_LO} THEN 'val'
+                ELSE 'train' END AS split
+    FROM bucketed
+    WHERE mix_bucket < {_RATE_SQL}
+    """,
+)
+def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling + train/val/test assignment, both by
+    deterministic hash-mod buckets on doc_id.
+
+    Two independent salts: the mixing decision (per-language keep rate)
+    and the split assignment (80/10/10) must not correlate, or the val
+    set would oversample whatever the mixer kept. Every decision is a
+    pure function of doc_id — rerunning on 1 or 1000 executors, or after
+    a retry, yields byte-identical corpus membership.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r))
+            for lang, r in _RATES.items()
+        ],
+        F.lit(_DEFAULT_RATE),
+    )
+    split_bucket = _bucket(F.col("doc_id"), "split:")
+    return (
+        docs.withColumn("mix_bucket", _bucket(F.col("doc_id"), "mix:"))
+        .withColumn("split_bucket", split_bucket)
+        .filter(F.col("mix_bucket") < rate)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("split_bucket") >= _TEST_LO, "test")
+            .when(F.col("split_bucket") >= _VAL_LO, "val")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )
