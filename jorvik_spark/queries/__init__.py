@@ -53,6 +53,8 @@ _CHECK_PRIORITY = [
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "sample_stratified_split",
+    "decontaminate_overlap",
+    "pack_sequences",
     # -- bench shapes (BASELINE.md) --
     "agg_pricing_summary",
     "join_q3_topk",
@@ -78,9 +80,7 @@ _CHECK_PRIORITY = [
     "join_range",
     "window_running_sum",
     "sort_topk",
-    "filter_predicate",
     "project_select",
-    "expr_arith_cast",
     "expr_string_funcs",
 ]
 

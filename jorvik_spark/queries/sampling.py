@@ -15,7 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jorvik_spark.queries.dedup import _SHINGLES_T, _SQL_SHINGLES
 from jorvik_spark.queries.registry import query
+from jorvik_spark.queries.text_analysis import _SQL_TOKENS, _tokenized_docs
 from jorvik_spark.tables import load_table
 
 # Per-language sampling rates (per-mille): a data-mixing config —
@@ -92,4 +94,105 @@ def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("train")
             .alias("split"),
         )
+    )
+
+
+@query(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               {_SQL_TOKENS} AS t,
+               {_sql_bucket('doc_id', 'split:')} AS split_bucket
+        FROM documents),
+    sh AS (SELECT doc_id, split_bucket, {_SQL_SHINGLES} AS s FROM toks
+           WHERE len(t) >= 3),
+    train AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+              WHERE split_bucket < {_VAL_LO}),
+    test_ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh
+                WHERE split_bucket >= {_TEST_LO})
+    SELECT DISTINCT doc_id AS contaminated_doc_id
+    FROM test_ex JOIN train USING (shingle)
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval decontamination: test-split documents that share any 3-token
+    shingle with the training split (the overlap a leaderboard audit
+    looks for before trusting held-out metrics).
+
+    Scale shape: explode both sides to (doc, shingle), dedupe the train
+    side to a distinct-shingle set, then a semi join on the shingle key —
+    an inverted-index probe, never a doc×doc comparison. One shuffle per
+    side on the shingle hash; the train set is the big side and arrives
+    pre-deduped so the join build input is minimal.
+    """
+    toks = _tokenized_docs(spark, sf_dir).withColumn(
+        "split_bucket", _bucket(F.col("doc_id"), "split:")
+    )
+    sh = toks.filter(F.size("t") >= 3).select(
+        "doc_id", "split_bucket", F.expr(_SHINGLES_T).alias("s")
+    )
+    train_shingles = (
+        sh.filter(F.col("split_bucket") < _VAL_LO)
+        .select(F.explode("s").alias("shingle"))
+        .distinct()
+    )
+    test_shingles = sh.filter(F.col("split_bucket") >= _TEST_LO).select(
+        "doc_id", F.explode("s").alias("shingle")
+    )
+    return (
+        test_shingles.join(train_shingles, "shingle", "left_semi")
+        .select(F.col("doc_id").alias("contaminated_doc_id"))
+        .distinct()
+    )
+
+
+_PACK_BUDGET = 4096
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len({_SQL_TOKENS}) AS n_tokens FROM documents),
+    runs AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % {_PACK_BUDGET} AS BIGINT)
+               AS offset_in_pack
+    FROM runs
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing: concatenate each language's documents
+    in doc_id order and cut fixed 4096-token training windows; each
+    doc reports the pack its first token lands in and its offset there
+    (GPT-style concat-then-chunk packing, where boundary docs straddle).
+
+    One window aggregation per language partition — the running sum is
+    the only state, so the operator scales to any corpus the shuffle can
+    partition by language. A doc_id-ordered sort key makes the packing
+    deterministic and reproducible across runs and cluster sizes.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokenized_docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size("t").cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(start / _PACK_BUDGET).alias("pack_id"),
+        (start % _PACK_BUDGET).alias("offset_in_pack"),
     )
