@@ -57,6 +57,7 @@ _CHECK_PRIORITY = [
     "pack_sequences",
     # -- bench shapes (BASELINE.md) --
     "agg_pricing_summary",
+    "agg_percentiles",
     "join_q3_topk",
     "join_q5_regional",
     "window_rank_per_user",
@@ -80,7 +81,6 @@ _CHECK_PRIORITY = [
     "join_range",
     "window_running_sum",
     "sort_topk",
-    "project_select",
     "expr_string_funcs",
 ]
 
