@@ -41,6 +41,7 @@ _CHECK_PRIORITY = [
     "text_fingerprint",
     "text_explode_positional",
     "text_token_bpe",
+    "text_rare_token_ratio",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -80,7 +81,6 @@ _CHECK_PRIORITY = [
     "join_anti",
     "join_range",
     "window_running_sum",
-    "sort_topk",
     "expr_string_funcs",
 ]
 

@@ -360,3 +360,65 @@ def text_explode_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select(
         "doc_id", F.posexplode("t").alias("pos", "tok")
     )
+
+
+# Corpus frequency below which a token counts as "rare" (hapax/dis
+# legomena). Integer counts keep the score fully deterministic — this is
+# the RNG-free, log-free stand-in for perplexity-style quality filters.
+_RARE_MAX_CNT = 2
+
+
+@query(
+    "text_rare_token_ratio",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY tok),
+    scored AS (
+        SELECT e.doc_id,
+               COUNT(*) AS n_tokens,
+               COUNT(*) FILTER (WHERE f.cnt <= {_RARE_MAX_CNT}) AS n_rare
+        FROM ex e JOIN freq f USING (tok)
+        GROUP BY e.doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_rare AS BIGINT) AS n_rare,
+           round(n_rare * 1.0 / n_tokens, 6) AS rare_ratio
+    FROM scored
+    """,
+)
+def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality score: the fraction of a doc's tokens that
+    are rare in the whole corpus (frequency ≤ 2). High ratio ≈ noise/OOV
+    garbage; a deterministic, integer-only proxy for perplexity filters
+    (log-prob scoring is engine-specific in its last ulps, counts are
+    not).
+
+    Two-pass shape: one aggregation builds the corpus vocabulary with
+    counts, then the exploded tokens join back against it — the vocab is
+    orders smaller than the corpus, so at 100 TB the join broadcasts or
+    AQE picks the strategy; the exploded side is persisted once and feeds
+    both passes.
+    """
+    toks = _tokenized_docs(spark, sf_dir)
+    ex = toks.select("doc_id", F.explode("t").alias("tok")).persist()
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    rare = F.sum(
+        F.when(F.col("cnt") <= _RARE_MAX_CNT, 1).otherwise(0)
+    ).cast("long")
+    return (
+        ex.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            rare.alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            F.round(F.col("n_rare") / F.col("n_tokens"), 6).alias(
+                "rare_ratio"
+            ),
+        )
+    )
