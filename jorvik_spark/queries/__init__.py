@@ -59,6 +59,8 @@ _CHECK_PRIORITY = [
     # -- bench shapes (BASELINE.md) --
     "agg_pricing_summary",
     "agg_percentiles",
+    "agg_collect_set",
+    "window_ntile",
     "join_q3_topk",
     "join_q5_regional",
     "window_rank_per_user",
@@ -80,8 +82,6 @@ _CHECK_PRIORITY = [
     "join_semi",
     "join_anti",
     "join_range",
-    "window_running_sum",
-    "expr_string_funcs",
 ]
 
 

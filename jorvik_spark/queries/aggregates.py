@@ -326,3 +326,30 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
     )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+               AS priorities,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation (collect_set), emitted as a sorted joined
+    string: collection order is partition-dependent, so the deterministic
+    (and cross-engine-hashable) form is sort-then-join. At scale the set
+    must be low-cardinality per group (it lives in one aggregation
+    buffer) — unbounded collect_list over a 100 TB fact table is the
+    anti-pattern; this query's per-group domain is the 5 priorities.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+        F.count(F.lit(1)).alias("n"),
+    )

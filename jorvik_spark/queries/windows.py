@@ -390,3 +390,41 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         (qsum.cast("double") / 1_000_000.0 / cnt).alias("avg_1h"),
     )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, cents,
+           NTILE(4) OVER (ORDER BY cents, o_custkey) AS quartile
+    FROM spend
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing of customers by total spend (NTILE over a
+    total order; the o_custkey tie-break makes bucket edges
+    deterministic). Spend is summed in integer cents — exact, so the
+    ordering and thus the bucketing is identical on both engines. The
+    cents quantization is floor(x*100 + 0.5) mirrored in the oracle:
+    a bare CAST would diverge (Spark truncates double→long, DuckDB
+    rounds).
+
+    The single unpartitioned window is the documented scale trade-off:
+    NTILE needs a total order, so this runs on the *aggregated* per-key
+    table (|customers|, not |orders|) — window-over-aggregate, never
+    window-over-fact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    return spend.select(
+        "o_custkey", "cents", F.ntile(4).over(w).alias("quartile")
+    )
