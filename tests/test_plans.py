@@ -158,3 +158,29 @@ def test_frame_sample_single_narrow_python_stage(spark):
     # (count tree lines only — the details section repeats node names)
     tree = plan.split("\n\n", 1)[0]
     assert sum("Exchange" in ln for ln in tree.splitlines()) == 1
+
+
+def test_sampling_is_narrow_no_shuffle(spark):
+    """Hash-mod sampling + split assignment is a pure narrow pipeline —
+    scan, filter, project; not a single Exchange."""
+    plan = _plan(spark, "sample_stratified_split")
+    tree = plan.split("\n\n", 1)[0]
+    assert not any("Exchange" in ln for ln in tree.splitlines())
+    assert "PythonEval" not in plan
+
+
+def test_decontaminate_is_semi_join_not_cartesian(spark):
+    """Contamination audit probes the train-shingle set with a semi join
+    on the shingle key — never a doc-by-doc comparison."""
+    plan = _plan(spark, "decontaminate_overlap")
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan
+
+
+def test_pack_sequences_single_window(spark):
+    """Packing is one running-sum window over the language partition —
+    no join, no Python."""
+    plan = _plan(spark, "pack_sequences")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "PythonEval" not in plan
