@@ -50,6 +50,7 @@ _CHECK_PRIORITY = [
     "simsearch_topk",
     "simsearch_lsh",
     "simsearch_ivf",
+    "embed_centroids",
     "multimodal_binary_scan",
     "multimodal_feature_extract",
     "multimodal_frame_sample",
@@ -81,7 +82,6 @@ _CHECK_PRIORITY = [
     "join_full_outer",
     "join_semi",
     "join_anti",
-    "join_range",
 ]
 
 

@@ -292,3 +292,46 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= _TOPK)
     )
+
+
+@query(
+    "embed_centroids",
+    oracle="""
+    WITH ex AS (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {'pos': i - 1,
+                            'v': CAST(embedding[i] AS DOUBLE)})) AS u
+        FROM embeddings)
+    SELECT label, CAST(u.pos AS INTEGER) AS pos,
+           SUM(CAST(floor(u.v * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+               / COUNT(u.v) AS centroid_v,
+           COUNT(*) AS n
+    FROM ex GROUP BY label, u.pos
+    """,
+)
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the aggregation behind IVF coarse
+    quantizer training and class-prototype similarity. Emitted in long
+    format (label, dimension, value): elementwise array aggregation via
+    posexplode + hash agg, and long rows hash identically across engines
+    where a re-assembled array column would not.
+
+    The float32 values widen to double before the fixed-point average
+    (registry convention) — widening is exact on both engines, so the
+    centroid is bitwise reproducible under any partitioning. Output is
+    |labels| x dim rows regardless of corpus size; the explode itself is
+    a narrow 64x row multiplication feeding map-side partial aggregation.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    return ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.floor(F.col("v") * 1_000_000 + F.lit(0.5)))
+            / 1_000_000.0
+            / F.count("v")
+        ).alias("centroid_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
