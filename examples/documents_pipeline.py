@@ -26,7 +26,7 @@ from pyspark.sql.types import (
 )
 
 from jorvik_spark.pipelines import ETL, FileInput, FileOutput, etl
-from jorvik_spark.queries.text_analysis import _BPE_PAT, _TOKENS
+from jorvik_spark.queries.text_analysis import _BPE_PAT, _STOPWORDS, _TOKENS
 
 DOCUMENTS_SCHEMA = StructType(
     [
@@ -66,7 +66,10 @@ CORPUS_STATS_SCHEMA = StructType(
 MIN_TOKENS = 5
 MIN_STOPWORD_RATIO = 0.01
 
-_STOP_EN = ["the", "a", "of", "and", "to"]
+# The engine's English stopword list (text_analysis._STOPWORDS) — imported
+# so the example's quality gate and text_quality_score/text_language_id
+# cannot silently disagree on what counts as a stopword.
+_STOP_EN = _STOPWORDS["en"]
 
 
 def make_bronze_documents(sf_dir: str, lake: str) -> ETL:

@@ -169,11 +169,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The LSH join only compares docs sharing a band bucket — the 100 TB
     path, vs the exact query's inverted index which is quadratic in hot
-    buckets. Component resolution runs 3 rounds of smallest-id
-    propagation: near-dup clusters are band-bucket near-cliques
-    (diameter ≤ 3 in practice — measured identical output for 2/3/5
-    rounds on the testdata), and a deeper chain merely splits into
-    deterministic sub-components rather than corrupting membership.
+    buckets. Component resolution runs 5 rounds of smallest-id
+    propagation (one hop per round): near-dup clusters are band-bucket
+    near-cliques, so diameter-5 reach converges them all in practice; a
+    deeper chain would split into deterministic sub-components rather
+    than corrupt membership. (3 rounds measured ~2 s faster at sf0.01
+    with identical output there, but silently under-merges any
+    diameter-4+ chain — correctness over micro-latency for a query the
+    driver checks rows-only.)
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
@@ -210,7 +213,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).cache()
-    for _ in range(3):
+    for _ in range(5):
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy(F.col("a").alias("doc_id"))

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jorvik_spark.tables import load_table
-from jorvik_spark.queries.registry import memo_df, query
+from jorvik_spark.queries.registry import davg, memo_df, query, sql_davg
 
 _TOPK = 5
 _N_QUERIES = 5  # vec_id < 5 form the query set
@@ -296,16 +296,15 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embed_centroids",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
         SELECT label,
                unnest(list_transform(range(1, len(embedding) + 1),
-                      i -> {'pos': i - 1,
-                            'v': CAST(embedding[i] AS DOUBLE)})) AS u
+                      i -> {{'pos': i - 1,
+                            'v': CAST(embedding[i] AS DOUBLE)}})) AS u
         FROM embeddings)
     SELECT label, CAST(u.pos AS INTEGER) AS pos,
-           SUM(CAST(floor(u.v * 1000000 + 0.5) AS BIGINT)) / 1000000.0
-               / COUNT(u.v) AS centroid_v,
+           {sql_davg('u.v')} AS centroid_v,
            COUNT(*) AS n
     FROM ex GROUP BY label, u.pos
     """,
@@ -328,10 +327,6 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode("embedding").alias("pos", "v")
     ).withColumn("v", F.col("v").cast("double"))
     return ex.groupBy("label", "pos").agg(
-        (
-            F.sum(F.floor(F.col("v") * 1_000_000 + F.lit(0.5)))
-            / 1_000_000.0
-            / F.count("v")
-        ).alias("centroid_v"),
+        davg("v").alias("centroid_v"),
         F.count(F.lit(1)).alias("n"),
     )

@@ -198,6 +198,7 @@ class BasicStorage:
                 "would have no effect."
             )
 
+        self._recover_interrupted_swap(path)
         if not self.exists(path):
             self.write(
                 df,
@@ -348,6 +349,31 @@ class BasicStorage:
             if f.name not in have:
                 full = full.withColumn(f.name, F.lit(None).cast(f.dataType))
         return full
+
+    def _recover_interrupted_swap(self, path: str) -> None:
+        """Roll forward a crash inside :meth:`_atomic_overwrite`'s rename
+        pair: if the table is missing but its ``…__old__`` copy exists, the
+        previous merge died between rename (2) and (3) — restore the old
+        copy as the table. Without this, a retried merge would see a
+        missing target, rebuild the table from the incremental rows alone,
+        and later delete the only full copy as a "stale leftover"."""
+        spark = _active_session()
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        old = HPath(path.rstrip("/") + "__jorvik_merge_old__")
+        try:
+            fs = HPath(path).getFileSystem(hconf)
+            if fs.exists(old) and not fs.exists(HPath(path)):
+                if not fs.rename(old, HPath(path)):
+                    raise IOError(
+                        f"Found interrupted merge swap but could not "
+                        f"restore {old} -> {path}"
+                    )
+        except IOError:
+            raise
+        except Exception:  # noqa: BLE001 — FS without rename semantics
+            pass
 
     def _atomic_overwrite(
         self,

@@ -235,3 +235,27 @@ def test_merge_update_condition_on_both_sides(spark, st, tmp_path):
     )
     expected = spark.createDataFrame([(1, 10), (2, 30)], "id long, score long")
     assertDataFrameEqual(st.read(target, "parquet"), expected)
+
+
+def test_merge_recovers_interrupted_swap(spark, st, tmp_path):
+    """A crash between _atomic_overwrite's two renames leaves the table
+    at …__jorvik_merge_old__ and nothing at the real path. The next merge
+    must roll the old copy forward and merge into it — not rebuild the
+    table from the incremental rows alone and then delete the only full
+    copy as a stale leftover."""
+    import os
+
+    target = str(tmp_path / "t")
+    st.write(kv(spark, [(1, "keep"), (2, "update-me")]), target,
+             "parquet", "overwrite")
+    # Simulate the crash window: table moved aside, nothing at `target`.
+    os.rename(target, target + "__jorvik_merge_old__")
+    assert not os.path.exists(target)
+
+    st.merge(
+        kv(spark, [(2, "updated"), (3, "inserted")]), target,
+        merge_condition="full.id == incremental.id",
+    )
+    expected = kv(spark, [(1, "keep"), (2, "updated"), (3, "inserted")])
+    assertDataFrameEqual(st.read(target, "parquet"), expected)
+    assert not os.path.exists(target + "__jorvik_merge_old__")
