@@ -43,9 +43,6 @@ _CHECK_PRIORITY = [
     "text_token_bpe",
     "text_rare_token_ratio",
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "simsearch_topk",
     "simsearch_lsh",
@@ -82,6 +79,13 @@ _CHECK_PRIORITY = [
     "join_full_outer",
     "join_semi",
     "join_anti",
+    # heavy entries last within the checked prefix: under the
+    # observed 50-entry count cap their position is irrelevant, but
+    # if any time budget also applies, the cheap queries above get
+    # recorded first.
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
 ]
 
 
