@@ -184,3 +184,28 @@ def test_pack_sequences_single_window(spark):
     assert "Window" in plan
     assert "Join" not in plan
     assert "PythonEval" not in plan
+
+
+def test_partitioned_readback_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout must prune at the scan: a filter on the
+    partition column shows up as PartitionFilters and the non-matching
+    directories are never read — the layout half of the 100 TB contract
+    (sink_partitioned_write proves the write, this proves the read)."""
+    from pyspark.sql import functions as F
+
+    from jorvik_spark.storage import BasicStorage
+    from jorvik_spark.tables import load_table
+
+    st = BasicStorage()
+    path = str(tmp_path / "orders_parted")
+    st.write(
+        load_table(spark, SF_DIR, "orders"),
+        path, "parquet", "overwrite", partition_fields="o_orderstatus",
+    )
+    df = st.read(path, "parquet").filter(F.col("o_orderstatus") == "F")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
