@@ -33,6 +33,23 @@ def _normalize(dt: DataType) -> DataType:
     return dt
 
 
+def _field_map(schema: StructType) -> dict:
+    """Name → normalized type. Duplicate column names (a DataFrame after a
+    join with an un-dropped key is the common case) would silently collapse
+    in the dict and make a 2-column duplicate pass validation against a
+    schema declaring the column once — fail loudly instead, at the schema
+    contract where the problem is actionable."""
+    names = [f.name for f in schema.fields]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"Schema has duplicate column names {dupes}; drop or rename "
+            "them before schema verification (typically an un-dropped "
+            "join key)."
+        )
+    return {f.name: _normalize(f.dataType) for f in schema.fields}
+
+
 def is_subset(schema: StructType, reference: StructType) -> bool:
     """True if every field of ``schema`` exists in ``reference`` with the
     same type (ignoring nullability, column order, nested field order).
@@ -40,20 +57,16 @@ def is_subset(schema: StructType, reference: StructType) -> bool:
     Used for input contracts: extra physical columns are tolerated
     (reference etl.py:189-199).
     """
-    ref = {f.name: _normalize(f.dataType) for f in reference.fields}
-    return all(
-        f.name in ref and _normalize(f.dataType) == ref[f.name]
-        for f in schema.fields
-    )
+    ref = _field_map(reference)
+    sub = _field_map(schema)
+    return all(name in ref and dt == ref[name] for name, dt in sub.items())
 
 
 def are_equal(s1: StructType, s2: StructType) -> bool:
     """Name-keyed equality, ignoring column order and nullability at every
     nesting level (reference schemas.py:27-56 docstring contract).
     """
-    f1 = {f.name: _normalize(f.dataType) for f in s1.fields}
-    f2 = {f.name: _normalize(f.dataType) for f in s2.fields}
-    return f1 == f2
+    return _field_map(s1) == _field_map(s2)
 
 
 def diff(s1: StructType, s2: StructType) -> str:

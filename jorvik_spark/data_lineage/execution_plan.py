@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame
 
 _SECTION_HEADER = re.compile(r"^\s*==\s*[^=]+\s*==\s*$")
 _NODE_ID = re.compile(r"\((\d+)\)")
-_NODE_NAME = re.compile(r"[a-zA-Z0-9][a-zA-Z0-9\s]*?(?=\s*\()")
+# Dots/underscores included: catalog-table scans render as
+# "Scan parquet spark_catalog.default.tbl (1)" and the qualified name is
+# part of the node name — without them the match starts after the last
+# dot and the scan is misclassified as unknown.
+_NODE_NAME = re.compile(r"[a-zA-Z0-9][a-zA-Z0-9._\s]*?(?=\s*\()")
 _INDENT_WIDTH = 3
 
 

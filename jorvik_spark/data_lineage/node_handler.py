@@ -51,14 +51,25 @@ def handle_truncated_path(path: Optional[str]) -> Optional[str]:
         return None
     if not _TRUNCATION.search(path):
         return path
-    prefix = path.split("=")[0]
+    # Work on the FIRST listed path: for an unpartitioned multi-file
+    # location ("/w/t/part-0.parquet, /w/t/part-1.parquet, … 20 entries")
+    # splitting the full comma-joined list on '=' would cut at the LAST
+    # path's slash and yield garbage like "/w/t/part-0.parquet, /w/t".
+    first = path.split(", ")[0]
+    prefix = first.split("=")[0]
     return prefix[: prefix.rfind("/")]
 
 
 def extract_data_source(node: PlanNode) -> ScanDataSource:
     """Classify one leaf node (reference node_handler.py:49-69)."""
     name = node.name or ""
-    if name in FILE_BASED_SCANS:
+    # Prefix match, not equality: catalog-table scans carry the qualified
+    # table name in the node name ("Scan parquet spark_catalog.default.t")
+    # and must still classify as file scans — their Location property holds
+    # the real path.
+    if name in FILE_BASED_SCANS or any(
+        name.startswith(s + " ") for s in FILE_BASED_SCANS
+    ):
         location = node.properties.get("Location")
         if location is not None:
             location = extract_first_bracket_content(location)
@@ -67,6 +78,12 @@ def extract_data_source(node: PlanNode) -> ScanDataSource:
         return ScanDataSource("memory_scan", name)
     if "Scan JDBCRelation" in name:
         # e.g. Scan JDBCRelation((select * from T) SPARK_GEN_SUBQ_0) [numPartitions=1]
-        sql = name.split("JDBCRelation((", 1)[1].split(") SPARK_GEN_SUBQ", 1)[0]
-        return ScanDataSource("jdbc_scan", sql)
+        parts = name.split("JDBCRelation((", 1)
+        if len(parts) == 2:
+            return ScanDataSource(
+                "jdbc_scan", parts[1].split(") SPARK_GEN_SUBQ", 1)[0]
+            )
+        # The tree-line name was cut at the first paren — still a JDBC
+        # scan, just without the embedded SQL text.
+        return ScanDataSource("jdbc_scan", name)
     return ScanDataSource("unknown_scan", name or None)

@@ -51,17 +51,26 @@ class DataLineageLogger:
         self.timeout = timeout
 
     def _explain_dataframe(self, df: DataFrame) -> str:
-        """Capture the plan with a thread-based watchdog (Q11 fix)."""
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            future = pool.submit(execution_plan.capture_explain, df)
-            try:
-                return future.result(timeout=self.timeout)
-            except FutureTimeoutError:
-                future.cancel()
-                return (
-                    "ERROR. Unable to read dataframe execution plan. "
-                    f"Timed out after {self.timeout} seconds."
-                )
+        """Capture the plan with a thread-based watchdog (Q11 fix).
+
+        No ``with`` block: the context manager's ``shutdown(wait=True)``
+        would join the worker and block for the full hang anyway (and
+        ``Future.cancel`` is a no-op once running). On timeout we
+        ``shutdown(wait=False)`` and deliberately leak the hung thread —
+        the write path must not stall behind a stuck explain.
+        """
+        pool = ThreadPoolExecutor(max_workers=1)
+        future = pool.submit(execution_plan.capture_explain, df)
+        try:
+            result = future.result(timeout=self.timeout)
+            pool.shutdown(wait=True)
+            return result
+        except FutureTimeoutError:
+            pool.shutdown(wait=False)
+            return (
+                "ERROR. Unable to read dataframe execution plan. "
+                f"Timed out after {self.timeout} seconds."
+            )
 
     def _get_data_scan_nodes(self, explain_result: str) -> List[execution_plan.PlanNode]:
         """Leaf nodes of the plan tree; an ``AdaptiveSparkPlan`` leaf marks

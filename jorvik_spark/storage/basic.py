@@ -184,7 +184,11 @@ class BasicStorage:
         * ``update_condition`` / ``insert_condition``: optional SQL over the
           two aliases; ``False`` disables that branch entirely; both
           disabled raises ValueError.
-        * Missing target → plain overwrite write (table creation).
+        * Missing target → plain overwrite write (table creation). Kept
+          reference-faithful (basic.py:169-174): the conditions do NOT
+          apply on creation, so the first merge writes every incremental
+          row even under an insert_condition — callers needing a filtered
+          bootstrap must pre-filter or create the table first.
         * Schema drift → ValueError unless ``merge_schemas=True`` (null-fill
           both directions, reference basic.py:193-220).
         """
@@ -429,8 +433,13 @@ class BasicStorage:
         try:
             sc = spark.sparkContext
             jvm = sc._jvm
-            fs = jvm.org.apache.hadoop.fs.FileSystem.get(sc._jsc.hadoopConfiguration())
-            return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            # The path's OWN filesystem, not the default FS: with a local/
+            # HDFS default, FileSystem.get(conf) throws Wrong-FS for every
+            # s3a://... path and forces the slow tier-3 text-read sniff —
+            # and exists() sits on the hot path of every isolated read.
+            fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+            return fs.exists(hpath)
         except Exception:
             pass
         try:

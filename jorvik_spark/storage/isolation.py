@@ -72,7 +72,24 @@ class IsolatedStorage:
         """Rewrite ``<mount>/X`` → ``<mount>/<folder>/<context>/X``
         (reference isolation.py:31-64; unit table
         test/storage/test_isolation.py:47-66). Raises when the isolation
-        folder has not been provisioned."""
+        folder has not been provisioned, or when ``path`` is not under the
+        mount point at all — a path the algebra cannot isolate must never
+        silently fall through to its production location (the reference's
+        unanchored ``replace`` did exactly that for e.g. ``s3a://…``, and
+        corrupted lookalikes like ``/mnt2/x``)."""
+        rewritten = self._try_create_isolation_path(path)
+        if rewritten is None:
+            raise ValueError(
+                f"Path {path!r} is not under the mount point "
+                f"{self._mount_point()!r} and cannot be isolated; "
+                "configure io.jorvik.storage.mount_point or use an "
+                "un-isolated storage for non-lake paths."
+            )
+        return rewritten
+
+    def _try_create_isolation_path(self, path: str) -> Optional[str]:
+        """Anchored rewrite; ``None`` when ``path`` is outside the mount
+        (read paths fall back to production, write paths must raise)."""
         mount = self._mount_point()
         folder = self._isolation_folder()
         mounted_folder = os.path.join(mount, folder)
@@ -81,8 +98,11 @@ class IsolatedStorage:
                 f"Isolation folder: {mounted_folder} does not exist! "
                 "Have you mounted it?"
             )
+        normalized = re.sub("/+", "/", path)
+        if not normalized.startswith(mount.rstrip("/") + "/"):
+            return None
         context = (self.isolation_provider() or "").strip("/")
-        rewritten = path.replace(
+        rewritten = normalized.replace(
             mount, os.path.join(mount, folder, context) + "/", 1
         )
         return re.sub("/+", "/", rewritten)
@@ -189,13 +209,26 @@ class IsolatedStorage:
     # -- storage surface --------------------------------------------------
 
     def exists(self, path: str) -> bool:
+        """True when :meth:`read` would find something: the isolated copy
+        or, failing that, the production table. A bare production check
+        would disagree with read() on any branch that has only written
+        its sandbox copy (``if exists: read`` must not re-bootstrap)."""
+        isolation_path = self._try_create_isolation_path(path)
+        if isolation_path is not None and self.storage.exists(isolation_path):
+            return True
         return self.storage.exists(path)
+
+    def _resolve_read_path(self, path: str) -> str:
+        """Isolated copy if present, else production. A path outside the
+        mount has no isolated copy by construction — read it as-is."""
+        isolation_path = self._try_create_isolation_path(path)
+        if isolation_path is not None and self.storage.exists(isolation_path):
+            return isolation_path
+        return path
 
     def read(self, path: str, format: str = "parquet", options: dict = None) -> DataFrame:
         """Isolated copy if present, else production (isolation.py:208-228)."""
-        isolation_path = self._create_isolation_path(path)
-        if self.exists(isolation_path):
-            path = isolation_path
+        path = self._resolve_read_path(path)
         if self.verbose:
             self._verbose_output(path, "Reading", format=format)
         return self.storage.read(path, format, options)
@@ -203,9 +236,7 @@ class IsolatedStorage:
     def readStream(
         self, path: str, format: str = "parquet", options: dict = None, schema=None
     ) -> DataFrame:
-        isolation_path = self._create_isolation_path(path)
-        if self.exists(isolation_path):
-            path = isolation_path
+        path = self._resolve_read_path(path)
         if self.verbose:
             self._verbose_output(path, "Reading", format=format)
         return self.storage.readStream(path, format, options, schema=schema)
@@ -243,11 +274,27 @@ class IsolatedStorage:
         partition_fields: Union[str, List[str]] = "",
         options: dict = None,
     ) -> StreamingQuery:
+        """Stream to the isolated path — including the CHECKPOINT when it
+        lives under the mount: a sandbox stream running against the
+        production checkpoint would either collide with the live prod
+        query or silently advance its offsets (skipped data on the next
+        prod run). A checkpoint outside the mount (e.g. a local temp dir)
+        passes through unchanged."""
         isolation_path = self._create_isolation_path(path)
+        iso_checkpoint = (
+            self._try_create_isolation_path(checkpoint)
+            if checkpoint
+            else None
+        )
         if self.verbose:
             self._verbose_output(path, "Writing", format=format)
         return self.storage.writeStream(
-            df, isolation_path, format, checkpoint, partition_fields, options
+            df,
+            isolation_path,
+            format,
+            iso_checkpoint or checkpoint,
+            partition_fields,
+            options,
         )
 
     def merge(

@@ -22,11 +22,25 @@ CONTEXT_ENV_VAR = "JORVIK_ISOLATION_CONTEXT"
 
 
 def _validate_isolation_context(context: str) -> None:
-    """The context becomes a directory name — probe that the filesystem
-    accepts it (reference isolation_providers.py:9-25)."""
+    """The context becomes a directory path component — probe that the
+    filesystem accepts it (reference isolation_providers.py:9-25).
+
+    ``makedirs`` rather than the reference's ``mkdir``: git's dominant
+    branch convention is slash-namespaced (``feature/x``), which the path
+    algebra handles as nested directories — single-level ``mkdir`` would
+    reject every such branch with FileNotFoundError and make the
+    GIT_BRANCH provider unusable. Absolute/escaping contexts still fail
+    (they resolve outside the probe dir and the commonpath check below
+    catches them).
+    """
     try:
         with tempfile.TemporaryDirectory() as tmp:
-            os.mkdir(os.path.join(tmp, context))
+            target = os.path.join(tmp, context)
+            if os.path.commonpath(
+                [os.path.abspath(tmp), os.path.abspath(target)]
+            ) != os.path.abspath(tmp):
+                raise ValueError("context escapes its directory")
+            os.makedirs(target)
     except (OSError, ValueError) as e:
         raise ValueError(
             f"Invalid isolation context name {context!r}: not accepted as a "

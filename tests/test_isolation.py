@@ -314,3 +314,69 @@ def test_verbose_print_last_updated_missing_table(spark, set_conf, capsys):
     st = _verbose_st(spark, set_conf)
     st._verbose_print_last_updated("/no/such/path")
     assert "No update history found" in capsys.readouterr().out
+
+
+class PathAwareFakeStorage(FakeStorage):
+    """exists() answers from an explicit set instead of a constant."""
+
+    def __init__(self, existing=()):
+        super().__init__()
+        self.existing = set(existing)
+
+    def exists(self, path):
+        self.calls.append(("exists", path))
+        return path in self.existing
+
+
+def test_write_outside_mount_raises(spark, set_conf):
+    """A path the algebra cannot isolate must never silently land on its
+    production location (the reference's unanchored replace wrote
+    s3a://... straight to production from a sandbox)."""
+    set_conf("/mnt", "container")
+    st = IsolatedStorage(
+        storage=FakeStorage(), isolation_provider=lambda: "branch"
+    )
+    for bad in ("s3a://bucket/t", "/mnt2/t", "/data/mnt/t"):
+        with pytest.raises(ValueError, match="not under the mount point"):
+            st.write(None, bad)
+
+
+def test_read_outside_mount_falls_back_to_production(spark, set_conf):
+    """Reads of non-mount paths have no isolated copy by construction —
+    they pass through unchanged (reference-compatible read behavior)."""
+    set_conf("/mnt", "container")
+    fake = FakeStorage()
+    st = IsolatedStorage(storage=fake, isolation_provider=lambda: "branch")
+    assert st.read("/other/t") == "df@/other/t"
+
+
+def test_exists_prefers_isolated_copy(spark, set_conf):
+    """exists() must agree with read(): True when only the sandbox copy
+    exists, and still True for a production table."""
+    set_conf("/mnt", "container")
+    iso = "/mnt/container/branch/t"
+    fake = PathAwareFakeStorage(
+        existing={"/mnt/container", iso}  # folder probe + sandbox copy
+    )
+    st = IsolatedStorage(storage=fake, isolation_provider=lambda: "branch")
+    assert st.exists("/mnt/t") is True          # sandbox-only table
+    assert st.read("/mnt/t") == f"df@{iso}"     # read agrees
+    prod_only = PathAwareFakeStorage(existing={"/mnt/container", "/mnt/p"})
+    st2 = IsolatedStorage(storage=prod_only, isolation_provider=lambda: "branch")
+    assert st2.exists("/mnt/p") is True         # production table
+    assert st2.exists("/mnt/absent") is False
+
+
+def test_writestream_isolates_mounted_checkpoint(spark, set_conf):
+    """A sandbox stream must not touch the production checkpoint; local
+    (non-mount) checkpoints pass through unchanged."""
+    set_conf("/mnt", "container")
+    fake = FakeStorage()
+    st = IsolatedStorage(storage=fake, isolation_provider=lambda: "branch")
+    st.writeStream(None, "/mnt/out", checkpoint="/mnt/chk/job1")
+    st.writeStream(None, "/mnt/out", checkpoint="/tmp/local_chk")
+    calls = [c for c in fake.calls if c[0] == "writeStream"]
+    assert calls == [
+        ("writeStream", "/mnt/container/branch/out"),
+        ("writeStream", "/mnt/container/branch/out"),
+    ]
