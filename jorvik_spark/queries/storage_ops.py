@@ -296,6 +296,7 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         target,
         "full.o_orderkey == incremental.o_orderkey",
         checkpoint=ckpt,
+        dedup_keys=["o_orderkey"],  # at-least-once within-batch safety
     )
     q.awaitTermination()
     return st.read(target, "parquet")

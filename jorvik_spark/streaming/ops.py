@@ -159,19 +159,37 @@ def running_user_totals(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        n, total = state.get if state.exists else (0, 0.0)
+        # n_nonnull mirrors SQL SUM semantics: nulls are skipped, and the
+        # total is NULL (not 0.0) until a non-null value has been seen —
+        # without it, pandas' NaN-skipping .sum() returns 0.0 for an
+        # all-null key and the stream diverges from the batch twin.
+        n, total, n_nonnull = (
+            state.get if state.exists else (0, 0.0, 0)
+        )
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf[value_col].sum())
-        state.update((n, total))
+            vals = pdf[value_col].dropna()
+            n_nonnull += len(vals)
+            total += float(vals.sum()) if len(vals) else 0.0
+        state.update((n, total, n_nonnull))
         yield pd.DataFrame(
-            {key_col: [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "total_value": [total if n_nonnull else None],
+            }
         )
 
+    # The grouping key keeps ITS OWN type in the output schema — a
+    # hardcoded `long` would crash the Arrow conversion for string keys
+    # (e.g. key_col="event_type") while the batch path sailed through.
+    key_type = df.schema[key_col].dataType.simpleString()
     return df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} long, n_events long, total_value double",
-        stateStructType="n long, total double",
+        outputStructType=(
+            f"{key_col} {key_type}, n_events long, total_value double"
+        ),
+        stateStructType="n long, total double, n_nonnull long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

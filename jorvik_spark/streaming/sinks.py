@@ -27,12 +27,17 @@ def foreach_batch_merge(
     update_condition: Union[str, bool, None] = None,
     insert_condition: Union[str, bool, None] = None,
     trigger_available_now: bool = True,
+    dedup_keys: Union[list, None] = None,
 ) -> StreamingQuery:
     """Start a streaming query that MERGEs every micro-batch into ``path``.
 
-    The batch_id makes retried micro-batches observable; MERGE itself is
-    idempotent for pure upserts (same rows → same end state), which is why
-    this sink is replay-safe where a plain append sink is not.
+    Replay-safety has two halves. Across micro-batches, MERGE converges
+    (re-applying the same rows produces the same end state). WITHIN a
+    micro-batch, an at-least-once source can deliver the same key twice —
+    which MERGE either rejects (multiple source rows matching one target)
+    or double-inserts — so pass ``dedup_keys`` (the merge-key columns) to
+    keep the last arrival per key before merging. Without ``dedup_keys``
+    the caller is asserting the source is exactly-once per batch.
     """
     if not checkpoint:
         raise ValueError("foreach_batch_merge requires a checkpoint location.")
@@ -40,6 +45,8 @@ def foreach_batch_merge(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if dedup_keys:
+            batch_df = batch_df.dropDuplicates(dedup_keys)
         storage.merge(
             batch_df,
             path,

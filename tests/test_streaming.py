@@ -184,3 +184,69 @@ def test_stateful_accumulates_across_microbatches(spark, tmp_path):
     g = {r["user_id"]: r["n_events"] for r in final.collect()}
     wnt = {r["user_id"]: r["n_events"] for r in want.collect()}
     assert g == wnt
+
+
+def test_running_user_totals_string_key(spark, events_src):
+    """The output schema must carry the grouping key's own type — a
+    string key (event_type) crashed the Arrow conversion when the key
+    type was hardcoded long."""
+    stream = S.running_user_totals(_stream(spark, events_src), key_col="event_type")
+    _run_to_memory(stream, "t_state_str", "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
+    got = (
+        spark.table("t_state_str")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+    )
+    want = S.running_user_totals(
+        spark.read.parquet(events_src), key_col="event_type"
+    )
+    g = {r["event_type"]: r["n_events"] for r in got.collect()}
+    wnt = {r["event_type"]: r["n_events"] for r in want.collect()}
+    assert g == wnt and len(g) > 0
+
+
+def test_running_user_totals_all_null_values_match_batch(spark, tmp_path):
+    """SQL SUM of an all-null column is NULL; the stream state must agree
+    (pandas' NaN-skipping sum would emit 0.0)."""
+    src = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        [(1, None), (1, None), (2, 5.0)], "user_id long, value double"
+    ).write.parquet(src)
+    stream = S.running_user_totals(BasicStorage().readStream(src, "parquet"))
+    _run_to_memory(stream, "t_state_null", "update")
+    got = {r["user_id"]: r["total_value"] for r in spark.table("t_state_null").collect()}
+    want = {
+        r["user_id"]: r["total_value"]
+        for r in S.running_user_totals(spark.read.parquet(src)).collect()
+    }
+    assert got == want
+    assert want[1] is None and got[1] is None
+
+
+def test_foreach_batch_merge_dedups_within_batch(spark, tmp_path):
+    """An at-least-once source replaying a key inside one micro-batch must
+    not kill the stream (multiple-matches error) or double-insert."""
+    from jorvik_spark.streaming.sinks import foreach_batch_merge
+
+    st = BasicStorage()
+    target = str(tmp_path / "t")
+    src = str(tmp_path / "s")
+    cp = str(tmp_path / "cp")
+    st.write(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        target, mode="overwrite",
+    )
+    # duplicate key 1 (replayed update) and duplicate key 2 (replayed insert)
+    spark.createDataFrame(
+        [(1, "a2"), (1, "a2"), (2, "b"), (2, "b")], "id long, v string"
+    ).write.parquet(src)
+    q = foreach_batch_merge(
+        st.readStream(src, "parquet"), st, target,
+        "full.id == incremental.id", checkpoint=cp, dedup_keys=["id"],
+    )
+    q.awaitTermination(120)
+    rows = sorted(tuple(r) for r in st.read(target, "parquet").collect())
+    assert rows == [(1, "a2"), (2, "b")]
