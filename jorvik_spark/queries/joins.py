@@ -195,8 +195,12 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENCH q3 — filter + 3-way join + agg + top-10 (TPC-H Q3 shape).
 
-    Filters precede the joins → pushed into the parquet scans; the filtered
-    customer side is small → broadcast hint removes one shuffle; top-10 is
+    Filters precede the joins → pushed into the parquet scans; the
+    segment-filtered customer side is left to AQE, which broadcasts it
+    while it fits and falls back to a shuffle join beyond the threshold —
+    an explicit broadcast hint would be wrong at scale: the filter keeps
+    ~1/5 of customers (5 segments), which grows linearly with the table,
+    unlike q5's genuinely bounded 25-row dimension. Top-10 is
     TakeOrderedAndProject (no global sort materialization).
     """
     c = load_table(spark, sf_dir, "customer").filter(
@@ -211,7 +215,7 @@ def join_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(revenue).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")

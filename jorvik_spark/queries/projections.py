@@ -93,7 +93,7 @@ def filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(l_quantity * l_extendedprice AS REAL) AS line_total,
-           CAST(l_quantity AS INTEGER) AS qty_int
+           CAST(floor(l_quantity) AS INTEGER) AS qty_int
     FROM lineitem WHERE l_linenumber = 1
     """,
 )
@@ -101,7 +101,10 @@ def expr_arith_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arithmetic computed column + cast (reference nb_clean_transactions:42).
 
     Both engines compute in double and round once to float32 → bitwise
-    identical results.
+    identical results for line_total. The int conversion goes through an
+    explicit floor mirrored in the oracle: a bare double→int CAST
+    diverges between engines (Spark truncates toward zero, DuckDB
+    rounds) the moment a quantity is non-integral.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
     return li.select(
@@ -110,7 +113,7 @@ def expr_arith_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity") * F.col("l_extendedprice"))
         .cast("float")
         .alias("line_total"),
-        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.floor("l_quantity").cast("int").alias("qty_int"),
     )
 
 

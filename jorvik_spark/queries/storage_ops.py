@@ -9,17 +9,22 @@ for update-or-keep + anti-join for inserts) — the model the reference's
 own expected-row tables use (/root/reference/test/storage/test_basic.py:137-146).
 
 Scratch dirs are created per invocation (the returned DataFrame keeps
-reading from them lazily, so they are not deleted here).
+reading from them lazily, so they are not deleted here). That is a
+deliberate bounded leak: reusing dirs across invocations would corrupt
+the streaming queries (a reused checkpoint makes the second run a no-op)
+and race concurrent processes; the cost is one table copy per query per
+invocation in the OS temp dir, reclaimed by tmp cleaning.
 """
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jorvik_spark.queries.registry import query
+from jorvik_spark.queries.registry import dsum, query, sql_dsum
 from jorvik_spark.storage.basic import BasicStorage
 from jorvik_spark.tables import load_table
 
@@ -138,8 +143,12 @@ def stream_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = st.readStream(src, "parquet")
     q = st.writeStream(stream, dst, "parquet", checkpoint=cp)
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        # unconditional stop: an interrupted drain must not leave an
+        # orphaned file-stream query holding the shared session's scheduler
+        q.stop()
     return st.read(dst, "parquet")
 
 
@@ -304,10 +313,9 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sink_bucketed_join",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment, COUNT(*) AS n_orders,
-           SUM(CAST(floor(o.o_totalprice * 1000000 + 0.5) AS BIGINT)) / 1000000.0
-               AS sum_price
+           {sql_dsum('o.o_totalprice')} AS sum_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -322,19 +330,21 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined repeatedly on the same key: pay the bucketing shuffle once at
     write time, never again at read time.
     """
-    import shutil
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    for name, src, key in (
-        ("jvs_bucketed_orders", "orders", "o_custkey"),
-        ("jvs_bucketed_customer", "customer", "c_custkey"),
+    # Unique per-process table names: fixed global names + a warehouse
+    # rmtree let two concurrent sessions sharing one warehouse delete each
+    # other's bucketed files mid-scan, and path-based cleanup only worked
+    # on a local filesystem. Fresh names never collide, so no cleanup step
+    # is needed at all (one stale table pair per process is the bounded
+    # cost, same class as the _scratch dirs).
+    tag = f"{os.getpid():x}"
+    names = {}
+    for label, src, key in (
+        ("orders", "orders", "o_custkey"),
+        ("customer", "customer", "c_custkey"),
     ):
-        # A fresh session's catalog forgets the table but its warehouse
-        # location survives; clear both or saveAsTable errors.
+        name = f"jvs_bucketed_{label}_{tag}"
+        names[label] = name
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        if wh:
-            shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
         (
             load_table(spark, sf_dir, src)
             .write.bucketBy(8, key)
@@ -343,9 +353,8 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(name)
         )
-    o = spark.table("jvs_bucketed_orders")
-    c = spark.table("jvs_bucketed_customer")
-    qsum = F.sum(F.floor(F.col("o_totalprice") * 1_000_000 + F.lit(0.5)))
+    o = spark.table(names["orders"])
+    c = spark.table(names["customer"])
     # hint("merge") pins the sort-merge strategy (at test SF the dimension
     # is broadcast-small, which would hide the bucketing); with both sides
     # bucketed on the key, the SMJ needs no Exchange at all.
@@ -354,6 +363,6 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (qsum / 1_000_000.0).alias("sum_price"),
+            dsum("o_totalprice").alias("sum_price"),
         )
     )
