@@ -28,7 +28,6 @@ from jorvik_spark.queries.registry import memo_df, query
 from jorvik_spark.queries.text_analysis import (
     _SQL_TOKENS,
     _TOKENS,  # noqa: F401  (kept for shingle-doc references)
-    _repartitioned_docs,
     _tokenized_docs,
 )
 
@@ -101,7 +100,7 @@ _MAX_SHINGLE_DF = 100
         SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_common
         FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id),
-    sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM exf GROUP BY doc_id)
     SELECT i.i AS doc_a, i.j AS doc_b,
            round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
     FROM inter i
@@ -111,7 +110,15 @@ _MAX_SHINGLE_DF = 100
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (≥ 0.8) via inverted index.
+    """3-gram Jaccard near-dup pairs (≥ 0.8) via inverted index, computed
+    over the INFORMATIVE shingle sets: shingles appearing in more than
+    ``_MAX_SHINGLE_DF`` docs are excluded from BOTH the intersection and
+    the set sizes. Consistency matters — capping only the intersection
+    (numerator) would systematically depress the score for docs sharing
+    boilerplate (a common license header) and silently miss true
+    near-dups; capping both sides yields the exact Jaccard of the
+    rare-shingle sets, which is the boilerplate-insensitive measure a
+    dedup pipeline actually wants.
 
     |intersection| falls out of the shingle self-join group count because
     shingle sets are distinct per doc; no cross join exists anywhere in
@@ -124,8 +131,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc sizes — without the cache each branch re-scans documents and
     # re-tokenizes, 5 passes over 100 TB instead of 1.
     ex = sh.select("doc_id", F.explode("s").alias("shingle")).persist()
-    # Shingle sets are distinct per doc, so |set| = exploded row count.
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = (
         ex.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -133,6 +138,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     exf = ex.join(rare, "shingle")
+    # Set sizes over the SAME capped sets the intersection uses (see
+    # docstring — numerator/denominator consistency).
+    sizes = exf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = exf.alias("a")
     b = exf.alias("b")
     inter = (
@@ -213,12 +221,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).cache()
+    superseded = []
     for _ in range(5):
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("component").alias("neighbor_component"))
         )
+        superseded.append(labels)
         labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -232,6 +242,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (quadratic lineage re-execution at the final action)
             .persist()
         )
+    # Materialize the final labels once, then release the intermediate
+    # rounds — they are lineage inputs only, and leaving 4 superseded
+    # cached plans pinned per invocation multiplies executor storage for
+    # data only the last round needs.
+    labels.count()
+    for prev in superseded[1:]:  # [0] is the uncached seed projection
+        prev.unpersist()
     return labels.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("doc_id").alias("keeper_doc_id"),

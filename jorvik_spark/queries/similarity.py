@@ -31,13 +31,6 @@ _N_QUERIES = 5  # vec_id < 5 form the query set
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 
-def _cosine(a: str, b: str) -> F.Column:
-    dot = _DOT.format(a=a, b=b)
-    na = _DOT.format(a=a, b=a)
-    nb = _DOT.format(a=b, b=b)
-    return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
-
-
 _SQL_COS = (
     "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
     "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "

@@ -69,7 +69,7 @@ _STOPWORDS = {
     SELECT doc_id, lang,
            CAST(len(t) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_tokens,
-           CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS n_token_chars
+           CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS n_token_chars
     FROM toks
     """,
 )
@@ -111,7 +111,7 @@ _BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
            CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_bpe,
            CAST(len(list_filter(t, x -> x LIKE ' %')) AS BIGINT)
                AS n_word_starts,
-           round(list_sum(list_transform(t, x -> len(x))) * 1.0
+           round(coalesce(list_sum(list_transform(t, x -> len(x))), 0) * 1.0
                  / greatest(len(t), 1), 6) AS avg_bpe_len
     FROM toks
     """,
@@ -198,12 +198,12 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, n_chars, {_SQL_TOKENS} AS t FROM documents)
     SELECT doc_id,
            CAST(len(t) AS BIGINT) AS n_tokens,
-           round(list_sum(list_transform(t, x -> len(x))) * 1.0
+           round(coalesce(list_sum(list_transform(t, x -> len(x))), 0) * 1.0
                  / greatest(len(t), 1), 6) AS avg_token_len,
            round(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to')))
                  * 1.0 / greatest(len(t), 1), 6) AS stopword_ratio,
            CAST(CASE WHEN len(t) BETWEEN 10 AND 100000
-                      AND list_sum(list_transform(t, x -> len(x)))
+                      AND coalesce(list_sum(list_transform(t, x -> len(x))), 0)
                           / greatest(len(t), 1) BETWEEN 2 AND 15
                      THEN 1 ELSE 0 END AS BIGINT) AS passes_quality
     FROM toks

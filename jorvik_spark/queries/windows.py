@@ -62,7 +62,6 @@ def window_rank_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 3)
-        .select("user_id", "event_id", "ts", "value", "prev_value", "rn")
     )
 
 
@@ -275,7 +274,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle="""
     WITH seq AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
                LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
         FROM events WHERE user_id < 50),
@@ -286,7 +285,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seq),
     sessions AS (
         SELECT *, SUM(new_session) OVER (PARTITION BY user_id
-                       ORDER BY ts
+                       ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS session_id
         FROM marked)
     SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
