@@ -422,3 +422,80 @@ def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Gopher-style repetition gate: a doc whose duplicate-bigram fraction
+# exceeds this is repetitive boilerplate (looping templates, scraped
+# nav bars). The gate compares the UNROUNDED ratio on both engines so
+# the boundary cannot straddle a rounding step.
+_MAX_DUP_BIGRAM_RATIO = 0.5
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    g AS (
+        SELECT doc_id, t,
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                   AS bg
+        FROM toks)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           round(CASE WHEN len(t) = 0 THEN 0.0
+                      ELSE 1.0 - len(list_distinct(t)) * 1.0 / len(t)
+                 END, 6) AS dup_token_ratio,
+           round(CASE WHEN len(bg) = 0 THEN 0.0
+                      ELSE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg)
+                 END, 6) AS dup_bigram_ratio,
+           CAST(CASE WHEN len(bg) = 0
+                       OR 1.0 - len(list_distinct(bg)) * 1.0 / len(bg)
+                          <= {_MAX_DUP_BIGRAM_RATIO}
+                     THEN 1 ELSE 0 END AS BIGINT) AS passes_repetition
+    FROM g
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (Gopher §A.1.1 shape): the
+    fraction of duplicated tokens and duplicated bigrams per document,
+    plus a pass/fail gate on the bigram ratio. Catches looped/templated
+    text that length and stopword heuristics miss.
+
+    Pure narrow per-row expressions off the cached token array — no
+    shuffle at all, so at 100 TB it runs at scan speed alongside the
+    other per-doc quality scores. Bigrams are built over the
+    materialized ``t`` (see ``_tokenized_docs``) to avoid Catalyst
+    re-inlining the tokenizer into every ``element_at``.
+    """
+    toks = _tokenized_docs(spark, sf_dir)
+    # if() guard: see text_ngram_counts — avoids Spark's descending
+    # sequence on single-token docs (DuckDB's range is simply empty).
+    bigrams = F.expr(
+        "if(size(t) >= 2, "
+        "transform(sequence(1, size(t) - 1), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1))), "
+        "array())"
+    )
+    d = toks.select("doc_id", "t", bigrams.alias("bg"))
+    # Identical double arithmetic to the oracle (int * 1.0 / int), so
+    # the rounded values and the unrounded gate agree bit-for-bit.
+    dup_tok = F.when(F.size("t") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct("t")) * F.lit(1.0) / F.size("t")
+    )
+    dup_bg = F.when(F.size("bg") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct("bg")) * F.lit(1.0) / F.size("bg")
+    )
+    return d.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.round(dup_tok, 6).alias("dup_token_ratio"),
+        F.round(dup_bg, 6).alias("dup_bigram_ratio"),
+        (
+            (F.size("bg") == 0)
+            | (dup_bg <= F.lit(_MAX_DUP_BIGRAM_RATIO))
+        )
+        .cast("long")
+        .alias("passes_repetition"),
+    )
