@@ -196,3 +196,101 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / _PACK_BUDGET).alias("pack_id"),
         (start % _PACK_BUDGET).alias("offset_in_pack"),
     )
+
+
+# Export fan-out: shard count for the deterministic training-data export.
+# Tiny here; a real 100 TB export picks O(10k) shards so each is a few GB.
+_N_SHARDS = 16
+
+
+@query(
+    "export_shard_assign",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               ({_sql_bucket('doc_id', 'shard:')}) % {_N_SHARDS} AS shard,
+               md5('order:' || CAST(doc_id AS VARCHAR)) AS order_key
+        FROM documents)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY order_key, doc_id) AS BIGINT)
+               AS pos_in_shard
+    FROM keyed
+    """,
+)
+def export_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    export: each doc hashes to a shard, and a second, independent hash
+    orders docs *within* the shard (the "shuffled" read order training
+    jobs want) — a pure function of doc_id, so re-running on any cluster
+    size or after retries emits byte-identical shards.
+
+    Scale shape: one shuffle on the shard key, one sort per shard
+    partition (`row_number` over shard). Shard count is the export-size
+    knob — at 100 TB pick O(10k) shards so each sort fits an executor;
+    there is no global sort and no driver-side state anywhere.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    order_key = F.md5(
+        F.concat(F.lit("order:"), F.col("doc_id").cast("string"))
+    )
+    keyed = docs.select(
+        "doc_id",
+        (_bucket(F.col("doc_id"), "shard:") % _N_SHARDS).alias("shard"),
+        order_key.alias("order_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )
+
+
+@query(
+    "corpus_domain_mix",
+    oracle="""
+    WITH by_domain AS (
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source, lang)
+    SELECT source, lang, n_docs, n_chars,
+           round(n_docs * 1.0 / SUM(n_docs) OVER (), 6) AS doc_share,
+           round(n_chars * 1.0 / SUM(n_chars) OVER (), 6) AS char_share
+    FROM by_domain
+    """,
+)
+def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing report: document and character share per
+    (source, lang) domain — the table a pre-training mixture config is
+    tuned against.
+
+    One map-side-combined aggregation over the corpus; the share
+    window runs over the tiny aggregate result (|sources|×|langs| rows),
+    so the single-partition window exchange is on a handful of rows, not
+    the data. Integer counts divide in one double op, identically on
+    both engines.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    by_domain = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    w = Window.partitionBy()
+    return by_domain.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.round(
+            F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w), 6
+        ).alias("doc_share"),
+        F.round(
+            F.col("n_chars") * F.lit(1.0) / F.sum("n_chars").over(w), 6
+        ).alias("char_share"),
+    )

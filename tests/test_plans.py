@@ -186,6 +186,32 @@ def test_pack_sequences_single_window(spark):
     assert "PythonEval" not in plan
 
 
+def test_shard_assign_single_shuffle_and_per_shard_sort(spark):
+    """Export sharding is one shuffle on the shard key and one sort per
+    shard partition — no global sort, no join, no Python."""
+    plan = _plan(spark, "export_shard_assign")
+    tree = plan.split("\n\n", 1)[0]
+    assert sum("Exchange" in ln for ln in tree.splitlines()) == 1
+    assert "Window" in tree
+    assert "Sort" in tree
+    assert "Join" not in plan
+    assert "PythonEval" not in plan
+
+
+def test_domain_mix_window_runs_over_aggregate_not_corpus(spark):
+    """The share window's single-partition exchange must sit ABOVE the
+    map-side-combined aggregation (it moves |sources|×|langs| rows, not
+    the corpus): Window appears higher in the tree than HashAggregate."""
+    plan = _plan(spark, "corpus_domain_mix")
+    tree = plan.split("\n\n", 1)[0]
+    lines = tree.splitlines()
+    assert sum("HashAggregate" in ln for ln in lines) >= 2  # partial+final
+    first_window = min(i for i, ln in enumerate(lines) if "Window" in ln)
+    first_agg = min(i for i, ln in enumerate(lines) if "HashAggregate" in ln)
+    assert first_window < first_agg
+    assert "PythonEval" not in plan
+
+
 def test_partitioned_readback_prunes_partitions(spark, tmp_path):
     """Hive-partitioned layout must prune at the scan: a filter on the
     partition column shows up as PartitionFilters and the non-matching
