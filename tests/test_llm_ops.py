@@ -134,3 +134,56 @@ def test_frame_sample_query_schema_and_multiplicity(spark):
     n_files = len(per_path)
     assert n_files >= 5  # the sf dir has >=10 parquet files
     assert len(rows) >= n_files  # 1:N, never losing a file
+
+
+def test_shard_assign_is_contiguous_partition(spark):
+    """Shard assignment must be a partition of the corpus (every doc in
+    exactly one shard) with pos_in_shard a contiguous 1..n run per shard
+    — the invariant a training-data reader relies on to detect truncated
+    or duplicated export shards."""
+    rows = _QUERIES["export_shard_assign"](spark, SF_DIR).collect()
+    n_docs = _QUERIES["corpus_domain_mix"](spark, SF_DIR).agg(
+        {"n_docs": "sum"}
+    ).collect()[0][0]
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+
+
+def test_shard_assign_deterministic_across_invocations(spark):
+    """The assignment is a pure function of doc_id — the ordering key
+    (md5 of a salted doc_id) is a total order per shard, so two
+    independent plan executions must agree exactly. (The shuffle layout
+    between them differs; ties would surface here as flapping
+    pos_in_shard values.)"""
+    a = {
+        (r.doc_id, r.shard, r.pos_in_shard)
+        for r in _QUERIES["export_shard_assign"](spark, SF_DIR).collect()
+    }
+    b = {
+        (r.doc_id, r.shard, r.pos_in_shard)
+        for r in _QUERIES["export_shard_assign"](spark, SF_DIR).collect()
+    }
+    assert a == b
+
+
+def test_repetition_ratio_bounds_and_gate(spark):
+    """Ratios live in [0, 1); the pass gate must equal the recomputed
+    threshold comparison on the reported (rounded) ratio up to the
+    rounding step."""
+    rows = _QUERIES["text_repetition_ratio"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_token_ratio < 1.0
+        assert 0.0 <= r.dup_bigram_ratio < 1.0
+        # duplicated bigrams imply duplicated tokens (a repeated bigram
+        # repeats both constituent tokens), so token repetition should
+        # not be lower when bigram repetition is high
+        if r.dup_bigram_ratio > 0:
+            assert r.dup_token_ratio > 0
+        if r.passes_repetition == 0:
+            assert r.dup_bigram_ratio > 0.5 - 1e-6
