@@ -499,3 +499,44 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("passes_repetition"),
     )
+
+
+# Histogram bucket width (tokens). Integer arithmetic end to end — a
+# log-spaced histogram would put engine log() ulps on bucket boundaries.
+_HIST_BUCKET = 16
+
+
+@query(
+    "text_length_histogram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT len({_SQL_TOKENS}) AS n_tokens FROM documents)
+    SELECT CAST(n_tokens // {_HIST_BUCKET} * {_HIST_BUCKET} AS BIGINT)
+               AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+    FROM toks GROUP BY 1
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (fixed 16-token buckets): the corpus
+    report length-cutoff curation decisions are made from. Pure integer
+    bucketing — one map-side-combined aggregation whose key cardinality
+    is max_len/16, so the shuffle is a few KB regardless of corpus size.
+    """
+    toks = _tokenized_docs(spark, sf_dir)
+    n_tokens = F.size("t")
+    return (
+        toks.select(
+            F.expr(
+                f"cast(size(t) div {_HIST_BUCKET} * {_HIST_BUCKET} "
+                "as bigint)"
+            ).alias("bucket_lo"),
+            n_tokens.alias("n_tokens"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+        )
+    )

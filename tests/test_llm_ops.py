@@ -187,3 +187,14 @@ def test_repetition_ratio_bounds_and_gate(spark):
             assert r.dup_token_ratio > 0
         if r.passes_repetition == 0:
             assert r.dup_bigram_ratio > 0.5 - 1e-6
+
+
+def test_cross_source_dups_found_at_sf01(spark):
+    """The sf0.1 corpus seeds 8 exact-duplicate groups, all spanning
+    sources; the provenance report must surface exactly those (smaller
+    SFs have none — there the query's 0=0 oracle match is the test)."""
+    rows = _QUERIES["dedup_cross_source"](spark, "/root/testdata/sf0.1").collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.n_sources > 1
+        assert r.n_copies >= r.n_sources
