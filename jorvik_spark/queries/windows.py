@@ -396,7 +396,8 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
         SELECT o_custkey,
-               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
         FROM orders GROUP BY o_custkey)
     SELECT o_custkey, cents,
            NTILE(4) OVER (ORDER BY cents, o_custkey) AS quartile
