@@ -22,7 +22,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampNTZType,
+    TimestampType,
 )
 
 from jorvik_spark.pipelines import ETL, FileInput, FileOutput, etl
@@ -33,7 +33,7 @@ ORDERS_SCHEMA = StructType(
         StructField("o_custkey", LongType()),
         StructField("o_orderstatus", StringType()),
         StructField("o_totalprice", DoubleType()),
-        StructField("o_orderdate", TimestampNTZType()),
+        StructField("o_orderdate", TimestampType()),
         StructField("o_orderpriority", StringType()),
     ]
 )
@@ -53,7 +53,7 @@ CLEAN_ORDERS_SCHEMA = StructType(
         StructField("o_orderkey", LongType()),
         StructField("o_custkey", LongType()),
         StructField("o_totalprice", DoubleType()),
-        StructField("order_date", TimestampNTZType()),
+        StructField("order_date", TimestampType()),
         StructField("order_month", IntegerType()),
         StructField("is_urgent", StringType()),
     ]
@@ -67,8 +67,8 @@ CUSTOMER_SUMMARY_SCHEMA = StructType(
         StructField("total_orders", LongType()),
         StructField("total_spent", DoubleType()),
         StructField("avg_order_value", DoubleType()),
-        StructField("first_order_date", TimestampNTZType()),
-        StructField("last_order_date", TimestampNTZType()),
+        StructField("first_order_date", TimestampType()),
+        StructField("last_order_date", TimestampType()),
     ]
 )
 
@@ -115,11 +115,8 @@ def make_silver_clean_orders(lake: str) -> ETL:
     def clean_orders(orders: DataFrame) -> DataFrame:
         return (
             orders.filter("o_totalprice > 0")
-            # date_trunc returns session-TZ timestamps; keep the lake NTZ.
-            .withColumn(
-                "order_date",
-                F.date_trunc("day", "o_orderdate").cast("timestamp_ntz"),
-            )
+            # session tz is UTC (ENGINE_CONFS), so day-truncation is stable
+            .withColumn("order_date", F.date_trunc("day", "o_orderdate"))
             # int, matching hive partition-value inference on read-back
             .withColumn("order_month", F.month("o_orderdate"))
             .withColumn(

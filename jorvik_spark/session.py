@@ -28,6 +28,11 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The lake's events.ts is physically timestamp[us] with no timezone;
+    # Spark 4.x would infer TIMESTAMP_NTZ, which functions like unix_micros
+    # reject. With the session tz pinned to UTC, reading it as TIMESTAMP is
+    # exact and keeps one timestamp type across the whole engine.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     # local[N] has no network shuffle; on a real cluster this would be

@@ -35,11 +35,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # Integer division (ts div 1000) matches DuckDB's truncating
             # CAST(TIMESTAMP_NS AS TIMESTAMP); float division would round
             # ~12.7% of values up by 1µs and break oracle value-hash parity.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type is not None and ts_type != "timestamp":
+            # Absorb physical-type drift (e.g. timestamp[us] read as
+            # TIMESTAMP_NTZ when inferTimestampNTZ can't be disabled on the
+            # host session). Session tz is UTC, so the cast is exact.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
