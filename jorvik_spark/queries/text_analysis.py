@@ -25,16 +25,22 @@ _TOKENS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
 _SQL_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
 def _repartitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents, spread across all cores.
+    """documents, spread across all cores — without a gratuitous shuffle.
 
     The testdata ships one parquet file per table; tokenize/shingle/hash
     work is CPU-bound per row, so a single input split serializes the
-    whole query on one core. At 100 TB the source has thousands of splits
-    and this repartition collapses into the scan; an explicit spread is
-    the defensive shape for compute-heavy narrow stages.
+    whole query on one core and an explicit spread is the defensive shape
+    for compute-heavy narrow stages. But at 100 TB the source already has
+    thousands of splits, and an unconditional ``repartition`` there is a
+    full-corpus exchange for nothing — so shuffle only when the scan is
+    actually under-split relative to the cluster.
     """
+    docs = load_table(spark, sf_dir, "documents")
     n = spark.sparkContext.defaultParallelism
-    return load_table(spark, sf_dir, "documents").repartition(n)
+    # Physical scan split count (no job is run; this just plans the scan).
+    if docs.rdd.getNumPartitions() >= n:
+        return docs
+    return docs.repartition(n)
 
 
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -235,3 +235,29 @@ def test_partitioned_readback_prunes_partitions(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+
+
+def test_repartitioned_docs_shuffles_only_when_undersplit(spark, tmp_path):
+    """_repartitioned_docs is defensive, not unconditional: the single-file
+    testdata scan gets spread across cores, but a source that already has
+    >= defaultParallelism splits (the 100 TB case) must pass through with
+    no Exchange — a full-corpus shuffle there is pure waste."""
+    from jorvik_spark.queries.text_analysis import _repartitioned_docs
+    from jorvik_spark.tables import load_table
+
+    n = spark.sparkContext.defaultParallelism
+
+    # Single-split testdata: the spread fires.
+    undersplit = _repartitioned_docs(spark, SF_DIR)
+    assert undersplit.rdd.getNumPartitions() >= min(n, 32)
+
+    # Pre-split source: no exchange in the plan.
+    docs = load_table(spark, SF_DIR, "documents")
+    (docs.repartition(n).write.mode("overwrite")
+         .parquet(str(tmp_path / "documents.parquet")))
+    presplit = _repartitioned_docs(spark, str(tmp_path))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        presplit.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
