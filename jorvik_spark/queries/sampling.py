@@ -148,6 +148,10 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PACK_BUDGET = 4096
+# Prefix-sum chunk width (docs per (lang, chunk) cell, upper bound). Small
+# enough that a cell never strains one task, large enough that the offset
+# table stays tiny relative to the corpus (corpus/256 cells).
+_PACK_CHUNK = 256
 
 
 @query(
@@ -173,28 +177,67 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc reports the pack its first token lands in and its offset there
     (GPT-style concat-then-chunk packing, where boundary docs straddle).
 
-    One window aggregation per language partition — the running sum is
-    the only state, so the operator scales to any corpus the shuffle can
-    partition by language. A doc_id-ordered sort key makes the packing
-    deterministic and reproducible across runs and cluster sizes.
+    The per-language running sum is computed as a two-level prefix sum so
+    no single task ever sorts a whole language's corpus (a window
+    partitioned by ~5 language values would do exactly that at 100 TB):
+
+    1. chunk = doc_id div _PACK_CHUNK — monotonic in the per-language
+       ordering key, so chunk boundaries respect doc_id order and each
+       (lang, chunk) cell holds at most _PACK_CHUNK rows;
+    2. local exclusive prefix sums inside each (lang, chunk) cell — the
+       one full-corpus shuffle, keyed fine enough for any cluster;
+    3. per-language cumulative offsets of the per-cell totals — a window
+       over the tiny aggregate (cells, not rows) — broadcast-joined back.
+
+    doc_id-ordered packing keeps the result deterministic and
+    reproducible across runs and cluster sizes.
     """
     from pyspark.sql import Window
 
     toks = _tokenized_docs(spark, sf_dir).select(
         "doc_id", "lang", F.size("t").cast("long").alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("lang")
+    chunked = toks.withColumn("chunk", F.expr(f"doc_id div {_PACK_CHUNK}"))
+
+    local_w = (
+        Window.partitionBy("lang", "chunk")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return toks.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.floor(start / _PACK_BUDGET).alias("pack_id"),
-        (start % _PACK_BUDGET).alias("offset_in_pack"),
+    local_start = (F.sum("n_tokens").over(local_w) - F.col("n_tokens")).alias(
+        "local_start"
+    )
+
+    # Per-cell totals (map-side combined) and their per-language exclusive
+    # running sum — |langs| × |chunks| rows, negligible at any scale.
+    offsets_w = (
+        Window.partitionBy("lang")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        chunked.groupBy("lang", "chunk")
+        .agg(F.sum("n_tokens").alias("cell_sum"))
+        .select(
+            "lang",
+            "chunk",
+            F.coalesce(F.sum("cell_sum").over(offsets_w), F.lit(0)).alias(
+                "chunk_offset"
+            ),
+        )
+    )
+
+    start = F.col("local_start") + F.col("chunk_offset")
+    return (
+        chunked.select("doc_id", "lang", "n_tokens", "chunk", local_start)
+        .join(F.broadcast(offsets), ["lang", "chunk"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor(start / _PACK_BUDGET).alias("pack_id"),
+            (start % _PACK_BUDGET).alias("offset_in_pack"),
+        )
     )
 
 

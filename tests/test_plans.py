@@ -177,12 +177,19 @@ def test_decontaminate_is_semi_join_not_cartesian(spark):
     assert "Cartesian" not in plan
 
 
-def test_pack_sequences_single_window(spark):
-    """Packing is one running-sum window over the language partition —
-    no join, no Python."""
+def test_pack_sequences_two_level_prefix_sum(spark):
+    """Packing must never sort a whole language in one task: the corpus
+    window is keyed by (lang, chunk) — bounded cells — and the offsets
+    join is a broadcast over the tiny per-cell aggregate, not a shuffle
+    join; no Python anywhere."""
     plan = _plan(spark, "pack_sequences")
     assert "Window" in plan
-    assert "Join" not in plan
+    # Corpus-side running sum is partitioned by the fine (lang, chunk)
+    # key, not by lang alone.
+    window_args = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert any("chunk" in ln for ln in window_args), plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert "PythonEval" not in plan
 
 
