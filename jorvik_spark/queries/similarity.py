@@ -26,6 +26,10 @@ from jorvik_spark.queries.registry import davg, memo_df, query, sql_davg
 
 _TOPK = 5
 _N_QUERIES = 5  # vec_id < 5 form the query set
+# Phase-1 reduction granularity for the exact top-k: candidates are
+# pre-reduced per (query, candidate_id div _TOPK_CHUNK) cell before the
+# tiny per-query merge. Bounds every sort at _TOPK_CHUNK rows.
+_TOPK_CHUNK = 1024
 
 # Cosine between two array<double> columns, built-ins only.
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
@@ -64,11 +68,21 @@ def _vec_double(df: DataFrame) -> DataFrame:
 def simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: O(|queries| × |corpus|) with the query side
     broadcast — the right plan whenever |queries| ≪ |corpus| (ANN below
-    is the path when both sides are huge)."""
-    # Squared norms once per ROW: per-pair norm recomputation triples the
-    # interpreted array aggregates on the |queries| × |corpus| stream. The
-    # quotient dot/(sqrt(nq)·sqrt(nc)) is bit-identical to the per-pair
-    # form, so the DuckDB oracle is unaffected.
+    is the path when both sides are huge).
+
+    The per-query reduction is two-phase (tree) instead of a single
+    window partitioned by query_id: a window would shuffle every scored
+    row onto |q| reducer partitions — |q| tasks each sorting
+    |corpus| rows. Phase 1 takes a local top-k per (query_id,
+    candidate-id chunk) — fine keys, so the big exchange spreads over
+    the whole cluster and every task sorts a bounded cell; phase 2
+    merges the |q| × |chunks| × k survivors, which is negligible.
+
+    Squared norms once per ROW: per-pair norm recomputation triples the
+    interpreted array aggregates on the |queries| × |corpus| stream. The
+    quotient dot/(sqrt(nq)·sqrt(nc)) is bit-identical to the per-pair
+    form, so the DuckDB oracle is unaffected.
+    """
     emb = _vec_double(load_table(spark, sf_dir, "embeddings")).withColumn(
         "n2", F.expr(_DOT.format(a="v", b="v"))
     )
@@ -84,14 +98,28 @@ def simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dot = F.expr(_DOT.format(a="qv", b="v"))
     cosine = F.round(dot / (F.sqrt("nq") * F.sqrt("nc")), 6)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), "candidate_id"
+    # Sort key encodes (cosine DESC, candidate_id ASC) as an ascending
+    # struct sort: negate the cosine, recover it after the final slice.
+    key = F.struct(
+        (-F.col("cosine")).alias("nc"), F.col("candidate_id").alias("cid")
     )
-    return (
+    local = (
         cands.join(queries, F.col("candidate_id") != F.col("query_id"))
         .select("query_id", "candidate_id", cosine.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOPK)
+        .withColumn("chunk", F.expr(f"candidate_id div {_TOPK_CHUNK}"))
+        .groupBy("query_id", "chunk")
+        .agg(F.slice(F.sort_array(F.collect_list(key)), 1, _TOPK).alias("top"))
+    )
+    merged = (
+        local.select("query_id", F.explode("top").alias("k"))
+        .groupBy("query_id")
+        .agg(F.slice(F.sort_array(F.collect_list("k")), 1, _TOPK).alias("top"))
+    )
+    return merged.select("query_id", F.posexplode("top").alias("pos", "k")).select(
+        "query_id",
+        F.col("k.cid").alias("candidate_id"),
+        (-F.col("k.nc")).alias("cosine"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
     )
 
 
@@ -136,54 +164,6 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    WITH pairs AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 6)
-                   AS cosine
-        FROM embeddings a
-        JOIN embeddings b
-          ON a.vec_id < b.vec_id AND a.label = b.label)
-    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4
-    """,
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.4 within the same label block.
-
-    Blocking on ``label`` is the generic template — at 100 TB the block
-    key is an LSH bucket or IVF cell id (see simsearch_lsh); the exact
-    within-block pair scoring stays identical.
-
-    Each side's norm is computed once per ROW (not per pair — that
-    triples the per-pair array aggregates, measured 3× slower), and the
-    probe side is spread across cores: the testdata ships one split per
-    table, which would otherwise serialize the whole pair loop on one
-    task. The quotient dot/(sqrt(na)·sqrt(nb)) is bit-identical to the
-    per-pair form, so the DuckDB oracle is unaffected.
-    """
-    n = spark.sparkContext.defaultParallelism
-    emb = _vec_double(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "n2", F.expr(_DOT.format(a="v", b="v"))
-    )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
-        F.col("v").alias("va"), F.col("n2").alias("na"),
-    ).repartition(n)
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
-        F.col("v").alias("vb"), F.col("n2").alias("nb"),
-    )
-    dot = F.expr(_DOT.format(a="va", b="vb"))
-    cosine = F.round(dot / (F.sqrt("na") * F.sqrt("nb")), 6)
-    return (
-        a.join(b, (F.col("vec_a") < F.col("vec_b")) & (F.col("la") == F.col("lb")))
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= 0.4)
-    )
-
-
 _IVF_K = 8  # coarse cells
 _IVF_NPROBE = 2  # cells searched per query
 
@@ -194,11 +174,11 @@ _EUCL = (
 )
 _SQL_EUCL = "list_distance(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 
-
-@query(
-    "simsearch_ivf",
-    oracle=f"""
-    WITH cents AS (
+# Shared DuckDB CTEs for the deterministic IVF coarse quantizer: first-K
+# vectors as centroids, nearest-centroid assignment with rounded-distance
+# + cent_id tie-break (matches the Spark plan bit-for-bit).
+_SQL_IVF_ASSIGN = f"""
+    cents AS (
         SELECT vec_id AS cent_id, embedding AS cv
         FROM embeddings WHERE vec_id < {_IVF_K}),
     assign AS (
@@ -207,7 +187,93 @@ _SQL_EUCL = "list_distance(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
                    PARTITION BY e.vec_id
                    ORDER BY round({_SQL_EUCL.format(a='e.embedding', b='c.cv')}, 6),
                             c.cent_id) AS rn
-        FROM embeddings e CROSS JOIN cents c),
+        FROM embeddings e CROSS JOIN cents c)"""
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus × centroid distance ranking — the IVF coarse quantizer.
+
+    Returns (vec_id, v, n2, cent_id, dist, rn) where rn=1 is the vector's
+    home cell. Deterministic "training": the first K vectors serve as
+    centroids (a real deployment would k-means a sample on the driver —
+    the assignment below is unchanged), which keeps the whole index
+    DuckDB-checkable. Memoized per session so the K-way broadcast
+    nested-loop scan over the corpus runs once however many operators
+    (cell search, near-dup blocking) consume it.
+    """
+
+    def build() -> DataFrame:
+        emb = _vec_double(load_table(spark, sf_dir, "embeddings")).withColumn(
+            "n2", F.expr(_DOT.format(a="v", b="v"))
+        )
+        cents = F.broadcast(
+            emb.filter(F.col("vec_id") < _IVF_K).select(
+                F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+            )
+        )
+        dist = F.round(F.expr(_EUCL.format(a="v", b="cv")), 6)
+        assign_w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+        return (
+            emb.crossJoin(cents)
+            .select("vec_id", "v", "n2", "cent_id", dist.alias("dist"))
+            .withColumn("rn", F.row_number().over(assign_w))
+        )
+
+    return memo_df(f"ivf_assign:{sf_dir}", spark, build)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGN},
+    cells AS (SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE rn = 1),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 6)
+                   AS cosine
+        FROM cells a
+        JOIN cells b
+          ON a.vec_id < b.vec_id AND a.cell = b.cell)
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.4 within the same IVF cell.
+
+    Blocking on the deterministic IVF cell id (shared with simsearch_ivf
+    via :func:`_ivf_assign`) keeps pair scoring strictly within coarse
+    cells: the join is cell-equi, so at 100 TB the work is Σ|cell|²
+    with K sized to the corpus — never the all-pairs (or giant
+    label-block) product, and the whole index stays DuckDB-checkable.
+
+    Each side's norm is computed once per ROW (not per pair — that
+    triples the per-pair array aggregates, measured 3× slower). The
+    quotient dot/(sqrt(na)·sqrt(nb)) is bit-identical to the per-pair
+    form, so the DuckDB oracle is unaffected.
+    """
+    cells = _ivf_assign(spark, sf_dir).filter(F.col("rn") == 1)
+    a = cells.select(
+        F.col("vec_id").alias("vec_a"), F.col("cent_id").alias("cell"),
+        F.col("v").alias("va"), F.col("n2").alias("na"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vec_b"), F.col("cent_id").alias("cell"),
+        F.col("v").alias("vb"), F.col("n2").alias("nb"),
+    )
+    dot = F.expr(_DOT.format(a="va", b="vb"))
+    cosine = F.round(dot / (F.sqrt("na") * F.sqrt("nb")), 6)
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+@query(
+    "simsearch_ivf",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGN},
     cells AS (SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE rn = 1),
     probes AS (
         SELECT vec_id AS query_id, embedding AS qe, cent_id AS cell
@@ -229,38 +295,21 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into K cells,
     search only the query's nprobe nearest cells.
 
-    Deterministic "training": the first K vectors serve as centroids (a
-    real deployment would k-means a sample on the driver — the assignment
-    and search plan below is unchanged), which keeps the whole index
-    DuckDB-checkable, unlike the random-hyperplane LSH variant.
+    Cell assignment comes from the shared deterministic quantizer
+    (:func:`_ivf_assign` — memoized, DuckDB-checkable, unlike the
+    random-hyperplane LSH variant).
 
     Scale shape: centroids are a K-row broadcast; cell assignment is one
     narrow pass over the corpus (broadcast nested-loop + per-row top-1);
     the search join is cell-equi — a shuffle on cell id touching only
     nprobe/K of the corpus per query. At 100 TB you'd persist `cells`
     partitioned by cell id so queries prune cells at the scan.
+
+    Squared norm computed once per ROW (carried through the assignment) —
+    see simsearch_topk; the cosine quotient is bit-identical to the
+    per-pair form, so the DuckDB oracle is unaffected.
     """
-    # Squared norm once per ROW (carried through the assignment) — see
-    # simsearch_topk; the cosine quotient is bit-identical to the per-pair
-    # form, so the DuckDB oracle is unaffected.
-    emb = _vec_double(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "n2", F.expr(_DOT.format(a="v", b="v"))
-    )
-    cents = F.broadcast(
-        emb.filter(F.col("vec_id") < _IVF_K).select(
-            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-        )
-    )
-    dist = F.round(F.expr(_EUCL.format(a="v", b="cv")), 6)
-    assign_w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
-    # assign feeds both the cell table and the query probes — cache it so
-    # the K-way distance scan over the corpus runs once.
-    assign = (
-        emb.crossJoin(cents)
-        .select("vec_id", "v", "n2", "cent_id", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(assign_w))
-        .persist()
-    )
+    assign = _ivf_assign(spark, sf_dir)
     cells = assign.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("candidate_id"),
         F.col("v").alias("cv_cand"),
