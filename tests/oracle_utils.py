@@ -60,6 +60,19 @@ def _values_close(a, b) -> bool:
     return a == b
 
 
+def _assert_no_int_float_split(got: pd.DataFrame, want: pd.DataFrame, name: str):
+    """An integer column on one engine vs float on the other hashes
+    differently in the driver even when every value compares equal
+    (5 == 5.0) — the blind spot that shipped the r3 ntile dtype bug."""
+    for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        if {gk, wk} <= {"i", "u", "f"}:
+            assert (gk in "iu") == (wk in "iu"), (
+                f"{name}: column {c} int-vs-float dtype split "
+                f"{got[c].dtype} vs {want[c].dtype}"
+            )
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?"):
     got = _normalize(spark_df.toPandas())
     want = _normalize(con.execute(sql).fetchdf())
@@ -67,6 +80,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    _assert_no_int_float_split(got, want, name)
     for c in got.columns:
         gv, wv = got[c].tolist(), want[c].tolist()
         bad = [
