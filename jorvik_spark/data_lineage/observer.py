@@ -8,16 +8,16 @@ scan nodes, classify their sources, and append
 observation_ts}`` to the lineage log table.
 
 Deliberate deviation (quirk Q11, SURVEY.md Appendix A): the explain
-watchdog uses a worker thread + ``Future.result(timeout)`` instead of
-SIGALRM, so lineage capture works off the main thread and on any OS. Log
+watchdog uses a daemon worker thread + timed join instead of SIGALRM, so
+lineage capture works off the main thread and on any OS, and a hung
+explain cannot block interpreter shutdown. Log
 writes go through a non-lineage-tracking storage (recursion guard, quirk
 Q10 kept), in Delta when available, else parquet.
 """
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
-from concurrent.futures import TimeoutError as FutureTimeoutError
+import threading
 from datetime import datetime
 from typing import List
 
@@ -53,24 +53,34 @@ class DataLineageLogger:
     def _explain_dataframe(self, df: DataFrame) -> str:
         """Capture the plan with a thread-based watchdog (Q11 fix).
 
-        No ``with`` block: the context manager's ``shutdown(wait=True)``
-        would join the worker and block for the full hang anyway (and
-        ``Future.cancel`` is a no-op once running). On timeout we
-        ``shutdown(wait=False)`` and deliberately leak the hung thread —
-        the write path must not stall behind a stuck explain.
+        A plain daemon thread, not a ThreadPoolExecutor: executor workers
+        are non-daemon, so an abandoned hung explain would block
+        interpreter shutdown; a daemon thread lets the process exit. On
+        timeout the hung thread is deliberately abandoned — the write
+        path must not stall behind a stuck explain.
         """
-        pool = ThreadPoolExecutor(max_workers=1)
-        future = pool.submit(execution_plan.capture_explain, df)
-        try:
-            result = future.result(timeout=self.timeout)
-            pool.shutdown(wait=True)
-            return result
-        except FutureTimeoutError:
-            pool.shutdown(wait=False)
+        box: list = []
+
+        def run() -> None:
+            try:
+                box.append(("ok", execution_plan.capture_explain(df)))
+            except BaseException as exc:  # re-raised on the caller thread
+                box.append(("err", exc))
+
+        worker = threading.Thread(
+            target=run, daemon=True, name="lineage-explain"
+        )
+        worker.start()
+        worker.join(self.timeout)
+        if not box:
             return (
                 "ERROR. Unable to read dataframe execution plan. "
                 f"Timed out after {self.timeout} seconds."
             )
+        kind, value = box[0]
+        if kind == "err":
+            raise value
+        return value
 
     def _get_data_scan_nodes(self, explain_result: str) -> List[execution_plan.PlanNode]:
         """Leaf nodes of the plan tree; an ``AdaptiveSparkPlan`` leaf marks

@@ -130,7 +130,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document-frequency filter, both sides of the pair self-join) and the
     # per-doc sizes — without the cache each branch re-scans documents and
     # re-tokenizes, 5 passes over 100 TB instead of 1.
-    ex = sh.select("doc_id", F.explode("s").alias("shingle")).persist()
+    ex = memo_df(
+        f"shingle_index:{sf_dir}",
+        spark,
+        lambda: sh.select("doc_id", F.explode("s").alias("shingle")),
+    )
     rare = (
         ex.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -289,8 +293,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bands is both sides of the blocking self-join — cache it so the
     # signature computation (a 64-way bit vote per doc) runs once.
-    bands = (
-        sig.select(
+    bands = memo_df(
+        f"simhash_bands:{sf_dir}",
+        spark,
+        lambda: sig.select(
             "doc_id",
             "simhash",
             F.explode(
@@ -300,9 +306,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "'key', (simhash >> (k * 16)) & 65535))"
                 )
             ).alias("bk"),
-        )
-        .select("doc_id", "simhash", "bk.band", "bk.key")
-        .persist()
+        ).select("doc_id", "simhash", "bk.band", "bk.key"),
     )
     a = bands.alias("a")
     b = bands.alias("b")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jorvik_spark.tables import load_table
-from jorvik_spark.queries.registry import query
+from jorvik_spark.queries.registry import memo_df, query
 
 # Spark-side tokens expression (array<string>).
 _TOKENS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
@@ -50,11 +50,15 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst's projection collapse re-inlines a non-materialized tokenizer
     into every downstream element_at — O(tokens²) per doc for window-style
     expressions (measured 22 s vs 4 s at sf0.1 for 3-gram shingles).
+    Memoized per (session, sf_dir) so repeated invocations share one
+    cached plan instead of leaking a new persist each call.
     """
-    return (
-        _repartitioned_docs(spark, sf_dir)
-        .select("doc_id", "lang", F.expr(_TOKENS).alias("t"))
-        .persist()
+    return memo_df(
+        f"tokenized_docs:{sf_dir}",
+        spark,
+        lambda: _repartitioned_docs(spark, sf_dir).select(
+            "doc_id", "lang", F.expr(_TOKENS).alias("t")
+        ),
     )
 
 
@@ -131,16 +135,16 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache so four stat expressions don't re-inline four regex scans), all
     JVM-side — no UDF, scan-speed at 100 TB.
     """
-    toks = (
-        _repartitioned_docs(spark, sf_dir)
-        .select(
+    toks = memo_df(
+        f"bpe_tokens:{sf_dir}",
+        spark,
+        lambda: _repartitioned_docs(spark, sf_dir).select(
             "doc_id",
             "lang",
             F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), 0).alias(
                 "t"
             ),
-        )
-        .persist()
+        ),
     )
     return toks.select(
         "doc_id",
@@ -407,7 +411,11 @@ def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     both passes.
     """
     toks = _tokenized_docs(spark, sf_dir)
-    ex = toks.select("doc_id", F.explode("t").alias("tok")).persist()
+    ex = memo_df(
+        f"exploded_tokens:{sf_dir}",
+        spark,
+        lambda: toks.select("doc_id", F.explode("t").alias("tok")),
+    )
     freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     rare = F.sum(
         F.when(F.col("cnt") <= _RARE_MAX_CNT, 1).otherwise(0)

@@ -212,8 +212,16 @@ class IsolatedStorage:
         """True when :meth:`read` would find something: the isolated copy
         or, failing that, the production table. A bare production check
         would disagree with read() on any branch that has only written
-        its sandbox copy (``if exists: read`` must not re-bootstrap)."""
-        isolation_path = self._try_create_isolation_path(path)
+        its sandbox copy (``if exists: read`` must not re-bootstrap).
+
+        An unprovisioned isolation folder is not an error here (reference
+        isolation.py answers existence probes rather than raising): with
+        no sandbox mounted, only production can match.
+        """
+        try:
+            isolation_path = self._try_create_isolation_path(path)
+        except RuntimeError:
+            isolation_path = None
         if isolation_path is not None and self.storage.exists(isolation_path):
             return True
         return self.storage.exists(path)

@@ -12,7 +12,8 @@ from __future__ import annotations
 
 from typing import Union
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from jorvik_spark.storage.protocols import Storage
@@ -28,6 +29,7 @@ def foreach_batch_merge(
     insert_condition: Union[str, bool, None] = None,
     trigger_available_now: bool = True,
     dedup_keys: Union[list, None] = None,
+    dedup_order_col: Union[str, None] = None,
 ) -> StreamingQuery:
     """Start a streaming query that MERGEs every micro-batch into ``path``.
 
@@ -36,17 +38,41 @@ def foreach_batch_merge(
     micro-batch, an at-least-once source can deliver the same key twice —
     which MERGE either rejects (multiple source rows matching one target)
     or double-inserts — so pass ``dedup_keys`` (the merge-key columns) to
-    keep the last arrival per key before merging. Without ``dedup_keys``
+    collapse each key to one row before merging. Without ``dedup_keys``
     the caller is asserting the source is exactly-once per batch.
+
+    Which row survives: with ``dedup_order_col`` (an event-time/sequence
+    column), the LATEST row per key wins — greatest order value, residual
+    ties broken by the remaining columns descending, so the winner is
+    deterministic across reruns and replays. Without it the surviving row
+    is arbitrary (``dropDuplicates``), which is only replay-safe when
+    duplicate deliveries carry identical payloads.
     """
     if not checkpoint:
         raise ValueError("foreach_batch_merge requires a checkpoint location.")
+    if dedup_order_col and not dedup_keys:
+        raise ValueError("dedup_order_col requires dedup_keys.")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if dedup_keys:
-            batch_df = batch_df.dropDuplicates(dedup_keys)
+            if dedup_order_col:
+                tiebreak = [
+                    c
+                    for c in batch_df.columns
+                    if c not in dedup_keys and c != dedup_order_col
+                ]
+                w = Window.partitionBy(*dedup_keys).orderBy(
+                    F.desc(dedup_order_col), *[F.desc(c) for c in tiebreak]
+                )
+                batch_df = (
+                    batch_df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            else:
+                batch_df = batch_df.dropDuplicates(dedup_keys)
         storage.merge(
             batch_df,
             path,

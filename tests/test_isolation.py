@@ -380,3 +380,18 @@ def test_writestream_isolates_mounted_checkpoint(spark, set_conf):
         ("writeStream", "/mnt/container/branch/out"),
         ("writeStream", "/mnt/container/branch/out"),
     ]
+
+
+def test_exists_falls_back_when_isolation_unprovisioned(spark, set_conf):
+    """exists() answers the probe instead of raising when the isolation
+    folder is not mounted — with no sandbox, only production can match
+    (reference semantics; _create_isolation_path still raises for writes)."""
+    set_conf("/mnt", "iso")
+    fake = FakeStorage(exists=False)
+    # folder probe → False (unprovisioned), production probe → whatever
+    st = IsolatedStorage(storage=fake, isolation_provider=lambda: "dev")
+    assert st.exists("/mnt/data/t") is False
+    # and when production has the table, it reports True
+    answers = iter([False, True])  # folder missing, production present
+    fake.exists = lambda path: next(answers)
+    assert st.exists("/mnt/data/t") is True

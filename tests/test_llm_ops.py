@@ -198,3 +198,19 @@ def test_cross_source_dups_found_at_sf01(spark):
     for r in rows:
         assert r.n_sources > 1
         assert r.n_copies >= r.n_sources
+
+
+def test_repeated_invocations_do_not_leak_cached_plans(spark):
+    """Intermediate caches are memoized per (key, session): calling the
+    same query N times must reuse one persisted plan, not pin N copies
+    of the corpus in executor memory (the round-5 persist-leak finding)."""
+    from jorvik_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("text_token_bpe", "text_rare_token_ratio", "dedup_simhash"):
+        QUERIES[name](spark, sf).count()
+    baseline = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    for _ in range(3):
+        for name in ("text_token_bpe", "text_rare_token_ratio", "dedup_simhash"):
+            QUERIES[name](spark, sf).count()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == baseline

@@ -250,3 +250,47 @@ def test_foreach_batch_merge_dedups_within_batch(spark, tmp_path):
     q.awaitTermination(120)
     rows = sorted(tuple(r) for r in st.read(target, "parquet").collect())
     assert rows == [(1, "a2"), (2, "b")]
+
+
+def test_foreach_batch_merge_dedup_keeps_latest_by_order_col(spark, tmp_path):
+    """Duplicate keys with CONFLICTING payloads: dedup_order_col must pick
+    the greatest-sequence row per key, stable across reruns."""
+    from jorvik_spark.streaming.sinks import foreach_batch_merge
+
+    st = BasicStorage()
+    target = str(tmp_path / "t")
+    src = str(tmp_path / "s")
+    st.write(
+        spark.createDataFrame([(1, 0, "orig")], "id long, seq long, v string"),
+        target, mode="overwrite",
+    )
+    # key 1 arrives three times with different payloads; seq 3 must win.
+    # key 2 ties on seq; the residual-column tiebreak picks 'z' > 'y'.
+    spark.createDataFrame(
+        [(1, 1, "first"), (1, 3, "last"), (1, 2, "mid"), (2, 1, "y"), (2, 1, "z")],
+        "id long, seq long, v string",
+    ).write.parquet(src)
+    for attempt in range(2):  # second run = full replay, must converge
+        q = foreach_batch_merge(
+            st.readStream(src, "parquet"), st, target,
+            "full.id == incremental.id",
+            checkpoint=str(tmp_path / f"cp{attempt}"),
+            dedup_keys=["id"], dedup_order_col="seq",
+        )
+        q.awaitTermination(120)
+        rows = sorted(tuple(r) for r in st.read(target, "parquet").collect())
+        assert rows == [(1, 3, "last"), (2, 1, "z")], rows
+
+
+def test_foreach_batch_merge_order_col_requires_keys(spark, tmp_path):
+    from jorvik_spark.streaming.sinks import foreach_batch_merge
+
+    st = BasicStorage()
+    src = str(tmp_path / "s")
+    spark.createDataFrame([(1, 1)], "id long, seq long").write.parquet(src)
+    with pytest.raises(ValueError, match="dedup_keys"):
+        foreach_batch_merge(
+            st.readStream(src, "parquet"), st, str(tmp_path / "t"),
+            "full.id == incremental.id", checkpoint=str(tmp_path / "cp"),
+            dedup_order_col="seq",
+        )
