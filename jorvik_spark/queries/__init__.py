@@ -61,6 +61,7 @@ _CHECK_PRIORITY = [
     "text_rare_token_ratio",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_minhash_banded",
     "decontaminate_overlap",
     "sample_stratified_split",
     "embed_centroids",
@@ -93,7 +94,8 @@ _CHECK_PRIORITY = [
     "join_left_outer",
     "join_full_outer",
     "join_semi",
-    "join_anti",
+    # join_anti rotated out (driver-green r2+r5; pytest parity still covers
+    # it) to make room for dedup_minhash_banded, new this round.
 ]
 
 

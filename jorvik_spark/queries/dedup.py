@@ -1,6 +1,6 @@
 """Deduplication operators over ``documents`` (§2C north-star extensions).
 
-Four strategies, each the scale-appropriate Spark shape:
+Five strategies, each the scale-appropriate Spark shape:
 
 * exact          — hash groupBy on a content key, keep-first-by-priority
                    window (one shuffle on the content hash).
@@ -10,12 +10,15 @@ Four strategies, each the scale-appropriate Spark shape:
 * MinHash+LSH    — Spark ML HashingTF → MinHashLSH.approxSimilarityJoin
                    (banded OR-of-ANDs buckets), then iterative smallest-id
                    label propagation for connected components.
+* MinHash banded — the same OR-of-ANDs banding with a DETERMINISTIC
+                   md5-derived hash family (pure built-ins, no ML UDFs),
+                   value-checkable against DuckDB bit-for-bit.
 * SimHash        — 64-bit signature from per-token xxhash64 bit votes;
                    banded self-join on 16-bit sub-keys, hamming-distance
                    verify via bit_count(xor). All built-ins, no UDFs.
 
-The exact and Jaccard variants carry DuckDB oracles; the LSH/SimHash
-variants are rows-only (their hash families are engine-specific).
+The exact, Jaccard, and banded-MinHash variants carry DuckDB oracles; the
+ML-LSH/SimHash variants are rows-only (engine-specific hash families).
 """
 
 from __future__ import annotations
@@ -366,4 +369,104 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("canonical_doc_id"),
         )
         .filter(F.col("n_sources") > 1)
+    )
+
+
+# Deterministic MinHash: _MH_SEEDS md5-derived hash functions, banded
+# _MH_BANDS × _MH_ROWS for the OR-of-ANDs candidate join. md5 hex → bigint
+# is bit-identical across Spark (conv(substring(md5,1,15),16,10)) and
+# DuckDB (CAST('0x'||substr(md5,1,15) AS BIGINT)), which is what makes
+# this variant value-checkable where the Spark-ML hash family is not.
+_MH_BANDS = 4
+_MH_ROWS = 3
+_MH_SEEDS = _MH_BANDS * _MH_ROWS
+
+
+def _mh(i: int) -> str:
+    return (
+        f"array_min(transform(s, x -> cast(conv(substring("
+        f"md5(concat('{i}:', x)), 1, 15), 16, 10) AS bigint)))"
+    )
+
+
+def _sql_mh(i: int) -> str:
+    return (
+        f"list_min(list_transform(s, x -> CAST(('0x' || "
+        f"substr(md5('{i}:' || x), 1, 15)) AS BIGINT)))"
+    )
+
+
+def _sql_mh_bands() -> str:
+    """UNION ALL of one (doc_id, band, key) select per band."""
+    selects = []
+    for b in range(_MH_BANDS):
+        key = " || '|' || ".join(
+            f"CAST(h{i} AS VARCHAR)"
+            for i in range(b * _MH_ROWS, (b + 1) * _MH_ROWS)
+        )
+        selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    return " UNION ALL ".join(selects)
+
+
+@query(
+    "dedup_minhash_banded",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    sig AS (SELECT doc_id,
+            {', '.join(f'{_sql_mh(i)} AS h{i}' for i in range(_MH_SEEDS))}
+            FROM sh),
+    bands AS ({_sql_mh_bands()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup candidates with a DETERMINISTIC, cross-engine
+    hash family (md5-derived), banded 4×3 — the value-checkable twin of
+    ``dedup_minhash_lsh`` (whose Spark-ML hash family is engine-specific
+    and therefore only rows-checkable).
+
+    Scale shape: signatures are a narrow pass (array_min over the shingle
+    array per seed — no shuffle, no explode of the corpus); the only
+    shuffle is the banded self-join on (band, key), the standard LSH
+    OR-of-ANDs candidate join that touches same-bucket docs only. Bucket
+    sizes equal near-dup cluster sizes, never the corpus. Exact-Jaccard
+    verification of the candidates composes via the inverted index of
+    ``dedup_ngram_jaccard``.
+    """
+    toks = _tokenized_docs(spark, sf_dir).filter(F.size("t") >= 3)
+    sh = toks.select("doc_id", F.expr(_SHINGLES_T).alias("s"))
+    sig = sh.select(
+        "doc_id",
+        *[F.expr(_mh(i)).alias(f"h{i}") for i in range(_MH_SEEDS)],
+    )
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'key', concat_ws('|', {cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"h{i}" for i in range(b * _MH_ROWS, (b + 1) * _MH_ROWS)
+            ),
+        )
+        for b in range(_MH_BANDS)
+    )
+    bands = sig.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
