@@ -62,6 +62,7 @@ _CHECK_PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_banded",
+    "dedup_simhash",
     "decontaminate_overlap",
     "sample_stratified_split",
     "embed_centroids",
@@ -93,9 +94,9 @@ _CHECK_PRIORITY = [
     "join_inner_equi",
     "join_left_outer",
     "join_full_outer",
-    "join_semi",
-    # join_anti rotated out (driver-green r2+r5; pytest parity still covers
-    # it) to make room for dedup_minhash_banded, new this round.
+    # join_semi/join_anti rotated out (driver-green r2+r5; pytest parity
+    # still covers them) to make room for dedup_minhash_banded (new this
+    # round) and dedup_simhash (newly value-checkable this round).
 ]
 
 

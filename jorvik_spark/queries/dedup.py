@@ -13,12 +13,13 @@ Five strategies, each the scale-appropriate Spark shape:
 * MinHash banded — the same OR-of-ANDs banding with a DETERMINISTIC
                    md5-derived hash family (pure built-ins, no ML UDFs),
                    value-checkable against DuckDB bit-for-bit.
-* SimHash        — 64-bit signature from per-token xxhash64 bit votes;
-                   banded self-join on 16-bit sub-keys, hamming-distance
+* SimHash        — 60-bit signature from per-token md5-derived bit votes;
+                   banded self-join on 15-bit sub-keys, hamming-distance
                    verify via bit_count(xor). All built-ins, no UDFs.
 
-The exact, Jaccard, and banded-MinHash variants carry DuckDB oracles; the
-ML-LSH/SimHash variants are rows-only (engine-specific hash families).
+The exact, Jaccard, banded-MinHash, and SimHash variants carry DuckDB
+oracles; only the Spark-ML LSH variant is rows-only (its hash family is
+engine-specific).
 """
 
 from __future__ import annotations
@@ -262,40 +263,73 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # xxhash64 family is Spark-specific → rows-only
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    hs AS (SELECT doc_id,
+           list_transform(t, tok ->
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)) AS h
+           FROM toks WHERE len(t) > 0),
+    sig AS (SELECT doc_id,
+            CAST(list_sum(list_transform(range(0, 60), b ->
+                CASE WHEN list_sum(list_transform(h, hv ->
+                         CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                     THEN (CAST(1 AS BIGINT) << b)
+                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+            FROM hs),
+    bands AS (SELECT doc_id, simhash, r.band,
+                     (simhash >> (r.band * 15)) & 32767 AS key
+              FROM sig CROSS JOIN
+                   (SELECT unnest(range(0, 4)) AS band) r),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature from per-token bit votes,
-    4×16-bit band blocking, hamming ≤ 3 verification.
+    """SimHash near-dup pairs: 60-bit signature from per-token bit votes,
+    4×15-bit band blocking, hamming ≤ 3 verification.
 
-    Entirely built-in expressions: xxhash64 per token, bit votes via an
-    array aggregate, band extraction with shiftright/mask, verification
-    with bit_count(a ^ b). By pigeonhole, any pair at hamming ≤ 3 agrees
-    on at least one of the 4 bands, so blocking loses nothing.
+    Entirely built-in expressions: one md5-derived 60-bit hash per token
+    (bit-identical in DuckDB — same family as ``dedup_minhash_banded``,
+    which is what makes this value-checkable rather than rows-only), bit
+    votes via an array aggregate, band extraction with shiftright/mask,
+    verification with bit_count(a ^ b). By pigeonhole, any pair at
+    hamming ≤ 3 agrees on at least one of the 4 bands, so blocking loses
+    nothing.
     """
     toks = _tokenized_docs(spark, sf_dir).filter(F.size("t") > 0)
-    # votes[b] = Σ_tokens (bit b of xxhash64(token) ? +1 : -1); sign → bit.
-    # Hash every token exactly once up front — folding xxhash64 into the
-    # per-bit lambda would recompute it 64× per token (measured 20× slower).
+    # votes[b] = Σ_tokens (bit b of hash(token) ? +1 : -1); sign → bit.
+    # Hash every token exactly once up front — folding the hash into the
+    # per-bit lambda would recompute it 60× per token (measured 20× slower).
     sig = toks.select(
-        "doc_id", F.expr("transform(t, tok -> xxhash64(tok))").alias("h")
+        "doc_id",
+        F.expr(
+            "transform(t, tok -> cast(conv(substring(md5(tok), 1, 15), "
+            "16, 10) AS bigint))"
+        ).alias("h"),
     ).select(
         "doc_id",
         F.expr(
-            "aggregate(h, array_repeat(0L, 64), (acc, hv) -> "
-            "zip_with(acc, transform(sequence(0, 63), "
+            "aggregate(h, array_repeat(0L, 60), (acc, hv) -> "
+            "zip_with(acc, transform(sequence(0, 59), "
             "b -> if(((hv >> b) & 1) = 1, 1L, -1L)), "
             "(x, y) -> x + y))"
         ).alias("votes"),
     ).select(
         "doc_id",
         F.expr(
-            "aggregate(sequence(0, 63), 0L, "
+            "aggregate(sequence(0, 59), 0L, "
             "(acc, b) -> if(element_at(votes, b + 1) > 0, "
             "acc | (1L << b), acc))"
         ).alias("simhash"),
     )
     # bands is both sides of the blocking self-join — cache it so the
-    # signature computation (a 64-way bit vote per doc) runs once.
+    # signature computation (a 60-way bit vote per doc) runs once.
     bands = memo_df(
         f"simhash_bands:{sf_dir}",
         spark,
@@ -306,7 +340,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     "transform(sequence(0, 3), "
                     "k -> named_struct('band', k, "
-                    "'key', (simhash >> (k * 16)) & 65535))"
+                    "'key', (simhash >> (k * 15)) & 32767))"
                 )
             ).alias("bk"),
         ).select("doc_id", "simhash", "bk.band", "bk.key"),
@@ -323,7 +357,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.expr("cast(bit_count(a.simhash ^ b.simhash) AS bigint)").alias(
+                "hamming"
+            ),
         )
         .distinct()
         .filter(F.col("hamming") <= 3)

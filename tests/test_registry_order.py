@@ -10,15 +10,16 @@ from jorvik_spark.queries import ORACLES, QUERIES, _CHECK_PRIORITY
 
 DRIVER_PREFIX = 50
 
-# Rows-only by design: engine-specific hash families / HLL sketches that an
-# ANSI-SQL oracle cannot reproduce value-for-value. They already carry their
-# rows-only driver records and must not occupy checked-prefix slots.
+# Rows-only by design: engine-specific hash families / HLL sketches /
+# partitioning-dependent state that an ANSI-SQL oracle cannot reproduce
+# value-for-value. They already carry their rows-only driver records and
+# must not occupy checked-prefix slots. (dedup_simhash left this set in
+# round 6 when its hash family moved to cross-engine md5.)
 ROWS_ONLY = {
     "agg_approx_distinct",
     "udf_map_in_pandas",
     "simsearch_lsh",
     "dedup_minhash_lsh",
-    "dedup_simhash",
 }
 
 
