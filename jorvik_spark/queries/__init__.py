@@ -28,10 +28,12 @@ from jorvik_spark.queries import sampling  # noqa: F401,E402
 #     (red in r5, fixed this round) and every query whose plan changed
 #     this round (pack_sequences, dedup_embedding_cosine, simsearch_topk,
 #     stream_foreachbatch_merge, the _tokenized_docs consumers).
-#   * Exclude the five rows-only-by-design queries (agg_approx_distinct,
-#     udf_map_in_pandas, simsearch_lsh, dedup_minhash_lsh, dedup_simhash):
-#     they already carry their r5 driver rows and can never hash-match, so
-#     a checked-prefix slot is better spent on a hash-checkable query.
+#   * Exclude the rows-only-by-design queries (agg_approx_distinct,
+#     udf_map_in_pandas, simsearch_lsh, dedup_minhash_lsh): they already
+#     carry their r5 driver rows and can never hash-match, so a
+#     checked-prefix slot is better spent on a hash-checkable query.
+#     (dedup_simhash moved to a cross-engine hash family this round and
+#     is now hash-checkable — promoted.)
 # Every demoted query was driver-green in an earlier round
 # (CORRECTNESS_r02/r05) and — wherever it sits — stays covered by the
 # local pytest parity suite (tests/test_oracle_parity.py).
@@ -50,6 +52,7 @@ _CHECK_PRIORITY = [
     "dedup_embedding_cosine",
     "simsearch_topk",
     "simsearch_ivf",
+    "simsearch_lsh_det",
     "stream_foreachbatch_merge",
     "text_token_stats",
     "text_ngram_counts",
@@ -93,10 +96,10 @@ _CHECK_PRIORITY = [
     "stream_sliding_agg",
     "join_inner_equi",
     "join_left_outer",
-    "join_full_outer",
-    # join_semi/join_anti rotated out (driver-green r2+r5; pytest parity
-    # still covers them) to make room for dedup_minhash_banded (new this
-    # round) and dedup_simhash (newly value-checkable this round).
+    # join_full_outer/join_semi/join_anti rotated out (driver-green r2+r5;
+    # pytest parity still covers them) to make room for the round-6
+    # additions: dedup_minhash_banded, simsearch_lsh_det (new), and
+    # dedup_simhash (newly value-checkable).
 ]
 
 

@@ -372,3 +372,114 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("v").alias("centroid_v"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# Deterministic random-projection LSH: _RP_PLANES signed hyperplanes whose
+# weights derive from md5 (same cross-engine-identical family as the
+# banded MinHash), so the whole index is value-checkable — unlike the
+# Spark-ML BucketedRandomProjectionLSH variant whose plane RNG is
+# engine-internal. w(j, d) ∈ [-1, 1] with 1/1000 resolution.
+_RP_PLANES = 8
+_RP_DIM = 64  # embeddings.embedding dimensionality
+_RP_COS_MIN = 0.4
+
+_RP_W = (
+    "transform(sequence(0, {dim1}), d -> "
+    "(cast(conv(substring(md5(concat('{j}:', d)), 1, 15), 16, 10) AS bigint) "
+    "% 2001 - 1000) / 1000.0)"
+)
+_SQL_RP_W = (
+    "list_transform(range(0, {dim}), d -> "
+    "(CAST(('0x' || substr(md5('{j}:' || d), 1, 15)) AS BIGINT) "
+    "% 2001 - 1000) / 1000.0)"
+)
+
+
+def _rp_bucket_expr() -> str:
+    """Spark: 8-bit sign bucket of the projections onto the 8 planes."""
+    bits = []
+    for j in range(_RP_PLANES):
+        w = _RP_W.format(dim1=_RP_DIM - 1, j=j)
+        proj = f"aggregate(zip_with(v, {w}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        bits.append(f"if(round({proj}, 6) > 0, {1 << j}L, 0L)")
+    return " + ".join(bits)
+
+
+def _sql_rp_bucket() -> str:
+    bits = []
+    for j in range(_RP_PLANES):
+        w = _SQL_RP_W.format(dim=_RP_DIM, j=j)
+        proj = (
+            f"list_sum(list_transform(range(1, {_RP_DIM} + 1), "
+            f"i -> e[i] * w{j}[i]))"
+        )
+        bits.append(
+            f"CASE WHEN round({proj}, 6) > 0 THEN {1 << j} ELSE 0 END"
+        )
+    planes = ", ".join(
+        f"{_SQL_RP_W.format(dim=_RP_DIM, j=j)} AS w{j}"
+        for j in range(_RP_PLANES)
+    )
+    return planes, " + ".join(bits)
+
+
+_SQL_RP_PLANES, _SQL_RP_BITS = _sql_rp_bucket()
+
+
+@query(
+    "simsearch_lsh_det",
+    oracle=f"""
+    WITH planes AS (SELECT {_SQL_RP_PLANES}),
+    b AS (
+        SELECT vec_id, embedding,
+               CAST({_SQL_RP_BITS} AS BIGINT) AS bucket
+        FROM (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                     embedding
+              FROM embeddings) CROSS JOIN planes),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+               round({_SQL_COS.format(a='a.embedding', b='b2.embedding')}, 6)
+                   AS cosine
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {_RP_COS_MIN}
+    """,
+)
+def simsearch_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH with a DETERMINISTIC md5-derived hyperplane
+    family — the value-checkable twin of ``simsearch_lsh`` (Spark-ML,
+    whose plane RNG is engine-internal and thus only rows-checkable).
+
+    Sign-of-projection over 8 fixed hyperplanes buckets the space into
+    ≤256 cells; the candidate join is bucket-equi (same-bucket vectors
+    only, never all pairs) and survivors are verified with the exact
+    rounded cosine. Projections are rounded to 6 decimals before the
+    sign so a boundary value cannot flip buckets between engines.
+
+    Scale shape: bucketing is one narrow pass (no shuffle); the shuffle
+    is the bucket-key self-join. At 100 TB, raise _RP_PLANES so expected
+    bucket occupancy stays bounded (16 planes → 65k cells, etc.) — the
+    plan shape is unchanged.
+    """
+    emb = _vec_double(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "n2", F.expr(_DOT.format(a="v", b="v"))
+    )
+    bucketed = emb.select(
+        "vec_id", "v", "n2", F.expr(_rp_bucket_expr()).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("bucket"),
+        F.col("v").alias("va"), F.col("n2").alias("na"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("bucket"),
+        F.col("v").alias("vb"), F.col("n2").alias("nb"),
+    )
+    dot = F.expr(_DOT.format(a="va", b="vb"))
+    cosine = F.round(dot / (F.sqrt("na") * F.sqrt("nb")), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _RP_COS_MIN)
+    )
