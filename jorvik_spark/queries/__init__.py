@@ -62,6 +62,7 @@ _CHECK_PRIORITY = [
     "text_explode_positional",
     "text_token_bpe",
     "text_rare_token_ratio",
+    "text_scrub_pii",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_banded",
@@ -95,11 +96,10 @@ _CHECK_PRIORITY = [
     "stream_session_window",
     "stream_sliding_agg",
     "join_inner_equi",
-    "join_left_outer",
-    # join_full_outer/join_semi/join_anti rotated out (driver-green r2+r5;
-    # pytest parity still covers them) to make room for the round-6
-    # additions: dedup_minhash_banded, simsearch_lsh_det (new), and
-    # dedup_simhash (newly value-checkable).
+    # join_left_outer/join_full_outer/join_semi/join_anti rotated out
+    # (driver-green r2+r5; pytest parity still covers them) to make room
+    # for the round-6 additions: dedup_minhash_banded, simsearch_lsh_det,
+    # text_scrub_pii (new), and dedup_simhash (newly value-checkable).
 ]
 
 

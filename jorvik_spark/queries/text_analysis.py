@@ -554,3 +554,50 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens_total"),
         )
     )
+
+
+# C4-style scrub patterns (simple character classes only — identical
+# semantics in Java regex and RE2, probed bit-for-bit cross-engine).
+_PII_EMAIL = "[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\\\.[A-Za-z0-9.-]+"
+_PII_URL = "https?://[^ ]+"
+
+
+@query(
+    "text_scrub_pii",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL.replace(chr(92)*2, chr(92))}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_URL}')) AS BIGINT) AS n_urls,
+           md5(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL.replace(chr(92)*2, chr(92))}', '<EMAIL>', 'g'),
+               '{_PII_URL}', '<URL>', 'g')) AS scrubbed_key
+    FROM documents
+    """,
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII/URL scrub: per-document email and URL counts plus the
+    content fingerprint of the redacted text (emails → <EMAIL>, URLs →
+    <URL>), so downstream exact dedup can collapse docs that differ only
+    in contact details or tracking links.
+
+    Pure narrow regexp built-ins — no shuffle, scan speed at 100 TB. The
+    fingerprint is md5 of the scrubbed text, which hashes identically on
+    both engines (probed; the patterns use only simple character classes
+    shared by Java regex and RE2).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = (
+        f"regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>'), "
+        f"'{_PII_URL}', '<URL>')"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{_PII_EMAIL}', 0))")
+        .cast("long")
+        .alias("n_emails"),
+        F.expr(f"size(regexp_extract_all(text, '{_PII_URL}', 0))")
+        .cast("long")
+        .alias("n_urls"),
+        F.md5(F.expr(scrubbed)).alias("scrubbed_key"),
+    )
