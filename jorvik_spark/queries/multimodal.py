@@ -72,6 +72,22 @@ def _extract_features(
 _STRIP_SCHEME = r"^file:(//)?"
 
 
+
+def _spread_for_decode(spark: SparkSession, df):
+    """Spread a binary scan for CPU-bound Python decode — conditionally.
+
+    The testdata is a handful of files, so decode would serialize on a
+    few tasks without an explicit spread; but a production binaryFile
+    scan already has thousands of splits, and forcing a fixed partition
+    count there would COLLAPSE the scan onto that many tasks. Shuffle
+    only when the scan is under-split relative to the cluster.
+    """
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 @query(
     "multimodal_binary_scan",
     oracle="""
@@ -112,21 +128,21 @@ def multimodal_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full multimodal pipeline shape: binary scan → repartition for decode
-    parallelism → Arrow-batched mapInPandas feature extraction.
+    """Full multimodal pipeline shape: binary scan → conditional spread for
+    decode parallelism → Arrow-batched mapInPandas feature extraction.
 
-    The repartition sizes decode tasks independently of file layout (media
-    decode is CPU-bound, so at scale you want ~1 batch per core, not 1 per
-    file)."""
-    binaries = (
+    Decode is CPU-bound, so an under-split scan is spread to ~1 batch per
+    core; a many-split production scan passes through unshuffled (see
+    _spread_for_decode)."""
+    binaries = _spread_for_decode(
+        spark,
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
         .load(sf_dir)
         .select(
             F.regexp_replace("path", _STRIP_SCHEME, "").alias("path"),
             "content",
-        )
-        .repartition(8)
+        ),
     )
     return binaries.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
 
@@ -192,14 +208,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the explode happens executor-side inside one narrow stage:
     no shuffle, output partitioning inherits the decode repartition."""
-    binaries = (
+    binaries = _spread_for_decode(
+        spark,
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
         .load(sf_dir)
         .select(
             F.regexp_replace("path", _STRIP_SCHEME, "").alias("path"),
             "content",
-        )
-        .repartition(8)
+        ),
     )
     return binaries.mapInPandas(_sample_frames_batched, schema=_FRAME_SCHEMA)
