@@ -70,6 +70,7 @@ _CHECK_PRIORITY = [
     "decontaminate_overlap",
     "sample_stratified_split",
     "embed_centroids",
+    "embed_quantize_int8",
     # -- Arrow UDF paths --
     "udf_pandas_scalar",
     "udaf_grouped_apply",
@@ -95,11 +96,12 @@ _CHECK_PRIORITY = [
     "stream_passthrough",
     "stream_session_window",
     "stream_sliding_agg",
-    "join_inner_equi",
-    # join_left_outer/join_full_outer/join_semi/join_anti rotated out
-    # (driver-green r2+r5; pytest parity still covers them) to make room
-    # for the round-6 additions: dedup_minhash_banded, simsearch_lsh_det,
-    # text_scrub_pii (new), and dedup_simhash (newly value-checkable).
+    # join_inner_equi/join_left_outer/join_full_outer/join_semi/join_anti
+    # rotated out (driver-green r2+r5; pytest parity still covers them) to
+    # make room for the round-6 additions: dedup_minhash_banded,
+    # simsearch_lsh_det, text_scrub_pii, embed_quantize_int8 (new), and
+    # dedup_simhash (newly value-checkable). The join family stays
+    # represented in the prefix by join_q3_topk/join_q5_regional.
 ]
 
 

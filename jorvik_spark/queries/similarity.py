@@ -483,3 +483,54 @@ def simsearch_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _RP_COS_MIN)
     )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   AS scale,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+    ex AS (
+        SELECT vec_id, scale,
+               unnest(list_transform(range(1, len(e) + 1),
+                      i -> {'pos': i - 1, 'v': e[i]})) AS u
+        FROM scaled)
+    SELECT vec_id, CAST(u.pos AS INTEGER) AS pos,
+           CAST(CASE WHEN scale = 0 THEN 0
+                     ELSE FLOOR(u.v / scale * 127 + 0.5) END AS BIGINT)
+               AS code,
+           round(scale, 6) AS scale
+    FROM ex
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving
+    compression step of an embedding pipeline (codes ∈ [-127, 127] plus
+    one reconstruction scale per vector; dequantize ≈ code/127·scale).
+
+    Emitted in long format (vec_id, dimension, code) like
+    ``embed_centroids`` so integer codes hash identically across engines;
+    rounding is explicit floor(x + 0.5) (round-half-up), which both
+    engines evaluate bit-for-bit, rather than engine round() whose
+    half-way rule differs. Pure narrow built-ins — scan-speed, the
+    posexplode is the only row multiplication and feeds no shuffle.
+    """
+    emb = _vec_double(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "scale", F.expr("array_max(transform(v, x -> abs(x)))")
+    )
+    ex = emb.select(
+        "vec_id", "scale", F.posexplode("v").alias("pos", "val")
+    )
+    code = F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+        F.floor(F.col("val") / F.col("scale") * 127 + F.lit(0.5))
+    )
+    return ex.select(
+        "vec_id",
+        "pos",
+        code.cast("long").alias("code"),
+        F.round("scale", 6).alias("scale"),
+    )
