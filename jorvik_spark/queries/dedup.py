@@ -212,51 +212,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     )
     model = lsh.fit(feats)
-    pairs = (
-        model.approxSimilarityJoin(feats, feats, 0.4, distCol="dist")
-        .select(
-            F.col("datasetA.doc_id").alias("a"),
-            F.col("datasetB.doc_id").alias("b"),
-        )
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
-    )
 
-    # Smallest-id label propagation over the (tiny) near-dup pair graph.
-    labels = sh.select(
-        "doc_id", F.col("doc_id").alias("component")
-    )
-    edges = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).cache()
-    superseded = []
-    for _ in range(5):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.doc_id)
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("component").alias("neighbor_component"))
-        )
-        superseded.append(labels)
-        labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+    def resolve_components() -> DataFrame:
+        """Candidate pairs → smallest-id label propagation, fully
+        materialized; memoized per session so repeated invocations reuse
+        the resolved labels instead of leaking a cached plan each call."""
+        pairs = (
+            model.approxSimilarityJoin(feats, feats, 0.4, distCol="dist")
             .select(
-                "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neighbor_component"), F.col("component")),
-                ).alias("component"),
+                F.col("datasetA.doc_id").alias("a"),
+                F.col("datasetB.doc_id").alias("b"),
             )
-            # cache each round: without it, round k recomputes rounds 1..k-1
-            # (quadratic lineage re-execution at the final action)
-            .persist()
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
         )
-    # Materialize the final labels once, then release the intermediate
-    # rounds — they are lineage inputs only, and leaving 4 superseded
-    # cached plans pinned per invocation multiplies executor storage for
-    # data only the last round needs.
-    labels.count()
-    for prev in superseded[1:]:  # [0] is the uncached seed projection
-        prev.unpersist()
+        labels = sh.select("doc_id", F.col("doc_id").alias("component"))
+        edges = pairs.unionByName(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).cache()
+        superseded = []
+        for _ in range(5):
+            neighbor_min = (
+                edges.join(labels, edges.b == labels.doc_id)
+                .groupBy(F.col("a").alias("doc_id"))
+                .agg(F.min("component").alias("neighbor_component"))
+            )
+            superseded.append(labels)
+            labels = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(
+                            F.col("neighbor_component"), F.col("component")
+                        ),
+                    ).alias("component"),
+                )
+                # cache each round: without it, round k recomputes rounds
+                # 1..k-1 (quadratic lineage re-execution at the final action)
+                .persist()
+            )
+        # Materialize the final labels once, then release every cache that
+        # is now lineage-only — the superseded rounds and the edge list.
+        labels.count()
+        edges.unpersist()
+        for prev in superseded[1:]:  # [0] is the uncached seed projection
+            prev.unpersist()
+        return labels
+
+    labels = memo_df(f"minhash_labels:{sf_dir}", spark, resolve_components)
     return labels.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("doc_id").alias("keeper_doc_id"),
