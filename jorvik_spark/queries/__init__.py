@@ -66,6 +66,7 @@ _CHECK_PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_banded",
+    "dedup_minhash_components",
     "dedup_simhash",
     "decontaminate_overlap",
     "sample_stratified_split",
@@ -91,17 +92,18 @@ _CHECK_PRIORITY = [
     "agg_group_stats",
     "merge_upsert",
     "merge_schema_evolution",
-    "scan_parquet_roundtrip",
     "sink_partitioned_write",
     "stream_passthrough",
     "stream_session_window",
     "stream_sliding_agg",
-    # join_inner_equi/join_left_outer/join_full_outer/join_semi/join_anti
-    # rotated out (driver-green r2+r5; pytest parity still covers them) to
-    # make room for the round-6 additions: dedup_minhash_banded,
-    # simsearch_lsh_det, text_scrub_pii, embed_quantize_int8 (new), and
-    # dedup_simhash (newly value-checkable). The join family stays
-    # represented in the prefix by join_q3_topk/join_q5_regional.
+    # Rotated out (all driver-green r2 and/or r5 on identical code; pytest
+    # parity still covers them): join_inner_equi, join_left_outer,
+    # join_full_outer, join_semi, join_anti, scan_parquet_roundtrip.
+    # Their slots go to the round-6 additions — dedup_minhash_banded,
+    # dedup_minhash_components, simsearch_lsh_det, text_scrub_pii,
+    # embed_quantize_int8 (new) and dedup_simhash (newly value-checkable).
+    # The join family stays represented by join_q3_topk/join_q5_regional;
+    # the scan family by scan-backed queries throughout the prefix.
 ]
 
 

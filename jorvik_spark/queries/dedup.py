@@ -479,26 +479,8 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification of the candidates composes via the inverted index of
     ``dedup_ngram_jaccard``.
     """
-    toks = _tokenized_docs(spark, sf_dir).filter(F.size("t") >= 3)
-    sh = toks.select("doc_id", F.expr(_SHINGLES_T).alias("s"))
-    sig = sh.select(
-        "doc_id",
-        *[F.expr(_mh(i)).alias(f"h{i}") for i in range(_MH_SEEDS)],
-    )
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'key', concat_ws('|', {cols}))".format(
-            b=b,
-            cols=", ".join(
-                f"h{i}" for i in range(b * _MH_ROWS, (b + 1) * _MH_ROWS)
-            ),
-        )
-        for b in range(_MH_BANDS)
-    )
-    bands = sig.select(
-        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bk")
-    ).select("doc_id", "bk.band", "bk.key")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    a = _mh_bands(spark, sf_dir).alias("a")
+    b = _mh_bands(spark, sf_dir).alias("b")
     return (
         a.join(
             b,
@@ -511,3 +493,131 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def _mh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, key) MinHash band table — the OR-of-ANDs blocking
+    index. Memoized per session: it feeds the candidate-pair query and
+    the connected-components query, and both sides of each self-join."""
+
+    def build() -> DataFrame:
+        toks = _tokenized_docs(spark, sf_dir).filter(F.size("t") >= 3)
+        sh = toks.select("doc_id", F.expr(_SHINGLES_T).alias("s"))
+        sig = sh.select(
+            "doc_id",
+            *[F.expr(_mh(i)).alias(f"h{i}") for i in range(_MH_SEEDS)],
+        )
+        band_structs = ", ".join(
+            "named_struct('band', {b}, 'key', concat_ws('|', {cols}))".format(
+                b=b,
+                cols=", ".join(
+                    f"h{i}" for i in range(b * _MH_ROWS, (b + 1) * _MH_ROWS)
+                ),
+            )
+            for b in range(_MH_BANDS)
+        )
+        return sig.select(
+            "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bk")
+        ).select("doc_id", "bk.band", "bk.key")
+
+    return memo_df(f"mh_bands:{sf_dir}", spark, build)
+
+
+@query(
+    "dedup_minhash_components",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    sig AS (SELECT doc_id,
+            {', '.join(f'{_sql_mh(i)} AS h{i}' for i in range(_MH_SEEDS))}
+            FROM sh),
+    bands AS ({_sql_mh_bands()}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id),
+    edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    cc(doc_id, comp) AS (
+        SELECT doc_id, doc_id FROM nodes
+      UNION
+        SELECT e.a, cc.comp FROM edges e JOIN cc ON cc.doc_id = e.b)
+    SELECT doc_id, MIN(comp) AS component FROM cc GROUP BY doc_id
+    """,
+)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the deterministic banded-MinHash pair
+    graph: every doc that shares a band bucket with another doc gets the
+    smallest doc_id reachable through near-dup links as its component —
+    the cluster resolution step of fuzzy dedup, VALUE-CHECKED end to end
+    (the DuckDB oracle computes the same fixpoint with a recursive CTE).
+
+    Spark side iterates smallest-label propagation TO CONVERGENCE (one
+    hop per round, stop when no label changes), so the result is the
+    exact fixpoint regardless of cluster diameter — not a bounded
+    approximation. Each round is a pair-graph-sized join, orders of
+    magnitude smaller than the corpus; round count is the graph
+    diameter, which for near-dup clusters is small.
+    """
+    def propagate_to_fixpoint() -> DataFrame:
+        bands = _mh_bands(spark, sf_dir)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+            .distinct()
+        )
+        edges = pairs.unionByName(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).persist()
+        labels = (
+            edges.select(F.col("a").alias("doc_id"))
+            .distinct()
+            .withColumn("component", F.col("doc_id"))
+            .persist()
+        )
+        try:
+            for _ in range(64):  # safety bound far above any real diameter
+                neighbor_min = (
+                    edges.join(labels, edges.b == labels.doc_id)
+                    .groupBy(F.col("a").alias("doc_id"))
+                    .agg(F.min("component").alias("neighbor_component"))
+                )
+                new_labels = (
+                    labels.join(neighbor_min, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        F.least(
+                            F.col("component"),
+                            F.coalesce(
+                                F.col("neighbor_component"), F.col("component")
+                            ),
+                        ).alias("component"),
+                    )
+                    .persist()
+                )
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "doc_id")
+                    .filter(F.col("n.component") != F.col("o.component"))
+                    .count()
+                )
+                labels.unpersist()
+                labels = new_labels
+                if changed == 0:
+                    break
+        finally:
+            edges.unpersist()
+        return labels
+
+    # Memoized fixpoint: the returned DataFrame reads the cached labels
+    # directly; re-deriving them would replay the whole propagation.
+    return memo_df(f"mh_components:{sf_dir}", spark, propagate_to_fixpoint)
