@@ -207,10 +207,14 @@ def test_repeated_invocations_do_not_leak_cached_plans(spark):
     from jorvik_spark.queries import QUERIES
 
     sf = "/root/testdata/sf0.001"
-    for name in ("text_token_bpe", "text_rare_token_ratio", "dedup_simhash"):
+    names = (
+        "text_token_bpe", "text_rare_token_ratio", "dedup_simhash",
+        "dedup_minhash_banded", "dedup_minhash_components",
+    )
+    for name in names:
         QUERIES[name](spark, sf).count()
     baseline = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     for _ in range(3):
-        for name in ("text_token_bpe", "text_rare_token_ratio", "dedup_simhash"):
+        for name in names:
             QUERIES[name](spark, sf).count()
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == baseline
