@@ -11,6 +11,7 @@ import os
 import pytest
 
 import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 _QUERIES = entrymod.queries()
@@ -218,3 +219,87 @@ def test_repeated_invocations_do_not_leak_cached_plans(spark):
         for name in names:
             QUERIES[name](spark, sf).count()
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == baseline
+
+
+def test_quantize_int8_invariants(spark):
+    """Codes bounded to [-127, 127]; dequantization error within half a
+    quantization step of the true value."""
+    from jorvik_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    q = QUERIES["embed_quantize_int8"](spark, sf)
+    assert q.filter((F.col("code") > 127) | (F.col("code") < -127)).count() == 0
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    )
+    joined = q.join(emb, ["vec_id", "pos"]).select(
+        (F.abs(F.col("code") / 127.0 * F.col("scale") - F.col("v"))
+         - (F.col("scale") / 254.0)).alias("excess")
+    )
+    # allow float slack on the half-step bound
+    assert joined.filter(F.col("excess") > 1e-6).count() == 0
+
+
+def test_minhash_banded_finds_exact_duplicates(spark):
+    """Identical texts have identical shingle sets, hence identical
+    signatures: every exact-dup pair (>=3 tokens) must surface as a
+    candidate sharing ALL bands."""
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.queries.dedup import _MH_BANDS
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+    d = docs.select("doc_id", F.md5("text").alias("k"), toks.alias("t")).filter(
+        F.size("t") >= 3
+    )
+    dup_pairs = (
+        d.alias("a")
+        .join(d.alias("b"), (F.col("a.k") == F.col("b.k"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cands = QUERIES["dedup_minhash_banded"](spark, sf)
+    missing = dup_pairs.join(
+        cands.filter(F.col("n_shared_bands") == _MH_BANDS), ["doc_a", "doc_b"],
+        "left_anti",
+    )
+    assert missing.count() == 0
+
+
+def test_minhash_components_consistent_with_edges(spark):
+    """Fixpoint check: both endpoints of every candidate edge carry the
+    same component, and a component label is the min doc_id it covers."""
+    from jorvik_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    comp = QUERIES["dedup_minhash_components"](spark, sf)
+    pairs = QUERIES["dedup_minhash_banded"](spark, sf).select("doc_a", "doc_b")
+    ca = comp.select(F.col("doc_id").alias("doc_a"), F.col("component").alias("comp_a"))
+    cb = comp.select(F.col("doc_id").alias("doc_b"), F.col("component").alias("comp_b"))
+    split_edges = (
+        pairs.join(ca, "doc_a").join(cb, "doc_b")
+        .filter(F.col("comp_a") != F.col("comp_b"))
+    )
+    assert split_edges.count() == 0
+    bad_label = comp.groupBy("component").agg(F.min("doc_id").alias("m")).filter(
+        F.col("component") != F.col("m")
+    )
+    assert bad_label.count() == 0
+
+
+def test_scrub_pii_key_equals_raw_hash_when_clean(spark):
+    """Docs with no detected emails/URLs must keep md5(text) as their
+    scrubbed key (the scrub is a no-op on clean text)."""
+    from jorvik_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    s = QUERIES["text_scrub_pii"](spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("raw_key")
+    )
+    clean = s.filter((F.col("n_emails") == 0) & (F.col("n_urls") == 0))
+    mismatched = clean.join(docs, "doc_id").filter(
+        F.col("scrubbed_key") != F.col("raw_key")
+    )
+    assert mismatched.count() == 0
