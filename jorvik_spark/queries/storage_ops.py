@@ -366,3 +366,45 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+    FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact-dedup: an at-least-once source that
+    delivers every event twice is collapsed back to one row per
+    event_id with ``dropDuplicatesWithinWatermark`` — the streaming half
+    of ``dedup_exact`` for a CDC/training-ingest pipeline.
+
+    The watermark bounds the dedup state: keys older than the watermark
+    horizon are evicted, so state size tracks the event-time window, not
+    the stream's full history — the property that lets this run forever
+    at 100 TB/day where an unbounded dropDuplicates would OOM. Duplicate
+    deliveries carry identical payloads (the at-least-once model), so
+    any surviving row is byte-identical and the batch oracle is simply
+    the distinct source.
+    """
+    st = BasicStorage()
+    base = _scratch("sdedup")
+    src, dst, cp = f"{base}/src", f"{base}/dst", f"{base}/cp"
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    # at-least-once: every event delivered twice
+    st.write(events.unionAll(events), src, "parquet", "overwrite")
+    stream = (
+        st.readStream(src, "parquet")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = st.writeStream(stream, dst, "parquet", checkpoint=cp)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return st.read(dst, "parquet").select("event_id", "ts", "user_id", "value")
