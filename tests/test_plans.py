@@ -48,6 +48,7 @@ _IO_QUERIES = {
     "sink_partitioned_write",
     "sink_bucketed_join",  # covered by its dedicated plan test below
     "stream_passthrough",
+    "stream_dedup_watermark",
     "merge_upsert",
     "merge_schema_evolution",
 }
@@ -268,3 +269,24 @@ def test_repartitioned_docs_shuffles_only_when_undersplit(spark, tmp_path):
         presplit.explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_banded", "dedup_simhash", "simsearch_lsh_det"],
+)
+def test_banded_self_joins_are_equi_not_cartesian(spark, name):
+    """Every LSH-style blocking self-join must join on its band/bucket
+    key — never degrade to a Cartesian or nested-loop product."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["embed_quantize_int8", "text_scrub_pii"])
+def test_narrow_ops_have_no_exchange(spark, name):
+    """Quantization and PII scrub are pure per-row transforms — any
+    Exchange in the plan means an accidental shuffle crept in."""
+    plan = _plan(spark, name)
+    tree = plan.split("\n\n", 1)[0]
+    assert not any("Exchange" in ln for ln in tree.splitlines()), plan
