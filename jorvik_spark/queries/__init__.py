@@ -70,6 +70,7 @@ _CHECK_PRIORITY = [
     "dedup_simhash",
     "decontaminate_overlap",
     "sample_stratified_split",
+    "sample_domain_reweight",
     "embed_centroids",
     "embed_quantize_int8",
     # -- Arrow UDF paths --
@@ -92,15 +93,15 @@ _CHECK_PRIORITY = [
     "agg_group_stats",
     "merge_upsert",
     "merge_schema_evolution",
-    "sink_partitioned_write",
     "stream_dedup_watermark",
     "stream_session_window",
     "stream_sliding_agg",
     # Rotated out (all driver-green r2 and/or r5 on identical code; pytest
     # parity still covers them): join_inner_equi, join_left_outer,
     # join_full_outer, join_semi, join_anti, scan_parquet_roundtrip,
-    # stream_passthrough (stream_dedup_watermark exercises the same
-    # readStream/writeStream path plus watermarked state).
+    # sink_partitioned_write, stream_passthrough (stream_dedup_watermark
+    # exercises the same readStream/writeStream path plus watermarked
+    # state).
     # Their slots go to the round-6 additions — dedup_minhash_banded,
     # dedup_minhash_components, simsearch_lsh_det, text_scrub_pii,
     # embed_quantize_int8 (new) and dedup_simhash (newly value-checkable).

@@ -337,3 +337,62 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars") * F.lit(1.0) / F.sum("n_chars").over(w), 6
         ).alias("char_share"),
     )
+
+
+@query(
+    "sample_domain_reweight",
+    oracle=f"""
+    WITH shares AS (
+        SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_cells FROM shares),
+    rates AS (
+        SELECT s.source, s.lang,
+               least(1.0, t.total * 1.0 / (t.n_cells * s.n)) AS keep_rate
+        FROM shares s CROSS JOIN tot t)
+    SELECT d.doc_id, d.source, d.lang, round(r.keep_rate, 6) AS keep_rate
+    FROM documents d
+    JOIN rates r ON d.source = r.source AND d.lang = r.lang
+    WHERE {_sql_bucket('d.doc_id', 'reweight:')}
+          < CAST(floor(r.keep_rate * 1000) AS BIGINT)
+    """,
+)
+def sample_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mix rebalancing: downsample over-represented (source, lang)
+    cells toward a uniform per-cell target. keep_rate(cell) =
+    min(1, target/actual) is computed FROM the data (one tiny
+    aggregation), then applied with the same deterministic hash-mod
+    bucket as the other samplers — the acting half of the
+    ``corpus_domain_mix`` report.
+
+    Scale shape: the shares aggregate is |sources|x|langs| rows,
+    broadcast back onto the corpus scan; the keep decision is a pure
+    narrow expression. Reproducible under retries, repartitioning, and
+    cluster resizing — rerunning yields the same kept set, which is what
+    makes the training mix auditable. Rate arithmetic is a single
+    division expressed identically in the oracle, so the floor boundary
+    cannot diverge.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shares = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = shares.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_cells")
+    )
+    rates = shares.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.col("total") * F.lit(1.0) / (F.col("n_cells") * F.col("n")),
+        ).alias("keep_rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), ["source", "lang"])
+        .filter(
+            _bucket(F.col("doc_id"), "reweight:")
+            < F.floor(F.col("keep_rate") * 1000).cast("long")
+        )
+        .select(
+            "doc_id", "source", "lang",
+            F.round("keep_rate", 6).alias("keep_rate"),
+        )
+    )
