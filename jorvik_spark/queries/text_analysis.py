@@ -19,10 +19,15 @@ from pyspark.sql import functions as F
 from jorvik_spark.tables import load_table
 from jorvik_spark.queries.registry import memo_df, query
 
-# Spark-side tokens expression (array<string>).
-_TOKENS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
-# DuckDB twin.
-_SQL_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+# Spark-side tokens expression (array<string>). NULL text tokenizes to an
+# EMPTY array (not NULL): a null document behaves as an empty one, so every
+# downstream count/ratio gets well-defined zero semantics on dirty corpora.
+_TOKENS = "coalesce(filter(split(lower(text), '\\\\s+'), x -> x != ''), array())"
+# DuckDB twin (same null-to-empty normalization).
+_SQL_TOKENS = (
+    "coalesce(list_filter(string_split_regex(lower(text), '\\s+'), "
+    "x -> x <> ''), [])"
+)
 
 def _repartitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, spread across all cores — without a gratuitous shuffle.
@@ -114,7 +119,7 @@ _BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, lang,
-               regexp_extract_all(lower(text), '{_BPE_PAT_SQL}') AS t
+               coalesce(regexp_extract_all(lower(text), '{_BPE_PAT_SQL}'), []) AS t
         FROM documents)
     SELECT doc_id, lang,
            CAST(len(t) AS BIGINT) AS n_bpe_tokens,
@@ -141,9 +146,10 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _repartitioned_docs(spark, sf_dir).select(
             "doc_id",
             "lang",
-            F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), 0).alias(
-                "t"
-            ),
+            F.coalesce(
+                F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), 0),
+                F.expr("array()"),
+            ).alias("t"),
         ),
     )
     return toks.select(
