@@ -35,6 +35,15 @@ _TOPK_CHUNK = 1024
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 
+# Degenerate (zero-norm) vectors are EXCLUDED from every cosine-based
+# operator on both engines: cosine is undefined for them, and under ANSI
+# mode a single zero embedding in 100 TB would kill the job with
+# DIVIDE_BY_ZERO. Quantization/centroids keep them (no division there).
+_SQL_POS_NORM = (
+    "list_dot_product(CAST(embedding AS DOUBLE[]), "
+    "CAST(embedding AS DOUBLE[])) > 0"
+)
+
 _SQL_COS = (
     "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
     "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
@@ -51,12 +60,13 @@ def _vec_double(df: DataFrame) -> DataFrame:
 @query(
     "simsearch_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    WITH nz AS (SELECT * FROM embeddings WHERE {_SQL_POS_NORM}),
+    q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM nz WHERE vec_id < {_N_QUERIES}),
     scored AS (
         SELECT q.query_id, c.vec_id AS candidate_id,
                round({_SQL_COS.format(a='q.qe', b='c.embedding')}, 6) AS cosine
-        FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+        FROM q JOIN nz c ON c.vec_id <> q.query_id),
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, candidate_id) AS rank
@@ -83,8 +93,10 @@ def simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotient dot/(sqrt(nq)·sqrt(nc)) is bit-identical to the per-pair
     form, so the DuckDB oracle is unaffected.
     """
-    emb = _vec_double(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "n2", F.expr(_DOT.format(a="v", b="v"))
+    emb = (
+        _vec_double(load_table(spark, sf_dir, "embeddings"))
+        .withColumn("n2", F.expr(_DOT.format(a="v", b="v")))
+        .filter(F.col("n2") > 0)
     )
     queries = F.broadcast(
         emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -178,16 +190,17 @@ _SQL_EUCL = "list_distance(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 # vectors as centroids, nearest-centroid assignment with rounded-distance
 # + cent_id tie-break (matches the Spark plan bit-for-bit).
 _SQL_IVF_ASSIGN = f"""
+    nzv AS (SELECT * FROM embeddings WHERE {_SQL_POS_NORM}),
     cents AS (
         SELECT vec_id AS cent_id, embedding AS cv
-        FROM embeddings WHERE vec_id < {_IVF_K}),
+        FROM nzv WHERE vec_id < {_IVF_K}),
     assign AS (
         SELECT e.vec_id, e.embedding, c.cent_id,
                ROW_NUMBER() OVER (
                    PARTITION BY e.vec_id
                    ORDER BY round({_SQL_EUCL.format(a='e.embedding', b='c.cv')}, 6),
                             c.cent_id) AS rn
-        FROM embeddings e CROSS JOIN cents c)"""
+        FROM nzv e CROSS JOIN cents c)"""
 
 
 def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,8 +216,10 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def build() -> DataFrame:
-        emb = _vec_double(load_table(spark, sf_dir, "embeddings")).withColumn(
-            "n2", F.expr(_DOT.format(a="v", b="v"))
+        emb = (
+            _vec_double(load_table(spark, sf_dir, "embeddings"))
+            .withColumn("n2", F.expr(_DOT.format(a="v", b="v")))
+            .filter(F.col("n2") > 0)
         )
         cents = F.broadcast(
             emb.filter(F.col("vec_id") < _IVF_K).select(
@@ -436,7 +451,7 @@ _SQL_RP_PLANES, _SQL_RP_BITS = _sql_rp_bucket()
         FROM (SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
                      embedding
-              FROM embeddings) CROSS JOIN planes),
+              FROM embeddings WHERE {_SQL_POS_NORM}) CROSS JOIN planes),
     pairs AS (
         SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
                round({_SQL_COS.format(a='a.embedding', b='b2.embedding')}, 6)
@@ -461,8 +476,10 @@ def simsearch_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket occupancy stays bounded (16 planes → 65k cells, etc.) — the
     plan shape is unchanged.
     """
-    emb = _vec_double(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "n2", F.expr(_DOT.format(a="v", b="v"))
+    emb = (
+        _vec_double(load_table(spark, sf_dir, "embeddings"))
+        .withColumn("n2", F.expr(_DOT.format(a="v", b="v")))
+        .filter(F.col("n2") > 0)
     )
     bucketed = emb.select(
         "vec_id", "v", "n2", F.expr(_rp_bucket_expr()).alias("bucket")

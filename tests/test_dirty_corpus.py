@@ -89,3 +89,47 @@ def test_null_text_tokenizes_to_empty(spark, dirty_dir):
     for doc_id in (0, 1, 2):  # null, empty, whitespace-only
         assert stats[doc_id]["n_tokens"] == 0
         assert stats[doc_id]["n_token_chars"] == 0
+
+
+EMB_QUERIES = [
+    "simsearch_topk",
+    "simsearch_ivf",
+    "simsearch_lsh_det",
+    "dedup_embedding_cosine",
+    "embed_centroids",
+    "embed_quantize_int8",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_emb_dir(tmp_path_factory):
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("dirty_emb")
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(64).astype("float32"), f"lab{i % 3}") for i in range(12)]
+    rows.append((12, np.zeros(64, dtype="float32"), "lab0"))  # zero vector
+    rows.append((13, rows[5][1].copy(), "lab1"))  # exact duplicate vector
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        str(d / "embeddings.parquet")
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def dirty_emb_con(dirty_emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{dirty_emb_dir}/embeddings.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_dirty_embeddings_parity(spark, dirty_emb_dir, dirty_emb_con, name):
+    """A zero-norm embedding must not crash (ANSI DIVIDE_BY_ZERO) or
+    diverge: cosine-based ops exclude degenerate vectors on both engines;
+    quantization/centroids keep them."""
+    compare(QUERIES[name](spark, dirty_emb_dir), dirty_emb_con, ORACLES[name], name)
