@@ -43,14 +43,14 @@ _DEC = "decimal(25,6)"
                LAG(value) OVER (PARTITION BY user_id
                                 ORDER BY CAST(ts AS TIMESTAMP) DESC,
                                          event_id DESC) AS prev_value
-        FROM events)
+        FROM events WHERE ts IS NOT NULL)
     SELECT user_id, event_id, ts, value, prev_value, rn
     FROM ranked WHERE rn <= 3
     """,
 )
 def window_rank_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENCH w1 — lag + row_number per user, top-3 most recent events."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         ev.select(
@@ -73,12 +73,12 @@ def window_rank_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_value,
            LEAD(value) OVER (PARTITION BY user_id
                              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_value
-    FROM events WHERE event_type = 'purchase'
+    FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
     """,
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic lag/lead along each user's purchase timeline."""
-    ev = load_table(spark, sf_dir, "events").filter(
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).filter(
         F.col("event_type") == "purchase"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -100,7 +100,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (PARTITION BY user_id
                       ORDER BY CAST(ts AS TIMESTAMP), event_id
                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
-    FROM events WHERE user_id < 100
+    FROM events WHERE ts IS NOT NULL AND user_id < 100
     """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +109,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal-accumulated so segment-tree vs sequential accumulation order
     cannot drift the double result between engines.
     """
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).filter(F.col("user_id") < 100)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -243,7 +243,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            COUNT(*) AS n_events,
            {sql_dsum('value')} AS sum_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -254,7 +254,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     jorvik_spark.streaming — identical window expression, so this oracle
     check validates the streaming semantics too.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
@@ -277,7 +277,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
                LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
-        FROM events WHERE user_id < 50),
+        FROM events WHERE ts IS NOT NULL AND user_id < 50),
     marked AS (
         SELECT *, CASE WHEN prev_ts IS NULL
                         OR ts - prev_ts >= INTERVAL 30 MINUTE
@@ -300,7 +300,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly 30 minutes starts a new session; the oracle's ``>=`` condition
     mirrors that boundary.
     """
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).filter(F.col("user_id") < 50)
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(
@@ -318,7 +318,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH doubled AS (
         SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value,
                unnest([0, 1]) AS k
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
     win AS (
         SELECT time_bucket(INTERVAL 30 MINUTE, ts)
                    - k * INTERVAL 30 MINUTE AS window_start,
@@ -339,7 +339,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     that expansion with unnest([0,1]). Epoch-aligned window starts on both
     engines (Spark startTime=0 default == DuckDB time_bucket).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(
@@ -361,7 +361,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
            CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
                / 1000000.0 / COUNT(value) OVER w AS avg_1h
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
@@ -375,7 +375,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     not partition size. Average is fixed-point (registry.py convention)
     for cross-engine hash parity.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))

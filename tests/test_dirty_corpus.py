@@ -133,3 +133,61 @@ def test_dirty_embeddings_parity(spark, dirty_emb_dir, dirty_emb_con, name):
     diverge: cosine-based ops exclude degenerate vectors on both engines;
     quantization/centroids keep them."""
     compare(QUERIES[name](spark, dirty_emb_dir), dirty_emb_con, ORACLES[name], name)
+
+
+EVENT_QUERIES = [
+    "window_rank_per_user",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_moving_avg",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_events_dir(tmp_path_factory):
+    import datetime
+
+    d = tmp_path_factory.mktemp("dirty_events")
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(minutes=7 * i), i % 3,
+         ["click", "view", "buy"][i % 3], float(i) * 1.5, None)
+        for i in range(20)
+    ]
+    rows.append((20, None, 0, "click", 1.0, None))  # null ts
+    rows.append((21, base, None, "view", 2.0, None))  # null user
+    rows.append((22, base, 1, None, None, None))  # null type + value
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def dirty_events_con(dirty_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{dirty_events_dir}/events.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_dirty_events_parity(spark, dirty_events_dir, dirty_events_con, name):
+    """Null-ts events are excluded from every time-ordered operator on
+    both engines (an event without a time cannot be placed in a window;
+    leaving it in diverges — Spark windows drop it and sort nulls first,
+    DuckDB buckets it as NULL and sorts nulls last)."""
+    compare(
+        QUERIES[name](spark, dirty_events_dir),
+        dirty_events_con,
+        ORACLES[name],
+        name,
+    )
