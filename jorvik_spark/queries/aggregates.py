@@ -337,7 +337,8 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set",
     oracle="""
     SELECT o_orderstatus,
-           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+           coalesce(array_to_string(
+               list_sort(list_distinct(list(o_orderpriority))), ','), '')
                AS priorities,
            COUNT(*) AS n
     FROM orders GROUP BY o_orderstatus

@@ -191,3 +191,67 @@ def test_dirty_events_parity(spark, dirty_events_dir, dirty_events_con, name):
         ORACLES[name],
         name,
     )
+
+
+REL_QUERIES = [
+    "join_inner_equi",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "agg_group_stats",
+    "agg_distinct",
+    "agg_collect_set",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_rel_dir(tmp_path_factory):
+    import datetime
+
+    d = tmp_path_factory.mktemp("dirty_rel")
+    ts = datetime.datetime(1995, 3, 1)
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4, 5, 6],
+            "o_custkey": pd.array([10, 11, None, 12, 10, None], dtype="Int64"),
+            "o_orderstatus": ["F", "O", None, "F", "O", "F"],
+            "o_totalprice": [100.0, None, 50.0, 75.0, 20.0, 30.0],
+            "o_orderdate": pd.to_datetime([ts] * 5 + [None]).as_unit("us"),
+            "o_orderpriority": [
+                "1-URGENT", "3-MEDIUM", None, "2-HIGH", "5-LOW", "1-URGENT",
+            ],
+        }
+    ).to_parquet(str(d / "orders.parquet"))
+    pd.DataFrame(
+        {
+            "c_custkey": [10, 11, 13],
+            "c_name": ["a", None, "c"],
+            "c_nationkey": pd.array([1, None, 2], dtype="Int64"),
+            "c_mktsegment": ["BUILDING", "AUTOMOBILE", None],
+            "c_acctbal": [1.0, 2.0, None],
+        }
+    ).to_parquet(str(d / "customer.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def dirty_rel_con(dirty_rel_dir):
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{dirty_rel_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", REL_QUERIES)
+def test_dirty_relational_parity(spark, dirty_rel_dir, dirty_rel_con, name):
+    """Null join keys, null group keys, null measures, and an all-null
+    collect_set group must agree across engines (nulls never equi-match;
+    null groups group together; aggregates skip null measures; an
+    all-null set collapses to the empty string, not NULL)."""
+    compare(
+        QUERIES[name](spark, dirty_rel_dir), dirty_rel_con, ORACLES[name], name
+    )
