@@ -26,7 +26,13 @@ from pyspark.sql.types import (
 )
 
 from jorvik_spark.pipelines import ETL, FileInput, FileOutput, etl
-from jorvik_spark.queries.text_analysis import _BPE_PAT, _STOPWORDS, _TOKENS
+from jorvik_spark.queries.text_analysis import (
+    _BPE_PAT,
+    _PII_EMAIL,
+    _PII_URL,
+    _STOPWORDS,
+    _TOKENS,
+)
 
 DOCUMENTS_SCHEMA = StructType(
     [
@@ -61,10 +67,12 @@ CORPUS_STATS_SCHEMA = StructType(
     ]
 )
 
-# Quality gate: drop docs that are too short to train on or that look
-# like boilerplate (almost no stopwords => listings/code/noise).
+# Quality gate: drop docs that are too short to train on, that look like
+# boilerplate (almost no stopwords => listings/code/noise), or that are
+# dominated by repeated bigrams (looping templates — Gopher-style gate).
 MIN_TOKENS = 5
 MIN_STOPWORD_RATIO = 0.01
+MAX_DUP_BIGRAM_RATIO = 0.5
 
 # The engine's English stopword list (text_analysis._STOPWORDS) — imported
 # so the example's quality gate and text_quality_score/text_language_id
@@ -87,9 +95,10 @@ def make_bronze_documents(sf_dir: str, lake: str) -> ETL:
 
 
 def make_silver_curated(lake: str) -> ETL:
-    """Silver: exact dedup (keep lowest doc_id per content hash), quality
-    gate, and token budgets — partitioned by language for downstream
-    per-language sampling."""
+    """Silver: scrub-aware exact dedup (keep lowest doc_id per REDACTED
+    content hash, so docs differing only in emails/URLs collapse),
+    quality + repetition gates, and token budgets — partitioned by
+    language for downstream per-language sampling."""
     bronze = FileInput(path=f"{lake}/bronze/documents", schema=DOCUMENTS_SCHEMA)
     silver = FileOutput(
         path=f"{lake}/silver/curated",
@@ -102,8 +111,25 @@ def make_silver_curated(lake: str) -> ETL:
     def curate_documents(docs: DataFrame) -> DataFrame:
         from pyspark.sql import Window
 
-        keep_first = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        # Dedup on the scrubbed fingerprint (text_scrub_pii semantics):
+        # contact details and tracking links differ between otherwise
+        # identical mirror copies and must not defeat exact dedup.
+        scrubbed_key = F.md5(
+            F.expr(
+                f"regexp_replace(regexp_replace(text, '{_PII_EMAIL}', "
+                f"'<EMAIL>'), '{_PII_URL}', '<URL>')"
+            )
+        )
+        keep_first = Window.partitionBy(scrubbed_key).orderBy("doc_id")
         toks = F.expr(_TOKENS)
+        bigrams = F.expr(
+            "if(size(t) >= 2, transform(sequence(1, size(t) - 1), "
+            "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1))), "
+            "array())"
+        )
+        dup_bigram_ratio = F.when(F.size("bg") == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct("bg")) * F.lit(1.0) / F.size("bg")
+        )
         stop_hits = F.size(
             F.expr(
                 "filter(t, x -> x IN ({}))".format(
@@ -126,12 +152,14 @@ def make_silver_curated(lake: str) -> ETL:
                 "stopword_ratio",
                 stop_hits / F.greatest(F.col("n_tokens"), F.lit(1)),
             )
+            .withColumn("bg", bigrams)
             .filter(
                 (F.col("n_tokens") >= MIN_TOKENS)
                 & (
                     (F.col("lang") != "en")
                     | (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
                 )
+                & (dup_bigram_ratio <= MAX_DUP_BIGRAM_RATIO)
             )
             .select(
                 "doc_id", "text", "lang", "source", "n_chars",
