@@ -47,6 +47,7 @@ _CHECK_PRIORITY = [
     "corpus_domain_mix",
     # -- red in r5, fixed this round (TIMESTAMP_NTZ) --
     "window_moving_avg",
+    "window_sessionize",
     # -- plans changed this round: re-verify --
     "pack_sequences",
     "dedup_embedding_cosine",
@@ -95,13 +96,13 @@ _CHECK_PRIORITY = [
     "merge_schema_evolution",
     "stream_dedup_watermark",
     "stream_session_window",
-    "stream_sliding_agg",
     # Rotated out (all driver-green r2 and/or r5 on identical code; pytest
     # parity still covers them): join_inner_equi, join_left_outer,
     # join_full_outer, join_semi, join_anti, scan_parquet_roundtrip,
     # sink_partitioned_write, stream_passthrough (stream_dedup_watermark
     # exercises the same readStream/writeStream path plus watermarked
-    # state).
+    # state), stream_sliding_agg (r5-green; its Expand-plan twin
+    # stream_tumbling_agg stays in via the bench shapes).
     # Their slots go to the round-6 additions — dedup_minhash_banded,
     # dedup_minhash_components, simsearch_lsh_det, text_scrub_pii,
     # embed_quantize_int8 (new) and dedup_simhash (newly value-checkable).

@@ -428,3 +428,50 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spend.select(
         "o_custkey", "cents", F.ntile(4).over(w).alias("quartile")
     )
+
+
+_SESSION_GAP_US = 1_800_000_000  # 30 minutes of event-time silence
+
+
+@query(
+    "window_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                         > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE ts IS NOT NULL)
+    SELECT event_id, user_id, ts,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_seq
+    FROM ordered
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: assign each event a per-user session sequence
+    number, where a new session starts after 30 minutes of event-time
+    silence — the lag-then-running-sum idiom behind funnel and retention
+    analytics (the batch complement of ``stream_session_window``, which
+    aggregates per session; this one labels the raw events).
+
+    Scale shape: two window passes over the same (user_id, ts) ordering —
+    Catalyst evaluates both in a single sort/exchange keyed by user_id, a
+    high-cardinality key, so parallelism tracks users, not the corpus.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order_w))
+    new_session = F.when(gap > _SESSION_GAP_US, 1).otherwise(0)
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(new_session).over(run_w).cast("long").alias("session_seq"),
+    )
