@@ -83,6 +83,7 @@ _CHECK_PRIORITY = [
     "multimodal_frame_sample",
     # -- bench shapes (BASELINE.md) --
     "agg_pricing_summary",
+    "agg_funnel_steps",
     "agg_percentiles",
     "agg_collect_set",
     "window_ntile",
@@ -93,7 +94,6 @@ _CHECK_PRIORITY = [
     # -- core §2A/§2B operators --
     "agg_group_stats",
     "merge_upsert",
-    "merge_schema_evolution",
     "stream_dedup_watermark",
     "stream_session_window",
     # Rotated out (all driver-green r2 and/or r5 on identical code; pytest
@@ -102,7 +102,8 @@ _CHECK_PRIORITY = [
     # sink_partitioned_write, stream_passthrough (stream_dedup_watermark
     # exercises the same readStream/writeStream path plus watermarked
     # state), stream_sliding_agg (r5-green; its Expand-plan twin
-    # stream_tumbling_agg stays in via the bench shapes).
+    # stream_tumbling_agg stays in via the bench shapes),
+    # merge_schema_evolution (r5-green; merge_upsert keeps MERGE in).
     # Their slots go to the round-6 additions — dedup_minhash_banded,
     # dedup_minhash_components, simsearch_lsh_det, text_scrub_pii,
     # embed_quantize_int8 (new) and dedup_simhash (newly value-checkable).

@@ -359,3 +359,76 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("priorities"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "agg_funnel_steps",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+        FROM events WHERE ts IS NOT NULL AND event_type = '{_FUNNEL_STEPS[0]}'
+        GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.ts IS NOT NULL AND e.event_type = '{_FUNNEL_STEPS[1]}'
+          AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.ts IS NOT NULL AND e.event_type = '{_FUNNEL_STEPS[2]}'
+          AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        GROUP BY e.user_id)
+    SELECT 1 AS stage, '{_FUNNEL_STEPS[0]}' AS step,
+           COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, '{_FUNNEL_STEPS[1]}', COUNT(*) FROM s2
+    UNION ALL
+    SELECT 3, '{_FUNNEL_STEPS[2]}', COUNT(*) FROM s3
+    """,
+)
+def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): how many
+    users completed each prefix of the step sequence IN ORDER — each
+    step's first occurrence must be strictly after the previous step's.
+    The windowFunnel-style product-analytics op (ClickHouse/Flink have a
+    dedicated operator; here it is three conditional min-aggregations).
+
+    Scale shape: one filtered hash agg per step plus an equi join on
+    user_id carrying only (user, first-ts) pairs — each successive stage
+    shrinks, and nothing ever materializes per-event state. All shuffles
+    are keyed by the high-cardinality user_id.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    s1 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, n: int) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(_FUNNEL_STEPS[n - 1]).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return stage(s1, 1).unionByName(stage(s2, 2)).unionByName(stage(s3, 3))
