@@ -84,9 +84,9 @@ _CHECK_PRIORITY = [
     # -- bench shapes (BASELINE.md) --
     "agg_pricing_summary",
     "agg_funnel_steps",
+    "agg_retention_cohort",
     "agg_percentiles",
     "agg_collect_set",
-    "window_ntile",
     "join_q3_topk",
     "join_q5_regional",
     "window_rank_per_user",
@@ -101,9 +101,12 @@ _CHECK_PRIORITY = [
     # join_full_outer, join_semi, join_anti, scan_parquet_roundtrip,
     # sink_partitioned_write, stream_passthrough (stream_dedup_watermark
     # exercises the same readStream/writeStream path plus watermarked
-    # state), stream_sliding_agg (r5-green; its Expand-plan twin
-    # stream_tumbling_agg stays in via the bench shapes),
-    # merge_schema_evolution (r5-green; merge_upsert keeps MERGE in).
+    # state), stream_sliding_agg and stream_session_window (r5-green;
+    # stream_tumbling_agg stays in via the bench shapes and
+    # stream_dedup_watermark keeps stateful streaming in),
+    # merge_schema_evolution (r5-green; merge_upsert keeps MERGE in),
+    # window_ntile (r5-green, unchanged; the window family keeps five
+    # prefix slots including the new sessionize).
     # Their slots go to the round-6 additions — dedup_minhash_banded,
     # dedup_minhash_components, simsearch_lsh_det, text_scrub_pii,
     # embed_quantize_int8 (new) and dedup_simhash (newly value-checkable).

@@ -432,3 +432,59 @@ def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return stage(s1, 1).unionByName(stage(s2, 2)).unionByName(stage(s3, 3))
+
+
+@query(
+    "agg_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_ts
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+    cohorted AS (
+        SELECT e.user_id,
+               CAST(date_trunc('week', f.first_ts) AS TIMESTAMP) AS cohort_week,
+               CAST((epoch_us(CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP))
+                                   AS TIMESTAMP))
+                     - epoch_us(CAST(date_trunc('week', f.first_ts)
+                                     AS TIMESTAMP)))
+                    // 604800000000 AS BIGINT) AS age_weeks
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.ts IS NOT NULL)
+    SELECT cohort_week, age_weeks,
+           COUNT(DISTINCT user_id) AS n_active_users
+    FROM cohorted GROUP BY cohort_week, age_weeks
+    """,
+)
+def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; for every later week of activity, how many of that
+    cohort were active — the classic retention-triangle input (funnel's
+    time-axis sibling).
+
+    Scale shape: first-event hash agg per user, one equi join on user_id
+    carrying a single timestamp per user, then a distinct-count keyed by
+    (cohort, age) — nothing per-event survives the first aggregation.
+    Week arithmetic is integer microsecond division, identical on both
+    engines (both date_trunc to ISO Monday).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorted = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", "first_ts").alias("cohort_week"),
+            (
+                (
+                    F.unix_micros(F.date_trunc("week", "ts"))
+                    - F.unix_micros(F.date_trunc("week", "first_ts"))
+                )
+                / F.lit(604_800_000_000)
+            )
+            .cast("long")
+            .alias("age_weeks"),
+        )
+    )
+    return cohorted.groupBy("cohort_week", "age_weeks").agg(
+        F.countDistinct("user_id").alias("n_active_users")
+    )
