@@ -138,6 +138,8 @@ def test_dirty_embeddings_parity(spark, dirty_emb_dir, dirty_emb_con, name):
 EVENT_QUERIES = [
     "window_rank_per_user",
     "window_sessionize",
+    "agg_funnel_steps",
+    "agg_retention_cohort",
     "window_lag_lead",
     "window_running_sum",
     "window_moving_avg",

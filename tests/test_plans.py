@@ -290,3 +290,23 @@ def test_narrow_ops_have_no_exchange(spark, name):
     plan = _plan(spark, name)
     tree = plan.split("\n\n", 1)[0]
     assert not any("Exchange" in ln for ln in tree.splitlines()), plan
+
+
+def test_funnel_and_retention_reduce_before_joining(spark):
+    """Funnel stages and cohort retention must join pre-aggregated
+    (user, ts) pairs — a HashAggregate feeds each join side; no
+    Cartesian, no Python."""
+    for name in ("agg_funnel_steps", "agg_retention_cohort"):
+        plan = _plan(spark, name)
+        assert "HashAggregate" in plan
+        assert "CartesianProduct" not in plan
+        assert "PythonEval" not in plan
+
+
+def test_sessionize_single_sort_exchange(spark):
+    """Both sessionize window passes share one user_id sort/exchange."""
+    plan = _plan(spark, "window_sessionize")
+    tree = plan.split("\n\n", 1)[0]
+    assert sum("Exchange" in ln for ln in tree.splitlines()) == 1, plan
+    assert sum(ln.strip().startswith(("+- Sort", ":- Sort", "Sort "))
+               or "- Sort (" in ln for ln in tree.splitlines()) <= 1, plan
