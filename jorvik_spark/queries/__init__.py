@@ -37,7 +37,9 @@ from jorvik_spark.queries import sampling  # noqa: F401,E402
 #     identical code; pytest parity still covers them): join_inner_equi,
 #     join_left_outer, join_full_outer, join_semi, join_anti,
 #     scan_parquet_roundtrip, sink_partitioned_write, stream_passthrough,
-#     stream_sliding_agg, merge_schema_evolution, window_ntile. The join
+#     stream_sliding_agg, merge_schema_evolution, window_ntile,
+#     multimodal_binary_scan (its scan is a strict subset of the three
+#     decode-pipeline queries that stay in). The join
 #     family stays represented by join_q3_topk/join_q5_regional, MERGE by
 #     merge_upsert, streaming state by stream_dedup_watermark +
 #     stream_session_window + stream_tumbling_agg.
@@ -82,8 +84,8 @@ _CHECK_PRIORITY = [
     "udf_pandas_scalar",
     "udaf_grouped_apply",
     # -- multimodal pipeline --
-    "multimodal_binary_scan",
     "multimodal_feature_extract",
+    "multimodal_resize",
     "multimodal_frame_sample",
     # -- bench shapes (BASELINE.md) + event analytics --
     "agg_pricing_summary",

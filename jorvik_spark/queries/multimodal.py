@@ -219,3 +219,89 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return binaries.mapInPandas(_sample_frames_batched, schema=_FRAME_SCHEMA)
+
+
+_RESIZE_TARGET = 32  # longest-edge target (pixels) for the stub resize
+
+
+def resize_media(content: bytes) -> dict:
+    """STUB aspect-preserving resize (the real decode+resample — PIL /
+    ffmpeg — is not in this container). Output dimensions scale the
+    digest-derived fake dimensions to a 32px longest edge with pure
+    integer arithmetic, and the 'resized content' is identified by a
+    deterministic key over (source digest, out dims) — both reproducible
+    in DuckDB, which keeps the whole plumbing oracle-checkable."""
+    meta = decode_media(content)
+    w, h = meta["fake_width"], meta["fake_height"]
+    longest = max(w, h)
+    out_w = max(1, (w * _RESIZE_TARGET) // longest)
+    out_h = max(1, (h * _RESIZE_TARGET) // longest)
+    key = hashlib.md5(
+        f"{meta['content_sha256']}|{out_w}|{out_h}".encode("ascii")
+    ).hexdigest()
+    return {
+        "fake_width": w,
+        "fake_height": h,
+        "out_width": out_w,
+        "out_height": out_h,
+        "resized_key": key,
+    }
+
+
+_RESIZE_SCHEMA = (
+    "path string, fake_width long, fake_height long, "
+    "out_width long, out_height long, resized_key string"
+)
+
+
+def _resize_batched(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        out = pd.DataFrame([resize_media(bytes(c)) for c in batch["content"]])
+        for c in ("fake_width", "fake_height", "out_width", "out_height"):
+            out[c] = out[c].astype("int64")
+        out.insert(0, "path", batch["path"].values)
+        yield out
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH blobs AS (
+        SELECT filename, sha256(lower(hex(content))) AS digest
+        FROM read_blob('{{sf_dir}}/*.parquet')),
+    dims AS (
+        SELECT filename, digest,
+               1 + CAST(('0x' || substr(digest, 1, 2)) AS BIGINT) % 64 AS w,
+               1 + CAST(('0x' || substr(digest, 3, 2)) AS BIGINT) % 64 AS h
+        FROM blobs),
+    resized AS (
+        SELECT filename, digest, w, h,
+               greatest(1, (w * {_RESIZE_TARGET}) // greatest(w, h)) AS out_w,
+               greatest(1, (h * {_RESIZE_TARGET}) // greatest(w, h)) AS out_h
+        FROM dims)
+    SELECT filename AS path,
+           w AS fake_width, h AS fake_height,
+           out_w AS out_width, out_h AS out_height,
+           md5(digest || '|' || CAST(out_w AS VARCHAR)
+                      || '|' || CAST(out_h AS VARCHAR)) AS resized_key
+    FROM resized
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage: binary scan → conditional decode spread →
+    Arrow-batched mapInPandas aspect-preserving resize (stubbed decode,
+    real Spark plumbing — schema, batching, partitioning). 1:1 row
+    mapping, no shuffle after the spread; at 100 TB the resize is pure
+    per-partition CPU exactly like the real PIL/ffmpeg call it stands
+    in for."""
+    binaries = _spread_for_decode(
+        spark,
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select(
+            F.regexp_replace("path", _STRIP_SCHEME, "").alias("path"),
+            "content",
+        ),
+    )
+    return binaries.mapInPandas(_resize_batched, schema=_RESIZE_SCHEMA)

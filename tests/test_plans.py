@@ -33,6 +33,7 @@ _PYTHON_OK = {
     "udaf_grouped_apply",
     "udf_map_in_pandas",
     "multimodal_feature_extract",
+    "multimodal_resize",
     # Spark ML LSH models evaluate their hash families as UDFs.
     "dedup_minhash_lsh",
     "simsearch_lsh",
