@@ -13,7 +13,7 @@ Five strategies, each the scale-appropriate Spark shape:
 * MinHash banded — the same OR-of-ANDs banding with a DETERMINISTIC
                    md5-derived hash family (pure built-ins, no ML UDFs),
                    value-checkable against DuckDB bit-for-bit.
-* SimHash        — 60-bit signature from per-token md5-derived bit votes;
+* SimHash        — 60-bit frequency-weighted md5 bit-vote signature;
                    banded self-join on 15-bit sub-keys, hamming-distance
                    verify via bit_count(xor). All built-ins, no UDFs.
 
@@ -268,21 +268,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _sql_simhash_votes() -> str:
+    return ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{b}"
+        for b in range(60)
+    )
+
+
+def _sql_simhash_fold() -> str:
+    return " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60)
+    )
+
+
 @query(
     "dedup_simhash",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
-    hs AS (SELECT doc_id,
-           list_transform(t, tok ->
-               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)) AS h
-           FROM toks WHERE len(t) > 0),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS cnt
+           FROM (SELECT doc_id, unnest(t) AS tok
+                 FROM toks WHERE len(t) > 0)
+           GROUP BY doc_id, tok),
+    hv AS (SELECT doc_id, cnt,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM tf),
+    votes AS (SELECT doc_id, {_sql_simhash_votes()} FROM hv GROUP BY doc_id),
     sig AS (SELECT doc_id,
-            CAST(list_sum(list_transform(range(0, 60), b ->
-                CASE WHEN list_sum(list_transform(h, hv ->
-                         CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                     THEN (CAST(1 AS BIGINT) << b)
-                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
-            FROM hs),
+            CAST({_sql_simhash_fold()} AS BIGINT) AS simhash FROM votes),
     bands AS (SELECT doc_id, simhash, r.band,
                      (simhash >> (r.band * 15)) & 32767 AS key
               FROM sig CROSS JOIN
@@ -296,43 +309,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 60-bit signature from per-token bit votes,
+    """SimHash near-dup pairs: 60-bit frequency-weighted signature,
     4×15-bit band blocking, hamming ≤ 3 verification.
 
-    Entirely built-in expressions: one md5-derived 60-bit hash per token
-    (bit-identical in DuckDB — same family as ``dedup_minhash_banded``,
-    which is what makes this value-checkable rather than rows-only), bit
-    votes via an array aggregate, band extraction with shiftright/mask,
-    verification with bit_count(a ^ b). By pigeonhole, any pair at
-    hamming ≤ 3 agrees on at least one of the 4 bands, so blocking loses
-    nothing.
+    Entirely built-in expressions: one md5-derived 60-bit hash per
+    distinct (doc, token) pair — bit-identical in DuckDB, same family as
+    ``dedup_minhash_banded``, which is what makes this value-checkable
+    rather than rows-only. The bit votes are 60 codegen'd conditional
+    sums over (doc, token, count) rows, so the signature scales with a
+    document's VOCABULARY, not its length (the naive per-row array fold
+    serialized one task for 80 s on a single 200k-token doc), and the
+    map-side combine of the token-frequency aggregation bounds what any
+    task holds. Band extraction is shiftright/mask; verification is
+    bit_count(a ^ b). By pigeonhole, any pair at hamming ≤ 3 agrees on
+    at least one of the 4 bands, so blocking loses nothing.
     """
+    import functools
+    import operator
+
     toks = _tokenized_docs(spark, sf_dir).filter(F.size("t") > 0)
-    # votes[b] = Σ_tokens (bit b of hash(token) ? +1 : -1); sign → bit.
-    # Hash every token exactly once up front — folding the hash into the
-    # per-bit lambda would recompute it 60× per token (measured 20× slower).
-    sig = toks.select(
+    # (doc, token) frequencies first: a million-token doc collapses to its
+    # vocabulary in the map-side combine, so the 60 bit-vote sums below
+    # run over vocab-sized input inside whole-stage codegen instead of an
+    # interpreted O(length × 60) array fold on a single task (measured
+    # 80 s → ~1 s signature cost for a 200k-token doc).
+    ex = toks.select("doc_id", F.explode("t").alias("tok"))
+    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    hv = tf.select(
         "doc_id",
+        "cnt",
         F.expr(
-            "transform(t, tok -> cast(conv(substring(md5(tok), 1, 15), "
-            "16, 10) AS bigint))"
-        ).alias("h"),
-    ).select(
-        "doc_id",
-        F.expr(
-            "aggregate(h, array_repeat(0L, 60), (acc, hv) -> "
-            "zip_with(acc, transform(sequence(0, 59), "
-            "b -> if(((hv >> b) & 1) = 1, 1L, -1L)), "
-            "(x, y) -> x + y))"
-        ).alias("votes"),
-    ).select(
-        "doc_id",
-        F.expr(
-            "aggregate(sequence(0, 59), 0L, "
-            "(acc, b) -> if(element_at(votes, b + 1) > 0, "
-            "acc | (1L << b), acc))"
-        ).alias("simhash"),
+            "cast(conv(substring(md5(tok), 1, 15), 16, 10) AS bigint)"
+        ).alias("hv"),
     )
+    # votes[b] = Σ_tokens cnt · (bit b of hash(token) ? +1 : −1); sign → bit.
+    votes = hv.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(hv >> {b}) & 1 = 1"), F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                )
+            ).alias(f"v{b}")
+            for b in range(60)
+        ]
+    )
+    fold = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(60)
+        ],
+    )
+    sig = votes.select("doc_id", fold.alias("simhash"))
     # bands is both sides of the blocking self-join — cache it so the
     # signature computation (a 60-way bit vote per doc) runs once.
     bands = memo_df(
