@@ -91,6 +91,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAX_SHINGLE_DF = 100
 
 
+
+
+def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded 3-gram index, memoized per session.
+
+    Shared by the Jaccard inverted-index join, the banded-MinHash
+    signatures, and the connected-components pair graph — the corpus is
+    tokenized and shingled exactly once however many dedup strategies
+    run. Docs with < 3 tokens produce no rows (empty shingle arrays).
+    """
+    return memo_df(
+        f"shingle_index:{sf_dir}",
+        spark,
+        lambda: _tokenized_docs(spark, sf_dir)
+        .select("doc_id", F.expr(_SHINGLES_T).alias("s"))
+        .select("doc_id", F.explode("s").alias("shingle")),
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -128,17 +147,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets are distinct per doc; no cross join exists anywhere in
     the plan.
     """
-    toks = _tokenized_docs(spark, sf_dir)
-    sh = toks.select("doc_id", F.expr(_SHINGLES_T).alias("s"))
-    # Persist the exploded inverted index: it feeds three consumers (the
-    # document-frequency filter, both sides of the pair self-join) and the
-    # per-doc sizes — without the cache each branch re-scans documents and
-    # re-tokenizes, 5 passes over 100 TB instead of 1.
-    ex = memo_df(
-        f"shingle_index:{sf_dir}",
-        spark,
-        lambda: sh.select("doc_id", F.explode("s").alias("shingle")),
-    )
+    # The exploded inverted index feeds three consumers here (the
+    # document-frequency filter, both sides of the pair self-join, the
+    # per-doc sizes) plus the MinHash signatures below — one shared cache
+    # instead of re-tokenizing the corpus per consumer.
+    ex = _shingle_index(spark, sf_dir)
     rare = (
         ex.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -454,16 +467,19 @@ _MH_SEEDS = _MH_BANDS * _MH_ROWS
 
 
 def _mh(i: int) -> str:
+    # per (doc, shingle) ROW — aggregated with MIN, so signature cost is
+    # codegen'd and distributes with the exploded index instead of an
+    # interpreted O(shingles × seeds) array fold on one task per doc.
     return (
-        f"array_min(transform(s, x -> cast(conv(substring("
-        f"md5(concat('{i}:', x)), 1, 15), 16, 10) AS bigint)))"
+        f"cast(conv(substring(md5(concat('{i}:', shingle)), 1, 15), "
+        f"16, 10) AS bigint)"
     )
 
 
 def _sql_mh(i: int) -> str:
     return (
-        f"list_min(list_transform(s, x -> CAST(('0x' || "
-        f"substr(md5('{i}:' || x), 1, 15)) AS BIGINT)))"
+        f"MIN(CAST(('0x' || substr(md5('{i}:' || shingle), 1, 15)) "
+        f"AS BIGINT))"
     )
 
 
@@ -484,9 +500,10 @@ def _sql_mh_bands() -> str:
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    shex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
     sig AS (SELECT doc_id,
             {', '.join(f'{_sql_mh(i)} AS h{i}' for i in range(_MH_SEEDS))}
-            FROM sh),
+            FROM shex GROUP BY doc_id),
     bands AS ({_sql_mh_bands()})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared_bands
@@ -531,11 +548,8 @@ def _mh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     the connected-components query, and both sides of each self-join."""
 
     def build() -> DataFrame:
-        toks = _tokenized_docs(spark, sf_dir).filter(F.size("t") >= 3)
-        sh = toks.select("doc_id", F.expr(_SHINGLES_T).alias("s"))
-        sig = sh.select(
-            "doc_id",
-            *[F.expr(_mh(i)).alias(f"h{i}") for i in range(_MH_SEEDS)],
+        sig = _shingle_index(spark, sf_dir).groupBy("doc_id").agg(
+            *[F.min(F.expr(_mh(i))).alias(f"h{i}") for i in range(_MH_SEEDS)]
         )
         band_structs = ", ".join(
             "named_struct('band', {b}, 'key', concat_ws('|', {cols}))".format(
@@ -559,9 +573,10 @@ def _mh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE
     toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    shex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
     sig AS (SELECT doc_id,
             {', '.join(f'{_sql_mh(i)} AS h{i}' for i in range(_MH_SEEDS))}
-            FROM sh),
+            FROM shex GROUP BY doc_id),
     bands AS ({_sql_mh_bands()}),
     pairs AS (
         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
