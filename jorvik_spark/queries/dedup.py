@@ -414,11 +414,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Provenance fingerprint: md5 over the first _PREFIX_TOKENS normalized
+# tokens (the "lead"). Exact duplicates always share it, and near-dup
+# templates (same lead, edited tail — the common scrape-overlap shape)
+# collide too, so the report is non-empty at every test SF where a pure
+# md5(text) key only collides at sf0.1 (vacuous driver evidence below it).
+_PREFIX_TOKENS = 16
+
+
 @query(
     "dedup_cross_source",
-    oracle="""
-    WITH keyed AS (
-        SELECT md5(text) AS content_key, source, doc_id FROM documents),
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_SQL_TOKENS} AS t FROM documents),
+    keyed AS (
+        SELECT doc_id, source,
+               md5(array_to_string(t[1:{_PREFIX_TOKENS}], ' ')) AS content_key
+        FROM toks WHERE len(t) >= {_PREFIX_TOKENS}),
     dup AS (
         SELECT content_key,
                COUNT(*) AS n_copies,
@@ -431,20 +443,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source exact-duplicate provenance: content keys that appear
-    in more than one source, with copy count and a deterministic
-    canonical doc. The report behind "which scrapes overlap" licensing
-    and dataset-contamination questions — exact dedup (`dedup_exact`)
-    removes these; this query *attributes* them.
+    """Cross-source duplicate provenance: lead-fingerprint keys (md5 of
+    the first 16 normalized tokens) that appear in more than one source,
+    with copy count and a deterministic canonical doc. The report behind
+    "which scrapes overlap" licensing and dataset-contamination
+    questions — exact dedup (`dedup_exact`) removes exact copies; this
+    query *attributes* overlap, and the prefix key also catches the
+    shared-lead/edited-tail near-dup shape an exact key misses.
 
-    One hash aggregation on the content key (map-side combined); the
+    Docs shorter than the prefix are excluded (their truncated leads
+    would collide degenerately — every empty/NULL doc maps to md5('')).
+
+    One hash aggregation on the fingerprint (map-side combined); the
     distinct-source count rides the same shuffle. No joins, no windows —
     at 100 TB this is strictly cheaper than the dedup itself.
     """
     docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.expr(_TOKENS).alias("t")
+    ).filter(F.size("t") >= _PREFIX_TOKENS)
     return (
-        docs.select(
-            F.md5("text").alias("content_key"), "source", "doc_id"
+        toks.select(
+            F.md5(
+                F.concat_ws(" ", F.slice("t", 1, _PREFIX_TOKENS))
+            ).alias("content_key"),
+            "source",
+            "doc_id",
         )
         .groupBy("content_key")
         .agg(

@@ -103,11 +103,26 @@ def _drop_memo_entry(entry: tuple[SparkSession, DataFrame]) -> None:
 def memo_df(
     key: str, spark: SparkSession, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    """Persist-and-remember a DataFrame per (key, session)."""
+    """Persist-and-remember a DataFrame per (key, session).
+
+    Keys follow the ``name:sf_dir`` convention; the part after the first
+    colon is the data directory the entry was built from. On a miss, two
+    eviction passes keep pinned storage bounded: entries bound to a
+    DIFFERENT session (superseded/stopped) and same-session entries for a
+    DIFFERENT sf_dir — a run queries one directory at a time, so
+    cross-directory reuse never happens and keeping one persisted corpus
+    copy per directory ever touched would grow without bound.
+    """
     hit = _MEMO.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
-    for k in [k for k, (s, _) in _MEMO.items() if s is not spark]:
+    scope = key.split(":", 1)[1] if ":" in key else None
+    for k in [
+        k
+        for k, (s, _) in _MEMO.items()
+        if s is not spark
+        or (scope is not None and k.split(":", 1)[1:] != [scope])
+    ]:
         _drop_memo_entry(_MEMO.pop(k))
     df = build().persist()
     _MEMO[key] = (spark, df)

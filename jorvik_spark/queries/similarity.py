@@ -394,64 +394,67 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # banded MinHash), so the whole index is value-checkable — unlike the
 # Spark-ML BucketedRandomProjectionLSH variant whose plane RNG is
 # engine-internal. w(j, d) ∈ [-1, 1] with 1/1000 resolution.
+#
+# Plane weights are generated to the ROW'S OWN dimensionality (size(v) /
+# len(e)), never a hardcoded dim: a fixed-width plane zip_with'd against a
+# different-sized vector pads with NULL in Spark (projection → NULL →
+# bucket bit 0) while DuckDB's list_sum SKIPS NULLs (partial projection) —
+# a silent cross-engine bucket divergence instead of a loud failure.
 _RP_PLANES = 8
-_RP_DIM = 64  # embeddings.embedding dimensionality
 _RP_COS_MIN = 0.4
-
-_RP_W = (
-    "transform(sequence(0, {dim1}), d -> "
-    "(cast(conv(substring(md5(concat('{j}:', d)), 1, 15), 16, 10) AS bigint) "
-    "% 2001 - 1000) / 1000.0)"
-)
-_SQL_RP_W = (
-    "list_transform(range(0, {dim}), d -> "
-    "(CAST(('0x' || substr(md5('{j}:' || d), 1, 15)) AS BIGINT) "
-    "% 2001 - 1000) / 1000.0)"
-)
 
 
 def _rp_bucket_expr() -> str:
-    """Spark: 8-bit sign bucket of the projections onto the 8 planes."""
+    """Spark: 8-bit sign bucket of the projections onto the 8 planes.
+
+    The plane is materialized per row as transform(sequence(0, size(v)-1))
+    so weight j,d is defined for exactly the dimensions the vector has;
+    mixed-dimensionality corpora hash each vector against the matching
+    prefix of the (conceptually infinite) md5 weight stream.
+    """
     bits = []
     for j in range(_RP_PLANES):
-        w = _RP_W.format(dim1=_RP_DIM - 1, j=j)
-        proj = f"aggregate(zip_with(v, {w}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        w = (
+            "transform(sequence(0, size(v) - 1), d -> "
+            f"(cast(conv(substring(md5(concat('{j}:', d)), 1, 15), 16, 10)"
+            " AS bigint) % 2001 - 1000) / 1000.0)"
+        )
+        proj = (
+            f"aggregate(zip_with(v, {w}, (x, y) -> x * y), "
+            "0D, (acc, x) -> acc + x)"
+        )
         bits.append(f"if(round({proj}, 6) > 0, {1 << j}L, 0L)")
     return " + ".join(bits)
 
 
-def _sql_rp_bucket() -> str:
+def _sql_rp_bits() -> str:
+    """DuckDB twin: same per-row weight stream, indexed 1..len(e)."""
     bits = []
     for j in range(_RP_PLANES):
-        w = _SQL_RP_W.format(dim=_RP_DIM, j=j)
         proj = (
-            f"list_sum(list_transform(range(1, {_RP_DIM} + 1), "
-            f"i -> e[i] * w{j}[i]))"
+            "list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * "
+            f"((CAST(('0x' || substr(md5('{j}:' || (i - 1)), 1, 15)) "
+            "AS BIGINT) % 2001 - 1000) / 1000.0)))"
         )
         bits.append(
             f"CASE WHEN round({proj}, 6) > 0 THEN {1 << j} ELSE 0 END"
         )
-    planes = ", ".join(
-        f"{_SQL_RP_W.format(dim=_RP_DIM, j=j)} AS w{j}"
-        for j in range(_RP_PLANES)
-    )
-    return planes, " + ".join(bits)
+    return " + ".join(bits)
 
 
-_SQL_RP_PLANES, _SQL_RP_BITS = _sql_rp_bucket()
+_SQL_RP_BITS = _sql_rp_bits()
 
 
 @query(
     "simsearch_lsh_det",
     oracle=f"""
-    WITH planes AS (SELECT {_SQL_RP_PLANES}),
-    b AS (
+    WITH b AS (
         SELECT vec_id, embedding,
                CAST({_SQL_RP_BITS} AS BIGINT) AS bucket
         FROM (SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
                      embedding
-              FROM embeddings WHERE {_SQL_POS_NORM}) CROSS JOIN planes),
+              FROM embeddings WHERE {_SQL_POS_NORM})),
     pairs AS (
         SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
                round({_SQL_COS.format(a='a.embedding', b='b2.embedding')}, 6)

@@ -168,6 +168,11 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frequent-bigram bound: >=5 yields ~900 rows at sf0.001-0.01 (verified),
+# so the driver's cross-engine hash check is over real data, not {} == {}.
+_NGRAM_MIN_COUNT = 5
+
+
 @query(
     "text_ngram_counts",
     oracle=f"""
@@ -178,7 +183,7 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks)
     SELECT bigram, COUNT(*) AS n
     FROM grams GROUP BY bigram
-    HAVING COUNT(*) >= 50
+    HAVING COUNT(*) >= {_NGRAM_MIN_COUNT}
     """,
 )
 def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,7 +191,11 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is the canonical map-side-combining aggregation; the
     HAVING filter keeps the result bounded (the full histogram would be
-    the corpus vocabulary squared).
+    the corpus vocabulary squared). The threshold is set so the filter
+    BITES but keeps a non-empty result at the driver's sf0.01 (a >=50
+    bound returned the empty set there for four rounds — two engines
+    agreeing on the empty set is vacuous evidence); at production scale raise it
+    with corpus size (it only changes the final HAVING, not the plan).
     """
     toks = _tokenized_docs(spark, sf_dir)
     # if() guard: sequence(1, 0) DESCENDS in Spark (DuckDB range is empty),
@@ -203,7 +212,7 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 50)
+        .filter(F.col("n") >= _NGRAM_MIN_COUNT)
     )
 
 
@@ -564,8 +573,15 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # C4-style scrub patterns (simple character classes only — identical
 # semantics in Java regex and RE2, probed bit-for-bit cross-engine).
+# The URL body excludes ALL whitespace via an explicit class (the escapes
+# resolve to the same tab/newline/CR characters under Spark's escaped
+# string literals and DuckDB's literal backslash + RE2 alike — a bare
+# [^ ]+ ran across tabs/newlines into adjacent text and could merge
+# distinct documents' fingerprints around multiline URLs), and the final
+# character must be non-punctuation so a sentence-ending "...example.com."
+# doesn't swallow the period into the redaction.
 _PII_EMAIL = "[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\\\.[A-Za-z0-9.-]+"
-_PII_URL = "https?://[^ ]+"
+_PII_URL = "https?://[^ \\\\t\\\\n\\\\r]*[^ \\\\t\\\\n\\\\r.,;:!?)]"
 
 
 @query(
@@ -574,10 +590,10 @@ _PII_URL = "https?://[^ ]+"
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_PII_EMAIL.replace(chr(92)*2, chr(92))}')) AS BIGINT)
                AS n_emails,
-           CAST(len(regexp_extract_all(text, '{_PII_URL}')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '{_PII_URL.replace(chr(92)*2, chr(92))}')) AS BIGINT) AS n_urls,
            md5(regexp_replace(regexp_replace(text,
                '{_PII_EMAIL.replace(chr(92)*2, chr(92))}', '<EMAIL>', 'g'),
-               '{_PII_URL}', '<URL>', 'g')) AS scrubbed_key
+               '{_PII_URL.replace(chr(92)*2, chr(92))}', '<URL>', 'g')) AS scrubbed_key
     FROM documents
     """,
 )

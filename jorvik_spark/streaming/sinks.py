@@ -10,13 +10,28 @@ sink pattern.
 
 from __future__ import annotations
 
+import uuid
 from typing import Union
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from jorvik_spark.storage.protocols import Storage
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """True iff Spark can sort on the type (MapType anywhere inside a
+    column makes it unorderable — it would fail the window orderBy at
+    runtime, where the plain dropDuplicates path tolerates it)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def foreach_batch_merge(
@@ -43,10 +58,12 @@ def foreach_batch_merge(
 
     Which row survives: with ``dedup_order_col`` (an event-time/sequence
     column), the LATEST row per key wins — greatest order value, residual
-    ties broken by the remaining columns descending, so the winner is
-    deterministic across reruns and replays. Without it the surviving row
-    is arbitrary (``dropDuplicates``), which is only replay-safe when
-    duplicate deliveries carry identical payloads.
+    ties broken by the remaining *orderable* columns descending (map-typed
+    columns are skipped; Spark cannot sort on them), so the winner is
+    deterministic across reruns and replays up to unorderable payloads.
+    Without it the surviving row is arbitrary (``dropDuplicates``), which
+    is only replay-safe when duplicate deliveries carry identical
+    payloads.
     """
     if not checkpoint:
         raise ValueError("foreach_batch_merge requires a checkpoint location.")
@@ -58,18 +75,27 @@ def foreach_batch_merge(
             return
         if dedup_keys:
             if dedup_order_col:
+                # Tiebreak on the ORDERABLE residual columns only: a map
+                # column would make the window orderBy throw, and rows
+                # differing only in unorderable columns are duplicate
+                # deliveries for ordering purposes anyway. Collision-proof
+                # row-number column so a source column named __rn survives.
+                types = {f.name: f.dataType for f in batch_df.schema.fields}
                 tiebreak = [
                     c
                     for c in batch_df.columns
-                    if c not in dedup_keys and c != dedup_order_col
+                    if c not in dedup_keys
+                    and c != dedup_order_col
+                    and _orderable(types[c])
                 ]
+                rn = f"__rn_{uuid.uuid4().hex}"
                 w = Window.partitionBy(*dedup_keys).orderBy(
                     F.desc(dedup_order_col), *[F.desc(c) for c in tiebreak]
                 )
                 batch_df = (
-                    batch_df.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1)
-                    .drop("__rn")
+                    batch_df.withColumn(rn, F.row_number().over(w))
+                    .filter(F.col(rn) == 1)
+                    .drop(rn)
                 )
             else:
                 batch_df = batch_df.dropDuplicates(dedup_keys)

@@ -146,6 +146,12 @@ EVENT_QUERIES = [
     "stream_tumbling_agg",
     "stream_sliding_agg",
     "stream_session_window",
+    # Stateful streaming dedup: null-ts rows PASS THROUGH (the watermark
+    # gates state eviction, not row admission — a null event time dedups
+    # by key like any other row and survives to the sink; the oracle is
+    # the full distinct source). Pinned here so Spark-version or
+    # watermark-semantics drift fails loudly instead of silently.
+    "stream_dedup_watermark",
 ]
 
 
@@ -204,6 +210,10 @@ REL_QUERIES = [
     "agg_group_stats",
     "agg_distinct",
     "agg_collect_set",
+    # Streaming MERGE over orders with null payloads (o_totalprice,
+    # o_orderstatus): the micro-batch upsert must agree with the
+    # relational post-merge reconstruction on dirty rows too.
+    "stream_foreachbatch_merge",
 ]
 
 

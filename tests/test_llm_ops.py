@@ -191,14 +191,20 @@ def test_repetition_ratio_bounds_and_gate(spark):
 
 
 def test_cross_source_dups_found_at_sf01(spark):
-    """The sf0.1 corpus seeds 8 exact-duplicate groups, all spanning
-    sources; the provenance report must surface exactly those (smaller
-    SFs have none — there the query's 0=0 oracle match is the test)."""
-    rows = _QUERIES["dedup_cross_source"](spark, "/root/testdata/sf0.1").collect()
-    assert len(rows) == 8
-    for r in rows:
-        assert r.n_sources > 1
-        assert r.n_copies >= r.n_sources
+    """The sf0.1 corpus seeds 8 exact-duplicate groups (which always
+    share a lead fingerprint) plus shared-lead near-dup templates; the
+    provenance report must be non-empty at EVERY test SF — the r3-r6
+    vacuity finding was an exact-content key whose driver check was an
+    empty-set hash match below sf0.1."""
+    for sf_dir, min_groups in (
+        ("/root/testdata/sf0.001", 1),
+        ("/root/testdata/sf0.1", 8),
+    ):
+        rows = _QUERIES["dedup_cross_source"](spark, sf_dir).collect()
+        assert len(rows) >= min_groups, sf_dir
+        for r in rows:
+            assert r.n_sources > 1
+            assert r.n_copies >= r.n_sources
 
 
 def test_repeated_invocations_do_not_leak_cached_plans(spark):
@@ -219,6 +225,40 @@ def test_repeated_invocations_do_not_leak_cached_plans(spark):
         for name in names:
             QUERIES[name](spark, sf).count()
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == baseline
+
+
+def test_memo_evicts_other_sf_dirs_within_session():
+    """Same-session entries for a different sf_dir are unpersisted on the
+    next miss: a run queries one directory at a time, so without eviction
+    every directory ever touched would pin a persisted corpus copy."""
+    from jorvik_spark.queries import registry as R
+
+    class FakeDF:
+        def __init__(self):
+            self.persisted = True
+
+        def persist(self):
+            self.persisted = True
+            return self
+
+        def unpersist(self):
+            self.persisted = False
+            return self
+
+    session = object()
+    saved = dict(R._MEMO)
+    R._MEMO.clear()
+    try:
+        a = R.memo_df("toks:/data/sfA", session, FakeDF)
+        a2 = R.memo_df("toks:/data/sfA", session, FakeDF)
+        assert a is a2 and a.persisted
+        b = R.memo_df("toks:/data/sfB", session, FakeDF)
+        assert not a.persisted, "sfA entry must be evicted on the sfB miss"
+        assert b.persisted
+        assert list(R._MEMO) == ["toks:/data/sfB"]
+    finally:
+        R._MEMO.clear()
+        R._MEMO.update(saved)
 
 
 def test_quantize_int8_invariants(spark):

@@ -282,6 +282,37 @@ def test_foreach_batch_merge_dedup_keeps_latest_by_order_col(spark, tmp_path):
         assert rows == [(1, 3, "last"), (2, 1, "z")], rows
 
 
+def test_foreach_batch_merge_dedup_tolerates_map_and_rn_columns(spark, tmp_path):
+    """The residual-column tiebreak must skip unorderable (map) columns
+    instead of failing the window orderBy, and must not clobber a source
+    column literally named __rn (collision-proof temp name)."""
+    from jorvik_spark.streaming.sinks import foreach_batch_merge
+
+    st = BasicStorage()
+    target = str(tmp_path / "t")
+    src = str(tmp_path / "s")
+    schema = "id long, seq long, __rn string, attrs map<string,string>"
+    st.write(
+        spark.createDataFrame([(1, 0, "keep", {"k": "v0"})], schema),
+        target, mode="overwrite",
+    )
+    spark.createDataFrame(
+        [(1, 1, "keep", {"k": "v1"}), (1, 2, "keep", {"k": "v2"})], schema
+    ).write.parquet(src)
+    q = foreach_batch_merge(
+        st.readStream(src, "parquet"), st, target,
+        "full.id == incremental.id", checkpoint=str(tmp_path / "cp"),
+        dedup_keys=["id"], dedup_order_col="seq",
+    )
+    q.awaitTermination(120)
+    rows = st.read(target, "parquet").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id"], r["seq"], r["__rn"], dict(r["attrs"])) == (
+        1, 2, "keep", {"k": "v2"},
+    )
+
+
 def test_foreach_batch_merge_order_col_requires_keys(spark, tmp_path):
     from jorvik_spark.streaming.sinks import foreach_batch_merge
 
