@@ -15,6 +15,23 @@ registered engine queries:
   w1 → window_rank_per_user  (lag + row_number, top-3 per user)
   s1 → stream_tumbling_agg   (1-hour tumbling window agg)
   d1 → agg_approx_distinct   (HLL distinct over orders)
+
+The LLM-pipeline (§2C) shapes are timed too and reported under
+"queries_2c" — REPORT-ONLY: BASELINE.md has no reference numbers for
+them (the reference engine has no such operators), so they carry no 2×
+gate; they exist so a §2C plan regression shows in the round-over-round
+bench diff instead of being invisible:
+
+  c_dedup_banded → dedup_minhash_banded (md5 MinHash + OR-of-ANDs bands)
+  c_simsearch    → simsearch_topk       (broadcast + 2-phase top-k)
+  c_pack         → pack_sequences       (two-level prefix-sum packing)
+  c_tokstats     → text_token_stats     (tokenize + per-doc stats)
+
+Timing regime for §2C: these operators memoize their corpus-derived
+intermediates (tokenized docs, shingle index) per session by design, so
+after the warm-up the measured time is the operator's marginal cost over
+a hot corpus cache — the steady-state regime a pipeline runs in. The
+headline six build everything fresh per run (no memoized stages).
 """
 
 from __future__ import annotations
@@ -39,6 +56,14 @@ BENCH_QUERIES = {
     "d1": "agg_approx_distinct",
 }
 
+# Report-only §2C shapes (no BASELINE number, no gate — regression radar).
+BENCH_2C_QUERIES = {
+    "c_dedup_banded": "dedup_minhash_banded",
+    "c_simsearch": "simsearch_topk",
+    "c_pack": "pack_sequences",
+    "c_tokstats": "text_token_stats",
+}
+
 N_RUNS = 3
 
 
@@ -55,8 +80,7 @@ def main() -> None:
     except ValueError:
         sf = tail
 
-    times: dict[str, float] = {}
-    for label, qname in BENCH_QUERIES.items():
+    def time_query(qname: str) -> float:
         # Rebuild the DataFrame every run: repeated collect() on one DF
         # skips already-materialized shuffle map stages (MapOutputTracker
         # reuse), which times only the result stage (~10× too fast). A
@@ -82,8 +106,14 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
-        times[label] = round(statistics.median(runs), 4)
+        return round(statistics.median(runs), 4)
 
+    times = {lb: time_query(qn) for lb, qn in BENCH_QUERIES.items()}
+    times_2c = {lb: time_query(qn) for lb, qn in BENCH_2C_QUERIES.items()}
+
+    # "value" stays the SIX-shape headline total so the number remains
+    # comparable against BASELINE.md and every prior round's BENCH file;
+    # the §2C times ride alongside, gate-free.
     total = round(sum(times.values()), 4)
     print(
         json.dumps(
@@ -92,6 +122,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_2c": times_2c,
                 "sf": sf,
             }
         )
