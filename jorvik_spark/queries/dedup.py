@@ -158,7 +158,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _MAX_SHINGLE_DF)
         .select("shingle")
     )
-    exf = ex.join(rare, "shingle")
+    # Explicit shingle partitioning for the self-join below. AQE coalesces
+    # post-shuffle partitions by INPUT bytes, and the filtered index is
+    # tiny on the wire (~1 MB/partition) while the join's OUTPUT explodes
+    # up to df^2 rows per shingle — a 50k-doc stress run coalesced the
+    # join to 13 tasks of 12 s CPU each, idling 19 of 32 cores. A
+    # user-specified partition count is exempt from AQE coalescing, and
+    # both self-join sides inherit it (no extra exchange); measured ~30%
+    # off the query wall at 10x driver scale.
+    exf = ex.join(rare, "shingle").repartition(
+        spark.sparkContext.defaultParallelism * 2, "shingle"
+    )
     # Set sizes over the SAME capped sets the intersection uses (see
     # docstring — numerator/denominator consistency).
     sizes = exf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -243,15 +253,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = pairs.unionByName(
             pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
         ).cache()
-        superseded = []
+        checkpointed = False
         for _ in range(5):
             neighbor_min = (
                 edges.join(labels, edges.b == labels.doc_id)
                 .groupBy(F.col("a").alias("doc_id"))
                 .agg(F.min("component").alias("neighbor_component"))
             )
-            superseded.append(labels)
-            labels = (
+            new_labels = (
                 labels.join(neighbor_min, "doc_id", "left")
                 .select(
                     "doc_id",
@@ -262,16 +271,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ),
                     ).alias("component"),
                 )
-                # cache each round: without it, round k recomputes rounds
-                # 1..k-1 (quadratic lineage re-execution at the final action)
-                .persist()
+                # localCheckpoint (not persist) each round: a persist
+                # caches data but the logical plan still nests all prior
+                # rounds and Catalyst re-analysis grows exponentially —
+                # see dedup_minhash_components. Checkpointing is eager,
+                # so the superseded round is released immediately.
+                .localCheckpoint()
             )
-        # Materialize the final labels once, then release every cache that
-        # is now lineage-only — the superseded rounds and the edge list.
-        labels.count()
+            if checkpointed:  # first round's input is the uncached seed
+                labels.unpersist()
+            labels, checkpointed = new_labels, True
         edges.unpersist()
-        for prev in superseded[1:]:  # [0] is the uncached seed projection
-            prev.unpersist()
         return labels
 
     labels = memo_df(f"minhash_labels:{sf_dir}", spark, resolve_components)
@@ -629,6 +639,16 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation. Each round is a pair-graph-sized join, orders of
     magnitude smaller than the corpus; round count is the graph
     diameter, which for near-dup clusters is small.
+
+    Each round's labels are ``localCheckpoint``ed, not merely persisted:
+    a persist caches the DATA but the logical plan still nests every
+    prior round (the new labels reference the old twice — propagation
+    join and convergence check — so the tree doubles per round), and
+    Catalyst re-analysis made round 5 cost 90x round 0 at a 50k-doc
+    stress run (~460 s total). Checkpointing truncates the plan to the
+    materialized result, holding per-round cost flat (~3 s, total 24 s
+    at the same scale). On a cluster, swap for reliable ``checkpoint()``
+    if executor loss during the fixpoint must be recoverable.
     """
     def propagate_to_fixpoint() -> DataFrame:
         bands = _mh_bands(spark, sf_dir)
@@ -671,7 +691,8 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ),
                         ).alias("component"),
                     )
-                    .persist()
+                    # eager lineage truncation — see docstring
+                    .localCheckpoint()
                 )
                 changed = (
                     new_labels.alias("n")

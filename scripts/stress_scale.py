@@ -1,0 +1,190 @@
+"""Stress the iterative/banded §2C paths ABOVE driver scale.
+
+Synthesizes a 10x corpus (sf0.1 replicated into near-duplicate groups:
+50k documents, 50k embeddings) in a scratch directory, runs the paths
+whose 100 TB arguments are plan-shape-proven but normally executed only
+on <= 5k docs, and reports per-stage task skew + peak memory from
+Spark's status REST API:
+
+  * dedup_ngram_jaccard      — inverted-index self-join + hot-shingle cap
+  * dedup_minhash_banded     — MIN-agg signatures + OR-of-ANDs band join
+  * dedup_minhash_components — iterative label propagation to fixpoint
+  * simsearch_ivf            — coarse-quantizer cell-probe join
+
+Skew is max/median task run time per stage (reported for stages with
+>= 8 tasks; a 32-core local run with 32 shuffle partitions keeps one
+wave, so max/median ~ straggler factor). Peak memory is the max task
+peakExecutionMemory across the query's stages.
+
+Usage: python scripts/stress_scale.py [replicas]   (default 10)
+Not part of the driver contract — a scale-feedback loop; results are
+committed to PROFILE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from jorvik_spark.session import ENGINE_CONFS  # noqa: E402
+from jorvik_spark.queries import QUERIES  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+TARGETS = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_banded",
+    "dedup_minhash_components",
+    "simsearch_ivf",
+]
+
+
+def build_session() -> SparkSession:
+    # UI enabled (unlike the engine default) — the status REST API is the
+    # per-task metrics source.
+    b = (
+        SparkSession.builder.appName("jorvik_spark_stress")
+        .master("local[32]")
+        .config("spark.ui.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.retainedStages", "2000")
+    )
+    for k, v in ENGINE_CONFS.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def synthesize(spark: SparkSession, replicas: int) -> str:
+    """Replicate sf0.1 into near-duplicate groups of size ``replicas``.
+
+    Each replica r > 0 appends two replica-specific tokens to the text —
+    a ~500-token doc keeps 3-gram Jaccard >> 0.8 against its siblings, so
+    the dedup paths face ``replicas``-sized near-dup groups (the worst
+    realistic shape: candidate pairs grow replicas^2 per group).
+    Embeddings are replicated EXACTLY (identical vectors), which maximizes
+    IVF cell occupancy — the skew-relevant stress for cell-probe search.
+    """
+    out = tempfile.mkdtemp(prefix="jorvik_stress_")
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = []
+    for r in range(replicas):
+        p = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * 10_000_000))
+        if r > 0:
+            p = p.withColumn(
+                "text", F.concat_ws(" ", "text", F.lit(f"rep{r} tag{r}"))
+            )
+        parts.append(p)
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionAll(p)
+    union.write.parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    eparts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * 10_000_000))
+        for r in range(replicas)
+    ]
+    eunion = eparts[0]
+    for p in eparts[1:]:
+        eunion = eunion.unionAll(p)
+    eunion.write.parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def rest(spark: SparkSession, path: str):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}{path}") as r:
+        return json.load(r)
+
+
+def stage_metrics(spark: SparkSession, after_stage: int) -> list[dict]:
+    """Per-stage task summaries for stages created after ``after_stage``."""
+    out = []
+    for st in rest(
+        spark,
+        "/stages?status=complete&withSummaries=true"
+        "&quantiles=0.0,0.5,1.0",
+    ):
+        if st["stageId"] <= after_stage:
+            continue
+        dist = st.get("taskMetricsDistributions") or {}
+        run = dist.get("executorRunTime") or [0, 0, 0]
+        peak = dist.get("peakExecutionMemory") or [0, 0, 0]
+        shuf = (dist.get("shuffleReadMetrics") or {}).get(
+            "readBytes"
+        ) or [0, 0, 0]
+        out.append(
+            {
+                "stage": st["stageId"],
+                "tasks": st.get("numCompleteTasks", 0),
+                "run_ms": run,  # [min, median, max]
+                "peak_mem": peak,
+                "shuffle_read": shuf,
+            }
+        )
+    return out
+
+
+def max_stage_id(spark: SparkSession) -> int:
+    ids = [s["stageId"] for s in rest(spark, "/stages")]
+    return max(ids) if ids else -1
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = build_session()
+    print(f"synthesizing {replicas}x sf0.1 corpus ...", flush=True)
+    sf_dir = synthesize(spark, replicas)
+    try:
+        results = []
+        for name in TARGETS:
+            before = max_stage_id(spark)
+            t0 = time.perf_counter()
+            rows = QUERIES[name](spark, sf_dir).count()
+            wall = time.perf_counter() - t0
+            stages = stage_metrics(spark, before)
+            worst_skew, worst_stage = 0.0, None
+            peak_mem = 0
+            shuffle_max = 0
+            for s in stages:
+                peak_mem = max(peak_mem, int(s["peak_mem"][-1]))
+                shuffle_max = max(shuffle_max, int(s["shuffle_read"][-1]))
+                if s["tasks"] >= 8 and s["run_ms"][1] > 0:
+                    skew = s["run_ms"][-1] / s["run_ms"][1]
+                    if skew > worst_skew:
+                        worst_skew, worst_stage = skew, s["stage"]
+            results.append(
+                {
+                    "query": name,
+                    "rows": rows,
+                    "wall_s": round(wall, 2),
+                    "stages": len(stages),
+                    "task_skew_max_over_median": round(worst_skew, 2),
+                    "worst_stage": worst_stage,
+                    "peak_task_mem_mb": round(peak_mem / 2**20, 1),
+                    "max_task_shuffle_read_mb": round(
+                        shuffle_max / 2**20, 1
+                    ),
+                }
+            )
+            print(json.dumps(results[-1]), flush=True)
+        print("\n=== summary ===")
+        for r in results:
+            print(json.dumps(r))
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -227,6 +227,31 @@ def test_repeated_invocations_do_not_leak_cached_plans(spark):
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == baseline
 
 
+def test_hot_shingle_cap_bounds_boilerplate_self_join(spark, tmp_path):
+    """2,000 docs sharing a 22-token boilerplate header: every header
+    shingle has document frequency 2,000 — 20x the _MAX_SHINGLE_DF cap.
+    Without the cap the inverted-index self-join explodes to ~20 x 2000^2
+    candidate rows AND reports every pair as a near-dup (uncapped Jaccard
+    ~0.83); with it, boilerplate shingles are excluded from numerator and
+    denominator alike, so docs with unique tails share nothing and the
+    result is EMPTY — computed over 2,000 x 2,000 potential pairs in
+    bounded time. This is the at-scale regression guard for the skew
+    story: one viral shingle must never produce a quadratic bucket."""
+    import pandas as pd
+
+    boiler = " ".join(f"tok{i}" for i in range(22))
+    rows = [
+        (i, f"{boiler} uniq{i}", "en", f"src{i % 4}", 0) for i in range(2000)
+    ]
+    d = tmp_path / "hot"
+    d.mkdir()
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(d / "documents.parquet"))
+    got = _QUERIES["dedup_ngram_jaccard"](spark, str(d)).collect()
+    assert got == []
+
+
 def test_memo_evicts_other_sf_dirs_within_session():
     """Same-session entries for a different sf_dir are unpersisted on the
     next miss: a run queries one directory at a time, so without eviction
