@@ -340,6 +340,58 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_temperature",
+    oracle=f"""
+    WITH shares AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    mn AS (SELECT MIN(n) AS n_min FROM shares),
+    rates AS (
+        SELECT s.source, sqrt(m.n_min * 1.0 / s.n) AS keep_rate
+        FROM shares s CROSS JOIN mn m)
+    SELECT d.doc_id, d.source, round(r.keep_rate, 6) AS keep_rate
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {_sql_bucket('d.doc_id', 'temp:')}
+          < CAST(floor(r.keep_rate * 1000) AS BIGINT)
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling (the mT5/XLM-R mixing knob):
+    sampling probability q_s ∝ p_s^α flattens the source distribution
+    toward uniform as α → 0. Implemented downsample-only, so
+    keep_rate(s) = (p_s / p_min)^(α-1) — the rarest source keeps
+    everything, over-represented sources are thinned toward (not all the
+    way to) uniform. This sits between ``corpus_domain_mix`` (report
+    only) and ``sample_domain_reweight`` (uniform target, α=0).
+
+    α is fixed at 0.5 (T=2) so the rate is sqrt(n_min/n_s): IEEE sqrt
+    and integer division are correctly rounded and therefore bit-identical
+    across Spark and DuckDB, where a fractional pow() could drift by an
+    ulp and flip a floor boundary — this keeps the operator value-hash
+    checkable. Other temperatures change one expression, not the shape.
+
+    Scale shape: the share aggregate is |sources| rows broadcast back
+    onto the corpus scan; the keep decision is the same deterministic
+    hash-mod bucket as every other sampler — reproducible under retries,
+    repartitioning, and resizing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shares = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    mn = shares.agg(F.min("n").alias("n_min"))
+    rates = shares.crossJoin(F.broadcast(mn)).select(
+        "source",
+        F.sqrt(F.col("n_min") * F.lit(1.0) / F.col("n")).alias("keep_rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            _bucket(F.col("doc_id"), "temp:")
+            < F.floor(F.col("keep_rate") * 1000).cast("long")
+        )
+        .select("doc_id", "source", F.round("keep_rate", 6).alias("keep_rate"))
+    )
+
+
+@query(
     "sample_domain_reweight",
     oracle=f"""
     WITH shares AS (

@@ -571,6 +571,94 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher document-level gate bounds (Rae et al. 2021 §A.1.1, adapted to
+# the whitespace tokenizer): token-count window, mean-token-length
+# window, minimum alphabetic-token fraction, minimum stopword hits.
+_GOPHER_MIN_TOKENS = 50
+_GOPHER_MAX_TOKENS = 100_000
+_GOPHER_MIN_MEAN_LEN = 3.0
+_GOPHER_MAX_MEAN_LEN = 10.0
+_GOPHER_MIN_ALPHA_RATIO = 0.8
+_GOPHER_MIN_STOPWORDS = 2
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+
+
+@query(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               coalesce(list_sum(list_transform(t, x -> len(x))), 0) * 1.0
+                   / greatest(len(t), 1) AS mean_len,
+               len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 1.0
+                   / greatest(len(t), 1) AS alpha_ratio,
+               CAST(len(list_filter(t, x -> x IN ({_GOPHER_STOP_SQL})))
+                   AS BIGINT) AS n_stopwords
+        FROM toks)
+    SELECT doc_id, n_tokens,
+           round(mean_len, 6) AS mean_token_len,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           n_stopwords,
+           CAST(CASE WHEN n_tokens BETWEEN {_GOPHER_MIN_TOKENS}
+                                       AND {_GOPHER_MAX_TOKENS}
+                      AND mean_len BETWEEN {_GOPHER_MIN_MEAN_LEN}
+                                       AND {_GOPHER_MAX_MEAN_LEN}
+                      AND alpha_ratio >= {_GOPHER_MIN_ALPHA_RATIO}
+                      AND n_stopwords >= {_GOPHER_MIN_STOPWORDS}
+                     THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher
+    FROM m
+    """,
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite document gate: token-count window, mean
+    token length window, alphabetic-token fraction, and stopword
+    presence, folded into one pass/fail column with the contributing
+    measurements alongside — the standard "remove obvious junk before
+    anything expensive" first stage of a pre-training pipeline
+    (``text_repetition_ratio`` is the companion repetition gate).
+
+    Pure narrow per-row expressions off the cached token array — no
+    shuffle, scan speed at 100 TB. Gates compare the UNROUNDED double
+    measurements on both engines (int * 1.0 / int — correctly-rounded
+    IEEE arithmetic, bit-identical), so a boundary document cannot pass
+    on one engine and fail on the other; rounding happens only in the
+    reported columns.
+    """
+    toks = _tokenized_docs(spark, sf_dir)
+    n = F.size("t")
+    mean_len = F.expr(
+        "coalesce(aggregate(t, 0L, (acc, x) -> acc + length(x)), 0L)"
+    ) * F.lit(1.0) / F.greatest(n, F.lit(1))
+    alpha = F.expr("size(filter(t, x -> x rlike '[a-z]'))") * F.lit(
+        1.0
+    ) / F.greatest(n, F.lit(1))
+    stops = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    n_stop = F.expr(f"size(filter(t, x -> x IN ({stops})))").cast("long")
+    d = toks.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        mean_len.alias("mean_len"),
+        alpha.alias("alpha"),
+        n_stop.alias("n_stopwords"),
+    )
+    passes = (
+        F.col("n_tokens").between(_GOPHER_MIN_TOKENS, _GOPHER_MAX_TOKENS)
+        & F.col("mean_len").between(_GOPHER_MIN_MEAN_LEN, _GOPHER_MAX_MEAN_LEN)
+        & (F.col("alpha") >= _GOPHER_MIN_ALPHA_RATIO)
+        & (F.col("n_stopwords") >= _GOPHER_MIN_STOPWORDS)
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_len", 6).alias("mean_token_len"),
+        F.round("alpha", 6).alias("alpha_ratio"),
+        "n_stopwords",
+        passes.cast("int").cast("long").alias("passes_gopher"),
+    )
+
+
 # C4-style scrub patterns (simple character classes only — identical
 # semantics in Java regex and RE2, probed bit-for-bit cross-engine).
 # The URL body excludes ALL whitespace via an explicit class (the escapes

@@ -49,6 +49,11 @@ DOC_QUERIES = [
     "pack_sequences",
     "sample_stratified_split",
     "sample_domain_reweight",
+    # The skewed dirty sources (3/3/2 docs) give sub-1.0 temperature
+    # keep rates, so the thinning branch actually executes here (the
+    # clean testdata's uniform sources all rate 1.0).
+    "sample_temperature",
+    "text_gopher_filter",
     "export_shard_assign",
     "corpus_domain_mix",
 ]

@@ -224,7 +224,11 @@ def test_repeated_invocations_do_not_leak_cached_plans(spark):
     for _ in range(3):
         for name in names:
             QUERIES[name](spark, sf).count()
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == baseline
+    # A leak is GROWTH per repeat; <= (not ==) because the ContextCleaner
+    # asynchronously reclaims the fixpoint loops' superseded localCheckpoint
+    # RDDs once their Python references drop, so the count may legitimately
+    # shrink between the baseline snapshot and the final one.
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= baseline
 
 
 def test_hot_shingle_cap_bounds_boilerplate_self_join(spark, tmp_path):
@@ -250,6 +254,52 @@ def test_hot_shingle_cap_bounds_boilerplate_self_join(spark, tmp_path):
     ).to_parquet(str(d / "documents.parquet"))
     got = _QUERIES["dedup_ngram_jaccard"](spark, str(d)).collect()
     assert got == []
+
+
+def test_gopher_filter_gate_splits_corpus(spark):
+    """The composite gate must actually discriminate on real data (a gate
+    that passes or fails everything is vacuous) and its flag must equal
+    the conjunction of its reported measurements."""
+    rows = _QUERIES["text_gopher_filter"](spark, "/root/testdata/sf0.001").collect()
+    passed = [r for r in rows if r.passes_gopher == 1]
+    failed = [r for r in rows if r.passes_gopher == 0]
+    assert passed and failed
+    for r in rows:
+        recomputed = int(
+            50 <= r.n_tokens <= 100_000
+            and 3.0 <= r.mean_token_len <= 10.0
+            and r.alpha_ratio >= 0.8
+            and r.n_stopwords >= 2
+        )
+        # rounded columns can only disagree with the unrounded gate at a
+        # 1e-6 boundary; assert agreement away from boundaries
+        if abs(r.mean_token_len - 3.0) > 1e-5 and abs(r.alpha_ratio - 0.8) > 1e-5:
+            assert recomputed == r.passes_gopher, r
+
+
+def test_temperature_sampling_keeps_rarest_source_whole(spark, tmp_path):
+    """On a skewed corpus the rarest source keeps rate 1.0 (kept whole)
+    and over-represented sources thin by sqrt(n_min/n) — the α=0.5
+    temperature contract."""
+    import pandas as pd
+
+    rows = [(i, f"doc {i}", "en", "big", 5) for i in range(800)]
+    rows += [(1000 + i, f"doc {i}", "en", "small", 5) for i in range(50)]
+    d = tmp_path / "skewed"
+    d.mkdir()
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(d / "documents.parquet"))
+    kept = _QUERIES["sample_temperature"](spark, str(d)).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["small"]) == 50  # rate 1.0: nothing dropped
+    assert all(r.keep_rate == 1.0 for r in by_src["small"])
+    expected_rate = (50 / 800) ** 0.5  # = 0.25
+    assert by_src["big"][0].keep_rate == pytest.approx(expected_rate)
+    # hash-mod thinning lands near rate * n (binomial-ish, wide margin)
+    assert 0.15 * 800 < len(by_src["big"]) < 0.35 * 800
 
 
 def test_memo_evicts_other_sf_dirs_within_session():
