@@ -177,6 +177,10 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_K = 8  # coarse cells
+# Salt chunks for the within-cell pair self-join (dedup_embedding_cosine):
+# lifts parallelism from K (key-bound) to K × _CELL_SALTS and splits hot
+# cells. Results are salt-invariant; only task layout changes.
+_CELL_SALTS = 8
 _IVF_NPROBE = 2  # cells searched per query
 
 # Euclidean distance between two array<double> columns, built-ins only.
@@ -265,20 +269,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples the per-pair array aggregates, measured 3× slower). The
     quotient dot/(sqrt(na)·sqrt(nb)) is bit-identical to the per-pair
     form, so the DuckDB oracle is unaffected.
+
+    The self-join is SALTED: a plain cell-equi join has only K distinct
+    keys, so its parallelism is key-bound at K tasks no matter how many
+    cores exist — a 50k-vector stress run executed the pair stage as 7
+    tasks with a 44 s straggler (the hottest cell). Side A carries
+    salt = hash(vec_id) % C, side B is replicated across all C salts, and
+    the join key becomes (cell, salt): each pair still meets exactly once
+    (via A's salt), parallelism rises to K×C, and the hot cell splits
+    C ways — 47 s → 15 s at that scale, identical pairs. The explicit
+    repartition also keeps AQE from re-coalescing the CPU-heavy stage by
+    its (tiny) input bytes. C× replication of side B through the shuffle
+    is the price; at 100 TB pick C ≈ cores/K.
     """
     cells = _ivf_assign(spark, sf_dir).filter(F.col("rn") == 1)
+    n_part = spark.sparkContext.defaultParallelism * 2
     a = cells.select(
         F.col("vec_id").alias("vec_a"), F.col("cent_id").alias("cell"),
         F.col("v").alias("va"), F.col("n2").alias("na"),
-    )
-    b = cells.select(
-        F.col("vec_id").alias("vec_b"), F.col("cent_id").alias("cell"),
-        F.col("v").alias("vb"), F.col("n2").alias("nb"),
+        F.pmod(
+            F.crc32(F.col("vec_id").cast("string")), F.lit(_CELL_SALTS)
+        ).alias("salt"),
+    ).repartition(n_part, "cell", "salt")
+    b = (
+        cells.select(
+            F.col("vec_id").alias("vec_b"), F.col("cent_id").alias("cell"),
+            F.col("v").alias("vb"), F.col("n2").alias("nb"),
+        )
+        .withColumn("salt", F.explode(F.expr(f"sequence(0, {_CELL_SALTS - 1})")))
+        .repartition(n_part, "cell", "salt")
     )
     dot = F.expr(_DOT.format(a="va", b="vb"))
     cosine = F.round(dot / (F.sqrt("na") * F.sqrt("nb")), 6)
     return (
-        a.join(b, "cell")
+        a.join(b, ["cell", "salt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.4)

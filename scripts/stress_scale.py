@@ -39,11 +39,29 @@ from jorvik_spark.session import ENGINE_CONFS  # noqa: E402
 from jorvik_spark.queries import QUERIES  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
+# The iterative/banded paths whose scale arguments most need execution
+# evidence (round-7 profile focus) ...
 TARGETS = [
     "dedup_ngram_jaccard",
     "dedup_minhash_banded",
     "dedup_minhash_components",
     "simsearch_ivf",
+]
+# ... and the remaining shuffling/exploding §2C shapes (--all sweep).
+EXTRA_TARGETS = [
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "simsearch_topk",
+    "simsearch_lsh_det",
+    "pack_sequences",
+    "decontaminate_overlap",
+    "text_rare_token_ratio",
+    "text_token_bpe",
+    "text_gopher_filter",
+    "sample_temperature",
+    "export_shard_assign",
+    "udaf_grouped_apply",
 ]
 
 
@@ -98,6 +116,18 @@ def synthesize(spark: SparkSession, replicas: int) -> str:
     for p in eparts[1:]:
         eunion = eunion.unionAll(p)
     eunion.write.parquet(f"{out}/embeddings.parquet")
+
+    # lineitem for the Arrow-UDF shapes (--all sweep): key-shifted exact
+    # replicas — same group-size distribution, replicas x the groups.
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    lparts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * 100_000_000))
+        for r in range(replicas)
+    ]
+    lunion = lparts[0]
+    for p in lparts[1:]:
+        lunion = lunion.unionAll(p)
+    lunion.write.parquet(f"{out}/lineitem.parquet")
     return out
 
 
@@ -142,13 +172,15 @@ def max_stage_id(spark: SparkSession) -> int:
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    replicas = int(args[0]) if args else 10
+    targets = TARGETS + (EXTRA_TARGETS if "--all" in sys.argv else [])
     spark = build_session()
     print(f"synthesizing {replicas}x sf0.1 corpus ...", flush=True)
     sf_dir = synthesize(spark, replicas)
     try:
         results = []
-        for name in TARGETS:
+        for name in targets:
             before = max_stage_id(spark)
             t0 = time.perf_counter()
             rows = QUERIES[name](spark, sf_dir).count()
