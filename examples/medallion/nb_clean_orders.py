@@ -37,7 +37,15 @@ def build(lake: str) -> ETL:
             orders.filter("o_totalprice > 0")
             # session tz is UTC (ENGINE_CONFS): day truncation is stable
             .withColumn("order_date", F.date_trunc("day", "o_orderdate"))
-            .withColumn("order_month", F.month("o_orderdate"))
+            # yyyyMM, not month-of-year: a bare month(1-12) key would
+            # fold every year into 12 partitions and month-scoped reads
+            # could never prune to one calendar month
+            .withColumn(
+                "order_month",
+                (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast(
+                    "int"
+                ),
+            )
             .withColumn(
                 "is_urgent",
                 F.when(

@@ -117,8 +117,14 @@ def make_silver_clean_orders(lake: str) -> ETL:
             orders.filter("o_totalprice > 0")
             # session tz is UTC (ENGINE_CONFS), so day-truncation is stable
             .withColumn("order_date", F.date_trunc("day", "o_orderdate"))
-            # int, matching hive partition-value inference on read-back
-            .withColumn("order_month", F.month("o_orderdate"))
+            # yyyyMM int (not month-of-year, which folds all years into
+            # 12 partitions), matching hive partition-value inference
+            .withColumn(
+                "order_month",
+                (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast(
+                    "int"
+                ),
+            )
             .withColumn(
                 "is_urgent",
                 F.when(

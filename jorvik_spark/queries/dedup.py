@@ -41,6 +41,23 @@ from jorvik_spark.queries.text_analysis import (
 # collapse substitutes it into every element_at, re-splitting the document
 # O(tokens²) times (measured 22 s vs 4 s at sf0.1) — hence
 # _tokenized_docs() below materializes `t` behind a cache first.
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a ``localCheckpoint``'d DataFrame's storage immediately.
+
+    ``Dataset.unpersist`` is a CacheManager operation and silently no-ops
+    on checkpoint storage (the RDD is persisted below the CacheManager),
+    so superseded fixpoint rounds would otherwise stay pinned until the
+    ContextCleaner reclaims them asynchronously — unbounded lag on a
+    memory-tight cluster. The checkpointed RDD is the LogicalRDD plan
+    leaf; unpersist it directly, falling back to the asynchronous
+    reclaim if the plan shape ever differs.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort; ContextCleaner backstop
+        pass
+
+
 _SHINGLES_T = (
     "array_distinct(if(size(t) >= 3, "
     "transform(sequence(1, size(t) - 2), "
@@ -279,7 +296,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint()
             )
             if checkpointed:  # first round's input is the uncached seed
-                labels.unpersist()
+                _release_local_checkpoint(labels)
             labels, checkpointed = new_labels, True
         edges.unpersist()
         return labels
@@ -700,7 +717,11 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .filter(F.col("n.component") != F.col("o.component"))
                     .count()
                 )
+                # round 0's labels is a plain persist (unpersist works);
+                # later rounds are localCheckpoints, which unpersist
+                # silently ignores — release the checkpoint RDD directly
                 labels.unpersist()
+                _release_local_checkpoint(labels)
                 labels = new_labels
                 if changed == 0:
                     break

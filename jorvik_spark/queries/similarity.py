@@ -296,7 +296,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("vec_b"), F.col("cent_id").alias("cell"),
             F.col("v").alias("vb"), F.col("n2").alias("nb"),
         )
-        .withColumn("salt", F.explode(F.expr(f"sequence(0, {_CELL_SALTS - 1})")))
+        # 0L..: salt must be BIGINT to match side A's pmod(crc32) — an
+        # int salt makes the join key cast(salt as bigint), which defeats
+        # the explicit co-partitioning and re-shuffles the replicated side
+        .withColumn(
+            "salt", F.explode(F.expr(f"sequence(0L, {_CELL_SALTS - 1}L)"))
+        )
         .repartition(n_part, "cell", "salt")
     )
     dot = F.expr(_DOT.format(a="va", b="vb"))

@@ -634,8 +634,10 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha = F.expr("size(filter(t, x -> x rlike '[a-z]'))") * F.lit(
         1.0
     ) / F.greatest(n, F.lit(1))
-    stops = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
-    n_stop = F.expr(f"size(filter(t, x -> x IN ({stops})))").cast("long")
+    # same quoted list as the oracle — one definition, no drift
+    n_stop = F.expr(
+        f"size(filter(t, x -> x IN ({_GOPHER_STOP_SQL})))"
+    ).cast("long")
     d = toks.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),

@@ -40,18 +40,18 @@ from jorvik_spark.queries import QUERIES  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 # The iterative/banded paths whose scale arguments most need execution
-# evidence (round-7 profile focus) ...
+# evidence (round-7 profile focus; the PROFILE.md headline table) ...
 TARGETS = [
     "dedup_ngram_jaccard",
     "dedup_minhash_banded",
     "dedup_minhash_components",
+    "dedup_embedding_cosine",
     "simsearch_ivf",
 ]
 # ... and the remaining shuffling/exploding §2C shapes (--all sweep).
 EXTRA_TARGETS = [
     "dedup_exact",
     "dedup_simhash",
-    "dedup_embedding_cosine",
     "simsearch_topk",
     "simsearch_lsh_det",
     "pack_sequences",
