@@ -313,6 +313,58 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+    SELECT b.event_id AS buy_id, c.event_id AS click_id, b.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(b.ts AS TIMESTAMP) AS buy_ts
+    FROM events b JOIN events c
+      ON b.user_id = c.user_id
+     AND CAST(c.ts AS TIMESTAMP)
+         >= CAST(b.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(b.ts AS TIMESTAMP)
+    WHERE b.event_type = 'purchase' AND c.event_type = 'click'
+      AND b.ts IS NOT NULL AND c.ts IS NOT NULL
+      AND b.user_id IS NOT NULL
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin — click→purchase
+    attribution: every (click, buy) pair for the same user where the
+    click happened within the hour before the buy.
+
+    Runs the SAME ``interval_join`` operator the live streams use
+    (jorvik_spark.streaming.ops — watermark-bounded dual-sided state
+    when streaming); ``tests/test_streaming.py`` proves the live run
+    emits exactly these rows. Null event times and null users are
+    excluded on both engines: an event without a time cannot be placed
+    in a join window, and stream-stream joins key on the equi column.
+
+    Scale shape: equi-key join shuffled on user_id with the time bound
+    applied within key groups — never a cross join (pinned in
+    tests/test_plans.py).
+    """
+    from jorvik_spark.streaming.ops import interval_join
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join(clicks, buys, key="user_id", lookback="1 hour").select(
+        F.col("r.event_id").alias("buy_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.user_id").alias("user_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("r.ts").alias("buy_ts"),
+    )
+
+
+@query(
     "stream_sliding_agg",
     oracle=f"""
     WITH doubled AS (

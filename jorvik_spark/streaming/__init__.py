@@ -4,9 +4,10 @@ The reference's streaming surface is source/sink + mandatory checkpoint
 only (A2/A4 — /root/reference/jorvik/storage/basic.py:43-69,106-134);
 this package adds the event-time operators a real streaming deployment
 needs: watermarked tumbling/sliding/session window aggregation,
-within-watermark dedup, an ``applyInPandasWithState`` custom stateful
-operator, and a ``foreachBatch`` MERGE sink that composes A4 + A5 into a
-streaming upsert.
+within-watermark dedup, a dual-watermarked stream-stream interval join,
+an ``applyInPandasWithState`` custom stateful operator, and a
+``foreachBatch`` MERGE sink that composes A4 + A5 into a streaming
+upsert.
 
 Every transformation here takes and returns a DataFrame, so the same
 code path is exercised by the batch-twin oracle queries in
@@ -17,6 +18,7 @@ the live-stream tests in ``tests/test_streaming.py``
 
 from jorvik_spark.streaming.ops import (  # noqa: F401
     dedup_within_watermark,
+    interval_join,
     running_user_totals,
     session_agg,
     sliding_agg,
@@ -29,6 +31,7 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "dedup_within_watermark",
+    "interval_join",
     "running_user_totals",
     "foreach_batch_merge",
 ]

@@ -135,6 +135,44 @@ def dedup_within_watermark(
     return df.dropDuplicates(list(keys))
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: each RIGHT event matches LEFT
+    events with the same ``key`` whose time falls in
+    ``[right.ts - lookback, right.ts]`` — the attribution shape (clicks
+    joined to the purchase they preceded).
+
+    Both inputs need a watermark when streaming: Spark buffers each side
+    in state until the other side's watermark passes the join window, so
+    state is bounded by ``watermark + lookback`` of data per side — the
+    property that lets this run forever. Batch inputs run the identical
+    join expression in one pass (the unified model), which is how the
+    ``stream_stream_join`` batch twin's DuckDB oracle pins the
+    semantics.
+
+    Scale shape: equi-key join (shuffle on ``key``) with the time bound
+    as a post-join range predicate per key group — never a cross join.
+    At 100 TB/day the state-store shuffle partitions the same way, and a
+    skewed key (one bot user) skews state: pre-filter or salt such keys.
+    """
+    l = _with_watermark(left, ts_col, watermark).alias("l")
+    r = _with_watermark(right, ts_col, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND "
+            f"l.{ts_col} >= r.{ts_col} - INTERVAL {lookback} AND "
+            f"l.{ts_col} <= r.{ts_col}"
+        ),
+    )
+
+
 def running_user_totals(
     df: DataFrame,
     key_col: str = "user_id",

@@ -151,6 +151,9 @@ EVENT_QUERIES = [
     "stream_tumbling_agg",
     "stream_sliding_agg",
     "stream_session_window",
+    # Interval join: null-ts and null-user rows are excluded on both
+    # engines (no join window / no equi key).
+    "stream_stream_join",
     # Stateful streaming dedup: null-ts rows PASS THROUGH (the watermark
     # gates state eviction, not row admission — a null event time dedups
     # by key like any other row and survives to the sink; the oracle is

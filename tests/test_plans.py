@@ -311,3 +311,17 @@ def test_sessionize_single_sort_exchange(spark):
     assert sum("Exchange" in ln for ln in tree.splitlines()) == 1, plan
     assert sum(ln.strip().startswith(("+- Sort", ":- Sort", "Sort "))
                or "- Sort (" in ln for ln in tree.splitlines()) <= 1, plan
+
+
+def test_stream_stream_join_twin_is_equi_not_cartesian(spark):
+    """The interval join must plan as an equi join on user_id with the
+    time bound as a per-key range predicate — a cartesian (or broadcast
+    nested loop over the full stream) would be quadratic in events and,
+    in the live streaming form, unbounded state."""
+    plan = _plan(spark, "stream_stream_join")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan  # AQE may broadcast at test SF
+    )
+    # pushdown: the event_type filters must reach both scans
+    assert plan.count("EqualTo(event_type,") >= 2 or plan.count("event_type") >= 2

@@ -226,6 +226,37 @@ def test_running_user_totals_all_null_values_match_batch(spark, tmp_path):
     assert want[1] is None and got[1] is None
 
 
+def test_interval_join_stream_matches_batch(spark, events_src, tmp_path):
+    """Live stream-stream interval join (dual watermarks, append mode)
+    emits exactly the batch twin's rows — click→buy pairs within 1 h."""
+    ev = spark.read.parquet(events_src).filter(
+        "ts IS NOT NULL AND user_id IS NOT NULL"
+    )
+    clicks_src = str(tmp_path / "clicks")
+    buys_src = str(tmp_path / "buys")
+    sel = ["event_id", "user_id", "ts"]
+    ev.filter("event_type = 'click'").select(sel).write.parquet(clicks_src)
+    ev.filter("event_type = 'purchase'").select(sel).write.parquet(buys_src)
+
+    def pairs(clicks, buys):
+        return S.interval_join(
+            clicks, buys, key="user_id", lookback="1 hour"
+        ).select(
+            F.col("r.event_id").alias("buy_id"),
+            F.col("l.event_id").alias("click_id"),
+        )
+
+    stream = pairs(_stream(spark, clicks_src), _stream(spark, buys_src))
+    assert stream.isStreaming
+    _run_to_memory(stream, "t_ssjoin", "append")
+    got = _sorted_rows(spark.table("t_ssjoin"), "buy_id", "click_id")
+    want = _sorted_rows(
+        pairs(spark.read.parquet(clicks_src), spark.read.parquet(buys_src)),
+        "buy_id", "click_id",
+    )
+    assert got == want and len(got) > 0
+
+
 def test_foreach_batch_merge_dedups_within_batch(spark, tmp_path):
     """An at-least-once source replaying a key inside one micro-batch must
     not kill the stream (multiple-matches error) or double-insert."""
