@@ -169,9 +169,13 @@ def dirty_events_dir(tmp_path_factory):
 
     d = tmp_path_factory.mktemp("dirty_events")
     base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    # "purchase" (not an arbitrary third type): the funnel, retention,
+    # and stream-stream-join operators key on the view/click/purchase
+    # vocabulary, and a type they never match would leave their
+    # conversion/attribution branches vacuously checked on dirty data.
     rows = [
         (i, base + datetime.timedelta(minutes=7 * i), i % 3,
-         ["click", "view", "buy"][i % 3], float(i) * 1.5, None)
+         ["click", "view", "purchase"][i % 3], float(i) * 1.5, None)
         for i in range(20)
     ]
     rows.append((20, None, 0, "click", 1.0, None))  # null ts
