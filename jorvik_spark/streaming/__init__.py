@@ -23,6 +23,7 @@ from jorvik_spark.streaming.ops import (  # noqa: F401
     session_agg,
     sliding_agg,
     tumbling_agg,
+    user_activity_summary,
 )
 from jorvik_spark.streaming.sinks import foreach_batch_merge  # noqa: F401
 
@@ -33,5 +34,6 @@ __all__ = [
     "dedup_within_watermark",
     "interval_join",
     "running_user_totals",
+    "user_activity_summary",
     "foreach_batch_merge",
 ]

@@ -28,6 +28,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 
 def _with_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame:
@@ -230,4 +234,101 @@ def running_user_totals(
         stateStructType="n long, total double, n_nonnull long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class _ActivityProcessor(StatefulProcessor):
+    """Per-user activity state for :func:`user_activity_summary`.
+
+    ValueState holds (n, total, n_nonnull, last_us); every micro-batch
+    folds its rows in and emits the updated summary row for each key
+    seen. SQL SUM semantics are preserved the same way as
+    ``running_user_totals``: nulls are skipped and the total stays NULL
+    until a non-null value arrives.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "activity", "n long, total double, n_nonnull long, last_us long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, total, n_nonnull, last_us = (
+            self._state.get() if self._state.exists() else (0, 0.0, 0, None)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            vals = pdf["value"].dropna()
+            n_nonnull += len(vals)
+            total += float(vals.sum()) if len(vals) else 0.0
+            ts_us = pd.to_datetime(pdf["ts"].dropna()).astype("int64") // 1000
+            if len(ts_us):
+                mx = int(ts_us.max())
+                last_us = mx if last_us is None else max(last_us, mx)
+        self._state.update((n, total, n_nonnull, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total if n_nonnull else None],
+                "last_ts": [
+                    pd.Timestamp(last_us, unit="us")
+                    if last_us is not None
+                    else pd.NaT
+                ],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_activity_summary(
+    df: DataFrame, key_col: str = "user_id"
+) -> DataFrame:
+    """Per-user running activity summary via ``transformWithStateInPandas``
+    — Spark 4's arbitrary-state API (the successor of
+    ``applyInPandasWithState``, cf. :func:`running_user_totals`): typed
+    state handles (ValueState here; List/MapState and timers available),
+    explicit time modes, and state-schema evolution support.
+
+    Emits (user_id, n_events, total_value, last_ts) per key per
+    micro-batch in update mode. State is one small tuple per key — at
+    100 TB/day the state store shards on the group key like any shuffle;
+    give hot keys the same salting treatment as batch aggregations.
+    Batch inputs get the equivalent one-shot aggregate (unified model),
+    which is also what the live test compares the stream against.
+
+    Environment gate: the transformWithState driver worker requires the
+    ``protobuf`` package (state-schema RPC); without it Spark crashes
+    the streaming query with an opaque worker error, so the STREAMING
+    branch fails fast here with the actionable message instead. The
+    batch branch has no such dependency. ``applyInPandasWithState``
+    (:func:`running_user_totals`) remains the protobuf-free stateful
+    path.
+    """
+    if df.isStreaming:
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "transformWithStateInPandas requires the 'protobuf' "
+                "package in the Python workers (pip install protobuf); "
+                "use running_user_totals (applyInPandasWithState) where "
+                "protobuf is unavailable."
+            ) from e
+    if not df.isStreaming:
+        return df.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _ActivityProcessor(),
+        outputStructType=(
+            f"{key_col} long, n_events long, total_value double, "
+            "last_ts timestamp"
+        ),
+        outputMode="Update",
+        timeMode="None",
     )

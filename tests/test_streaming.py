@@ -226,6 +226,70 @@ def test_running_user_totals_all_null_values_match_batch(spark, tmp_path):
     assert want[1] is None and got[1] is None
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_user_activity_summary_batch_and_gate(spark, events_src):
+    """transformWithStateInPandas operator: the batch branch (no protobuf
+    dependency) computes the per-user aggregate, and without protobuf the
+    streaming branch must fail FAST with an actionable ImportError — not
+    crash the started query with an opaque worker error."""
+    want = S.user_activity_summary(spark.read.parquet(events_src))
+    rows = {r.user_id: r for r in want.collect()}
+    assert rows
+    ev = spark.read.parquet(events_src)
+    manual = {
+        r.user_id: (r.n, r.tot, r.last)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tot"),
+            F.max("ts").alias("last"),
+        )
+        .collect()
+    }
+    for uid, r in rows.items():
+        assert (r.n_events, r.total_value, r.last_ts) == manual[uid]
+    if not _has_protobuf():
+        with pytest.raises(ImportError, match="protobuf"):
+            S.user_activity_summary(_stream(spark, events_src))
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(), reason="transformWithState needs protobuf workers"
+)
+def test_user_activity_summary_tws_matches_batch(spark, events_src):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): the
+    final update-mode emission per user must equal the batch aggregate —
+    including NULL totals for all-null-value users and event-time maxima
+    for last_ts."""
+    stream = S.user_activity_summary(_stream(spark, events_src))
+    assert stream.isStreaming
+    _run_to_memory(stream, "t_tws", "update")
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    got = (
+        spark.table("t_tws")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                w.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    want = S.user_activity_summary(spark.read.parquet(events_src))
+    g = {r.user_id: (r.n_events, r.total_value, r.last_ts) for r in got.collect()}
+    wnt = {r.user_id: (r.n_events, r.total_value, r.last_ts) for r in want.collect()}
+    assert g == wnt and len(g) > 0
+
+
 def test_interval_join_stream_matches_batch(spark, events_src, tmp_path):
     """Live stream-stream interval join (dual watermarks, append mode)
     emits exactly the batch twin's rows — click→buy pairs within 1 h."""
