@@ -583,3 +583,98 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         code.cast("long").alias("code"),
         F.round("scale", 6).alias("scale"),
     )
+
+
+# Product quantization: _PQ_M subspaces of _PQ_SUB dims each over a
+# _PQ_DIM-dimensional embedding, _PQ_K centroids per subspace. Codebook
+# "training" is deterministic like the IVF quantizer (the first _PQ_K
+# vectors' subvectors serve as the per-subspace codebooks), keeping the
+# whole index value-checkable cross-engine.
+_PQ_DIM = 64
+_PQ_M = 8
+_PQ_SUB = _PQ_DIM // _PQ_M
+_PQ_K = 16
+
+
+@query(
+    "embed_pq_codes",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE len(embedding) = {_PQ_DIM}),
+    subs AS (
+        SELECT vec_id, m, e[(m*{_PQ_SUB}+1):(m*{_PQ_SUB}+{_PQ_SUB})] AS s
+        FROM ev CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m)),
+    cents AS (SELECT vec_id AS cent_id, m, s AS c
+              FROM subs WHERE vec_id < {_PQ_K}),
+    scored AS (
+        SELECT v.vec_id, v.m, c.cent_id,
+               round(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                   i -> (v.s[i] - c.c[i]) * (v.s[i] - c.c[i]))), 6) AS d
+        FROM subs v JOIN cents c ON v.m = c.m),
+    best AS (
+        SELECT vec_id, m, min(struct_pack(d := d, c := cent_id)) AS b
+        FROM scored GROUP BY vec_id, m)
+    SELECT vec_id, CAST(m AS BIGINT) AS subspace, CAST(b.c AS BIGINT) AS code
+    FROM best
+    """,
+)
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (FAISS-PQ shape): split each embedding
+    into 8 subvectors of 8 dims, assign each to its nearest of 16
+    per-subspace codebook centroids — 8 bytes replace 64 floats (32×
+    compression), and ANN distance becomes a table lookup per subspace.
+    Complements ``embed_quantize_int8`` (scalar compression) and
+    ``simsearch_ivf`` (coarse cells): IVF-PQ is the standard
+    billion-vector serving index.
+
+    Deterministic codebooks (first _PQ_K vectors' subvectors, like the
+    IVF quantizer) keep the assignment DuckDB-checkable; nearest-centroid
+    selection is min over struct(dist, cent_id) — lexicographic struct
+    comparison on both engines, with the squared distance rounded to 6
+    decimals first so a float tie cannot break differently.
+
+    Vectors whose dimensionality is not _PQ_DIM are EXCLUDED on both
+    engines (a subvector split presumes one fixed layout; mixed-dim
+    corpora need one codebook per dimensionality — by design, not a
+    silent truncation).
+
+    Scale shape: the codebook is a broadcast (_PQ_M x _PQ_K tiny rows);
+    scoring is a broadcast join on the subspace id (narrow, no shuffle);
+    the only shuffle is the (vec_id, m)-keyed min — map-side combined.
+    At 100 TB, train real k-means codebooks on a driver sample and
+    broadcast them; the assignment plan is unchanged.
+    """
+    emb = _vec_double(load_table(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") == _PQ_DIM
+    )
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), m -> "
+                f"struct(m AS m, slice(v, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS s))"
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.m").alias("m"), F.col("x.s").alias("s"))
+    cents = F.broadcast(
+        subs.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("vec_id").alias("cent_id"), "m", F.col("s").alias("c")
+        )
+    )
+    d = F.round(
+        F.expr(
+            "aggregate(zip_with(s, c, (x, y) -> (x - y) * (x - y)), "
+            "0D, (acc, x) -> acc + x)"
+        ),
+        6,
+    )
+    scored = subs.join(cents, "m").select("vec_id", "m", "cent_id", d.alias("d"))
+    best = scored.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d", "cent_id")).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("m").cast("long").alias("subspace"),
+        F.col("b.cent_id").cast("long").alias("code"),
+    )

@@ -103,6 +103,7 @@ EMB_QUERIES = [
     "dedup_embedding_cosine",
     "embed_centroids",
     "embed_quantize_int8",
+    "embed_pq_codes",  # keeps the zero vector (no norm), codes it too
 ]
 
 

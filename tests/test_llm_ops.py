@@ -336,6 +336,28 @@ def test_memo_evicts_other_sf_dirs_within_session():
         R._MEMO.update(saved)
 
 
+def test_pq_codes_invariants(spark):
+    """Every in-dim vector gets exactly M codes in [0, K); codebook
+    vectors code to THEMSELVES in every subspace (their distance is 0 —
+    any other winner would mean the argmin or the tie-break is wrong)."""
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.queries.similarity import _PQ_K, _PQ_M
+
+    sf = "/root/testdata/sf0.001"
+    q = QUERIES["embed_pq_codes"](spark, sf)
+    n_vec = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(F.size("embedding") == 64)
+        .count()
+    )
+    assert q.count() == n_vec * _PQ_M
+    assert q.filter((F.col("code") < 0) | (F.col("code") >= _PQ_K)).count() == 0
+    self_codes = q.filter(
+        (F.col("vec_id") < _PQ_K) & (F.col("code") == F.col("vec_id"))
+    ).count()
+    assert self_codes == _PQ_K * _PQ_M
+
+
 def test_quantize_int8_invariants(spark):
     """Codes bounded to [-127, 127]; dequantization error within half a
     quantization step of the true value."""
