@@ -678,3 +678,154 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("long").alias("subspace"),
         F.col("b.cent_id").cast("long").alias("code"),
     )
+
+
+@query(
+    "simsearch_ivfpq",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGN},
+    cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cent_id AS cell
+        FROM assign WHERE vec_id < {_N_QUERIES} AND rn <= {_IVF_NPROBE}),
+    ev AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE len(embedding) = {_PQ_DIM}),
+    subs AS (
+        SELECT vec_id, m, e[(m*{_PQ_SUB}+1):(m*{_PQ_SUB}+{_PQ_SUB})] AS s
+        FROM ev CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m)),
+    pqcents AS (SELECT vec_id AS cent_id, m, s AS c
+                FROM subs WHERE vec_id < {_PQ_K}),
+    scored AS (
+        SELECT v.vec_id, v.m, c.cent_id,
+               round(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                   i -> (v.s[i] - c.c[i]) * (v.s[i] - c.c[i]))), 6) AS d
+        FROM subs v JOIN pqcents c ON v.m = c.m),
+    codes AS (
+        SELECT vec_id, m, (min(struct_pack(d := d, c := cent_id))).c AS code
+        FROM scored GROUP BY vec_id, m),
+    qcent AS (
+        SELECT q.vec_id AS query_id, q.m, c.cent_id,
+               CAST(floor(round(list_sum(list_transform(
+                   range(1, {_PQ_SUB} + 1),
+                   i -> (q.s[i] - c.c[i]) * (q.s[i] - c.c[i]))), 6)
+                   * 1000000 + 0.5) AS BIGINT) AS qd_u
+        FROM subs q JOIN pqcents c ON q.m = c.m
+        WHERE q.vec_id < {_N_QUERIES}),
+    cand AS (
+        SELECT p.query_id, c.vec_id AS candidate_id
+        FROM probes p JOIN cells c ON p.cell = c.cell
+        WHERE c.vec_id <> p.query_id),
+    adc AS (
+        SELECT cd.query_id, cd.candidate_id, SUM(qc.qd_u) AS adc_u
+        FROM cand cd
+        JOIN codes k ON k.vec_id = cd.candidate_id
+        JOIN qcent qc ON qc.query_id = cd.query_id
+                     AND qc.m = k.m AND qc.cent_id = k.code
+        GROUP BY cd.query_id, cd.candidate_id),
+    ranked AS (
+        SELECT query_id, candidate_id, adc_u / 1000000.0 AS adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_u, candidate_id) AS rank
+        FROM adc)
+    SELECT query_id, candidate_id, adc, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_TOPK}
+    """,
+)
+def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the full billion-vector serving-index composition:
+    coarse IVF cells bound the candidate set (shared quantizer with
+    ``simsearch_ivf``), and ranking uses PQ ASYMMETRIC distance (ADC):
+    the query's exact subvectors against each candidate's codebook
+    centroid, so per-candidate cost is _PQ_M table lookups instead of a
+    _PQ_DIM-dim exact distance. This is the FAISS IVFPQ shape —
+    candidates never touch their full vectors.
+
+    ADC terms are quantized to integer micro-units and summed exactly
+    (the dsum trick): 8 rounded doubles summed in different orders can
+    differ in the last ulp, and a ranking tie must not break differently
+    across engines.
+
+    Scale shape: the query→centroid distance table is
+    |queries| x _PQ_M x _PQ_K rows — broadcast; candidates come from the
+    cell-equi probe join; the ADC join is broadcast-keyed on
+    (query, subspace, code); the only shuffles are the per-(query,
+    candidate) sum and the tiny per-query top-k. At 100 TB the PQ codes
+    table IS the index you persist (8 bytes/vector), partitioned by
+    cell.
+    """
+    # candidate cells + probes from the shared deterministic IVF quantizer
+    assign = _ivf_assign(spark, sf_dir)
+    cells = assign.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("candidate_id"), F.col("cent_id").alias("cell")
+    )
+    probes = assign.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+
+    emb = _vec_double(load_table(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") == _PQ_DIM
+    )
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), m -> "
+                f"struct(m AS m, slice(v, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS s))"
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.m").alias("m"), F.col("x.s").alias("s"))
+    pqcents = F.broadcast(
+        subs.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("vec_id").alias("cent_id"), "m", F.col("s").alias("c")
+        )
+    )
+    sqd = F.round(
+        F.expr(
+            "aggregate(zip_with(s, c, (x, y) -> (x - y) * (x - y)), "
+            "0D, (acc, x) -> acc + x)"
+        ),
+        6,
+    )
+    codes = (
+        subs.join(pqcents, "m")
+        .select("vec_id", "m", "cent_id", sqd.alias("d"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "cent_id")).alias("b"))
+        .select("vec_id", "m", F.col("b.cent_id").alias("code"))
+    )
+    qcent = F.broadcast(
+        subs.filter(F.col("vec_id") < _N_QUERIES)
+        .join(pqcents, "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "cent_id",
+            F.floor(sqd * 1_000_000 + F.lit(0.5)).cast("long").alias("qd_u"),
+        )
+    )
+    cand = probes.join(cells, "cell").filter(
+        F.col("candidate_id") != F.col("query_id")
+    )
+    adc = (
+        cand.join(codes, codes.vec_id == cand.candidate_id)
+        .join(
+            qcent,
+            (qcent.query_id == cand.query_id)
+            & (qcent.m == codes.m)
+            & (qcent.cent_id == codes.code),
+        )
+        .groupBy(cand.query_id, cand.candidate_id)
+        .agg(F.sum("qd_u").alias("adc_u"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_u", "candidate_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "candidate_id",
+            (F.col("adc_u") / 1_000_000.0).alias("adc"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

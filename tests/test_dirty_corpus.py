@@ -104,6 +104,7 @@ EMB_QUERIES = [
     "embed_centroids",
     "embed_quantize_int8",
     "embed_pq_codes",  # keeps the zero vector (no norm), codes it too
+    "simsearch_ivfpq",  # zero vector is never a candidate (IVF excludes)
 ]
 
 

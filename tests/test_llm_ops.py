@@ -358,6 +358,25 @@ def test_pq_codes_invariants(spark):
     assert self_codes == _PQ_K * _PQ_M
 
 
+def test_ivfpq_invariants(spark):
+    """Each query returns at most TOPK candidates, ranks are dense from
+    1, ADC is non-decreasing in rank, and no query is its own candidate."""
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.queries.similarity import _N_QUERIES, _TOPK
+
+    rows = QUERIES["simsearch_ivfpq"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.query_id < _N_QUERIES and r.candidate_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _TOPK
+        assert all(a.adc <= b.adc for a, b in zip(rs, rs[1:]))
+
+
 def test_quantize_int8_invariants(spark):
     """Codes bounded to [-127, 127]; dequantization error within half a
     quantization step of the true value."""
