@@ -62,6 +62,7 @@ BENCH_2C_QUERIES = {
     "c_simsearch": "simsearch_topk",
     "c_pack": "pack_sequences",
     "c_tokstats": "text_token_stats",
+    "c_ivfpq": "simsearch_ivfpq",
 }
 
 N_RUNS = 3

@@ -62,6 +62,11 @@ EXTRA_TARGETS = [
     "sample_temperature",
     "export_shard_assign",
     "udaf_grouped_apply",
+    # Arrow mapInPandas over whole-file blobs: at 10x the blobs are
+    # ~10x larger, measuring the per-row decode memory amplification
+    # (hex-encoding doubles, sha256 over it) of the stub pipeline.
+    "multimodal_feature_extract",
+    "simsearch_ivfpq",
 ]
 
 
@@ -105,7 +110,10 @@ def synthesize(spark: SparkSession, replicas: int) -> str:
     union = parts[0]
     for p in parts[1:]:
         union = union.unionAll(p)
-    union.write.parquet(f"{out}/documents.parquet")
+    # Single FILE (via pandas), not a Spark directory-with-parts: the
+    # multimodal binaryFile queries glob {sf_dir}/*.parquet for regular
+    # files and silently match nothing against part-file directories.
+    union.toPandas().to_parquet(f"{out}/documents.parquet")
 
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     eparts = [
@@ -115,7 +123,7 @@ def synthesize(spark: SparkSession, replicas: int) -> str:
     eunion = eparts[0]
     for p in eparts[1:]:
         eunion = eunion.unionAll(p)
-    eunion.write.parquet(f"{out}/embeddings.parquet")
+    eunion.toPandas().to_parquet(f"{out}/embeddings.parquet")
 
     # lineitem for the Arrow-UDF shapes (--all sweep): key-shifted exact
     # replicas — same group-size distribution, replicas x the groups.
