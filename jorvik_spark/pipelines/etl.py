@@ -130,6 +130,7 @@ class MergeOutput(Output):
     merge_schemas: bool = False
     update_condition: Union[str, bool, None] = None
     insert_condition: Union[str, bool, None] = None
+    delete_condition: Union[str, bool, None] = None
     partition_fields: Union[str, List[str]] = ""
     schema: StructType = None
 
@@ -146,6 +147,7 @@ class MergeOutput(Output):
             merge_schemas=self.merge_schemas,
             update_condition=self.update_condition,
             insert_condition=self.insert_condition,
+            delete_condition=self.delete_condition,
         )
 
 

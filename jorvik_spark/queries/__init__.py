@@ -45,9 +45,10 @@ from jorvik_spark.queries import sampling  # noqa: F401,E402
 #     file, and pytest parity still covers them every session.
 #   * Round-8 rotation note: front-load the operators NEW in round 7
 #     (sample_temperature, text_gopher_filter, stream_stream_join,
-#     embed_pq_codes, simsearch_ivfpq — registered outside the prefix
-#     this round; hash-verified by the local parity + dirty-corpus
-#     suites at sf0.001/sf0.01 until they get their first driver row).
+#     embed_pq_codes, simsearch_ivfpq, merge_cdc_delete — registered
+#     outside the prefix this round; hash-verified by the local parity +
+#     dirty-corpus suites at sf0.001/sf0.01 until they get their first
+#     driver row).
 # tests/test_registry_order.py pins list(queries())[:50] == this list.
 _CHECK_PRIORITY = [
     # -- last driver-green in round 2 (32) --

@@ -312,6 +312,73 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "merge_cdc_delete",
+    oracle="""
+    WITH full_t AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0),
+    inc AS (
+        SELECT o_orderkey, 'R' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM orders WHERE o_orderkey % 2 = 0),
+    kept AS (
+        SELECT f.o_orderkey,
+               COALESCE(i.o_orderstatus, f.o_orderstatus) AS o_orderstatus,
+               COALESCE(i.o_totalprice, f.o_totalprice) AS o_totalprice,
+               i.op AS op
+        FROM full_t f LEFT JOIN inc i ON f.o_orderkey = i.o_orderkey
+        WHERE i.op IS NULL OR i.op <> 'D'),
+    ins AS (
+        SELECT i.o_orderkey, i.o_orderstatus, i.o_totalprice, i.op
+        FROM inc i
+        WHERE i.op <> 'D'
+          AND NOT EXISTS (SELECT 1 FROM full_t f
+                          WHERE f.o_orderkey = i.o_orderkey))
+    SELECT * FROM kept UNION ALL SELECT * FROM ins
+    """,
+)
+def merge_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply through MERGE with a delete clause (engine extension
+    over the reference's upsert-only surface): a change batch carrying
+    an ``op`` column — 'D' tombstones delete their matched target rows,
+    'U' rows update, unseen non-tombstone keys insert, and tombstones
+    for unseen keys are kept out by the insert condition. The oracle
+    reconstructs the post-merge state relationally (left join minus
+    deletes plus filtered inserts), proving the lakehouse CDC-apply
+    contract end to end — the batch half of the streaming
+    ``foreach_batch_merge(delete_condition=...)`` sink.
+    """
+    st = BasicStorage()
+    target = _scratch("cdcmerge") + "/t"
+    orders = load_table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    st.write(
+        orders.filter(F.col("o_orderkey") % 3 != 0),
+        target, "parquet", "overwrite",
+    )
+    cdc = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 5 == 0, "D").otherwise("U"),
+        )
+    )
+    st.merge(
+        cdc,
+        target,
+        merge_condition="full.o_orderkey == incremental.o_orderkey",
+        delete_condition="incremental.op = 'D'",
+        insert_condition="incremental.op != 'D'",
+        merge_schemas=True,  # the target gains the op column (null keeps)
+    )
+    return st.read(target, "parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "op"
+    )
+
+
+@query(
     "sink_bucketed_join",
     oracle=f"""
     SELECT c.c_mktsegment, COUNT(*) AS n_orders,

@@ -177,18 +177,28 @@ class BasicStorage:
         merge_schemas: bool = False,
         update_condition: Union[str, bool, None] = None,
         insert_condition: Union[str, bool, None] = None,
+        delete_condition: Union[str, bool, None] = None,
     ) -> None:
         """Conditional upsert of ``df`` (alias ``incremental``) into the
         table at ``path`` (alias ``full``) — reference basic.py:136-191.
 
         * ``update_condition`` / ``insert_condition``: optional SQL over the
-          two aliases; ``False`` disables that branch entirely; both
-          disabled raises ValueError.
+          two aliases; ``False`` disables that branch entirely; all
+          branches disabled raises ValueError.
+        * ``delete_condition`` (engine extension beyond the reference
+          surface, backward-compatible): SQL over the two aliases; a
+          MATCHED target row satisfying it is DELETED. Delete takes
+          precedence over update (Delta clause order: ``whenMatchedDelete``
+          added first), which is the CDC-apply contract — an incremental
+          row flagged ``op = 'D'`` removes the target row even if the
+          update condition would also hold. ``None`` (default) preserves
+          the reference's exact upsert-only behavior.
         * Missing target → plain overwrite write (table creation). Kept
           reference-faithful (basic.py:169-174): the conditions do NOT
           apply on creation, so the first merge writes every incremental
           row even under an insert_condition — callers needing a filtered
-          bootstrap must pre-filter or create the table first.
+          bootstrap (or a delete-flag-free bootstrap) must pre-filter or
+          create the table first.
         * Schema drift → ValueError unless ``merge_schemas=True`` (null-fill
           both directions, reference basic.py:193-220).
         """
@@ -196,10 +206,14 @@ class BasicStorage:
             update_condition = str(update_condition).lower()
         if isinstance(insert_condition, bool):
             insert_condition = str(insert_condition).lower()
-        if update_condition == insert_condition == "false":
+        if isinstance(delete_condition, bool):
+            delete_condition = str(delete_condition).lower()
+        if update_condition == insert_condition == "false" and (
+            delete_condition is None or delete_condition == "false"
+        ):
             raise ValueError(
-                "Both inserts and updates are ignored; this operation "
-                "would have no effect."
+                "Inserts, updates, and deletes are all ignored; this "
+                "operation would have no effect."
             )
 
         self._recover_interrupted_swap(path)
@@ -216,11 +230,16 @@ class BasicStorage:
         spark = _active_session()
         if _HAS_DELTA and DeltaTable.isDeltaTable(spark, path):
             df = self._merge_schema(df, path, "delta", merge_schemas)
-            (
+            builder = (
                 DeltaTable.forPath(spark, path)
                 .alias("full")
                 .merge(df.alias("incremental"), merge_condition)
-                .whenMatchedUpdateAll(update_condition)
+            )
+            if delete_condition is not None:
+                # first clause added = first evaluated: delete precedence
+                builder = builder.whenMatchedDelete(delete_condition)
+            (
+                builder.whenMatchedUpdateAll(update_condition)
                 .whenNotMatchedInsertAll(insert_condition)
                 .execute()
             )
@@ -246,20 +265,36 @@ class BasicStorage:
 
         joined = tgt.join(src, F.expr(merge_condition), "left")
         matched = F.col(f"incremental.{_MATCH}").isNotNull()
-        upd_ok = matched & (
-            F.expr(update_condition) if update_condition is not None else F.lit(True)
+        del_ok = matched & (
+            F.expr(delete_condition)
+            if delete_condition is not None
+            else F.lit(False)
         )
-        joined = joined.withColumn("__upd__", upd_ok)
+        # delete precedence over update — same clause order as the Delta
+        # path (whenMatchedDelete added before whenMatchedUpdateAll)
+        upd_ok = (
+            matched
+            & ~del_ok
+            & (
+                F.expr(update_condition)
+                if update_condition is not None
+                else F.lit(True)
+            )
+        )
+        joined = joined.withColumn("__del__", del_ok).withColumn(
+            "__upd__", upd_ok
+        )
 
-        # Delta MERGE raises when several source rows would update the same
-        # target row; reproduce that contract. The guard count and the
-        # final write are two actions over a plan anchored on
-        # monotonically_increasing_id — persist the joined frame across
-        # both so they cannot see different id assignments (e.g. if the
-        # source's partitioning changes between actions).
+        # Delta MERGE raises when several source rows would apply a matched
+        # clause to the same target row; reproduce that contract. The
+        # guard count and the final write are two actions over a plan
+        # anchored on monotonically_increasing_id — persist the joined
+        # frame across both so they cannot see different id assignments
+        # (e.g. if the source's partitioning changes between actions).
         w = Window.partitionBy(F.col(f"full.{_FID}"))
         joined = joined.withColumn(
-            "__n_upd__", F.sum(F.col("__upd__").cast("int")).over(w)
+            "__n_upd__",
+            F.sum((F.col("__upd__") | F.col("__del__")).cast("int")).over(w),
         ).persist()
         try:
             if joined.filter(F.col("__n_upd__") > 1).limit(1).count() > 0:
@@ -268,14 +303,16 @@ class BasicStorage:
                     "target row (merge condition is not selective enough)."
                 )
 
-            # One output row per target row: the updating source row if any
-            # (__upd__ desc sorts True first), else the original row once.
+            # One output row per target row: the applying source row if any
+            # (clause flags sort True first), dropped entirely when that
+            # clause is the delete, else the original row once.
             pick = Window.partitionBy(F.col(f"full.{_FID}")).orderBy(
-                F.col("__upd__").desc()
+                F.col("__del__").desc(), F.col("__upd__").desc()
             )
             kept_or_updated = (
                 joined.withColumn("__rn__", F.row_number().over(pick))
                 .filter(F.col("__rn__") == 1)
+                .filter(~F.col("__del__"))
                 .select(
                     [
                         F.when(F.col("__upd__"), F.col(f"incremental.{c}"))

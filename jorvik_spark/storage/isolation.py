@@ -314,6 +314,7 @@ class IsolatedStorage:
         merge_schemas: bool = False,
         update_condition: Union[str, bool, None] = None,
         insert_condition: Union[str, bool, None] = None,
+        delete_condition: Union[str, bool, None] = None,
     ) -> None:
         """Merge into the isolated path, creating it on first use (Q6 fix —
         the reference falls through to the production path instead)."""
@@ -328,4 +329,5 @@ class IsolatedStorage:
             merge_schemas=merge_schemas,
             update_condition=update_condition,
             insert_condition=insert_condition,
+            delete_condition=delete_condition,
         )

@@ -63,6 +63,7 @@ class Storage(Protocol):
         merge_schemas: bool = False,
         update_condition: Optional[str] = None,
         insert_condition: Optional[str] = None,
+        delete_condition: Optional[str] = None,
     ) -> None:
         ...
 

@@ -42,6 +42,7 @@ def foreach_batch_merge(
     checkpoint: str,
     update_condition: Union[str, bool, None] = None,
     insert_condition: Union[str, bool, None] = None,
+    delete_condition: Union[str, bool, None] = None,
     trigger_available_now: bool = True,
     dedup_keys: Union[list, None] = None,
     dedup_order_col: Union[str, None] = None,
@@ -55,6 +56,12 @@ def foreach_batch_merge(
     or double-inserts — so pass ``dedup_keys`` (the merge-key columns) to
     collapse each key to one row before merging. Without ``dedup_keys``
     the caller is asserting the source is exactly-once per batch.
+
+    With ``delete_condition`` (SQL over the ``full``/``incremental``
+    aliases, e.g. ``incremental.op = 'D'``) this sink is a full CDC
+    apply: tombstone rows delete their target match, other rows upsert —
+    combined with ``dedup_keys``/``dedup_order_col`` collapsing each key
+    to its latest change first, replaying a CDC feed converges.
 
     Which row survives: with ``dedup_order_col`` (an event-time/sequence
     column), the LATEST row per key wins — greatest order value, residual
@@ -105,6 +112,7 @@ def foreach_batch_merge(
             merge_condition,
             update_condition=update_condition,
             insert_condition=insert_condition,
+            delete_condition=delete_condition,
         )
 
     writer = df.writeStream.foreachBatch(apply_batch).option(

@@ -228,6 +228,8 @@ REL_QUERIES = [
     # o_orderstatus): the micro-batch upsert must agree with the
     # relational post-merge reconstruction on dirty rows too.
     "stream_foreachbatch_merge",
+    # CDC apply with tombstones over the same dirty orders.
+    "merge_cdc_delete",
 ]
 
 

@@ -130,6 +130,97 @@ def test_merge(spark, st, tmp_path):
     assertDataFrameEqual(st.read(target, "parquet"), expected)
 
 
+def test_merge_cdc_delete(spark, st, tmp_path):
+    """delete_condition (engine extension): a CDC batch with a tombstone
+    column deletes its matched target rows, updates the others, inserts
+    unseen keys — and the insert condition keeps tombstones for unseen
+    keys OUT of the table."""
+    target = str(tmp_path / "t")
+    st.write(
+        kv(spark, [(1, "a"), (2, "b"), (3, "c")]), target, "parquet", "overwrite"
+    )
+    cdc = spark.createDataFrame(
+        [
+            (2, "b2", "U"),   # matched update
+            (3, None, "D"),   # matched delete
+            (4, "d", "I"),    # unmatched insert
+            (5, None, "D"),   # unmatched tombstone: must NOT insert
+        ],
+        "id long, value string, op string",
+    )
+    st.merge(
+        cdc.select("id", "value", "op"),
+        target,
+        merge_condition="full.id == incremental.id",
+        delete_condition="incremental.op = 'D'",
+        insert_condition="incremental.op != 'D'",
+        merge_schemas=True,  # target gains the op column (null for keeps)
+    )
+    got = {
+        r.id: (r.value, r.op)
+        for r in st.read(target, "parquet").collect()
+    }
+    assert got == {1: ("a", None), 2: ("b2", "U"), 4: ("d", "I")}
+
+
+def test_merge_delete_takes_precedence_over_update(spark, st, tmp_path):
+    """A matched row satisfying BOTH delete and update conditions is
+    deleted — same clause order as Delta's whenMatchedDelete-first."""
+    target = str(tmp_path / "t")
+    st.write(kv(spark, [(1, "a"), (2, "b")]), target, "parquet", "overwrite")
+    st.merge(
+        kv(spark, [(1, "x"), (2, "y")]),
+        target,
+        merge_condition="full.id == incremental.id",
+        delete_condition="incremental.id = 1",
+        update_condition=True,
+        insert_condition=False,
+    )
+    got = {r.id: r.value for r in st.read(target, "parquet").collect()}
+    assert got == {2: "y"}
+
+
+def test_merge_delete_only_is_a_valid_operation(spark, st, tmp_path):
+    """update=False + insert=False is no longer an error when a delete
+    condition gives the merge an effect (delete-only anti-merge)."""
+    target = str(tmp_path / "t")
+    st.write(kv(spark, [(1, "a"), (2, "b"), (3, "c")]), target, "parquet", "overwrite")
+    st.merge(
+        kv(spark, [(2, "zz"), (9, "zz")]),
+        target,
+        merge_condition="full.id == incremental.id",
+        update_condition=False,
+        insert_condition=False,
+        delete_condition=True,
+    )
+    got = sorted(r.id for r in st.read(target, "parquet").collect())
+    assert got == [1, 3]
+    # ...but with delete disabled too, the all-no-op error stands
+    with pytest.raises(ValueError, match="no effect"):
+        st.merge(
+            kv(spark, [(1, "x")]), target,
+            merge_condition="full.id == incremental.id",
+            update_condition=False, insert_condition=False,
+        )
+
+
+def test_merge_duplicate_delete_matches_raise(spark, st, tmp_path):
+    """Two source rows deleting the same target row is the same
+    ambiguous-match contract violation as two updates."""
+    target = str(tmp_path / "t")
+    st.write(kv(spark, [(1, "a")]), target, "parquet", "overwrite")
+    dup = spark.createDataFrame(
+        [(1, "x", "D"), (1, "y", "D")], "id long, value string, op string"
+    )
+    with pytest.raises(ValueError, match="Multiple source rows"):
+        st.merge(
+            dup, target,
+            merge_condition="full.id == incremental.id",
+            delete_condition="incremental.op = 'D'",
+            merge_schemas=True,
+        )
+
+
 def test_merge_creates_missing_target(spark, st, tmp_path):
     target = str(tmp_path / "t")
     incremental = kv(spark, [(1, "a"), (2, "b")])
