@@ -589,34 +589,97 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _PQ_DIM-dimensional embedding, _PQ_K centroids per subspace. Codebook
 # "training" is deterministic like the IVF quantizer (the first _PQ_K
 # vectors' subvectors serve as the per-subspace codebooks), keeping the
-# whole index value-checkable cross-engine.
+# whole index value-checkable cross-engine. The subvector/codebook/
+# assignment construction is SHARED — one Spark helper chain and one
+# oracle CTE chain — between ``embed_pq_codes`` and ``simsearch_ivfpq``
+# so the two can never silently diverge on layout or tie-break.
 _PQ_DIM = 64
 _PQ_M = 8
 _PQ_SUB = _PQ_DIM // _PQ_M
 _PQ_K = 16
 
+# Oracle CTE chain: pq_subs (per-vector subvectors), pq_cents (codebooks),
+# pq_codes (nearest-centroid assignment). Composable after WITH.
+_SQL_PQ_CODES = f"""pq_ev AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE len(embedding) = {_PQ_DIM}),
+    pq_subs AS (
+        SELECT vec_id, m, e[(m*{_PQ_SUB}+1):(m*{_PQ_SUB}+{_PQ_SUB})] AS s
+        FROM pq_ev CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m)),
+    pq_cents AS (SELECT vec_id AS cent_id, m, s AS c
+                 FROM pq_subs WHERE vec_id < {_PQ_K}),
+    pq_scored AS (
+        SELECT v.vec_id, v.m, c.cent_id,
+               round(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                   i -> (v.s[i] - c.c[i]) * (v.s[i] - c.c[i]))), 6) AS d
+        FROM pq_subs v JOIN pq_cents c ON v.m = c.m),
+    pq_codes AS (
+        SELECT vec_id, m, (min(struct_pack(d := d, c := cent_id))).c AS code
+        FROM pq_scored GROUP BY vec_id, m)"""
+
+# Squared subvector distance (s vs c), rounded before any comparison.
+_PQ_SQD = (
+    "aggregate(zip_with(s, c, (x, y) -> (x - y) * (x - y)), "
+    "0D, (acc, x) -> acc + x)"
+)
+
+
+def _pq_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, s): each in-dim vector split into its M subvectors."""
+    return memo_df(
+        f"pq_subs:{sf_dir}",
+        spark,
+        lambda: _vec_double(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.size("embedding") == _PQ_DIM)
+        .select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {_PQ_M - 1}), m -> "
+                    f"struct(m AS m, slice(v, m * {_PQ_SUB} + 1, {_PQ_SUB})"
+                    " AS s))"
+                )
+            ).alias("x"),
+        )
+        .select("vec_id", F.col("x.m").alias("m"), F.col("x.s").alias("s")),
+    )
+
+
+def _pq_cents(subs: DataFrame):
+    """Broadcast per-subspace codebooks (cent_id, m, c)."""
+    return F.broadcast(
+        subs.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("vec_id").alias("cent_id"), "m", F.col("s").alias("c")
+        )
+    )
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, code): nearest-codebook assignment, memoized — the PQ
+    index both the code-export query and the IVF-PQ search share."""
+
+    def build() -> DataFrame:
+        subs = _pq_subs(spark, sf_dir)
+        return (
+            subs.join(_pq_cents(subs), "m")
+            .select(
+                "vec_id", "m", "cent_id",
+                F.round(F.expr(_PQ_SQD), 6).alias("d"),
+            )
+            .groupBy("vec_id", "m")
+            .agg(F.min(F.struct("d", "cent_id")).alias("b"))
+            .select("vec_id", "m", F.col("b.cent_id").alias("code"))
+        )
+
+    return memo_df(f"pq_codes:{sf_dir}", spark, build)
+
 
 @query(
     "embed_pq_codes",
     oracle=f"""
-    WITH ev AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings WHERE len(embedding) = {_PQ_DIM}),
-    subs AS (
-        SELECT vec_id, m, e[(m*{_PQ_SUB}+1):(m*{_PQ_SUB}+{_PQ_SUB})] AS s
-        FROM ev CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m)),
-    cents AS (SELECT vec_id AS cent_id, m, s AS c
-              FROM subs WHERE vec_id < {_PQ_K}),
-    scored AS (
-        SELECT v.vec_id, v.m, c.cent_id,
-               round(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
-                   i -> (v.s[i] - c.c[i]) * (v.s[i] - c.c[i]))), 6) AS d
-        FROM subs v JOIN cents c ON v.m = c.m),
-    best AS (
-        SELECT vec_id, m, min(struct_pack(d := d, c := cent_id)) AS b
-        FROM scored GROUP BY vec_id, m)
-    SELECT vec_id, CAST(m AS BIGINT) AS subspace, CAST(b.c AS BIGINT) AS code
-    FROM best
+    WITH {_SQL_PQ_CODES}
+    SELECT vec_id, CAST(m AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
+    FROM pq_codes
     """,
 )
 def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,38 +708,10 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB, train real k-means codebooks on a driver sample and
     broadcast them; the assignment plan is unchanged.
     """
-    emb = _vec_double(load_table(spark, sf_dir, "embeddings")).filter(
-        F.size("embedding") == _PQ_DIM
-    )
-    subs = emb.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), m -> "
-                f"struct(m AS m, slice(v, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS s))"
-            )
-        ).alias("x"),
-    ).select("vec_id", F.col("x.m").alias("m"), F.col("x.s").alias("s"))
-    cents = F.broadcast(
-        subs.filter(F.col("vec_id") < _PQ_K).select(
-            F.col("vec_id").alias("cent_id"), "m", F.col("s").alias("c")
-        )
-    )
-    d = F.round(
-        F.expr(
-            "aggregate(zip_with(s, c, (x, y) -> (x - y) * (x - y)), "
-            "0D, (acc, x) -> acc + x)"
-        ),
-        6,
-    )
-    scored = subs.join(cents, "m").select("vec_id", "m", "cent_id", d.alias("d"))
-    best = scored.groupBy("vec_id", "m").agg(
-        F.min(F.struct("d", "cent_id")).alias("b")
-    )
-    return best.select(
+    return _pq_codes(spark, sf_dir).select(
         "vec_id",
         F.col("m").cast("long").alias("subspace"),
-        F.col("b.cent_id").cast("long").alias("code"),
+        F.col("code").cast("long").alias("code"),
     )
 
 
@@ -688,29 +723,14 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes AS (
         SELECT vec_id AS query_id, cent_id AS cell
         FROM assign WHERE vec_id < {_N_QUERIES} AND rn <= {_IVF_NPROBE}),
-    ev AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings WHERE len(embedding) = {_PQ_DIM}),
-    subs AS (
-        SELECT vec_id, m, e[(m*{_PQ_SUB}+1):(m*{_PQ_SUB}+{_PQ_SUB})] AS s
-        FROM ev CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m)),
-    pqcents AS (SELECT vec_id AS cent_id, m, s AS c
-                FROM subs WHERE vec_id < {_PQ_K}),
-    scored AS (
-        SELECT v.vec_id, v.m, c.cent_id,
-               round(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
-                   i -> (v.s[i] - c.c[i]) * (v.s[i] - c.c[i]))), 6) AS d
-        FROM subs v JOIN pqcents c ON v.m = c.m),
-    codes AS (
-        SELECT vec_id, m, (min(struct_pack(d := d, c := cent_id))).c AS code
-        FROM scored GROUP BY vec_id, m),
+    {_SQL_PQ_CODES},
     qcent AS (
         SELECT q.vec_id AS query_id, q.m, c.cent_id,
                CAST(floor(round(list_sum(list_transform(
                    range(1, {_PQ_SUB} + 1),
                    i -> (q.s[i] - c.c[i]) * (q.s[i] - c.c[i]))), 6)
                    * 1000000 + 0.5) AS BIGINT) AS qd_u
-        FROM subs q JOIN pqcents c ON q.m = c.m
+        FROM pq_subs q JOIN pq_cents c ON q.m = c.m
         WHERE q.vec_id < {_N_QUERIES}),
     cand AS (
         SELECT p.query_id, c.vec_id AS candidate_id
@@ -719,7 +739,7 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc AS (
         SELECT cd.query_id, cd.candidate_id, SUM(qc.qd_u) AS adc_u
         FROM cand cd
-        JOIN codes k ON k.vec_id = cd.candidate_id
+        JOIN pq_codes k ON k.vec_id = cd.candidate_id
         JOIN qcent qc ON qc.query_id = cd.query_id
                      AND qc.m = k.m AND qc.cent_id = k.code
         GROUP BY cd.query_id, cd.candidate_id),
@@ -763,40 +783,13 @@ def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_NPROBE)
     ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
 
-    emb = _vec_double(load_table(spark, sf_dir, "embeddings")).filter(
-        F.size("embedding") == _PQ_DIM
-    )
-    subs = emb.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), m -> "
-                f"struct(m AS m, slice(v, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS s))"
-            )
-        ).alias("x"),
-    ).select("vec_id", F.col("x.m").alias("m"), F.col("x.s").alias("s"))
-    pqcents = F.broadcast(
-        subs.filter(F.col("vec_id") < _PQ_K).select(
-            F.col("vec_id").alias("cent_id"), "m", F.col("s").alias("c")
-        )
-    )
-    sqd = F.round(
-        F.expr(
-            "aggregate(zip_with(s, c, (x, y) -> (x - y) * (x - y)), "
-            "0D, (acc, x) -> acc + x)"
-        ),
-        6,
-    )
-    codes = (
-        subs.join(pqcents, "m")
-        .select("vec_id", "m", "cent_id", sqd.alias("d"))
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d", "cent_id")).alias("b"))
-        .select("vec_id", "m", F.col("b.cent_id").alias("code"))
-    )
+    # shared PQ construction (one definition with embed_pq_codes)
+    subs = _pq_subs(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir)
+    sqd = F.round(F.expr(_PQ_SQD), 6)
     qcent = F.broadcast(
         subs.filter(F.col("vec_id") < _N_QUERIES)
-        .join(pqcents, "m")
+        .join(_pq_cents(subs), "m")
         .select(
             F.col("vec_id").alias("query_id"),
             "m",

@@ -265,8 +265,12 @@ class BasicStorage:
 
         joined = tgt.join(src, F.expr(merge_condition), "left")
         matched = F.col(f"incremental.{_MATCH}").isNotNull()
+        # coalesce: a NULL condition (e.g. "incremental.op = 'D'" with a
+        # null op) means the clause does NOT fire — Delta's semantics. A
+        # bare NULL here would flow into filter(~__del__) below, where
+        # ~NULL = NULL silently DROPS the target row (data loss).
         del_ok = matched & (
-            F.expr(delete_condition)
+            F.coalesce(F.expr(delete_condition), F.lit(False))
             if delete_condition is not None
             else F.lit(False)
         )

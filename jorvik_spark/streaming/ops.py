@@ -238,14 +238,19 @@ def running_user_totals(
 
 
 class _ActivityProcessor(StatefulProcessor):
-    """Per-user activity state for :func:`user_activity_summary`.
+    """Per-key activity state for :func:`user_activity_summary`.
 
     ValueState holds (n, total, n_nonnull, last_us); every micro-batch
     folds its rows in and emits the updated summary row for each key
     seen. SQL SUM semantics are preserved the same way as
     ``running_user_totals``: nulls are skipped and the total stays NULL
-    until a non-null value arrives.
+    until a non-null value arrives. The key column keeps the CALLER'S
+    name (the output schema carries its type — see the key-type note in
+    ``running_user_totals``).
     """
+
+    def __init__(self, key_col: str) -> None:
+        self._key_col = key_col
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._state = handle.getValueState(
@@ -268,7 +273,7 @@ class _ActivityProcessor(StatefulProcessor):
         self._state.update((n, total, n_nonnull, last_us))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                self._key_col: [key[0]],
                 "n_events": [n],
                 "total_value": [total if n_nonnull else None],
                 "last_ts": [
@@ -323,10 +328,14 @@ def user_activity_summary(
             F.sum("value").alias("total_value"),
             F.max("ts").alias("last_ts"),
         )
+    # The grouping key keeps ITS OWN type in the output schema, exactly
+    # as running_user_totals does — a hardcoded type would crash the
+    # Arrow conversion for non-long keys in the streaming branch only.
+    key_type = df.schema[key_col].dataType.simpleString()
     return df.groupBy(key_col).transformWithStateInPandas(
-        _ActivityProcessor(),
+        _ActivityProcessor(key_col),
         outputStructType=(
-            f"{key_col} long, n_events long, total_value double, "
+            f"{key_col} {key_type}, n_events long, total_value double, "
             "last_ts timestamp"
         ),
         outputMode="Update",

@@ -87,6 +87,17 @@ def build_session() -> SparkSession:
     return spark
 
 
+def _write_single_file(df, dest: str) -> None:
+    """Write a DataFrame as ONE regular parquet file at ``dest``."""
+    import glob
+
+    tmp = dest + ".d"
+    df.coalesce(1).write.parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    os.rename(part, dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def synthesize(spark: SparkSession, replicas: int) -> str:
     """Replicate sf0.1 into near-duplicate groups of size ``replicas``.
 
@@ -110,10 +121,13 @@ def synthesize(spark: SparkSession, replicas: int) -> str:
     union = parts[0]
     for p in parts[1:]:
         union = union.unionAll(p)
-    # Single FILE (via pandas), not a Spark directory-with-parts: the
-    # multimodal binaryFile queries glob {sf_dir}/*.parquet for regular
-    # files and silently match nothing against part-file directories.
-    union.toPandas().to_parquet(f"{out}/documents.parquet")
+    # Single FILE, not a Spark directory-with-parts: the multimodal
+    # binaryFile queries glob {sf_dir}/*.parquet for regular files and
+    # silently match nothing against part-file directories. Written
+    # executor-side (coalesce(1) + rename) — a driver toPandas collect
+    # would make driver memory the harness's scale ceiling, defeating
+    # the point of raising the replica count.
+    _write_single_file(union, f"{out}/documents.parquet")
 
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     eparts = [
@@ -123,7 +137,7 @@ def synthesize(spark: SparkSession, replicas: int) -> str:
     eunion = eparts[0]
     for p in eparts[1:]:
         eunion = eunion.unionAll(p)
-    eunion.toPandas().to_parquet(f"{out}/embeddings.parquet")
+    _write_single_file(eunion, f"{out}/embeddings.parquet")
 
     # lineitem for the Arrow-UDF shapes (--all sweep): key-shifted exact
     # replicas — same group-size distribution, replicas x the groups.

@@ -323,5 +323,6 @@ def test_stream_stream_join_twin_is_equi_not_cartesian(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan  # AQE may broadcast at test SF
     )
-    # pushdown: the event_type filters must reach both scans
-    assert plan.count("EqualTo(event_type,") >= 2 or plan.count("event_type") >= 2
+    # pushdown: BOTH event-type predicates must reach their parquet scans
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
