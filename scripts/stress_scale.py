@@ -139,6 +139,23 @@ def synthesize(spark: SparkSession, replicas: int) -> str:
         eunion = eunion.unionAll(p)
     _write_single_file(eunion, f"{out}/embeddings.parquet")
 
+    # events for the window/sessionize shapes: replicas keep the original
+    # user ids (every user gets replicas x the events in the same time
+    # range — density stress), EXCEPT replicas 1-3 which all collapse
+    # onto user 0 — a deliberate hot key holding ~3/replicas of the
+    # corpus, the "one bot user" shape that breaks per-key windows.
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    evparts = []
+    for r in range(replicas):
+        p = ev.withColumn("event_id", F.col("event_id") + F.lit(r * 100_000_000))
+        if 1 <= r <= 3:
+            p = p.withColumn("user_id", F.lit(0).cast("long"))
+        evparts.append(p)
+    evunion = evparts[0]
+    for p in evparts[1:]:
+        evunion = evunion.unionAll(p)
+    evunion.write.parquet(f"{out}/events.parquet")
+
     # lineitem for the Arrow-UDF shapes (--all sweep): key-shifted exact
     # replicas — same group-size distribution, replicas x the groups.
     li = spark.read.parquet(f"{BASE}/lineitem.parquet")
