@@ -45,7 +45,9 @@ from jorvik_spark.queries import sampling  # noqa: F401,E402
 #     file, and pytest parity still covers them every session.
 #   * Round-8 rotation note: front-load the operators NEW in round 7
 #     (sample_temperature, text_gopher_filter, stream_stream_join,
-#     embed_pq_codes, simsearch_ivfpq, merge_cdc_delete — registered
+#     embed_pq_codes, simsearch_ivfpq, merge_cdc_delete,
+#     dedup_passage_spans, decontaminate_bloom,
+#     sample_quality_percentile, export_length_bucketed — registered
 #     outside the prefix this round; hash-verified by the local parity +
 #     dirty-corpus suites at sf0.001/sf0.01 until they get their first
 #     driver row).

@@ -732,3 +732,107 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Memoized fixpoint: the returned DataFrame reads the cached labels
     # directly; re-deriving them would replay the whole propagation.
     return memo_df(f"mh_components:{sf_dir}", spark, propagate_to_fixpoint)
+
+
+# Exact-substring passage dedup: window width (tokens). Cross-doc 8-token
+# verbatim overlap is the classic "duplicated passage" signal (cf. Lee et
+# al., "Deduplicating Training Data Makes Language Models Better" — their
+# suffix-array ExactSubstr uses a 50-token threshold on web corpora; the
+# synthetic test docs average ~50 tokens, so 8 keeps the operator
+# exercised at every SF while the shape is threshold-agnostic).
+_SPAN_K = 8
+# Positional k-shingles over the materialized token column: (pos, md5) per
+# window start. md5 of the joined window keeps the shuffle key at 32 bytes
+# regardless of k. Guarded against short docs (Spark's sequence() would
+# otherwise produce a DESCENDING range for size(t) < k).
+_POS_SHINGLES_T = (
+    f"if(size(t) >= {_SPAN_K}, "
+    f"transform(sequence(1, size(t) - {_SPAN_K - 1}), "
+    f"i -> struct(i - 1 AS pos, "
+    f"md5(concat_ws(' ', slice(t, i, {_SPAN_K}))) AS h)), "
+    "array())"
+)
+
+
+@query(
+    "dedup_passage_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    posi AS (SELECT doc_id, t, unnest(range(1, len(t) - {_SPAN_K - 2})) AS i
+             FROM toks WHERE len(t) >= {_SPAN_K}),
+    occ AS (SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(t[i:i + {_SPAN_K - 1}], ' ')) AS h
+            FROM posi),
+    dup AS (SELECT h FROM occ GROUP BY h HAVING COUNT(*) >= 2),
+    dp AS (SELECT doc_id, pos FROM occ JOIN dup USING (h)),
+    marks AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) > {_SPAN_K}
+                    THEN 1 ELSE 0 END AS brk
+        FROM dp),
+    grps AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM marks)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + {_SPAN_K} AS BIGINT) AS n_span_tokens
+    FROM grps GROUP BY doc_id, grp
+    """,
+)
+def dedup_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact-substring dedup: maximal token spans covered by
+    8-token windows that appear at least twice in the corpus (cross-doc
+    or within-doc), reported per document as [span_start, span_end] token
+    intervals — the removal list a passage-dedup pipeline feeds back into
+    the corpus (shingle approximation of Lee et al.'s suffix-array
+    ExactSubstr).
+
+    Scale shape, stage by stage:
+
+    1. positional shingles — narrow transform over the cached token
+       column; the shuffle key is a 32-byte md5 of each window, never the
+       window text.
+    2. duplicated-window set — one groupBy on the hash with map-side
+       combine; COUNT(*) >= 2 needs no value list, so hot windows
+       (boilerplate) cost a counter, not a candidate explosion.
+    3. membership probe — left-semi join of occurrences against the
+       duplicated set, on the same hash key (co-partitioned with stage 2,
+       no doc×doc comparison anywhere).
+    4. span merge — equal-width intervals sorted per doc merge iff start
+       gaps are <= k (coverage overlap/adjacency), the classic
+       gaps-and-islands break/running-sum pair of windows PARTITIONED BY
+       doc — bounded by document length, never corpus-wide.
+    """
+    occ = (
+        _tokenized_docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(_POS_SHINGLES_T)).alias("x"))
+        .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.h").alias("h"))
+    )
+    dup = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    dp = occ.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > _SPAN_K, F.lit(1)
+    ).otherwise(F.lit(0))
+    grps = dp.withColumn("brk", brk).withColumn(
+        "grp", F.sum("brk").over(run)
+    )
+    return grps.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(_SPAN_K - 1)).cast("long").alias("span_end"),
+        (F.max("pos") - F.min("pos") + F.lit(_SPAN_K))
+        .cast("long")
+        .alias("n_span_tokens"),
+    ).drop("grp")

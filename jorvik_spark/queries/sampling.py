@@ -448,3 +448,282 @@ def sample_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("keep_rate", 6).alias("keep_rate"),
         )
     )
+
+
+# Bloom prefilter geometry for decontaminate_bloom: m bits, j md5-derived
+# probes. m = 2^20 so a 5-hex-digit md5 slice (16^5 = 2^20) maps onto the
+# bit space without modulo bias; the bitmap is 16 Ki 64-bit words ≈ 128 KiB
+# — broadcastable at any corpus size (a production run sizes m to the
+# train-side distinct-shingle count; the shape is m-agnostic).
+_BLOOM_M = 1 << 20
+_BLOOM_J = 4
+
+
+def _bloom_positions(shingle) -> "F.Column":
+    """Array of j bit positions for a shingle, one per md5 salt."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"b{i}:"), shingle)), 1, 5
+                ),
+                16,
+                10,
+            ).cast("long")
+            for i in range(_BLOOM_J)
+        ]
+    )
+
+
+@query(
+    "decontaminate_bloom",
+    # The bloom is a PREFILTER with zero false negatives; the exact
+    # shingle semi-join behind it removes every false positive, so the
+    # result is value-identical to the exact semi-join — which is the
+    # oracle. The bloom stage exists in the PLAN (probe-side row
+    # reduction before the shuffle), not in the result.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               {_SQL_TOKENS} AS t,
+               {_sql_bucket('doc_id', 'split:')} AS split_bucket
+        FROM documents),
+    sh AS (SELECT doc_id, split_bucket, {_SQL_SHINGLES} AS s FROM toks
+           WHERE len(t) >= 3),
+    train AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+              WHERE split_bucket < {_VAL_LO}),
+    test_ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh
+                WHERE split_bucket >= {_TEST_LO})
+    SELECT DISTINCT doc_id AS contaminated_doc_id
+    FROM test_ex JOIN train USING (shingle)
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval decontamination with a broadcast Bloom prefilter: the same
+    contract as ``decontaminate_overlap`` (test-split docs sharing any
+    3-token shingle with the training split), but the probe side is
+    screened against a 128 KiB Bloom bitmap of the train shingle set
+    BEFORE the exact shingle join.
+
+    Why this exists at 100 TB: the exact semi-join shuffles every
+    (test_doc, shingle) occurrence on the shingle key. With a clean test
+    split, almost none of those rows survive — the Bloom stage drops them
+    at the scan (a narrow filter against a broadcast bitmap), so only
+    candidate rows reach the exchange. False positives (~0.06% at j=4,
+    m=2^20 vs the train set here) are eliminated by the exact join that
+    follows; Bloom filters have no false negatives, so the result is
+    value-identical to the exact join and oracle-checkable.
+
+    Built entirely from built-ins (Spark ships no SQL-registered
+    bloom_filter_agg): each distinct train shingle sets j=4 md5-derived
+    bits; per-word ``bit_or`` aggregation packs them into 64-bit words;
+    ``map_from_entries`` over the (word_idx, word) pairs yields a one-row
+    bitmap that Catalyst broadcasts. The probe is a deterministic
+    expression — no UDF, no driver collect, one lazy plan end to end.
+    """
+    toks = _tokenized_docs(spark, sf_dir).withColumn(
+        "split_bucket", _bucket(F.col("doc_id"), "split:")
+    )
+    sh = toks.filter(F.size("t") >= 3).select(
+        "doc_id", "split_bucket", F.expr(_SHINGLES_T).alias("s")
+    )
+    train_shingles = (
+        sh.filter(F.col("split_bucket") < _VAL_LO)
+        .select(F.explode("s").alias("shingle"))
+        .distinct()
+    )
+    # Bitmap build: explode each shingle's j positions, pack per word.
+    word = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+    )
+    bloom = (
+        train_shingles.select(
+            F.explode(_bloom_positions(F.col("shingle"))).alias("pos")
+        )
+        .groupBy((F.col("pos") / 64).cast("long").alias("idx"))
+        .agg(F.bit_or(word).alias("w"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("idx", "w"))
+            ).alias("bm")
+        )
+    )
+    test_shingles = sh.filter(F.col("split_bucket") >= _TEST_LO).select(
+        "doc_id", F.explode("s").alias("shingle")
+    )
+    probed = test_shingles.withColumn(
+        "bpos", _bloom_positions(F.col("shingle"))
+    ).crossJoin(F.broadcast(bloom))
+    bit_set = (
+        "(shiftright(coalesce(element_at(bm, CAST(p / 64 AS BIGINT)),"
+        " CAST(0 AS BIGINT)), CAST(p % 64 AS INT)) & 1) = 1"
+    )
+    candidates = probed.filter(
+        F.expr(f"forall(bpos, p -> {bit_set})")
+    ).select("doc_id", "shingle")
+    return (
+        candidates.join(train_shingles, "shingle", "left_semi")
+        .select(F.col("doc_id").alias("contaminated_doc_id"))
+        .distinct()
+    )
+
+
+@query(
+    "sample_quality_percentile",
+    # PERCENT_RANK() == (#strictly-smaller)/(n-1) with ties sharing a
+    # rank — exactly the aggregate formulation the Spark side computes,
+    # so the window function here is the oracle twin of a scale-safe
+    # two-level plan, not the plan itself.
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_SQL_TOKENS} AS t FROM documents),
+    sc AS (SELECT doc_id, source,
+                  (len(list_distinct(t)) * 1000000) // greatest(len(t), 1)
+                      AS score_ppm
+           FROM toks),
+    pr AS (SELECT doc_id, source, score_ppm,
+                  PERCENT_RANK() OVER (PARTITION BY source
+                                       ORDER BY score_ppm) AS prk
+           FROM sc)
+    SELECT doc_id, source, CAST(score_ppm AS BIGINT) AS score_ppm,
+           round(prk, 6) AS quality_pct
+    FROM pr WHERE prk >= 0.5
+    """,
+)
+def sample_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile gate: keep each source's top half by
+    lexical-diversity score (distinct-token ppm of the document), report
+    the exact percentile each kept doc sits at — the "take the best X%
+    of every domain" selection step of a pretraining mix.
+
+    A naive PERCENT_RANK() OVER (PARTITION BY source ORDER BY score)
+    sorts each source's entire corpus in one task — a handful of source
+    values at 100 TB means a handful of tasks doing terabyte sorts. The
+    scale shape instead quantizes the score to integer ppm (pure integer
+    arithmetic, identical in both engines), aggregates doc counts per
+    (source, score_ppm) — the one full shuffle, with map-side combine —
+    and computes the rank prefix-sum over that TINY aggregate with a
+    window, broadcasting it back. Ties share a percentile by
+    construction, which is what makes the quantized rank exact, not
+    approximate.
+    """
+    toks = _tokenized_docs(spark, sf_dir)
+    sc = toks.select(
+        "doc_id",
+        F.expr(
+            "(size(array_distinct(t)) * CAST(1000000 AS BIGINT))"
+            " div greatest(size(t), 1)"
+        ).alias("score_ppm"),
+    ).join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+    )
+    cells = sc.groupBy("source", "score_ppm").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy("score_ppm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = cells.select(
+        "source",
+        "score_ppm",
+        (F.sum("cnt").over(w_run) - F.col("cnt")).alias("smaller"),
+        F.sum("cnt").over(w_all).alias("n_source"),
+    ).select(
+        "source",
+        "score_ppm",
+        F.when(F.col("n_source") == 1, F.lit(0.0))
+        .otherwise(F.col("smaller") / (F.col("n_source") - 1))
+        .alias("prk"),
+    )
+    return (
+        sc.join(F.broadcast(ranked), ["source", "score_ppm"])
+        .filter(F.col("prk") >= 0.5)
+        .select(
+            "doc_id",
+            "source",
+            F.col("score_ppm").cast("long").alias("score_ppm"),
+            F.round("prk", 6).alias("quality_pct"),
+        )
+    )
+
+
+# Length-bucket caps for padding-efficient export: power-of-two sequence
+# lengths a training loader pads to. Integer CASE thresholds — no float
+# log2, whose representation error would flip boundary docs per engine.
+_LB_CAPS = [16, 32, 64, 128, 256, 512]
+_LB_MAX = 1024
+_LB_SHARDS = 4
+
+
+def _lb_case_sql(n: str) -> str:
+    return (
+        "CASE "
+        + " ".join(f"WHEN {n} <= {c} THEN {c}" for c in _LB_CAPS)
+        + f" ELSE {_LB_MAX} END"
+    )
+
+
+@query(
+    "export_length_bucketed",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens
+                  FROM documents),
+    bucketed AS (
+        SELECT doc_id, n_tokens,
+               {_lb_case_sql('n_tokens')} AS bucket_cap,
+               ({_sql_bucket('doc_id', 'lb:')}) % {_LB_SHARDS} AS shard
+        FROM toks)
+    SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           round(1.0 - SUM(n_tokens) * 1.0 / (COUNT(*) * bucket_cap), 6)
+               AS padding_frac
+    FROM bucketed GROUP BY bucket_cap, shard
+    """,
+)
+def export_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed export manifest: assign every document to a
+    power-of-two sequence-length bucket and a deterministic shard within
+    it, and report per (bucket, shard) the doc count, token total, and
+    padding fraction a loader would waste padding to the bucket cap.
+    Length-homogeneous shards are how a training pipeline keeps padding
+    waste (and attention FLOPs on pad tokens) down without a global sort.
+
+    Scale shape: bucket and shard are narrow integer expressions on the
+    scan (integer CASE thresholds — float log2 would put
+    representation-error boundary docs on different sides per engine);
+    the manifest is one map-side-combined groupBy over
+    |caps| x |shards| cells. The doc→shard map is a pure function of
+    doc_id, so a re-export lands every doc in the same shard.
+    """
+    toks = _tokenized_docs(spark, sf_dir).select(
+        "doc_id", F.size("t").cast("long").alias("n_tokens")
+    )
+    cap = F.coalesce(
+        *[
+            F.when(F.col("n_tokens") <= c, F.lit(c))
+            for c in _LB_CAPS
+        ],
+        F.lit(_LB_MAX),
+    )
+    bucketed = toks.select(
+        "n_tokens",
+        cap.cast("long").alias("bucket_cap"),
+        (_bucket(F.col("doc_id"), "lb:") % _LB_SHARDS).alias("shard"),
+    )
+    return bucketed.groupBy("bucket_cap", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("n_tokens")
+            / (F.count(F.lit(1)) * F.col("bucket_cap")),
+            6,
+        ).alias("padding_frac"),
+    )

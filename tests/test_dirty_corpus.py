@@ -25,6 +25,25 @@ ROWS = [
     (5, "dup dup dup dup dup", "en", "src2", 19),
     (6, "dup dup dup dup dup", "zh", "src0", 19),
     (7, "mail me a@b.co or see https://x.io/y now", "en", "src1", 40),
+    # 8/9 share an 11-token verbatim passage at DIFFERENT offsets inside
+    # different surrounding text — the passage-span dedup must report the
+    # merged span per doc, not just flag the pair.
+    (
+        8,
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+        " tail one",
+        "en",
+        "src0",
+        75,
+    ),
+    (
+        9,
+        "head two alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        " lambda",
+        "de",
+        "src2",
+        75,
+    ),
 ]
 
 DOC_QUERIES = [
@@ -56,6 +75,10 @@ DOC_QUERIES = [
     "text_gopher_filter",
     "export_shard_assign",
     "corpus_domain_mix",
+    "dedup_passage_spans",
+    "decontaminate_bloom",
+    "sample_quality_percentile",
+    "export_length_bucketed",
 ]
 
 
@@ -94,6 +117,19 @@ def test_null_text_tokenizes_to_empty(spark, dirty_dir):
     for doc_id in (0, 1, 2):  # null, empty, whitespace-only
         assert stats[doc_id]["n_tokens"] == 0
         assert stats[doc_id]["n_token_chars"] == 0
+
+
+def test_passage_spans_merge_at_offsets(spark, dirty_dir):
+    """Docs 8/9 share an 11-token passage at offsets 0 and 2: the four
+    overlapping 8-gram hits per doc must merge into ONE maximal span
+    covering exactly the shared passage, at each doc's own offset."""
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_span_tokens"])
+        for r in QUERIES["dedup_passage_spans"](spark, dirty_dir).collect()
+    }
+    assert spans[8] == (0, 10, 11)
+    assert spans[9] == (2, 12, 11)
+    assert set(spans) == {8, 9}  # 5-token dup docs are below the window
 
 
 EMB_QUERIES = [

@@ -326,3 +326,54 @@ def test_stream_stream_join_twin_is_equi_not_cartesian(spark):
     # pushdown: BOTH event-type predicates must reach their parquet scans
     assert "EqualTo(event_type,click)" in plan
     assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_passage_spans_hash_keyed_no_pairs(spark):
+    """Passage dedup probes an aggregated duplicate-hash set with a
+    semi join on the hash key — never a doc×doc product; the span-merge
+    windows partition by doc."""
+    plan = _plan(spark, "dedup_passage_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "Window" in plan
+
+
+def test_bloom_prefilter_screens_before_exact_join(spark):
+    """decontaminate_bloom: the bitmap arrives by broadcast (the only
+    nested-loop is the hinted one-row bitmap cross join), the bit-probe
+    filter sits on the probe side, and the exact verify is a semi JOIN —
+    so the shuffle only ever sees bloom-passing rows."""
+    plan = _plan(spark, "decontaminate_bloom")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "forall" in plan  # the bit-probe filter expression
+    # bitmap broadcast: one BroadcastNestedLoopJoin over the 1-row bitmap
+    # (count tree nodes, not the full text — details repeat each node)
+    tree = plan.split("\n\n", 1)[0]
+    assert sum(
+        "BroadcastNestedLoopJoin" in ln for ln in tree.splitlines()
+    ) == 1, plan
+
+
+def test_quality_percentile_windows_over_aggregate_not_corpus(spark):
+    """The percent-rank windows must run over the (source, score_ppm)
+    aggregate — a HashAggregate BELOW the Window in the plan tree — and
+    the rank table must come back via broadcast join."""
+    plan = _plan(spark, "sample_quality_percentile")
+    tree = plan.split("\n\n", 1)[0]
+    win_at = tree.index("Window")
+    assert "HashAggregate" in tree[win_at:], plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_length_bucketed_single_aggregation_shuffle(spark):
+    """The manifest is one map-side-combined groupBy: exactly one
+    hash-keyed exchange (bucket/shard key), no join, no window. (The
+    tokenizer's defensive round-robin spread of an under-split scan may
+    add a non-keyed exchange at test SF — see _repartitioned_docs.)"""
+    plan = _plan(spark, "export_length_bucketed")
+    tree = plan.split("\n\n", 1)[0]
+    assert plan.count("hashpartitioning") <= 2  # plan+details of one node
+    assert "Join" not in tree
+    assert "Window" not in tree
