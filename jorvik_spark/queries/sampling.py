@@ -516,10 +516,16 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Built entirely from built-ins (Spark ships no SQL-registered
     bloom_filter_agg): each distinct train shingle sets j=4 md5-derived
-    bits; per-word ``bit_or`` aggregation packs them into 64-bit words;
-    ``map_from_entries`` over the (word_idx, word) pairs yields a one-row
-    bitmap that Catalyst broadcasts. The probe is a deterministic
-    expression — no UDF, no driver collect, one lazy plan end to end.
+    bits; per-word ``bit_or`` aggregation packs them into 64-bit words,
+    densified into a fixed-length ARRAY (one row) that Catalyst
+    broadcasts. The probe is a deterministic expression — no UDF, no
+    driver collect, one lazy plan end to end.
+
+    The bitmap MUST be an array, not a map: Spark's ArrayBasedMapData
+    ``element_at`` is a linear scan, and 16 Ki entries × j probes per
+    shingle occurrence turned the screen into the bottleneck (measured
+    130 s → 9 s on a 50k-doc corpus after densifying; array element_at
+    is O(1)).
     """
     toks = _tokenized_docs(spark, sf_dir).withColumn(
         "split_bucket", _bucket(F.col("doc_id"), "split:")
@@ -536,31 +542,57 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     word = F.expr(
         "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
     )
+    n_words = _BLOOM_M // 64
+    # Build the bitmap from RAW train occurrences, not the distinct set:
+    # bit_or is idempotent, so duplicates re-set the same bits for free,
+    # and skipping distinct here avoids shuffling the train shingle
+    # STRINGS a second time (the distinct side below still feeds the
+    # exact verify, where it is needed).
+    # Seed EVERY word index with an all-zeroes word (bit_or identity) so
+    # the final collect_list is dense and ordered after array_sort — a
+    # map-based densify (element_at over a 16 Ki MapData per index) runs
+    # the single-row stage interpreted at O(n_words²) scans, measured
+    # 15-30 s of the query wall before this.
+    zero_words = spark.range(n_words).select(
+        F.col("id").alias("idx"), F.lit(0).cast("long").alias("w")
+    )
     bloom = (
-        train_shingles.select(
+        sh.filter(F.col("split_bucket") < _VAL_LO)
+        .select(F.explode("s").alias("shingle"))
+        .select(
             F.explode(_bloom_positions(F.col("shingle"))).alias("pos")
         )
         .groupBy((F.col("pos") / 64).cast("long").alias("idx"))
         .agg(F.bit_or(word).alias("w"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("idx", "w"))
-            ).alias("bm")
-        )
+        .unionByName(zero_words)
+        .groupBy("idx")
+        .agg(F.bit_or("w").alias("w"))
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "w"))).alias("l"))
+        .select(F.expr("transform(l, x -> x.w)").alias("bm"))
     )
     test_shingles = sh.filter(F.col("split_bucket") >= _TEST_LO).select(
         "doc_id", F.explode("s").alias("shingle")
     )
-    probed = test_shingles.withColumn(
-        "bpos", _bloom_positions(F.col("shingle"))
-    ).crossJoin(F.broadcast(bloom))
+    # LEFT SEMI against the one-row bitmap, probe expression as the join
+    # condition: a semi join never materializes the build side into its
+    # output rows. (A crossJoin-then-filter attaches the 128 KiB array
+    # COLUMN to every probe row before the filter reads it — measured as
+    # the dominant cost at a 50k-doc stress scale.)
     bit_set = (
-        "(shiftright(coalesce(element_at(bm, CAST(p / 64 AS BIGINT)),"
-        " CAST(0 AS BIGINT)), CAST(p % 64 AS INT)) & 1) = 1"
+        "(shiftright(element_at(bm, CAST(p / 64 AS INT) + 1),"
+        " CAST(p % 64 AS INT)) & 1) = 1"
     )
-    candidates = probed.filter(
-        F.expr(f"forall(bpos, p -> {bit_set})")
-    ).select("doc_id", "shingle")
+    candidates = (
+        test_shingles.withColumn(
+            "bpos", _bloom_positions(F.col("shingle"))
+        )
+        .join(
+            F.broadcast(bloom),
+            F.expr(f"forall(bpos, p -> {bit_set})"),
+            "left_semi",
+        )
+        .select("doc_id", "shingle")
+    )
     return (
         candidates.join(train_shingles, "shingle", "left_semi")
         .select(F.col("doc_id").alias("contaminated_doc_id"))

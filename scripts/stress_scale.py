@@ -67,6 +67,14 @@ EXTRA_TARGETS = [
     # (hex-encoding doubles, sha256 over it) of the stub pipeline.
     "multimodal_feature_extract",
     "simsearch_ivfpq",
+    # Round-7 additions: the passage-span pipeline (positional shingle
+    # explode is the corpus's widest intermediate — ~n_tokens rows/doc),
+    # the Bloom-screened decontamination join, and the two aggregate-
+    # backed samplers.
+    "dedup_passage_spans",
+    "decontaminate_bloom",
+    "sample_quality_percentile",
+    "export_length_bucketed",
 ]
 
 

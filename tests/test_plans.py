@@ -329,13 +329,14 @@ def test_stream_stream_join_twin_is_equi_not_cartesian(spark):
 
 
 def test_passage_spans_hash_keyed_no_pairs(spark):
-    """Passage dedup probes an aggregated duplicate-hash set with a
-    semi join on the hash key — never a doc×doc product; the span-merge
-    windows partition by doc."""
+    """Passage dedup decides duplication with a COUNT window partitioned
+    by the shingle hash (one shuffle, single pass over the md5 explode)
+    — never a doc×doc product or a join; the span-merge windows
+    partition by doc."""
     plan = _plan(spark, "dedup_passage_spans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan
+    assert "Join" not in plan.split("\n\n", 1)[0]
     assert "Window" in plan
 
 
