@@ -593,29 +593,51 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bands_from_shex(shex: DataFrame) -> DataFrame:
+    """(doc_id, band, key) band rows from an exploded (doc_id, shingle)
+    index: MIN-agg signatures per seed, then one struct-array explode
+    per band. Shared by the memoized corpus index below and by
+    :func:`bands_of_docs` (the incremental/streaming building block)."""
+    sig = shex.groupBy("doc_id").agg(
+        *[F.min(F.expr(_mh(i))).alias(f"h{i}") for i in range(_MH_SEEDS)]
+    )
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'key', concat_ws('|', {cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"h{i}" for i in range(b * _MH_ROWS, (b + 1) * _MH_ROWS)
+            ),
+        )
+        for b in range(_MH_BANDS)
+    )
+    return sig.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+def bands_of_docs(docs: DataFrame) -> DataFrame:
+    """Banded-MinHash index rows for an ARBITRARY (doc_id, text, ...)
+    DataFrame — tokenizes inline (no corpus memo), so a streaming
+    micro-batch can compute its own bands against a persisted index.
+    Same hash family, band geometry, and null-text contract as the
+    corpus-wide queries."""
+    shex = (
+        docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+        .select("doc_id", F.expr(_SHINGLES_T).alias("s"))
+        .select("doc_id", F.explode("s").alias("shingle"))
+    )
+    return _bands_from_shex(shex)
+
+
 def _mh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, key) MinHash band table — the OR-of-ANDs blocking
     index. Memoized per session: it feeds the candidate-pair query and
     the connected-components query, and both sides of each self-join."""
-
-    def build() -> DataFrame:
-        sig = _shingle_index(spark, sf_dir).groupBy("doc_id").agg(
-            *[F.min(F.expr(_mh(i))).alias(f"h{i}") for i in range(_MH_SEEDS)]
-        )
-        band_structs = ", ".join(
-            "named_struct('band', {b}, 'key', concat_ws('|', {cols}))".format(
-                b=b,
-                cols=", ".join(
-                    f"h{i}" for i in range(b * _MH_ROWS, (b + 1) * _MH_ROWS)
-                ),
-            )
-            for b in range(_MH_BANDS)
-        )
-        return sig.select(
-            "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bk")
-        ).select("doc_id", "bk.band", "bk.key")
-
-    return memo_df(f"mh_bands:{sf_dir}", spark, build)
+    return memo_df(
+        f"mh_bands:{sf_dir}",
+        spark,
+        lambda: _bands_from_shex(_shingle_index(spark, sf_dir)),
+    )
 
 
 @query(
@@ -838,3 +860,91 @@ def dedup_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_span_tokens"),
     ).drop("grp")
+
+
+# Incremental-ingest split: which docs are "already-indexed history" vs
+# "this batch's arrivals". A deterministic hash-mod bucket on doc_id
+# (salt-independent from the samplers' buckets) — 80% history / 20%
+# incoming at any SF.
+_INCR_HIST_LT = 800
+_INCR_BUCKET_T = (
+    "CAST(conv(substring(md5(concat('incr:', CAST(doc_id AS STRING))), "
+    "1, 8), 16, 10) AS BIGINT) % 1000"
+)
+_SQL_INCR_BUCKET = (
+    "('0x' || substr(md5('incr:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    "::BIGINT % 1000"
+)
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    shex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sig AS (SELECT doc_id,
+            {', '.join(f'{_sql_mh(i)} AS h{i}' for i in range(_MH_SEEDS))}
+            FROM shex GROUP BY doc_id),
+    bands AS ({_sql_mh_bands()}),
+    split AS (SELECT doc_id, {_SQL_INCR_BUCKET} AS bkt FROM documents),
+    hist AS (SELECT b.doc_id, band, key FROM bands b
+             JOIN split s USING (doc_id) WHERE s.bkt < {_INCR_HIST_LT}),
+    inc AS (SELECT b.doc_id, band, key FROM bands b
+            JOIN split s USING (doc_id) WHERE s.bkt >= {_INCR_HIST_LT}),
+    m AS (SELECT i.doc_id, MIN(h.doc_id) AS matched_doc
+          FROM inc i JOIN hist h ON i.band = h.band AND i.key = h.key
+          GROUP BY i.doc_id)
+    SELECT s.doc_id, (m.matched_doc IS NULL) AS is_novel, m.matched_doc
+    FROM split s LEFT JOIN m USING (doc_id)
+    WHERE s.bkt >= {_INCR_HIST_LT}
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup: screen a batch of ARRIVING documents
+    against the banded-MinHash index of the ALREADY-INGESTED corpus —
+    the shape a continuously-fed training pipeline actually runs, where
+    re-deduplicating the full corpus per ingest is a non-starter. An
+    arriving doc is novel iff none of its OR-of-ANDs bands collides with
+    a history band; duplicates report the smallest matching history doc.
+
+    The history/incoming split is a deterministic hash-mod bucket here
+    (so the operator is oracle-checkable on a static table); the live
+    form is the same plan with the history band table persisted and
+    appended batch-over-batch — see
+    ``jorvik_spark.streaming.incremental_dedup_batch`` and its
+    foreachBatch test, which pin that the sink produces exactly this
+    query's novelty verdicts batch-sequentially.
+
+    Scale shape: the band table is shared with the other MinHash queries
+    (memoized; in production a stored index updated per ingest, never
+    rebuilt). The only corpus-sized work per batch is the incoming
+    side's signature pass + one equi join on (band, key) against the
+    index — bucket-bounded, batch-sized left side, and the history side
+    arrives pre-partitioned on the join key when the index is written
+    bucketed by (band, key).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_INCR_BUCKET_T).alias("bkt")
+    )
+    bands = _mh_bands(spark, sf_dir)
+    hist = bands.join(
+        docs.filter(F.col("bkt") < _INCR_HIST_LT).select("doc_id"), "doc_id"
+    )
+    incoming_ids = docs.filter(F.col("bkt") >= _INCR_HIST_LT).select("doc_id")
+    inc = bands.join(incoming_ids, "doc_id")
+    m = (
+        inc.alias("i")
+        .join(
+            hist.alias("h"),
+            (F.col("i.band") == F.col("h.band"))
+            & (F.col("i.key") == F.col("h.key")),
+        )
+        .groupBy(F.col("i.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("h.doc_id")).alias("matched_doc"))
+    )
+    return incoming_ids.join(m, "doc_id", "left").select(
+        "doc_id",
+        F.col("matched_doc").isNull().alias("is_novel"),
+        "matched_doc",
+    )

@@ -25,7 +25,10 @@ from jorvik_spark.streaming.ops import (  # noqa: F401
     tumbling_agg,
     user_activity_summary,
 )
-from jorvik_spark.streaming.sinks import foreach_batch_merge  # noqa: F401
+from jorvik_spark.streaming.sinks import (  # noqa: F401
+    foreach_batch_merge,
+    incremental_dedup_sink,
+)
 
 __all__ = [
     "tumbling_agg",
@@ -36,4 +39,5 @@ __all__ = [
     "running_user_totals",
     "user_activity_summary",
     "foreach_batch_merge",
+    "incremental_dedup_sink",
 ]

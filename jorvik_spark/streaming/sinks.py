@@ -121,3 +121,99 @@ def foreach_batch_merge(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_dedup_sink(
+    df: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously ingest documents, keeping only near-dup-novel ones:
+    the live form of the ``dedup_incremental_minhash`` query. Each
+    micro-batch computes its banded-MinHash rows, screens them against
+    the PERSISTED band index at ``index_path`` (plus the batch's own
+    smaller-id docs), appends the accepted docs to ``out_path`` and
+    their bands to the index — so the index, never the corpus, is what
+    every future batch compares against.
+
+    Novelty rule (deterministic): a doc is dropped iff one of its bands
+    collides with (a) any already-indexed doc — including itself, which
+    is what makes a replayed completed batch converge instead of
+    re-appending — or (b) a smaller-doc_id member of the same batch
+    (greedy within-batch pass; a transitive chain A~B~C where A≁C keeps
+    A and drops B and C, same keep-smallest rule as the corpus queries).
+
+    Crash semantics: the two appends are not one transaction on a plain
+    parquet lake — a failure BETWEEN them (index written, out not)
+    drops that batch's novel docs from ``out_path`` silently, because
+    on replay they self-collide. Ordering out-first instead would turn
+    the same crash into duplicates, which a dedup sink must not emit —
+    at-most-once is the right side of the trade. On a transactional
+    table format, make each append one commit and the gap disappears.
+
+    Scale shape: per batch, signature work is batch-sized and narrow;
+    the screen is one equi join of batch bands against the index on
+    (band, key). The index grows one small file per batch — compact it
+    on the same cadence as any streaming append table.
+    """
+    if not checkpoint:
+        raise ValueError("incremental_dedup_sink requires a checkpoint.")
+    # Imported lazily: jorvik_spark.queries.* imports this module (the
+    # foreachBatch query twins), so a top-level import back into the
+    # queries package would be circular at init time.
+    from jorvik_spark.queries.dedup import bands_of_docs
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        bands = bands_of_docs(batch_df).persist()
+        try:
+            try:
+                index = spark.read.parquet(index_path)
+                have_index = True
+            except Exception:  # first batch: no index yet
+                have_index = False
+            dup_vs_index = (
+                bands.alias("i")
+                .join(
+                    index.alias("h"),
+                    (F.col("i.band") == F.col("h.band"))
+                    & (F.col("i.key") == F.col("h.key")),
+                )
+                .select(F.col("i.doc_id").alias("doc_id"))
+                if have_index
+                else None
+            )
+            dup_in_batch = (
+                bands.alias("a")
+                .join(
+                    bands.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.doc_id") > F.col("b.doc_id")),
+                )
+                .select(F.col("a.doc_id").alias("doc_id"))
+            )
+            dups = (
+                dup_in_batch.unionByName(dup_vs_index)
+                if dup_vs_index is not None
+                else dup_in_batch
+            ).distinct()
+            novel = batch_df.join(dups, "doc_id", "left_anti")
+            # index FIRST, docs second — see crash semantics above.
+            bands.join(dups, "doc_id", "left_anti").write.mode(
+                "append"
+            ).parquet(index_path)
+            novel.write.mode("append").parquet(out_path)
+        finally:
+            bands.unpersist()
+
+    writer = df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -76,6 +76,7 @@ DOC_QUERIES = [
     "export_shard_assign",
     "corpus_domain_mix",
     "dedup_passage_spans",
+    "dedup_incremental_minhash",
     "decontaminate_bloom",
     "sample_quality_percentile",
     "export_length_bucketed",

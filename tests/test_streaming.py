@@ -420,3 +420,81 @@ def test_foreach_batch_merge_order_col_requires_keys(spark, tmp_path):
             "full.id == incremental.id", checkpoint=str(tmp_path / "cp"),
             dedup_order_col="seq",
         )
+
+
+def test_incremental_dedup_sink_screens_against_index(spark, tmp_path):
+    """Two ingest rounds through one checkpoint: round 2's near-dup of a
+    round-1 doc must be dropped by the PERSISTED band index, its novel
+    companion kept, and the index must grow by exactly the accepted
+    docs' bands."""
+    from jorvik_spark.streaming.sinks import incremental_dedup_sink
+
+    st = BasicStorage()
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    base_text = " ".join(f"tok{i}" for i in range(40))
+    round1 = spark.createDataFrame(
+        [
+            (1, base_text, "en"),
+            (2, " ".join(f"other{i}" for i in range(40)), "en"),
+            # 3 is a near-dup of 1 WITHIN the first batch: greedy
+            # keep-smallest must drop it before it reaches the index.
+            (3, base_text + " extra", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    round1.write.mode("append").parquet(src)
+    q = incremental_dedup_sink(st.readStream(src, "parquet"), idx, out, cp)
+    q.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2]
+
+    round2 = spark.createDataFrame(
+        [
+            # near-dup of doc 1 from round 1 — only the index knows it.
+            (10, base_text + " tail", "en"),
+            (11, " ".join(f"fresh{i}" for i in range(40)), "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    round2.write.mode("append").parquet(src)
+    q = incremental_dedup_sink(st.readStream(src, "parquet"), idx, out, cp)
+    q.awaitTermination(120)
+
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2, 11]
+    indexed = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
+    assert indexed == {1, 2, 11}
+
+
+def test_incremental_dedup_sink_replay_converges(spark, tmp_path):
+    """Reprocessing already-ingested files (fresh checkpoint — the
+    worst-case replay) must not re-append: every doc self-collides with
+    its own persisted bands."""
+    from jorvik_spark.streaming.sinks import incremental_dedup_sink
+
+    st = BasicStorage()
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(40)), "en"),
+         (2, " ".join(f"oth{i}" for i in range(40)), "en")],
+        "doc_id long, text string, lang string",
+    )
+    docs.write.mode("append").parquet(src)
+    for run in range(2):
+        q = incremental_dedup_sink(
+            st.readStream(src, "parquet"), idx, out,
+            str(tmp_path / f"cp{run}"),  # fresh checkpoint = full replay
+        )
+        q.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2]
