@@ -713,3 +713,88 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_urls"),
         F.md5(F.expr(scrubbed)).alias("scrubbed_key"),
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(t[1:len(t) - 1]) AS w1,
+                  unnest(t[2:len(t)]) AS w2
+           FROM toks WHERE len(t) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(n12) AS n1 FROM c12 GROUP BY w1),
+    ppm AS (SELECT w1, w2, (n12 * 1000000) // n1 AS ppm
+            FROM c12 JOIN c1 USING (w1)),
+    scored AS (SELECT bg.doc_id, SUM(p.ppm) AS sum_ppm,
+                      COUNT(*) AS n_bigrams
+               FROM bg JOIN ppm p USING (w1, w2) GROUP BY bg.doc_id)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(sum_ppm // n_bigrams AS BIGINT) AS familiarity_ppm
+    FROM scored
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM document scoring, the CCNet-style quality filter: train
+    a bigram model ON the corpus (conditional frequency of each token
+    transition) and score every document by how typical its transitions
+    are. Low familiarity = unusual text (the high-perplexity tail a
+    pretraining mix drops or down-weights); high = fluent with respect
+    to the corpus.
+
+    Production CCNet scores log-perplexity under a pretrained KenLM; the
+    monotone structure is identical, but log/exp make the value hash
+    hostage to each engine's libm rounding, so the score here is the
+    integer-ppm conditional frequency floor(c(w1,w2)*1e6 / c(w1)),
+    averaged per document with integer division — bit-identical on any
+    engine, and order-equivalent to average log-probability's argument
+    per transition. Swap the ppm expression for log() and the same plan
+    computes real cross-entropy when parity is not required.
+
+    Scale shape: two map-side-combined aggregations build the model
+    (bigram counts, then first-token totals aggregated FROM the bigram
+    counts — the raw corpus is never re-read for unigrams); scoring is
+    one equi join of doc bigrams against the model on (w1, w2). Hot
+    bigrams ("of the") skew that join's key distribution — AQE skew
+    handling splits those partitions; the model side of each hot key is
+    a single row, so the split replicates almost nothing.
+    """
+    # (doc_id, w1, w2) via zip of the two shifted token slices — cheaper
+    # than a per-position element_at transform (no repeated array probes).
+    bg = (
+        _tokenized_docs(spark, sf_dir)
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 1)").alias("w1"),
+                    F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    ppm = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.expr("(n12 * CAST(1000000 AS BIGINT)) div n1").alias("ppm"),
+    )
+    return (
+        bg.join(ppm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("ppm").alias("sum_ppm"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("sum_ppm div n_bigrams").cast("long").alias(
+                "familiarity_ppm"
+            ),
+        )
+    )

@@ -73,6 +73,7 @@ DOC_QUERIES = [
     # clean testdata's uniform sources all rate 1.0).
     "sample_temperature",
     "text_gopher_filter",
+    "text_bigram_lm_score",
     "export_shard_assign",
     "corpus_domain_mix",
     "dedup_passage_spans",

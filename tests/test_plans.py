@@ -378,3 +378,13 @@ def test_length_bucketed_single_aggregation_shuffle(spark):
     assert plan.count("hashpartitioning") <= 2  # plan+details of one node
     assert "Join" not in tree
     assert "Window" not in tree
+
+
+def test_bigram_lm_model_joins_are_equi(spark):
+    """The LM score must build its model with hash aggregates and score
+    through equi joins — no cartesian, no nested loop, no Python."""
+    plan = _plan(spark, "text_bigram_lm_score")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
