@@ -75,6 +75,10 @@ EXTRA_TARGETS = [
     "decontaminate_bloom",
     "sample_quality_percentile",
     "export_length_bucketed",
+    # Batch-vs-index screen and the corpus bigram model (hot-transition
+    # join skew is the thing to watch on the replicated corpus).
+    "dedup_incremental_minhash",
+    "text_bigram_lm_score",
 ]
 
 
