@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jorvik_spark.tables import load_table
-from jorvik_spark.queries.registry import davg, memo_df, query, sql_davg
+from jorvik_spark.queries.registry import (
+    davg,
+    dsum,
+    memo_df,
+    query,
+    sql_davg,
+    sql_dsum,
+)
 
 _TOPK = 5
 _N_QUERIES = 5  # vec_id < 5 form the query set
@@ -821,4 +828,109 @@ def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("adc_u") / 1_000_000.0).alias("adc"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+# Range (radius) search threshold: random 64-dim gaussian cosines have
+# σ ≈ 1/8, so 0.3 keeps the ~1% genuinely-aligned tail — non-vacuous at
+# every SF without admitting noise pairs.
+_RANGE_MIN_COS = 0.3
+
+
+@query(
+    "simsearch_range",
+    oracle=f"""
+    WITH nz AS (SELECT * FROM embeddings WHERE {_SQL_POS_NORM}),
+    q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM nz WHERE vec_id < {_N_QUERIES})
+    SELECT q.query_id, c.vec_id AS candidate_id,
+           round({_SQL_COS.format(a='q.qe', b='c.embedding')}, 6) AS cosine
+    FROM q JOIN nz c ON c.vec_id <> q.query_id
+    WHERE {_SQL_COS.format(a='q.qe', b='c.embedding')} >= {_RANGE_MIN_COS}
+    """,
+)
+def simsearch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search: every candidate within a cosine threshold
+    of each query — retrieval's "give me everything similar enough"
+    contract (dedup sweeps, recall-first retrieval), where top-k's fixed
+    k either truncates or pads.
+
+    Unlike top-k there is NO per-query reduction state at all: score and
+    filter, fully pipelined — the broadcast query side makes it one
+    narrow pass over the corpus, embarrassingly parallel at any scale,
+    with no shuffle anywhere (the plan is scan → broadcast join →
+    filter). The same threshold filter composes with the IVF cell probe
+    when the query side is too large to broadcast.
+    """
+    emb = (
+        _vec_double(load_table(spark, sf_dir, "embeddings"))
+        .withColumn("n2", F.expr(_DOT.format(a="v", b="v")))
+        .filter(F.col("n2") > 0)
+    )
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("n2").alias("nq"),
+        )
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("candidate_id"), "v", F.col("n2").alias("nc")
+    )
+    cosine = F.expr(_DOT.format(a="qv", b="v")) / (
+        F.sqrt("nq") * F.sqrt("nc")
+    )
+    return (
+        cands.join(queries, F.col("candidate_id") != F.col("query_id"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= _RANGE_MIN_COS)
+        .select("query_id", "candidate_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@query(
+    "embed_dim_stats",
+    oracle=f"""
+    WITH ex AS (
+        SELECT unnest(range(len(embedding))) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings)
+    SELECT CAST(pos AS INTEGER) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round({sql_davg('x')}, 6) AS mean,
+           round({sql_dsum('x * x')} / COUNT(*)
+                 - ({sql_davg('x')}) * ({sql_davg('x')}), 6) AS variance
+    FROM ex GROUP BY pos
+    """,
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (count, mean, variance) — the
+    moments a whitening / standardization / PCA-prep stage feeds on
+    before indexing or quantizing embeddings.
+
+    Scale shape: posexplode to (dim, value) then ONE map-side-combined
+    aggregation over exactly |dims| groups — the narrowest possible
+    shuffle (dims rows per partial), no window, no join. Variance uses
+    the E[x²] − E[x]² identity over the fixed-point-exact sums
+    (dsum/davg), so the reduction stays a plain aggregate instead of a
+    two-pass centered sum, and both engines compute bit-identical
+    doubles before the final round.
+    """
+    ex = (
+        _vec_double(load_table(spark, sf_dir, "embeddings"))
+        .select(F.posexplode("v").alias("pos", "x"))
+    )
+    mean = davg("x")
+    return (
+        ex.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(mean, 6).alias("mean"),
+            F.round(
+                dsum(F.col("x") * F.col("x")) / F.count(F.lit(1))
+                - mean * mean,
+                6,
+            ).alias("variance"),
+        )
+        .select(F.col("pos").cast("int").alias("pos"), "n", "mean", "variance")
     )

@@ -143,6 +143,8 @@ EMB_QUERIES = [
     "embed_quantize_int8",
     "embed_pq_codes",  # keeps the zero vector (no norm), codes it too
     "simsearch_ivfpq",  # zero vector is never a candidate (IVF excludes)
+    "simsearch_range",  # zero vector excluded (cosine undefined)
+    "embed_dim_stats",  # keeps the zero vector (pure moments)
 ]
 
 
