@@ -934,3 +934,64 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("pos").cast("int").alias("pos"), "n", "mean", "variance")
     )
+
+
+# Whitening epsilon: keeps constant dimensions (variance 0) finite, the
+# standard standardization guard.
+_WHITEN_EPS = 1e-6
+
+
+@query(
+    "embed_whiten",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id,
+               unnest(range(len(embedding))) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings),
+    stats AS (
+        SELECT pos,
+               {sql_davg('x')} AS mean,
+               {sql_dsum('x * x')} / COUNT(*)
+                   - ({sql_davg('x')}) * ({sql_davg('x')}) AS variance
+        FROM ex GROUP BY pos)
+    SELECT e.vec_id, CAST(e.pos AS INTEGER) AS pos,
+           round((e.x - s.mean) / sqrt(s.variance + {_WHITEN_EPS}), 6)
+               AS white_x
+    FROM ex e JOIN stats s USING (pos)
+    """,
+)
+def embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardize every embedding dimension to zero mean / unit variance
+    (diagonal whitening) using corpus moments — the normalization pass
+    that precedes quantization or LSH so no dimension dominates the
+    distance. Output is long-format (vec_id, pos, white_x).
+
+    Scale shape: the moments are a |dims|-row aggregate (shared
+    derivation with ``embed_dim_stats``) broadcast back onto the
+    exploded corpus — the apply side is a broadcast equi join on pos
+    plus narrow arithmetic, never a second corpus shuffle. Every
+    operation after the exact fixed-point sums (subtract, divide, IEEE
+    sqrt) is deterministic per-element arithmetic, so the oracle matches
+    bit-for-bit before the output round.
+    """
+    ex = (
+        _vec_double(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.posexplode("v").alias("pos", "x"))
+    )
+    mean = davg("x")
+    stats = ex.groupBy("pos").agg(
+        mean.alias("mean"),
+        (
+            dsum(F.col("x") * F.col("x")) / F.count(F.lit(1)) - mean * mean
+        ).alias("variance"),
+    )
+    return ex.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.round(
+            (F.col("x") - F.col("mean"))
+            / F.sqrt(F.col("variance") + F.lit(_WHITEN_EPS)),
+            6,
+        ).alias("white_x"),
+    )

@@ -145,6 +145,7 @@ EMB_QUERIES = [
     "simsearch_ivfpq",  # zero vector is never a candidate (IVF excludes)
     "simsearch_range",  # zero vector excluded (cosine undefined)
     "embed_dim_stats",  # keeps the zero vector (pure moments)
+    "embed_whiten",  # zero vector whitened like any other (no cosine)
 ]
 
 
