@@ -1,9 +1,13 @@
 """Deduplication operators over ``documents`` (§2C north-star extensions).
 
-Five strategies, each the scale-appropriate Spark shape:
+Seven strategies, each the scale-appropriate Spark shape:
 
 * exact          — hash groupBy on a content key, keep-first-by-priority
                    window (one shuffle on the content hash).
+* passage spans  — positional 8-token shingles; a COUNT window on the
+                   window hash marks duplicated occurrences, merged into
+                   maximal per-doc token intervals (the shingle form of
+                   exact-substring dedup's removal list).
 * n-gram Jaccard — inverted index: explode distinct shingles, self-join on
                    shingle, pair-count = |intersection| (never an all-pairs
                    cross join; hot-shingle cap bounds skew).
@@ -13,13 +17,16 @@ Five strategies, each the scale-appropriate Spark shape:
 * MinHash banded — the same OR-of-ANDs banding with a DETERMINISTIC
                    md5-derived hash family (pure built-ins, no ML UDFs),
                    value-checkable against DuckDB bit-for-bit.
+* incremental    — an arriving batch screened against the persisted band
+                   index of the already-ingested corpus (batch-sized
+                   work per ingest; live foreachBatch form in
+                   ``jorvik_spark.streaming.sinks.incremental_dedup_sink``).
 * SimHash        — 60-bit frequency-weighted md5 bit-vote signature;
                    banded self-join on 15-bit sub-keys, hamming-distance
                    verify via bit_count(xor). All built-ins, no UDFs.
 
-The exact, Jaccard, banded-MinHash, and SimHash variants carry DuckDB
-oracles; only the Spark-ML LSH variant is rows-only (its hash family is
-engine-specific).
+Everything carries a DuckDB oracle except the Spark-ML LSH variant
+(rows-only — its hash family is engine-specific).
 """
 
 from __future__ import annotations

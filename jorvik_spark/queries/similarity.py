@@ -1,19 +1,19 @@
-"""Similarity search over ``embeddings`` (§2C north-star extensions).
+"""Similarity search & embedding ops over ``embeddings`` (§2C north-star
+extensions).
 
-* ``simsearch_topk``       — exact brute-force cosine top-k for a query
-                             set: broadcast the (small) query side, one
-                             streaming pass over candidates, per-query
-                             heap via window top-k. The correctness
-                             baseline, DuckDB-checkable.
-* ``simsearch_lsh``        — BucketedRandomProjectionLSH candidate join:
-                             the 100 TB path (compares only vectors
-                             sharing a hash bucket, never all pairs).
-* ``dedup_embedding_cosine`` — near-dup pairs by cosine threshold via the
-                             same broadcast/bucketed pattern.
+Search: ``simsearch_topk`` (exact two-phase top-k, broadcast query side),
+``simsearch_range`` (cosine radius filter, zero reduction state),
+``simsearch_ivf`` / ``simsearch_ivfpq`` (cell probe; + product-quantized
+asymmetric distance), ``simsearch_lsh_det`` (deterministic md5
+random-projection buckets) and ``simsearch_lsh`` (Spark-ML, rows-only).
+Dedup: ``dedup_embedding_cosine`` blocked on shared IVF cells.
+Compression/statistics: ``embed_quantize_int8``, ``embed_pq_codes``,
+``embed_centroids``, ``embed_dim_stats``, ``embed_whiten``.
 
 Dot products are pure built-ins (zip_with + aggregate in double); cosines
 are rounded to 6 decimals on both engines so float-summation-order noise
-cannot flip the hash comparison.
+cannot flip the hash comparison. Zero-norm vectors are excluded from every
+cosine-based operator and retained by the moment/quantization ones.
 """
 
 from __future__ import annotations
