@@ -475,3 +475,98 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return st.read(dst, "parquet").select("event_id", "ts", "user_id", "value")
+
+
+# Z-order geometry: 16 bits per dimension interleaved into a 32-bit
+# z-value, 16 layout buckets. Pure integer bit arithmetic — identical on
+# both engines (no float, no sampling).
+_Z_BITS = 16
+_Z_BUCKETS = 16
+_Z_BUCKET_W = (1 << (2 * _Z_BITS)) // _Z_BUCKETS
+
+
+@query(
+    "sink_zorder_layout",
+    oracle=f"""
+    WITH mx AS (
+        SELECT MAX(l_orderkey) + 1 AS mo, MAX(l_partkey) + 1 AS mp
+        FROM lineitem),
+    keyed AS (
+        SELECT (l_orderkey * 65536) // mo AS x,
+               (l_partkey * 65536) // mp AS y,
+               l_orderkey, l_partkey
+        FROM lineitem CROSS JOIN mx),
+    z AS (
+        SELECT l_orderkey, l_partkey,
+               CAST(list_sum(list_transform(range(0, {_Z_BITS}),
+                   i -> (((x >> i) & 1) << (2 * i + 1))
+                      + (((y >> i) & 1) << (2 * i)))) AS BIGINT) AS zval
+        FROM keyed)
+    SELECT CAST(zval // {_Z_BUCKET_W} AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_orderkey) AS min_orderkey, MAX(l_orderkey) AS max_orderkey,
+           MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey
+    FROM z GROUP BY 1
+    """,
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered export: interleave the bit patterns of TWO join
+    keys into one Morton code, bucket the table by z-range, and write
+    each bucket as its own partition with rows z-sorted inside — the
+    multi-dimensional clustering (Delta OPTIMIZE ZORDER's layout) that
+    lets file-level min/max statistics prune scans filtered on EITHER
+    key, where single-column sort helps only one.
+
+    The returned manifest is the point of z-ordering made measurable:
+    per bucket, the min/max span of BOTH keys — each bucket covers a
+    bounded rectangle of (orderkey, partkey) space rather than a full
+    stripe of one dimension.
+
+    Scale shape: the z-value is 16 codegen'd integer bit operations per
+    row (an ``aggregate`` fold — no UDF); bucketing is a fixed-width
+    integer division, so layout is DETERMINISTIC across runs and cluster
+    sizes (``repartitionByRange`` would sample — nondeterministic file
+    boundaries — which is why the bucket column + partitionBy is the
+    reproducible form); one shuffle onto the bucket key, sort bounded
+    within each bucket.
+    """
+    st = BasicStorage()
+    target = _scratch("zorder") + "/t"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    # Min/max-normalize each dimension into the 16-bit grid (pure
+    # integer arithmetic — deterministic at every SF; a fixed modulus
+    # would leave small key spaces in one bucket and alias large ones).
+    mx = li.agg(
+        (F.max("l_orderkey") + 1).alias("mo"),
+        (F.max("l_partkey") + 1).alias("mp"),
+    )
+    zval = F.expr(
+        f"aggregate(sequence(0, {_Z_BITS - 1}), CAST(0 AS BIGINT), "
+        "(acc, i) -> acc"
+        " + shiftleft(CAST((shiftright((l_orderkey * 65536) div mo, i) & 1)"
+        " AS BIGINT), 2 * i + 1)"
+        " + shiftleft(CAST((shiftright((l_partkey * 65536) div mp, i) & 1)"
+        " AS BIGINT), 2 * i))"
+    )
+    clustered = (
+        li.crossJoin(F.broadcast(mx))
+        .withColumn("zval", zval)
+        .drop("mo", "mp")
+        .withColumn("zbucket", F.expr(f"zval div {_Z_BUCKET_W}"))
+        .repartition(_Z_BUCKETS, "zbucket")
+        .sortWithinPartitions("zval")
+    )
+    st.write(
+        clustered, target, "parquet", "overwrite",
+        partition_fields="zbucket",
+    )
+    back = st.read(target, "parquet")
+    return back.groupBy(F.col("zbucket").cast("long").alias("zbucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.min("l_partkey").alias("min_partkey"),
+        F.max("l_partkey").alias("max_partkey"),
+    )

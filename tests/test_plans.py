@@ -52,6 +52,7 @@ _IO_QUERIES = {
     "stream_dedup_watermark",
     "merge_upsert",
     "merge_schema_evolution",
+    "sink_zorder_layout",
 }
 
 
