@@ -488,3 +488,46 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohorted.groupBy("cohort_week", "age_weeks").agg(
         F.countDistinct("user_id").alias("n_active_users")
     )
+
+
+@query("agg_hll_rollup")  # sketch binary is engine-specific → rows-only
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct rollup: per-month HLL sketches of the
+    customer set, re-aggregated into a grand total by UNIONING THE
+    SKETCHES — never rescanning the fact table. This mergeability is
+    what plain ``countDistinct`` cannot give an OLAP layer: store one
+    tiny sketch per cube cell and any rollup (quarter, year, all-time)
+    is a cheap union over cells, exactly the DataSketches pattern
+    ``hll_sketch_agg`` / ``hll_union_agg`` implement JVM-side.
+
+    Rows-only by design (the sketch registers are engine-specific, and
+    the estimate is approximate past sparse mode); the deterministic
+    hash-checked twins are ``agg_distinct`` (exact) and the error-bound
+    test in tests/test_llm_ops.py pinning estimate-vs-exact within HLL
+    tolerance at both month and rollup level.
+
+    Scale shape: one map-side-combined sketch agg over the scan (each
+    partial is a fixed-size register array), then a second agg over
+    |months| sketch rows. The total row costs the union of ~84 sketches
+    — independent of fact-table size.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate").cast("timestamp")).alias(
+            "month"
+        ),
+        "o_custkey",
+    )
+    monthly = orders.groupBy("month").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    per_month = monthly.select(
+        "month",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_customers"),
+    )
+    total = monthly.agg(
+        F.lit(None).cast("timestamp").alias("month"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("long")
+        .alias("est_customers"),
+    )
+    return per_month.unionByName(total)

@@ -459,3 +459,37 @@ def test_scrub_pii_key_equals_raw_hash_when_clean(spark):
         F.col("scrubbed_key") != F.col("raw_key")
     )
     assert mismatched.count() == 0
+
+
+def test_hll_rollup_within_error_and_mergeable(spark):
+    """The sketch rollup's twin check: per-month estimates and the
+    union-of-sketches total must each sit within HLL tolerance (lgK=12
+    → ~1.6% 1σ; assert 5%) of the exact distinct counts, and the total
+    row must come from the merged sketches, not a rescan (pinned by the
+    estimate matching the GLOBAL distinct, which no single month
+    equals)."""
+    from jorvik_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.01"
+    rows = _QUERIES["agg_hll_rollup"](spark, sf).collect()
+    got = {r["month"]: r["est_customers"] for r in rows}
+    orders = load_table(spark, sf, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate").cast("timestamp")).alias(
+            "month"
+        ),
+        "o_custkey",
+    )
+    exact = {
+        r["month"]: r["n"]
+        for r in orders.groupBy("month")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact[None] = orders.select("o_custkey").distinct().count()
+    assert set(got) == set(exact)
+    for month, est in got.items():
+        assert abs(est - exact[month]) <= max(2, 0.05 * exact[month]), (
+            month, est, exact[month],
+        )
+    assert exact[None] > max(v for k, v in exact.items() if k is not None)
