@@ -63,6 +63,8 @@ BENCH_2C_QUERIES = {
     "c_pack": "pack_sequences",
     "c_tokstats": "text_token_stats",
     "c_ivfpq": "simsearch_ivfpq",
+    "c_passage": "dedup_passage_spans",
+    "c_bloom": "decontaminate_bloom",
 }
 
 N_RUNS = 3

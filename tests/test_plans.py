@@ -389,3 +389,39 @@ def test_bigram_lm_model_joins_are_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_range_search_is_broadcast_pipeline(spark):
+    """Radius search must be scan → broadcast (non-equi) join → filter:
+    no hash-partition exchange anywhere — the whole query is one narrow
+    pass over the candidate scan."""
+    plan = _plan(spark, "simsearch_range")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_dim_stats_single_group_shuffle(spark):
+    """Per-dimension moments are one map-side-combined aggregation over
+    |dims| groups: exactly one hash-keyed exchange, no join/window."""
+    plan = _plan(spark, "embed_dim_stats")
+    tree = plan.split("\n\n", 1)[0]
+    assert "HashAggregate" in tree
+    assert "Join" not in tree
+    assert "Window" not in tree
+
+
+def test_whiten_applies_moments_via_broadcast(spark):
+    """Whitening must re-join the tiny moments aggregate by broadcast —
+    a SortMergeJoin here would mean the corpus shuffled twice."""
+    plan = _plan(spark, "embed_whiten")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_minhash_screen_is_equi_join(spark):
+    """The batch-vs-index screen joins on (band, key) — an equi join,
+    never a cartesian; the left-outer verdict join keys on doc_id."""
+    plan = _plan(spark, "dedup_incremental_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
