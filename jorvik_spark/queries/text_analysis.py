@@ -798,3 +798,103 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# BPE trainer: bounded merge rounds (a real train runs tens of
+# thousands; the shape is round-count-agnostic).
+_BPE_TRAIN_ROUNDS = 10
+
+
+@query("text_bpe_train")  # iterative argmax per round → rows-only
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a byte-pair-encoding merge table FROM the corpus — the
+    tokenizer-training step of an LLM data pipeline (Sennrich et al.):
+    start from characters, repeatedly merge the most frequent adjacent
+    symbol pair. Returns (round, left, right, pair_count), the ordered
+    merge list a tokenizer ships as its vocabulary.
+
+    Scale shape — the part that matters at 100 TB: after ONE corpus
+    pass builds the weighted word vocabulary (distinct words + counts,
+    a map-side-combined aggregation), every merge round runs on the
+    VOCABULARY, which is orders of magnitude smaller than the corpus
+    and independent of corpus growth past saturation. Per round: one
+    pair-count aggregation over vocab rows (weighted by word count),
+    one driver-side argmax of a single row (the same bounded-action
+    pattern as the connected-components fixpoint), and one narrow
+    regexp merge rewrite. The vocab is localCheckpointed per round to
+    truncate the 10-deep lineage, with superseded checkpoints released
+    eagerly.
+
+    Ties are broken deterministically (count DESC, then left/right
+    lexicographic), so reruns — and the model-based pytest — see the
+    identical merge sequence. Rows-only by design: per-round argmax is
+    not single-statement SQL; tests/test_llm_ops.py checks the merge
+    table against a brute-force Python BPE reference instead.
+    """
+    from jorvik_spark.queries.dedup import _release_local_checkpoint
+
+    # (word, n): weighted vocabulary, one corpus pass. Symbols start as
+    # characters, space-joined with sentinel spaces at both ends so a
+    # lookaround merge pattern applies at word edges too.
+    vocab = (
+        _tokenized_docs(spark, sf_dir)
+        .select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.col("word"), ""), " "),
+                F.lit(" "),
+            ).alias("w"),
+            "n",
+        )
+        .persist()
+    )
+    merges = []
+    cur = vocab
+    try:
+        for rnd in range(_BPE_TRAIN_ROUNDS):
+            pairs = (
+                cur.select(
+                    "n",
+                    F.expr("filter(split(trim(w), ' '), x -> x != '')").alias(
+                        "s"
+                    ),
+                )
+                .select(
+                    "n",
+                    F.expr(
+                        "transform(slice(s, 1, size(s) - 1), "
+                        "(x, i) -> struct(x AS l, element_at(s, i + 2) AS r))"
+                    ).alias("ps"),
+                )
+                .select("n", F.explode("ps").alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("n").alias("cnt"))
+            )
+            top = (
+                pairs.orderBy(
+                    F.desc("cnt"), F.asc("l"), F.asc("r")
+                ).limit(1).collect()
+            )
+            if not top:
+                break
+            l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+            merges.append((rnd, l, r, cnt))
+            import re as _re
+
+            pat = f"(?<= ){_re.escape(l)} {_re.escape(r)}(?= )"
+            nxt = cur.select(
+                F.regexp_replace("w", pat, f"{l}{r}").alias("w"), "n"
+            ).localCheckpoint()
+            if cur is not vocab:
+                _release_local_checkpoint(cur)
+            cur = nxt
+    finally:
+        vocab.unpersist()
+        if cur is not vocab:
+            _release_local_checkpoint(cur)
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, pair_count bigint"
+    )

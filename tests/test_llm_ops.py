@@ -493,3 +493,61 @@ def test_hll_rollup_within_error_and_mergeable(spark):
             month, est, exact[month],
         )
     assert exact[None] > max(v for k, v in exact.items() if k is not None)
+
+
+def test_bpe_train_matches_reference_model(spark):
+    """The learned merge table must equal a brute-force Python BPE
+    trainer (greedy left-to-right pair merging, count-then-lexicographic
+    tie-break) on the same corpus — including composite merges whose
+    halves are earlier merge products."""
+    from collections import Counter
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in _QUERIES["text_bpe_train"](spark, sf).collect()
+    ]
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            f"SELECT text FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    words = Counter()
+    for t in texts:
+        if t:
+            for w in t.lower().split():
+                if w:
+                    words[w] += 1
+    vocab = {tuple(w): n for w, n in words.items()}
+    ref = []
+    for rnd in range(10):
+        pc = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (l, r), cnt = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        ref.append((rnd, l, r, cnt))
+        newv = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            newv[key] = newv.get(key, 0) + n
+        vocab = newv
+    assert got == ref
