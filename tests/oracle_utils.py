@@ -87,3 +87,4 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
             (i, g, w) for i, (g, w) in enumerate(zip(gv, wv)) if not _values_close(g, w)
         ]
         assert not bad, f"{name}: column {c} first mismatches {bad[:5]}"
+    return len(got)
