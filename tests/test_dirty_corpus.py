@@ -325,3 +325,35 @@ def test_dirty_relational_parity(spark, dirty_rel_dir, dirty_rel_con, name):
     compare(
         QUERIES[name](spark, dirty_rel_dir), dirty_rel_con, ORACLES[name], name
     )
+
+
+def test_zorder_null_keys_share_null_bucket(spark, tmp_path_factory):
+    """Null join keys must not crash the Morton interleave or diverge:
+    both engines agree a null-keyed row lands in one shared null bucket
+    (a real pipeline routes those rows; the layout must stay total)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="dirty_zorder_")
+    pd.DataFrame(
+        {
+            "l_orderkey": pd.array([1, 2, None], dtype="Int64"),
+            "l_partkey": pd.array([10, None, 5], dtype="Int64"),
+            "l_linenumber": [1, 1, 1],
+            "l_quantity": [1.0, 1.0, 1.0],
+            "l_returnflag": ["N", "N", "N"],
+        }
+    ).to_parquet(f"{d}/lineitem.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{d}/lineitem.parquet')"
+    )
+    try:
+        compare(
+            QUERIES["sink_zorder_layout"](spark, d),
+            con,
+            ORACLES["sink_zorder_layout"],
+            "sink_zorder_layout",
+        )
+    finally:
+        con.close()
