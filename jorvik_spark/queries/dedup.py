@@ -783,10 +783,11 @@ _POS_SHINGLES_T = (
 )
 
 
-@query(
-    "dedup_passage_spans",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+# Shared CTE pipeline for the passage-span oracles: positional 8-gram
+# hashes → duplicated set → gaps-and-islands grouping. Reused by the
+# span REPORT below and the span REMOVAL transform.
+_SQL_SPAN_CTES = f"""
+    toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
     posi AS (SELECT doc_id, t, unnest(range(1, len(t) - {_SPAN_K - 2})) AS i
              FROM toks WHERE len(t) >= {_SPAN_K}),
     occ AS (SELECT doc_id, i - 1 AS pos,
@@ -804,12 +805,21 @@ _POS_SHINGLES_T = (
         SELECT doc_id, pos,
                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
                               ROWS UNBOUNDED PRECEDING) AS grp
-        FROM marks)
-    SELECT doc_id,
-           CAST(MIN(pos) AS BIGINT) AS span_start,
-           CAST(MAX(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
-           CAST(MAX(pos) - MIN(pos) + {_SPAN_K} AS BIGINT) AS n_span_tokens
-    FROM grps GROUP BY doc_id, grp
+        FROM marks),
+    spans AS (
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+               CAST(MAX(pos) - MIN(pos) + {_SPAN_K} AS BIGINT)
+                   AS n_span_tokens
+        FROM grps GROUP BY doc_id, grp)"""
+
+
+@query(
+    "dedup_passage_spans",
+    oracle=f"""
+    WITH {_SQL_SPAN_CTES}
+    SELECT doc_id, span_start, span_end, n_span_tokens FROM spans
     """,
 )
 def dedup_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -954,4 +964,77 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("matched_doc").isNull().alias("is_novel"),
         "matched_doc",
+    )
+
+
+@query(
+    "dedup_remove_passages",
+    oracle=f"""
+    WITH {_SQL_SPAN_CTES},
+    ptoks AS (
+        SELECT doc_id, unnest(range(len(t))) AS pos,
+               unnest(t) AS tok
+        FROM toks),
+    kept AS (
+        SELECT p.doc_id, p.pos, p.tok
+        FROM ptoks p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = p.doc_id
+              AND p.pos BETWEEN s.span_start AND s.span_end)),
+    rebuilt AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept_tokens,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_key
+        FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(r.n_kept_tokens, 0) AS n_kept_tokens,
+           coalesce(r.clean_key, md5('')) AS clean_key
+    FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_remove_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer side of passage dedup: CUT every duplicated span out
+    of every document and rebuild the text from the surviving tokens —
+    the transform Lee et al.'s removal list exists to drive. Returns
+    (doc_id, n_kept_tokens, clean_key) where clean_key is the md5 of
+    the rebuilt text (token rows stay small; the full rebuilt string is
+    one ``array_join`` away). Documents with no duplicated spans pass
+    through with their full token count; fully-duplicated documents
+    collapse to zero tokens — both present in the output, so the
+    transform is total over the corpus.
+
+    Scale shape: spans per doc are few and tiny; the kept-token filter
+    is an equi join ON doc_id with the span interval test as a per-key
+    residual predicate — co-partitioned with the positional explode,
+    never a cartesian. The rebuild is a per-doc sort-aggregate (bounded
+    by document length). Everything upstream is shared with
+    ``dedup_passage_spans``.
+    """
+    toks = _tokenized_docs(spark, sf_dir)
+    spans = dedup_passage_spans(spark, sf_dir).select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
+    )
+    ptoks = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    )
+    kept = ptoks.join(
+        spans,
+        (F.col("doc_id") == F.col("s_doc"))
+        & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept_tokens"),
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(pos, tok))), x -> x.tok), ' ')"
+            )
+        ).alias("clean_key"),
+    )
+    return toks.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_kept_tokens", F.lit(0)).alias("n_kept_tokens"),
+        F.coalesce("clean_key", F.md5(F.lit(""))).alias("clean_key"),
     )

@@ -77,6 +77,7 @@ DOC_QUERIES = [
     "export_shard_assign",
     "corpus_domain_mix",
     "dedup_passage_spans",
+    "dedup_remove_passages",
     "dedup_incremental_minhash",
     "decontaminate_bloom",
     "sample_quality_percentile",
@@ -357,3 +358,15 @@ def test_zorder_null_keys_share_null_bucket(spark, tmp_path_factory):
         )
     finally:
         con.close()
+
+
+def test_remove_passages_cuts_exactly_the_shared_span(spark, dirty_dir):
+    """Docs 8/9 (13 tokens each, sharing an 11-token passage) must keep
+    exactly their 2 non-shared tokens; untouched docs keep everything."""
+    got = {
+        r["doc_id"]: r["n_kept_tokens"]
+        for r in QUERIES["dedup_remove_passages"](spark, dirty_dir).collect()
+    }
+    assert got[8] == 2 and got[9] == 2
+    assert got[3] == 5  # unicode doc, no dup spans: full token count
+    assert got[0] == 0 and got[1] == 0  # null/empty docs present, 0 kept
