@@ -425,3 +425,13 @@ def test_incremental_minhash_screen_is_equi_join(spark):
     plan = _plan(spark, "dedup_incremental_minhash")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_remove_passages_anti_join_is_keyed(spark):
+    """The kept-token filter must anti-join on the doc_id equi key with
+    the interval test as residual — a nested loop here would compare
+    every token against every span corpus-wide."""
+    plan = _plan(spark, "dedup_remove_passages")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
