@@ -38,7 +38,7 @@ from jorvik_spark.tables import load_table
 from jorvik_spark.queries.registry import memo_df, query
 from jorvik_spark.queries.text_analysis import (
     _SQL_TOKENS,
-    _TOKENS,  # noqa: F401  (kept for shingle-doc references)
+    _TOKENS,  # used by bands_of_docs (inline tokenizer for micro-batches)
     _tokenized_docs,
 )
 

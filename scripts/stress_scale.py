@@ -79,6 +79,8 @@ EXTRA_TARGETS = [
     # join skew is the thing to watch on the replicated corpus).
     "dedup_incremental_minhash",
     "text_bigram_lm_score",
+    "dedup_remove_passages",
+    "text_bpe_train",
 ]
 
 
