@@ -76,7 +76,11 @@ def ingest_drop(
         out_path=f"{lake}/curated",
         checkpoint=f"{lake}/cp/ingest",
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # still running: stop before reading, or the counts below race
+        # the in-flight foreachBatch appends
+        q.stop()
+        raise TimeoutError(f"[{run_tag}] ingest did not drain in 300s")
     n_docs = spark.read.parquet(f"{lake}/curated").count()
     n_bands = spark.read.parquet(f"{lake}/dedup_index").count()
     print(f"[{run_tag}] curated docs: {n_docs}, index bands: {n_bands}")

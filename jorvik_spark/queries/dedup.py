@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jorvik_spark.tables import load_table
-from jorvik_spark.queries.registry import memo_df, query
+from jorvik_spark.queries.registry import (
+    hash_bucket,
+    memo_df,
+    query,
+    sql_hash_bucket,
+)
 from jorvik_spark.queries.text_analysis import (
     _SQL_TOKENS,
     _TOKENS,  # used by bands_of_docs (inline tokenizer for micro-batches)
@@ -884,14 +889,7 @@ def dedup_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (salt-independent from the samplers' buckets) — 80% history / 20%
 # incoming at any SF.
 _INCR_HIST_LT = 800
-_INCR_BUCKET_T = (
-    "CAST(conv(substring(md5(concat('incr:', CAST(doc_id AS STRING))), "
-    "1, 8), 16, 10) AS BIGINT) % 1000"
-)
-_SQL_INCR_BUCKET = (
-    "('0x' || substr(md5('incr:' || CAST(doc_id AS VARCHAR)), 1, 8))"
-    "::BIGINT % 1000"
-)
+_INCR_SALT = "incr:"
 
 
 @query(
@@ -904,7 +902,7 @@ _SQL_INCR_BUCKET = (
             {', '.join(f'{_sql_mh(i)} AS h{i}' for i in range(_MH_SEEDS))}
             FROM shex GROUP BY doc_id),
     bands AS ({_sql_mh_bands()}),
-    split AS (SELECT doc_id, {_SQL_INCR_BUCKET} AS bkt FROM documents),
+    split AS (SELECT doc_id, {sql_hash_bucket('doc_id', _INCR_SALT)} AS bkt FROM documents),
     hist AS (SELECT b.doc_id, band, key FROM bands b
              JOIN split s USING (doc_id) WHERE s.bkt < {_INCR_HIST_LT}),
     inc AS (SELECT b.doc_id, band, key FROM bands b
@@ -942,7 +940,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed by (band, key).
     """
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_INCR_BUCKET_T).alias("bkt")
+        "doc_id", hash_bucket(F.col("doc_id"), _INCR_SALT).alias("bkt")
     )
     bands = _mh_bands(spark, sf_dir)
     hist = bands.join(

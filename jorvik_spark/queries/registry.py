@@ -64,6 +64,24 @@ def davg(col: str | Column) -> Column:
     return F.sum(_q(c)) / F.lit(float(_SCALE)) / F.count(c)
 
 
+def hash_bucket(col: Column, salt: str) -> Column:
+    """Deterministic hash-mod bucket in [0, 1000): md5 of the salted
+    stringified key, first 8 hex digits, mod 1000. THE reproducible
+    sampling/split primitive — shared by every sampler and the
+    incremental-dedup history split so the scheme can never diverge
+    between modules. Mirrored exactly by :func:`sql_hash_bucket`."""
+    key = F.concat(F.lit(salt), col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 1000
+
+
+def sql_hash_bucket(expr: str, salt: str) -> str:
+    """DuckDB twin of :func:`hash_bucket`."""
+    return (
+        f"('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 8))"
+        "::BIGINT % 1000"
+    )
+
+
 def sql_dsum(expr: str) -> str:
     return (
         f"SUM(CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT)) / 1000000.0"

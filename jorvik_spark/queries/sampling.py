@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jorvik_spark.queries.dedup import _SHINGLES_T, _SQL_SHINGLES
-from jorvik_spark.queries.registry import memo_df, query
+from jorvik_spark.queries.registry import (
+    hash_bucket as _bucket,
+    memo_df,
+    query,
+    sql_hash_bucket as _sql_bucket,
+)
 from jorvik_spark.queries.text_analysis import _SQL_TOKENS, _tokenized_docs
 from jorvik_spark.tables import load_table
 
@@ -28,18 +33,6 @@ _DEFAULT_RATE = 1000
 # train/val/test split boundaries on a second, independent bucket
 # (different md5 salt so split and sampling decisions don't correlate).
 _VAL_LO, _TEST_LO = 800, 900
-
-
-def _bucket(col, salt: str):
-    key = F.concat(F.lit(salt), col.cast("string"))
-    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 1000
-
-
-def _sql_bucket(expr: str, salt: str) -> str:
-    return (
-        f"('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 8))"
-        "::BIGINT % 1000"
-    )
 
 
 _RATE_SQL = "CASE lang " + " ".join(

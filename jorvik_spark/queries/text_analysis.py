@@ -885,8 +885,13 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             import re as _re
 
             pat = f"(?<= ){_re.escape(l)} {_re.escape(r)}(?= )"
+            # Escape the REPLACEMENT too: Java's appendReplacement treats
+            # '$' as a group reference and '\' as an escape, so a merged
+            # symbol containing either would throw (no such group) or
+            # corrupt the rewrite — Matcher.quoteReplacement semantics.
+            repl = (l + r).replace("\\", "\\\\").replace("$", "\\$")
             nxt = cur.select(
-                F.regexp_replace("w", pat, f"{l}{r}").alias("w"), "n"
+                F.regexp_replace("w", pat, repl).alias("w"), "n"
             ).localCheckpoint()
             if cur is not vocab:
                 _release_local_checkpoint(cur)

@@ -145,6 +145,13 @@ def incremental_dedup_sink(
     (greedy within-batch pass; a transitive chain A~B~C where A≁C keeps
     A and drops B and C, same keep-smallest rule as the corpus queries).
 
+    Every doc additionally carries a synthetic EXACT band (band -1,
+    key = md5 of its text): documents too short to shingle (< 3 tokens)
+    produce zero MinHash bands and would otherwise be invisible to the
+    screen — re-sent or replayed short docs would be re-admitted every
+    time, breaking the convergence contract above. The exact band gives
+    every doc, whatever its length, at least one collision surface.
+
     Crash semantics: the two appends are not one transaction on a plain
     parquet lake — a failure BETWEEN them (index written, out not)
     drops that batch's novel docs from ``out_path`` silently, because
@@ -169,13 +176,23 @@ def incremental_dedup_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        bands = bands_of_docs(batch_df).persist()
+        exact_bands = batch_df.select(
+            "doc_id",
+            F.lit(-1).alias("band"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("key"),
+        )
+        bands = bands_of_docs(batch_df).unionByName(exact_bands).persist()
         try:
-            try:
-                index = spark.read.parquet(index_path)
-                have_index = True
-            except Exception:  # first batch: no index yet
-                have_index = False
+            # Explicit existence probe (the storage layer's 3-tier check):
+            # a bare try/except around the read would treat a TRANSIENT
+            # storage failure as "no index yet" and silently skip the
+            # dedup screen for the whole batch.
+            from jorvik_spark.storage import BasicStorage
+
+            have_index = BasicStorage().exists(index_path)
+            index = (
+                spark.read.parquet(index_path) if have_index else None
+            )
             dup_vs_index = (
                 bands.alias("i")
                 .join(

@@ -40,8 +40,11 @@ def main() -> None:
                 n = compare(fn(spark, sf_dir), con, oracles[name], name)
                 report[name] = {"mode": "hash", "ok": True, "rows": n}
             else:
+                # rows-only queries must produce OUTPUT to count as ok —
+                # n >= 0 would be vacuously true and a filter regression
+                # to the empty set would still read as green.
                 n = fn(spark, sf_dir).count()
-                report[name] = {"mode": "rows_only", "ok": n >= 0, "rows": n}
+                report[name] = {"mode": "rows_only", "ok": n > 0, "rows": n}
         except Exception as exc:  # noqa: BLE001
             report[name] = {
                 "mode": "hash" if name in oracles else "rows_only",

@@ -32,7 +32,8 @@ def test_two_drops_with_resends(spark):
     n1, bands1 = ingest_drop(spark, drop, lake, "t-drop-1")
     # only gated docs are ingested (minus same-batch near-dup collisions)
     assert 0 < n1 <= gated_even <= n_even
-    assert bands1 == 4 * n1  # every accepted doc contributes its 4 bands
+    # 4 MinHash bands + 1 exact-hash band per accepted doc
+    assert bands1 == 5 * n1
     assert (
         spark.read.parquet(f"{lake}/curated")
         .filter("doc_id >= 5000000").count() == 0
@@ -50,4 +51,4 @@ def test_two_drops_with_resends(spark):
     # original in the index.
     assert curated.filter("doc_id >= 1000000").count() == 0
     assert n2 > n1  # the odd half added genuinely new docs
-    assert bands2 == 4 * n2
+    assert bands2 == 5 * n2

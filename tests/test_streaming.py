@@ -498,3 +498,40 @@ def test_incremental_dedup_sink_replay_converges(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(out).collect()
     ) == [1, 2]
+
+
+def test_incremental_dedup_sink_screens_short_docs(spark, tmp_path):
+    """Docs too short to shingle (< 3 tokens) carry no MinHash bands;
+    the synthetic exact band must still catch their re-sends — without
+    it a replayed short doc was re-admitted every time."""
+    from jorvik_spark.streaming.sinks import incremental_dedup_sink
+
+    st = BasicStorage()
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+
+    short = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "solo", "en")],
+        "doc_id long, text string, lang string",
+    )
+    short.write.mode("append").parquet(src)
+    q = incremental_dedup_sink(
+        st.readStream(src, "parquet"), idx, out, str(tmp_path / "cp1")
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2]
+
+    # exact re-sends under NEW ids + a genuinely new short doc
+    spark.createDataFrame(
+        [(10, "hello world", "en"), (11, "fresh", "en")],
+        "doc_id long, text string, lang string",
+    ).write.mode("append").parquet(src)
+    q = incremental_dedup_sink(
+        st.readStream(src, "parquet"), idx, out, str(tmp_path / "cp2")
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 11]  # 10 screened by the exact band; 11 admitted
