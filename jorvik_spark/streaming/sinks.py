@@ -190,8 +190,15 @@ def incremental_dedup_sink(
             from jorvik_spark.storage import BasicStorage
 
             have_index = BasicStorage().exists(index_path)
+            # Declared schema: exists() counts an EMPTY directory (a
+            # crash can strand one before any part file lands), and a
+            # schema-less parquet read of it would throw UNABLE_TO_INFER
+            # and kill the stream; with the schema it is just empty.
             index = (
-                spark.read.parquet(index_path) if have_index else None
+                spark.read.schema("doc_id long, band int, key string")
+                .parquet(index_path)
+                if have_index
+                else None
             )
             dup_vs_index = (
                 bands.alias("i")

@@ -535,3 +535,28 @@ def test_incremental_dedup_sink_screens_short_docs(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 11]  # 10 screened by the exact band; 11 admitted
+
+
+def test_incremental_dedup_sink_tolerates_empty_index_dir(spark, tmp_path):
+    """A stranded EMPTY index directory (crash before any part file)
+    must behave like 'no index yet', not kill the stream with a
+    schema-inference error (exists() counts empty dirs — quirk Q7)."""
+    import os
+
+    from jorvik_spark.streaming.sinks import incremental_dedup_sink
+
+    st = BasicStorage()
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    os.makedirs(idx)  # stranded empty dir
+
+    spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(10)), "en")],
+        "doc_id long, text string, lang string",
+    ).write.mode("append").parquet(src)
+    q = incremental_dedup_sink(
+        st.readStream(src, "parquet"), idx, out, str(tmp_path / "cp")
+    )
+    q.awaitTermination(120)
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
