@@ -305,3 +305,115 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return binaries.mapInPandas(_resize_batched, schema=_RESIZE_SCHEMA)
+
+
+# Audio stub geometry: pretend 4 bytes/sample at a fixed 16 kHz rate and
+# cut 1-second chunks, capped so whole-file blobs cannot explode a row
+# into thousands of chunk rows (a real audio pipeline chunks by decoded
+# duration; the CAP is the part that carries over — per-row output must
+# be bounded regardless of blob size).
+_AUDIO_BYTES_PER_SAMPLE = 4
+_AUDIO_SR = 16_000
+_AUDIO_MAX_CHUNKS = 6
+
+
+def chunk_audio(content: bytes) -> list[dict]:
+    """STUB audio chunker (torchaudio/ffmpeg not in this container):
+    deterministic 1-second chunk layout over the fake sample stream,
+    with a digest-derived per-chunk key and integer fake-RMS — all
+    reproducible in DuckDB, which keeps the plumbing oracle-checkable."""
+    digest = hashlib.sha256(content.hex().encode("ascii")).hexdigest()
+    n_samples = len(content) // _AUDIO_BYTES_PER_SAMPLE
+    n_chunks = min(_AUDIO_MAX_CHUNKS, 1 + n_samples // _AUDIO_SR)
+    out = []
+    for idx in range(n_chunks):
+        start = idx * _AUDIO_SR
+        ln = min(_AUDIO_SR, max(0, n_samples - start))
+        key = hashlib.md5(f"{digest}|{idx}".encode("ascii")).hexdigest()
+        out.append(
+            {
+                "chunk_idx": idx,
+                "start_sample": start,
+                "n_chunk_samples": ln,
+                "chunk_key": key,
+                "fake_rms": int(key[:4], 16) % 1000,
+            }
+        )
+    return out
+
+
+_AUDIO_SCHEMA = (
+    "path string, chunk_idx long, start_sample long, "
+    "n_chunk_samples long, chunk_key string, fake_rms long"
+)
+
+
+def _chunk_audio_batched(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        rows = []
+        for path, content in zip(batch["path"], batch["content"]):
+            for ch in chunk_audio(bytes(content)):
+                rows.append({"path": path, **ch})
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "path", "chunk_idx", "start_sample",
+                "n_chunk_samples", "chunk_key", "fake_rms",
+            ],
+        )
+        for c in ("chunk_idx", "start_sample", "n_chunk_samples", "fake_rms"):
+            out[c] = out[c].astype("int64")
+        yield out
+
+
+@query(
+    "multimodal_audio_chunks",
+    oracle=f"""
+    WITH blobs AS (
+        SELECT filename, size,
+               sha256(lower(hex(content))) AS digest,
+               size // {_AUDIO_BYTES_PER_SAMPLE} AS n_samples
+        FROM read_blob('{{sf_dir}}/*.parquet')),
+    chunked AS (
+        SELECT filename, digest, n_samples,
+               unnest(range(least({_AUDIO_MAX_CHUNKS},
+                                  1 + n_samples // {_AUDIO_SR}))) AS idx
+        FROM blobs)
+    SELECT filename AS path,
+           CAST(idx AS BIGINT) AS chunk_idx,
+           CAST(idx * {_AUDIO_SR} AS BIGINT) AS start_sample,
+           CAST(least({_AUDIO_SR},
+                      greatest(0, n_samples - idx * {_AUDIO_SR})) AS BIGINT)
+               AS n_chunk_samples,
+           md5(digest || '|' || CAST(idx AS VARCHAR)) AS chunk_key,
+           CAST(('0x' || substr(md5(digest || '|' || CAST(idx AS VARCHAR)),
+                                1, 4))::BIGINT % 1000 AS BIGINT) AS fake_rms
+    FROM chunked
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking over binary media — the third modality's plumbing
+    (image → feature/resize, video → frame sample, audio → fixed-window
+    chunks): binaryFile scan → conditional decode spread → Arrow-batched
+    ``mapInPandas`` exploding each blob into its bounded 1-second chunk
+    rows with per-chunk keys and stub waveform stats.
+
+    Scale shape: 1:N explode inside one narrow executor-side stage (no
+    shuffle; partitioning inherits the decode spread), and per-row
+    output is CAPPED — a 10 GB blob yields the same ≤6 chunk rows as a
+    10 MB one here, standing in for the duration-bounded chunking a real
+    decoder enforces.
+    """
+    binaries = _spread_for_decode(
+        spark,
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select(
+            F.regexp_replace("path", _STRIP_SCHEME, "").alias("path"),
+            "content",
+        ),
+    )
+    return binaries.mapInPandas(_chunk_audio_batched, schema=_AUDIO_SCHEMA)
