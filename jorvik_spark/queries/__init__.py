@@ -51,7 +51,7 @@ from jorvik_spark.queries import sampling  # noqa: F401,E402
 #     dedup_incremental_minhash, text_bigram_lm_score, simsearch_range,
 #     embed_dim_stats, embed_whiten, sink_zorder_layout,
 #     agg_hll_rollup, text_bpe_train, dedup_remove_passages,
-#     multimodal_audio_chunks — registered
+#     multimodal_audio_chunks, corpus_curation_funnel — registered
 #     outside the prefix this round; hash-verified by the local parity +
 #     dirty-corpus suites at sf0.001/sf0.01 until they get their first
 #     driver row).

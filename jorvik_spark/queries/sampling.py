@@ -761,3 +761,122 @@ def export_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("padding_frac"),
     )
+
+
+# Curation-funnel gates (cumulative). Deliberately the same expressions
+# the standalone gate queries use, restated compactly: the funnel is the
+# ATTRITION REPORT over the pipeline, each stage conditioned on
+# surviving all previous ones.
+_FUNNEL_MIN_TOKENS = 5
+_FUNNEL_MAX_TOKENS = 100_000
+_FUNNEL_MAX_DUP_BIGRAM = 0.5
+
+
+@query(
+    "corpus_curation_funnel",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, text, {_SQL_TOKENS} AS t FROM documents),
+    flags AS (
+        SELECT doc_id,
+               len(t) >= 1 AS s1,
+               len(t) BETWEEN {_FUNNEL_MIN_TOKENS}
+                          AND {_FUNNEL_MAX_TOKENS} AS s2,
+               CASE WHEN len(t) < 2 THEN TRUE ELSE
+                    1.0 - len(list_distinct(list_transform(
+                              range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1])))
+                        * 1.0 / (len(t) - 1)
+                    <= {_FUNNEL_MAX_DUP_BIGRAM} END AS s3,
+               ROW_NUMBER() OVER (PARTITION BY md5(coalesce(text, ''))
+                                  ORDER BY doc_id) = 1 AS s4
+        FROM toks),
+    agg AS (
+        SELECT COUNT(*) AS n0,
+               SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS n2,
+               SUM(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END) AS n3,
+               SUM(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END)
+                   AS n4
+        FROM flags)
+    SELECT * FROM (
+        SELECT 0 AS stage, 'raw' AS stage_name,
+               CAST(n0 AS BIGINT) AS n_surviving,
+               CAST(0 AS BIGINT) AS n_dropped_here FROM agg
+        UNION ALL SELECT 1, 'non_empty', CAST(n1 AS BIGINT),
+               CAST(n0 - n1 AS BIGINT) FROM agg
+        UNION ALL SELECT 2, 'length_window', CAST(n2 AS BIGINT),
+               CAST(n1 - n2 AS BIGINT) FROM agg
+        UNION ALL SELECT 3, 'repetition_gate', CAST(n3 AS BIGINT),
+               CAST(n2 - n3 AS BIGINT) FROM agg
+        UNION ALL SELECT 4, 'exact_dedup', CAST(n4 AS BIGINT),
+               CAST(n3 - n4 AS BIGINT) FROM agg)
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attrition table every curation pipeline publishes: how many
+    documents survive each successive gate (non-empty → length window →
+    repetition gate → exact dedup), and how many each stage drops. One
+    report answers "where did my corpus go" — the first question asked
+    whenever a training mix shrinks unexpectedly.
+
+    Scale shape: gate flags are narrow expressions computed in ONE pass
+    over the scan; the only shuffle is the exact-dedup keep-first
+    window on the content hash (shared shape with ``dedup_exact``); the
+    funnel itself reduces to a single 5-counter aggregate row, unpivoted
+    to stage rows at zero cost. Cumulative conditioning (stage k counts
+    docs surviving ALL earlier gates) makes the drops additive:
+    n_raw - Σ drops = final survivors, so the report reconciles.
+    """
+    toks = _tokenized_docs(spark, sf_dir).join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    from pyspark.sql import Window
+
+    bigrams = F.expr(
+        "if(size(t) >= 2, transform(sequence(1, size(t) - 1), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1))), "
+        "array())"
+    )
+    dup_ratio = F.when(F.size("bg") < 1, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct("bg")) / F.size("bg")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5(F.coalesce("text", F.lit("")))).orderBy(
+            "doc_id"
+        )
+    )
+    flags = (
+        toks.withColumn("bg", bigrams)
+        .select(
+            (F.size("t") >= 1).alias("s1"),
+            F.size("t")
+            .between(_FUNNEL_MIN_TOKENS, _FUNNEL_MAX_TOKENS)
+            .alias("s2"),
+            (dup_ratio <= _FUNNEL_MAX_DUP_BIGRAM).alias("s3"),
+            (rn == 1).alias("s4"),
+        )
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        cnt(F.col("s1")).alias("n1"),
+        cnt(F.col("s1") & F.col("s2")).alias("n2"),
+        cnt(F.col("s1") & F.col("s2") & F.col("s3")).alias("n3"),
+        cnt(
+            F.col("s1") & F.col("s2") & F.col("s3") & F.col("s4")
+        ).alias("n4"),
+    )
+    stages = ", ".join(
+        f"named_struct('stage', {i}, 'stage_name', '{nm}', "
+        f"'n_surviving', CAST(n{i} AS BIGINT), "
+        f"'n_dropped_here', CAST({'0' if i == 0 else f'n{i-1} - n{i}'} AS BIGINT))"
+        for i, nm in enumerate(
+            ["raw", "non_empty", "length_window", "repetition_gate",
+             "exact_dedup"]
+        )
+    )
+    return agg.select(
+        F.explode(F.expr(f"array({stages})")).alias("x")
+    ).select("x.stage", "x.stage_name", "x.n_surviving", "x.n_dropped_here")

@@ -82,6 +82,7 @@ DOC_QUERIES = [
     "decontaminate_bloom",
     "sample_quality_percentile",
     "export_length_bucketed",
+    "corpus_curation_funnel",
 ]
 
 
@@ -370,3 +371,18 @@ def test_remove_passages_cuts_exactly_the_shared_span(spark, dirty_dir):
     assert got[8] == 2 and got[9] == 2
     assert got[3] == 5  # unicode doc, no dup spans: full token count
     assert got[0] == 0 and got[1] == 0  # null/empty docs present, 0 kept
+
+
+def test_curation_funnel_attrition_on_dirty_rows(spark, dirty_dir):
+    """The funnel must attribute each dirty row to the right gate:
+    null/empty/whitespace docs to non_empty, the 1-token doc to the
+    length window, the all-dup-bigram docs to the repetition gate."""
+    rows = {
+        r["stage_name"]: (r["n_surviving"], r["n_dropped_here"])
+        for r in QUERIES["corpus_curation_funnel"](spark, dirty_dir).collect()
+    }
+    assert rows["raw"] == (10, 0)
+    assert rows["non_empty"] == (7, 3)  # docs 0, 1, 2
+    assert rows["length_window"] == (6, 1)  # doc 4 ("one")
+    assert rows["repetition_gate"] == (4, 2)  # docs 5, 6 (dup dup ...)
+    assert rows["exact_dedup"] == (4, 0)  # the dup pair already fell
