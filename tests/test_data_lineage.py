@@ -251,3 +251,33 @@ def test_write_lineage_log_file_scan(spark, tmp_path, lineage_conf):
     assert row.output_path == out
     assert len(row.data_sources) == 1
     assert row.data_sources[0].endswith("/src") or "/src" in row.data_sources[0]
+
+
+def test_lineage_captures_all_sources_of_a_join_dag(spark, tmp_path, lineage_conf):
+    """A multi-scan transform (broadcast join of two parquet sources plus
+    an aggregate) must record EVERY source path — the lineage answer to
+    'which tables fed this gold output', exercised on a realistic plan
+    with BroadcastExchange/HashAggregate nodes, not a single-scan toy."""
+    sf = "/root/testdata/sf0.001"
+    st = storage.configure()
+    orders = st.read(f"{sf}/orders.parquet", format="parquet")
+    customer = st.read(f"{sf}/customer.parquet", format="parquet")
+    gold = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    out = str(tmp_path / "gold")
+    st.write(gold, out, format="parquet", mode="overwrite")
+
+    row = (
+        st.read(lineage_conf, format="parquet")
+        .orderBy(F.desc("observation_ts"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert row.output_path == out
+    srcs = " ".join(row.data_sources)
+    assert "orders.parquet" in srcs
+    assert "customer.parquet" in srcs
+    assert len(row.data_sources) == 2
