@@ -22,6 +22,17 @@ ROWS_ONLY = {
     "dedup_minhash_lsh",
 }
 
+# Round-8 exception: these two are also rows-only by design (HLL sketch
+# internals / iterative BPE merge table have no ANSI-SQL twin — both are
+# verified by error-bound / brute-force-Python tests instead) but shipped
+# in round 7 and have NEVER had a driver record of any kind. They hold
+# prefix slots this one round to collect their first rows-only driver
+# row, then rotate back out.
+ROWS_ONLY_FIRST_EVIDENCE = {
+    "agg_hll_rollup",
+    "text_bpe_train",
+}
+
 
 def test_driver_prefix_matches_check_priority():
     assert list(QUERIES)[:DRIVER_PREFIX] == _CHECK_PRIORITY[:DRIVER_PREFIX]
@@ -40,9 +51,22 @@ def test_check_priority_entries_all_registered():
 def test_checked_prefix_is_fully_hash_checkable():
     # Every slot in the checked prefix should be a query the driver can
     # value-hash against its oracle — rows-only queries waste the slot.
-    no_oracle = [n for n in _CHECK_PRIORITY if n not in ORACLES]
+    # Sole exception: ROWS_ONLY_FIRST_EVIDENCE entries collecting their
+    # first-ever (rows-only) driver record this round.
+    no_oracle = [
+        n
+        for n in _CHECK_PRIORITY
+        if n not in ORACLES and n not in ROWS_ONLY_FIRST_EVIDENCE
+    ]
     assert not no_oracle
     assert not (set(_CHECK_PRIORITY) & ROWS_ONLY)
+
+
+def test_first_evidence_rows_only_in_prefix_this_round():
+    # They exist precisely to pick up a driver row — being outside the
+    # prefix would silently defeat the rotation's purpose.
+    assert ROWS_ONLY_FIRST_EVIDENCE <= set(_CHECK_PRIORITY)
+    assert not (ROWS_ONLY_FIRST_EVIDENCE & set(ORACLES))
 
 
 def test_rows_only_queries_still_registered():
