@@ -5,7 +5,9 @@ new document dumps land in a drop directory; each micro-batch is quality-
 gated, then screened against the banded-MinHash index of EVERYTHING
 already accepted (``incremental_dedup_sink`` — batch-sized work per
 ingest, never a full-corpus re-dedup), and survivors append to the
-curated corpus while their bands extend the index.
+curated corpus while the batch's not-yet-indexed (band, key) pairs —
+dropped docs' included, so screened content stays screened — extend
+the index.
 
 Composition, stage by stage:
 

@@ -925,11 +925,13 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The history/incoming split is a deterministic hash-mod bucket here
     (so the operator is oracle-checkable on a static table); the live
-    form is the same plan with the history band table persisted and
-    appended batch-over-batch — see
-    ``jorvik_spark.streaming.incremental_dedup_batch`` and its
-    foreachBatch test, which pin that the sink produces exactly this
-    query's novelty verdicts batch-sequentially.
+    form is the same band construction and index-screen join with the
+    history band table persisted and appended batch-over-batch — see
+    ``jorvik_spark.streaming.incremental_dedup_sink`` and its
+    foreachBatch tests. The sink ADDS two screens this query does not
+    model (a greedy within-batch smaller-id pass and a synthetic exact
+    band for sub-shingle docs), so its verdicts are a superset of this
+    query's drops, not a bit-for-bit replay.
 
     Scale shape: the band table is shared with the other MinHash queries
     (memoized; in production a stored index updated per ingest, never

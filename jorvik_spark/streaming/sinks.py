@@ -131,19 +131,30 @@ def incremental_dedup_sink(
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Continuously ingest documents, keeping only near-dup-novel ones:
-    the live form of the ``dedup_incremental_minhash`` query. Each
-    micro-batch computes its banded-MinHash rows, screens them against
-    the PERSISTED band index at ``index_path`` (plus the batch's own
-    smaller-id docs), appends the accepted docs to ``out_path`` and
-    their bands to the index — so the index, never the corpus, is what
-    every future batch compares against.
+    the live form of the ``dedup_incremental_minhash`` query (same band
+    construction and index-screen join, plus the sink-only screens
+    below). Each micro-batch computes its banded-MinHash rows, screens
+    them against the PERSISTED band index at ``index_path`` (plus the
+    batch's own smaller-id docs), appends the accepted docs to
+    ``out_path`` and the batch's bands to the index — so the index,
+    never the corpus, is what every future batch compares against.
 
     Novelty rule (deterministic): a doc is dropped iff one of its bands
-    collides with (a) any already-indexed doc — including itself, which
-    is what makes a replayed completed batch converge instead of
-    re-appending — or (b) a smaller-doc_id member of the same batch
-    (greedy within-batch pass; a transitive chain A~B~C where A≁C keeps
-    A and drops B and C, same keep-smallest rule as the corpus queries).
+    collides with (a) any already-indexed (band, key) — including its
+    own, which is what makes a replayed completed batch converge
+    instead of re-appending — or (b) a smaller-doc_id member of the
+    same batch (greedy within-batch pass; a transitive chain A~B~C
+    where A≁C keeps A and drops B and C, same keep-smallest rule as
+    the corpus queries).
+
+    The index is the SET of every (band, key) ever seen — dropped docs'
+    bands included, one row per key (representative doc_id = smallest
+    in the batch that carried it, minus keys already indexed). Dropped
+    content must stay screened: in the A~B~C chain above, C dies only
+    through B, so an index of retained docs' bands alone (A's) would
+    re-admit a later re-send of C. Keying the append by (band, key)
+    also means duplicate re-sends grow the index by ZERO rows — growth
+    is bounded by distinct collision surface, not ingest volume.
 
     Every doc additionally carries a synthetic EXACT band (band -1,
     key = md5 of its text): documents too short to shingle (< 3 tokens)
@@ -161,8 +172,9 @@ def incremental_dedup_sink(
     table format, make each append one commit and the gap disappears.
 
     Scale shape: per batch, signature work is batch-sized and narrow;
-    the screen is one equi join of batch bands against the index on
-    (band, key). The index grows one small file per batch — compact it
+    the screen and the append-dedup are each one equi join of batch
+    bands against the index on (band, key) — batch-sized left side
+    both times. The index grows one small file per batch — compact it
     on the same cadence as any streaming append table.
     """
     if not checkpoint:
@@ -227,10 +239,23 @@ def incremental_dedup_sink(
                 else dup_in_batch
             ).distinct()
             novel = batch_df.join(dups, "doc_id", "left_anti")
+            # Index EVERY band seen this batch — dropped docs' included
+            # (see docstring: chained dups are otherwise forgotten) —
+            # collapsed to one row per (band, key) and anti-joined
+            # against keys the index already holds, so re-sent
+            # duplicates append nothing.
+            new_bands = bands.groupBy("band", "key").agg(
+                F.min("doc_id").alias("doc_id")
+            ).select("doc_id", "band", "key")
+            if have_index:
+                new_bands = new_bands.alias("n").join(
+                    index.alias("h"),
+                    (F.col("n.band") == F.col("h.band"))
+                    & (F.col("n.key") == F.col("h.key")),
+                    "left_anti",
+                )
             # index FIRST, docs second — see crash semantics above.
-            bands.join(dups, "doc_id", "left_anti").write.mode(
-                "append"
-            ).parquet(index_path)
+            new_bands.write.mode("append").parquet(index_path)
             novel.write.mode("append").parquet(out_path)
         finally:
             bands.unpersist()

@@ -32,8 +32,13 @@ def test_two_drops_with_resends(spark):
     n1, bands1 = ingest_drop(spark, drop, lake, "t-drop-1")
     # only gated docs are ingested (minus same-batch near-dup collisions)
     assert 0 < n1 <= gated_even <= n_even
-    # 4 MinHash bands + 1 exact-hash band per accepted doc
-    assert bands1 == 5 * n1
+    # Index contract (round 8): one row per DISTINCT (band, key) of every
+    # gated doc — dropped docs' bands included, so screened content stays
+    # screened. With ≤4 MinHash + 1 exact band per doc, that is bounded
+    # by the gated count, and must at least cover the accepted docs.
+    assert 5 * n1 <= bands1 <= 5 * gated_even
+    index = spark.read.parquet(f"{lake}/dedup_index")
+    assert index.count() == index.select("band", "key").distinct().count()
     assert (
         spark.read.parquet(f"{lake}/curated")
         .filter("doc_id >= 5000000").count() == 0
@@ -51,4 +56,10 @@ def test_two_drops_with_resends(spark):
     # original in the index.
     assert curated.filter("doc_id >= 1000000").count() == 0
     assert n2 > n1  # the odd half added genuinely new docs
-    assert bands2 == 5 * n2
+    # Exact re-sends contribute ZERO index rows (their (band, key) pairs
+    # are all already present): growth is bounded by the odd half's
+    # distinct bands, and the key-set stays duplicate-free.
+    gated_odd = quality_gate(docs.filter("doc_id % 2 = 1")).count()
+    assert bands1 < bands2 <= bands1 + 5 * gated_odd
+    index = spark.read.parquet(f"{lake}/dedup_index")
+    assert index.count() == index.select("band", "key").distinct().count()

@@ -425,8 +425,10 @@ def test_foreach_batch_merge_order_col_requires_keys(spark, tmp_path):
 def test_incremental_dedup_sink_screens_against_index(spark, tmp_path):
     """Two ingest rounds through one checkpoint: round 2's near-dup of a
     round-1 doc must be dropped by the PERSISTED band index, its novel
-    companion kept, and the index must grow by exactly the accepted
-    docs' bands."""
+    companion kept, and the index must hold exactly the distinct
+    (band, key) surface of EVERYTHING ingested — dropped docs' bands
+    included, duplicate keys collapsed."""
+    from jorvik_spark.queries.dedup import bands_of_docs
     from jorvik_spark.streaming.sinks import incremental_dedup_sink
 
     st = BasicStorage()
@@ -468,8 +470,65 @@ def test_incremental_dedup_sink_screens_against_index(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(out).collect()
     ) == [1, 2, 11]
-    indexed = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
-    assert indexed == {1, 2, 11}
+    # Index invariant: one row per distinct (band, key) ever seen —
+    # including the dropped docs 3 and 10 — and nothing else.
+    indexed = {
+        (r["band"], r["key"]) for r in spark.read.parquet(idx).collect()
+    }
+    everything = round1.unionByName(round2)
+    expected = {
+        (r["band"], r["key"])
+        for r in bands_of_docs(everything).collect()
+    } | {
+        (-1, r["k"])
+        for r in everything.select(F.md5("text").alias("k")).collect()
+    }
+    assert indexed == expected
+    assert spark.read.parquet(idx).count() == len(expected)
+
+
+def test_incremental_dedup_sink_chain_content_stays_screened(spark, tmp_path):
+    """Transitive chain A~B, B~C, A≁C in one batch keeps only A. A later
+    near-dup of C collides with nothing RETAINED — it must still be
+    dropped, because the index holds dropped docs' bands too (indexing
+    only accepted docs' bands would re-admit screened content).
+
+    Fixture verified against bands_of_docs: A~B and B~C band-collide,
+    A and C do not, and the round-2 near-dup of C collides with C and B
+    only (never A)."""
+    from jorvik_spark.streaming.sinks import incremental_dedup_sink
+
+    st = BasicStorage()
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    a_toks = [f"alpha0x{i}" for i in range(40)]
+    c_toks = [f"omega4y{i}" for i in range(40)]
+    text_a = " ".join(a_toks)
+    text_b = " ".join(a_toks + c_toks)  # bridges A and C
+    text_c = " ".join(c_toks)
+
+    spark.createDataFrame(
+        [(1, text_a, "en"), (2, text_b, "en"), (3, text_c, "en")],
+        "doc_id long, text string, lang string",
+    ).write.mode("append").parquet(src)
+    q = incremental_dedup_sink(st.readStream(src, "parquet"), idx, out, cp)
+    q.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1]
+
+    spark.createDataFrame(
+        [(10, text_c + " trailingnovelty", "en")],
+        "doc_id long, text string, lang string",
+    ).write.mode("append").parquet(src)
+    q = incremental_dedup_sink(st.readStream(src, "parquet"), idx, out, cp)
+    q.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1]
 
 
 def test_incremental_dedup_sink_replay_converges(spark, tmp_path):
