@@ -805,9 +805,15 @@ def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_NPROBE)
     ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
 
-    # shared PQ construction (one definition with embed_pq_codes)
+    # shared PQ construction (one definition with embed_pq_codes).
+    # qcent and codes BOTH derive from _pq_subs, so attribute-style join
+    # keys (qcent.m == codes.m) are a same-lineage comparison the
+    # analyzer logs as a "trivially true equals predicate" and resolves
+    # by position — correct today, but one analyzer change from a silent
+    # cross-subspace match. Explicit subquery aliases make every key
+    # attribute-unambiguous; test_plans.py pins the three-key ADC join.
     subs = _pq_subs(spark, sf_dir)
-    codes = _pq_codes(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir).alias("c")
     sqd = F.round(F.expr(_PQ_SQD), 6)
     qcent = F.broadcast(
         subs.filter(F.col("vec_id") < _N_QUERIES)
@@ -818,20 +824,23 @@ def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cent_id",
             F.floor(sqd * 1_000_000 + F.lit(0.5)).cast("long").alias("qd_u"),
         )
+        .alias("q")
     )
-    cand = probes.join(cells, "cell").filter(
-        F.col("candidate_id") != F.col("query_id")
+    cand = (
+        probes.join(cells, "cell")
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .alias("d")
     )
     adc = (
-        cand.join(codes, codes.vec_id == cand.candidate_id)
+        cand.join(codes, F.col("c.vec_id") == F.col("d.candidate_id"))
         .join(
             qcent,
-            (qcent.query_id == cand.query_id)
-            & (qcent.m == codes.m)
-            & (qcent.cent_id == codes.code),
+            (F.col("q.query_id") == F.col("d.query_id"))
+            & (F.col("q.m") == F.col("c.m"))
+            & (F.col("q.cent_id") == F.col("c.code")),
         )
-        .groupBy(cand.query_id, cand.candidate_id)
-        .agg(F.sum("qd_u").alias("adc_u"))
+        .groupBy(F.col("d.query_id"), F.col("d.candidate_id"))
+        .agg(F.sum(F.col("q.qd_u")).alias("adc_u"))
     )
     w = Window.partitionBy("query_id").orderBy("adc_u", "candidate_id")
     return (
@@ -861,7 +870,8 @@ _RANGE_MIN_COS = 0.3
     SELECT q.query_id, c.vec_id AS candidate_id,
            round({_SQL_COS.format(a='q.qe', b='c.embedding')}, 6) AS cosine
     FROM q JOIN nz c ON c.vec_id <> q.query_id
-    WHERE {_SQL_COS.format(a='q.qe', b='c.embedding')} >= {_RANGE_MIN_COS}
+    WHERE round({_SQL_COS.format(a='q.qe', b='c.embedding')}, 6)
+          >= {_RANGE_MIN_COS}
     """,
 )
 def simsearch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -895,11 +905,15 @@ def simsearch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = F.expr(_DOT.format(a="qv", b="v")) / (
         F.sqrt("nq") * F.sqrt("nc")
     )
+    # Threshold the ROUNDED cosine (module convention): Spark's
+    # sequential aggregate fold and DuckDB's list_dot_product can differ
+    # in the last ulps, so a raw-value filter could flip a row straddling
+    # the threshold between engines.
     return (
         cands.join(queries, F.col("candidate_id") != F.col("query_id"))
-        .withColumn("cosine", cosine)
+        .withColumn("cosine", F.round(cosine, 6))
         .filter(F.col("cosine") >= _RANGE_MIN_COS)
-        .select("query_id", "candidate_id", F.round("cosine", 6).alias("cosine"))
+        .select("query_id", "candidate_id", "cosine")
     )
 
 

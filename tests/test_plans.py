@@ -92,6 +92,27 @@ def test_q5_dimension_broadcast_and_date_pushdown(spark):
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
 
 
+def test_q5_degrades_to_smj_past_broadcast_threshold(spark):
+    """The 100×-scale fallback shape, proven: when orders/customer
+    outgrow the broadcast threshold (simulated by disabling automatic
+    broadcasts), q5's fact-side joins must degrade to shuffled
+    SortMergeJoins on their equi keys — never a nested loop or
+    cartesian. The explicitly HINTED dim build (≤25 rows by schema,
+    forever) keeps its broadcast regardless of threshold, which is the
+    intended split: hints for bounded-by-construction sides, threshold
+    for data-sized ones."""
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "join_q5_regional")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the hinted ≤25-row dim build
+
+
 def test_project_select_prunes_read_schema(spark):
     plan = _plan(spark, "project_select")
     assert "ReadSchema" in plan
@@ -435,6 +456,47 @@ def test_incremental_minhash_screen_is_equi_join(spark):
     plan = _plan(spark, "dedup_incremental_minhash")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_feature_extract_blob_guard_prunes_oversized_reads(spark):
+    """The blob-size guard must act at the SCAN, not after it: the
+    decode branch pushes length<=cap into the binaryFile listing, and
+    the skipped branch never reads the content column — an oversized
+    blob is never materialized anywhere in the plan."""
+    plan = _plan(spark, "multimodal_feature_extract")
+    assert "LessThanOrEqual(length,524288)" in plan
+    assert "GreaterThan(length,524288)" in plan
+    skipped_scans = [
+        blk
+        for blk in plan.split("\n\n")
+        if "Scan binaryFile" in blk and "GreaterThan(length" in blk
+    ]
+    assert skipped_scans and all(
+        "content" not in blk for blk in skipped_scans
+    )
+
+
+def test_ivfpq_adc_join_carries_all_three_keys(spark):
+    """The ADC lookup join must key on (query, subspace, code) — all
+    three, explicitly. qcent and codes share lineage (_pq_subs), so
+    without subquery aliases the analyzer resolves the subspace key
+    positionally ("trivially true equals predicate" warning): correct
+    today, but one analyzer change from a silent cross-subspace match
+    that would add distances from the wrong lookup-table rows."""
+    plan = _plan(spark, "simsearch_ivfpq")
+    import re
+
+    three_key = [
+        m.group(0)
+        for m in re.finditer(
+            r"Left keys \[3\]: \[([^\]]*)\]\nRight keys \[3\]: \[([^\]]*)\]",
+            plan,
+        )
+    ]
+    assert any(
+        "query_id" in blk and "m#" in blk and ("code" in blk or "cent_id" in blk)
+        for blk in three_key
+    ), f"no 3-key ADC join in plan:\n{plan[:2000]}"
 
 
 def test_remove_passages_anti_join_is_keyed(spark):
