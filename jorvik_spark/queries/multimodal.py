@@ -27,8 +27,21 @@ from jorvik_spark.queries.registry import query
 
 _FEATURE_SCHEMA = (
     "path string, n_bytes long, content_sha256 string, "
-    "fake_width long, fake_height long"
+    "fake_width long, fake_height long, decode_skipped boolean"
 )
+
+# Per-row decode byte cap: executor memory for a mapInPandas decode stage
+# tracks the LARGEST single blob in a batch (measured in PROFILE.md —
+# one ~150 MB whole-file blob dominated the 10× sweep), so one
+# pathological multi-GB object could OOM an executor at 100 TB. Blobs
+# over the cap are excluded from the decode scan ITSELF (binaryFile
+# pushes the length predicate into file listing and prunes the content
+# column, so oversized files are never read, not read-then-dropped) and
+# surface as metadata-only rows flagged decode_skipped. Sized to bite on
+# the largest testdata file at sf0.01+ so the skip path is
+# oracle-checked with real rows; production would set this to its
+# decoder's real memory budget.
+_MAX_DECODE_BYTES = 512 * 1024
 
 
 def decode_media(content: bytes) -> dict:
@@ -63,6 +76,7 @@ def _extract_features(
         out.insert(0, "path", batch["path"].values)
         out["fake_width"] = out["fake_width"].astype("int64")
         out["fake_height"] = out["fake_height"].astype("int64")
+        out["decode_skipped"] = False
         yield out
 
 
@@ -114,37 +128,60 @@ def multimodal_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_feature_extract",
-    oracle="""
+    oracle=f"""
     WITH blobs AS (
-        SELECT filename, size, sha256(lower(hex(content))) AS digest
-        FROM read_blob('{sf_dir}/*.parquet')
+        SELECT filename, size,
+               CASE WHEN size <= {_MAX_DECODE_BYTES}
+                    THEN sha256(lower(hex(content))) END AS digest
+        FROM read_blob('{{sf_dir}}/*.parquet')
     )
     SELECT filename AS path,
            size AS n_bytes,
            digest AS content_sha256,
            1 + ('0x' || substr(digest, 1, 2))::BIGINT % 64 AS fake_width,
-           1 + ('0x' || substr(digest, 3, 2))::BIGINT % 64 AS fake_height
+           1 + ('0x' || substr(digest, 3, 2))::BIGINT % 64 AS fake_height,
+           size > {_MAX_DECODE_BYTES} AS decode_skipped
     FROM blobs
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full multimodal pipeline shape: binary scan → conditional spread for
-    decode parallelism → Arrow-batched mapInPandas feature extraction.
+    """Full multimodal pipeline shape: binary scan → blob-size guard →
+    conditional spread for decode parallelism → Arrow-batched
+    mapInPandas feature extraction.
+
+    The guard (``_MAX_DECODE_BYTES``) splits the scan BEFORE any bytes
+    move: the decode branch filters ``length <= cap`` — binaryFile
+    pushes that predicate into its file listing — and the oversized
+    branch selects metadata columns only (content pruned, files never
+    opened), emitting flagged ``decode_skipped`` rows. The same
+    composition guards any of the decode stages here (resize / frames /
+    audio) when their deployment needs it.
 
     Decode is CPU-bound, so an under-split scan is spread to ~1 batch per
     core; a many-split production scan passes through unshuffled (see
     _spread_for_decode)."""
-    binaries = _spread_for_decode(
-        spark,
+    scan = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
         .load(sf_dir)
-        .select(
+    )
+    binaries = _spread_for_decode(
+        spark,
+        scan.filter(F.col("length") <= _MAX_DECODE_BYTES).select(
             F.regexp_replace("path", _STRIP_SCHEME, "").alias("path"),
             "content",
         ),
     )
-    return binaries.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+    decoded = binaries.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+    skipped = scan.filter(F.col("length") > _MAX_DECODE_BYTES).select(
+        F.regexp_replace("path", _STRIP_SCHEME, "").alias("path"),
+        F.col("length").alias("n_bytes"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("long").alias("fake_width"),
+        F.lit(None).cast("long").alias("fake_height"),
+        F.lit(True).alias("decode_skipped"),
+    )
+    return decoded.unionByName(skipped)
 
 
 _FRAME_SCHEMA = "path string, frame_idx long, frame_sha256 string"
@@ -324,7 +361,11 @@ def chunk_audio(content: bytes) -> list[dict]:
     reproducible in DuckDB, which keeps the plumbing oracle-checkable."""
     digest = hashlib.sha256(content.hex().encode("ascii")).hexdigest()
     n_samples = len(content) // _AUDIO_BYTES_PER_SAMPLE
-    n_chunks = min(_AUDIO_MAX_CHUNKS, 1 + n_samples // _AUDIO_SR)
+    # ceil(n_samples / SR), floored at one (empty blobs still yield one
+    # marker chunk): the additive 1 + n // SR form emitted a spurious
+    # zero-sample trailing chunk whenever n_samples was an exact
+    # multiple of the rate.
+    n_chunks = min(_AUDIO_MAX_CHUNKS, 1 + max(0, n_samples - 1) // _AUDIO_SR)
     out = []
     for idx in range(n_chunks):
         start = idx * _AUDIO_SR
@@ -379,7 +420,8 @@ def _chunk_audio_batched(
     chunked AS (
         SELECT filename, digest, n_samples,
                unnest(range(least({_AUDIO_MAX_CHUNKS},
-                                  1 + n_samples // {_AUDIO_SR}))) AS idx
+                                  1 + greatest(0, n_samples - 1)
+                                      // {_AUDIO_SR}))) AS idx
         FROM blobs)
     SELECT filename AS path,
            CAST(idx AS BIGINT) AS chunk_idx,

@@ -81,13 +81,41 @@ def test_multimodal_binary_scan(spark):
 def test_multimodal_feature_extract_deterministic(spark):
     df = _QUERIES["multimodal_feature_extract"](spark, SF_DIR)
     assert df.columns == [
-        "path", "n_bytes", "content_sha256", "fake_width", "fake_height"
+        "path", "n_bytes", "content_sha256", "fake_width", "fake_height",
+        "decode_skipped",
     ]
     a = {tuple(r) for r in df.collect()}
     b = {tuple(r) for r in df.collect()}
     assert a == b
     for r in a:
-        assert 1 <= r[3] <= 64 and 1 <= r[4] <= 64
+        if not r[5]:
+            assert 1 <= r[3] <= 64 and 1 <= r[4] <= 64
+
+
+def test_multimodal_feature_extract_blob_size_guard(spark):
+    """Blobs over _MAX_DECODE_BYTES must surface as flagged metadata-only
+    rows with null features — never decoded — and every file must appear
+    exactly once either way. sf0.01's lineitem.parquet (~1 MB) exceeds
+    the 512 KiB cap, so the skip path carries real rows at the
+    driver-checked scale."""
+    from jorvik_spark.queries.multimodal import _MAX_DECODE_BYTES
+
+    rows = _QUERIES["multimodal_feature_extract"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    skipped = {r.path.rsplit("/", 1)[-1] for r in rows if r.decode_skipped}
+    decoded = {r.path.rsplit("/", 1)[-1] for r in rows if not r.decode_skipped}
+    assert "lineitem.parquet" in skipped
+    assert "documents.parquet" in decoded
+    assert not (skipped & decoded)
+    for r in rows:
+        if r.decode_skipped:
+            assert r.n_bytes > _MAX_DECODE_BYTES
+            assert r.content_sha256 is None
+            assert r.fake_width is None and r.fake_height is None
+        else:
+            assert r.n_bytes <= _MAX_DECODE_BYTES
+            assert r.content_sha256 is not None
 
 
 def test_simsearch_ivf_recall_vs_exact(spark):
@@ -121,6 +149,36 @@ def test_sample_frames_deterministic_and_strided():
     # different content -> different digests
     other = sample_frames(content + b"x")
     assert frames[0]["frame_sha256"] != other[0]["frame_sha256"]
+
+
+def test_chunk_audio_no_zero_sample_trailing_chunk():
+    """Chunk count is ceil(n_samples / SR) floored at 1: a blob whose
+    sample count is an exact multiple of the rate must NOT emit a
+    trailing zero-sample chunk (the old 1 + n // SR formula did), and
+    every emitted chunk except a lone empty-blob marker carries
+    samples."""
+    from jorvik_spark.queries.multimodal import (
+        _AUDIO_BYTES_PER_SAMPLE,
+        _AUDIO_MAX_CHUNKS,
+        _AUDIO_SR,
+        chunk_audio,
+    )
+
+    exact_second = b"\x00" * (_AUDIO_SR * _AUDIO_BYTES_PER_SAMPLE)
+    chunks = chunk_audio(exact_second)
+    assert len(chunks) == 1
+    assert chunks[0]["n_chunk_samples"] == _AUDIO_SR
+
+    one_more = chunk_audio(exact_second + b"\x00" * _AUDIO_BYTES_PER_SAMPLE)
+    assert len(one_more) == 2
+    assert [c["n_chunk_samples"] for c in one_more] == [_AUDIO_SR, 1]
+
+    empty = chunk_audio(b"")
+    assert len(empty) == 1 and empty[0]["n_chunk_samples"] == 0
+
+    huge = chunk_audio(exact_second * (2 * _AUDIO_MAX_CHUNKS))
+    assert len(huge) == _AUDIO_MAX_CHUNKS  # cap still binds
+    assert all(c["n_chunk_samples"] == _AUDIO_SR for c in huge)
 
 
 def test_frame_sample_query_schema_and_multiplicity(spark):
