@@ -17,10 +17,11 @@ registered engine queries:
   d1 → agg_approx_distinct   (HLL distinct over orders)
 
 The LLM-pipeline (§2C) shapes are timed too and reported under
-"queries_2c" — REPORT-ONLY: BASELINE.md has no reference numbers for
-them (the reference engine has no such operators), so they carry no 2×
-gate; they exist so a §2C plan regression shows in the round-over-round
-bench diff instead of being invisible:
+"queries_2c". BASELINE.md has no reference numbers for them (the
+reference engine has no such operators), so since round 8 they gate
+against their own round-7 measurements (GATE_2C_REF, 1.5× limit) — a
+§2C plan regression shows as a gate violation in the JSON, not just a
+round-over-round diff:
 
   c_dedup_banded → dedup_minhash_banded (md5 MinHash + OR-of-ANDs bands)
   c_simsearch    → simsearch_topk       (broadcast + 2-phase top-k)
@@ -56,7 +57,13 @@ BENCH_QUERIES = {
     "d1": "agg_approx_distinct",
 }
 
-# Report-only §2C shapes (no BASELINE number, no gate — regression radar).
+# §2C shapes. BASELINE.md has no reference numbers for these (the
+# reference engine has no such operators), so they are gated against
+# their own round-7 measurements instead: each must stay within
+# _GATE_2C_LIMIT × its BENCH_r07 time at sf0.1. Violations are reported
+# in the JSON's "gate_2c" object (alongside load_avg/uptime so an
+# environmentally-inflated run is adjudicable) rather than failing the
+# process — the bench record must survive a noisy host.
 BENCH_2C_QUERIES = {
     "c_dedup_banded": "dedup_minhash_banded",
     "c_simsearch": "simsearch_topk",
@@ -66,6 +73,18 @@ BENCH_2C_QUERIES = {
     "c_passage": "dedup_passage_spans",
     "c_bloom": "decontaminate_bloom",
 }
+
+# Round-7 sf0.1 medians (BENCH_r07.json) — the §2C regression reference.
+GATE_2C_REF = {
+    "c_dedup_banded": 0.2035,
+    "c_simsearch": 0.5385,
+    "c_pack": 0.6486,
+    "c_tokstats": 0.0749,
+    "c_ivfpq": 0.3884,
+    "c_passage": 0.6037,
+    "c_bloom": 0.7169,
+}
+_GATE_2C_LIMIT = 1.5
 
 N_RUNS = 3
 
@@ -119,9 +138,35 @@ def main() -> None:
     times = {lb: time_query(qn) for lb, qn in BENCH_QUERIES.items()}
     times_2c = {lb: time_query(qn) for lb, qn in BENCH_2C_QUERIES.items()}
 
+    # §2C gate: within _GATE_2C_LIMIT × the round-7 reference. Gate only
+    # applies at the reference's scale (sf0.1).
+    violations = {
+        lb: {"sec": t, "ref": GATE_2C_REF[lb], "x": round(t / GATE_2C_REF[lb], 2)}
+        for lb, t in times_2c.items()
+        if sf == 0.1
+        and lb in GATE_2C_REF
+        and t > GATE_2C_REF[lb] * _GATE_2C_LIMIT
+    }
+    if violations:
+        print(f"GATE_2C VIOLATIONS (> {_GATE_2C_LIMIT}x r7): {violations}",
+              file=sys.stderr)
+
+    # Host-load context: a uniformly inflated run on a busy host is
+    # environmental, not a regression — record the evidence to
+    # adjudicate (judge ask, round 7: q3 "+29%" was load noise).
+    try:
+        load_avg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_avg = None
+    try:
+        with open("/proc/uptime") as fh:
+            uptime_sec = round(float(fh.read().split()[0]), 1)
+    except OSError:
+        uptime_sec = None
+
     # "value" stays the SIX-shape headline total so the number remains
     # comparable against BASELINE.md and every prior round's BENCH file;
-    # the §2C times ride alongside, gate-free.
+    # the §2C times ride alongside with their own gate.
     total = round(sum(times.values()), 4)
     print(
         json.dumps(
@@ -131,6 +176,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_2c": times_2c,
+                "gate_2c": {
+                    "limit_x": _GATE_2C_LIMIT,
+                    "ref_round": 7,
+                    "ok": not violations,
+                    "violations": violations,
+                },
+                "load_avg": load_avg,
+                "uptime_sec": uptime_sec,
                 "sf": sf,
             }
         )
