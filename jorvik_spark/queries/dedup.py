@@ -25,6 +25,11 @@ Seven strategies, each the scale-appropriate Spark shape:
                    banded self-join on 15-bit sub-keys, hamming-distance
                    verify via bit_count(xor). All built-ins, no UDFs.
 
+Plus cluster analytics over the component labels: the cluster-size
+histogram (duplication profile) and quality-aware representative
+selection (keep the cleanest member, not the smallest id) — both
+pair-graph-sized, never touching the corpus again.
+
 Everything carries a DuckDB oracle except the Spark-ML LSH variant
 (rows-only — its hash family is engine-specific).
 """
@@ -652,10 +657,11 @@ def _mh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_components",
-    oracle=f"""
-    WITH RECURSIVE
+# Connected-components CTE chain over the banded-MinHash pair graph —
+# shared by the components query and its cluster-analytics consumers
+# (cluster-size histogram, quality representative). ``cc`` yields every
+# (doc_id, reachable-comp-candidate) pair; MIN(comp) per doc is the label.
+_SQL_CC_CTES = f"""
     toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
     shex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
@@ -673,8 +679,17 @@ def _mh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc(doc_id, comp) AS (
         SELECT doc_id, doc_id FROM nodes
       UNION
-        SELECT e.a, cc.comp FROM edges e JOIN cc ON cc.doc_id = e.b)
-    SELECT doc_id, MIN(comp) AS component FROM cc GROUP BY doc_id
+        SELECT e.a, cc.comp FROM edges e JOIN cc ON cc.doc_id = e.b),
+    labels AS (SELECT doc_id, MIN(comp) AS component FROM cc GROUP BY doc_id)
+"""
+
+
+@query(
+    "dedup_minhash_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_CC_CTES}
+    SELECT doc_id, component FROM labels
     """,
 )
 def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1037,4 +1052,108 @@ def dedup_remove_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce("n_kept_tokens", F.lit(0)).alias("n_kept_tokens"),
         F.coalesce("clean_key", F.md5(F.lit(""))).alias("clean_key"),
+    )
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_CC_CTES},
+    sizes AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM labels GROUP BY component)
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile: the histogram of near-dup cluster sizes over
+    the banded-MinHash connected components — the first number a corpus
+    report quotes ("how duplicated is this crawl?") and the input to
+    choosing a dedup policy (drop-all-but-one vs downweight).
+
+    Covers LINKED clusters only (size ≥ 2 by construction: the
+    component labels exist only for docs with at least one band
+    collision); singletons are the corpus remainder.
+
+    Scale shape: two narrow map-side-combined aggregations over the
+    label table — which is pair-graph-sized, not corpus-sized — after
+    the memoized fixpoint. Nothing here touches the corpus again.
+    """
+    labels = dedup_minhash_components(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+
+
+@query(
+    "dedup_quality_representative",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_CC_CTES},
+    quality AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CASE WHEN len(t) BETWEEN 10 AND 100000
+                     AND coalesce(list_sum(list_transform(t, x -> len(x))), 0)
+                         / greatest(len(t), 1) BETWEEN 2 AND 15
+                    THEN 1 ELSE 0 END AS passes_quality
+        FROM toks),
+    ranked AS (
+        SELECT l.component, l.doc_id, q.n_tokens, q.passes_quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.component
+                   ORDER BY q.passes_quality DESC, q.n_tokens DESC,
+                            l.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY l.component) AS n_members
+        FROM labels l JOIN quality q USING (doc_id))
+    SELECT component, doc_id AS rep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           n_tokens AS rep_n_tokens
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_quality_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representative selection: instead of the
+    keep-smallest-id rule, keep the BEST member of each near-dup
+    cluster — quality gate first (same bounds as ``text_quality_score``),
+    then longest, doc_id as the deterministic residual tiebreak. This is
+    the curation refinement real pipelines apply on top of clustering:
+    the canonical copy should be the cleanest, not the first-crawled.
+
+    Scale shape: one equi join of the pair-graph-sized label table
+    against per-doc quality scalars (computed in the same narrow pass
+    that tokenized the corpus, no extra corpus shuffle), then a window
+    partitioned by component — cluster-sized state, never corpus-sized.
+    """
+    labels = dedup_minhash_components(spark, sf_dir)
+    toks = _tokenized_docs(spark, sf_dir)
+    n_tokens = F.size("t").cast("long")
+    sum_len = F.expr("aggregate(t, 0L, (acc, x) -> acc + length(x))")
+    avg_len = sum_len / F.greatest(F.size("t"), F.lit(1))
+    quality = toks.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.when(
+            n_tokens.between(10, 100_000) & avg_len.between(2, 15), 1
+        ).otherwise(0).alias("passes_quality"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("passes_quality"), F.desc("n_tokens"), F.col("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        labels.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            "n_members",
+            F.col("n_tokens").alias("rep_n_tokens"),
+        )
     )

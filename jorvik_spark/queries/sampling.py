@@ -880,3 +880,77 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.explode(F.expr(f"array({stages})")).alias("x")
     ).select("x.stage", "x.stage_name", "x.n_surviving", "x.n_dropped_here")
+
+
+@query(
+    "decontaminate_ngram_fraction",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               {_SQL_TOKENS} AS t,
+               {_sql_bucket('doc_id', 'split:')} AS split_bucket
+        FROM documents),
+    sh AS (SELECT doc_id, split_bucket, {_SQL_SHINGLES} AS s FROM toks
+           WHERE len(t) >= 3),
+    train AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+              WHERE split_bucket < {_VAL_LO}),
+    test_ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh
+                WHERE split_bucket >= {_TEST_LO}),
+    hits AS (
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COUNT(t.shingle) AS BIGINT) AS n_contaminated
+        FROM test_ex e LEFT JOIN train t USING (shingle)
+        GROUP BY e.doc_id)
+    SELECT doc_id, n_shingles, n_contaminated,
+           CAST(n_contaminated * 1000000 // n_shingles AS BIGINT)
+               AS contamination_ppm
+    FROM hits
+    """,
+)
+def decontaminate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination: instead of ``decontaminate_overlap``'s
+    boolean verdict, the FRACTION of each test-split document's distinct
+    3-token shingles that also occur in the training split — the
+    contamination score an eval audit actually reports and thresholds
+    (a doc sharing one boilerplate shingle is a different case from one
+    that is 90% memorized). Integer-ppm arithmetic keeps the ratio
+    exact across engines.
+
+    Scale shape: same inverted-index probe as the boolean form — train
+    side deduped to a distinct-shingle set, one equi join on the shingle
+    key (LEFT, so zero-overlap docs still report 0 ppm), then a per-doc
+    aggregate. The left side is test-split-sized, never corpus-sized;
+    no doc×doc comparison exists.
+    """
+    toks = _tokenized_docs(spark, sf_dir).withColumn(
+        "split_bucket", _bucket(F.col("doc_id"), "split:")
+    )
+    sh = toks.filter(F.size("t") >= 3).select(
+        "doc_id", "split_bucket", F.expr(_SHINGLES_T).alias("s")
+    )
+    train_shingles = (
+        sh.filter(F.col("split_bucket") < _VAL_LO)
+        .select(F.explode("s").alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test_shingles = sh.filter(F.col("split_bucket") >= _TEST_LO).select(
+        "doc_id", F.explode("s").alias("shingle")
+    )
+    hits = (
+        test_shingles.join(train_shingles, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count("hit").cast("long").alias("n_contaminated"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.floor(F.col("n_contaminated") * 1_000_000 / F.col("n_shingles"))
+        .cast("long")
+        .alias("contamination_ppm"),
+    )

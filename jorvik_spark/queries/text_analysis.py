@@ -49,7 +49,8 @@ def _repartitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, t) with the token array materialized behind a cache.
+    """(doc_id, lang, source, t) with the token array materialized behind
+    a cache.
 
     The cache is a deliberate optimizer barrier as much as a reuse:
     Catalyst's projection collapse re-inlines a non-materialized tokenizer
@@ -62,7 +63,7 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"tokenized_docs:{sf_dir}",
         spark,
         lambda: _repartitioned_docs(spark, sf_dir).select(
-            "doc_id", "lang", F.expr(_TOKENS).alias("t")
+            "doc_id", "lang", "source", F.expr(_TOKENS).alias("t")
         ),
     )
 
@@ -902,4 +903,81 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             _release_local_checkpoint(cur)
     return spark.createDataFrame(
         merges, "round int, left string, right string, pair_count bigint"
+    )
+
+
+# Boilerplate gate: a bigram present in >= 20% of a source's documents
+# (and at least 3 of them, so tiny sources cannot promote noise) is
+# site furniture — headers, footers, licenses, navigation — not content.
+# Tuned to bite without exploding at every SF: ~220-270 rows at
+# sf0.001-0.01.
+_BOILER_MIN_DF = 3
+_BOILER_MIN_PPM = 200_000
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_SQL_TOKENS} AS t FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(list_distinct(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i+1]))) AS bigram
+        FROM toks),
+    src_docs AS (
+        SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+        FROM toks GROUP BY source),
+    df AS (
+        SELECT source, bigram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+        FROM grams GROUP BY source, bigram)
+    SELECT d.source, d.bigram, d.doc_freq,
+           CAST(d.doc_freq * 1000000 // s.n_docs AS BIGINT) AS df_ppm
+    FROM df d JOIN src_docs s USING (source)
+    WHERE d.doc_freq >= {_BOILER_MIN_DF}
+      AND d.doc_freq * 1000000 // s.n_docs >= {_BOILER_MIN_PPM}
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection: bigrams occurring in a large
+    FRACTION of one source's documents (site furniture — headers,
+    nav, license blurbs) — the signal CCNet-style curation uses to
+    strip templated text before dedup, and the explanation behind
+    ``dedup_ngram_jaccard``'s hot-shingle cap. Document frequency is
+    per (source, bigram) with each doc counted once however often it
+    repeats the gram; the ratio is integer ppm against the source's
+    doc count for cross-engine exactness.
+
+    Scale shape: explode per-doc DISTINCT bigrams (dedup before the
+    shuffle, so a gram repeated 1000× in one doc ships once), one
+    map-side-combined count per (source, bigram), and a broadcast-sized
+    per-source totals join. The threshold keeps the result
+    reporting-sized; raising it only changes the final filter, not the
+    plan.
+    """
+    toks = _tokenized_docs(spark, sf_dir)
+    bigrams = F.expr(
+        "array_distinct(if(size(t) >= 2, "
+        "transform(sequence(1, size(t) - 1), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1))), "
+        "array()))"
+    )
+    grams = toks.select("doc_id", "source", F.explode(bigrams).alias("bigram"))
+    src_docs = toks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    df = grams.groupBy("source", "bigram").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    )
+    return (
+        df.join(F.broadcast(src_docs), "source")
+        .withColumn(
+            "df_ppm",
+            F.floor(F.col("doc_freq") * 1_000_000 / F.col("n_docs"))
+            .cast("long"),
+        )
+        .filter(
+            (F.col("doc_freq") >= _BOILER_MIN_DF)
+            & (F.col("df_ppm") >= _BOILER_MIN_PPM)
+        )
+        .select("source", "bigram", "doc_freq", "df_ppm")
     )

@@ -609,3 +609,71 @@ def test_bpe_train_matches_reference_model(spark):
             newv[key] = newv.get(key, 0) + n
         vocab = newv
     assert got == ref
+
+
+def test_cluster_sizes_account_for_every_labeled_doc(spark):
+    """The histogram must partition the component label table exactly:
+    sum(size * n_clusters) = |labels|, minimum size 2 (labels exist only
+    for docs with at least one band collision)."""
+    labels = _QUERIES["dedup_minhash_components"](spark, SF_DIR)
+    hist = _QUERIES["dedup_cluster_sizes"](spark, SF_DIR).collect()
+    assert hist
+    assert min(r.cluster_size for r in hist) >= 2
+    assert (
+        sum(r.cluster_size * r.n_clusters for r in hist) == labels.count()
+    )
+
+
+def test_quality_representative_is_a_cluster_member(spark):
+    """One representative per component; it must be a member of its own
+    cluster, and n_members must agree with the label table."""
+    labels = {
+        (r.doc_id, r.component)
+        for r in _QUERIES["dedup_minhash_components"](spark, SF_DIR).collect()
+    }
+    by_comp = {}
+    for doc, comp in labels:
+        by_comp.setdefault(comp, set()).add(doc)
+    reps = _QUERIES["dedup_quality_representative"](spark, SF_DIR).collect()
+    assert len(reps) == len(by_comp)
+    for r in reps:
+        assert r.rep_doc_id in by_comp[r.component]
+        assert r.n_members == len(by_comp[r.component])
+
+
+def test_ngram_fraction_consistent_with_boolean_overlap(spark):
+    """The graded score must agree with the boolean decontamination
+    verdict: contamination_ppm > 0 exactly for the docs
+    decontaminate_overlap flags, and every ppm sits in [0, 1e6]."""
+    graded = _QUERIES["decontaminate_ngram_fraction"](spark, SF_DIR).collect()
+    flagged = {
+        r.contaminated_doc_id
+        for r in _QUERIES["decontaminate_overlap"](spark, SF_DIR).collect()
+    }
+    assert graded
+    positive = {r.doc_id for r in graded if r.contamination_ppm > 0}
+    assert positive == flagged
+    for r in graded:
+        assert 0 <= r.contamination_ppm <= 1_000_000
+        assert 0 <= r.n_contaminated <= r.n_shingles
+
+
+def test_boilerplate_ngrams_df_bounded_by_source_size(spark):
+    """doc_freq can never exceed the source's doc count; every reported
+    gram clears both gates (absolute df and ppm fraction)."""
+    from jorvik_spark.queries.text_analysis import (
+        _BOILER_MIN_DF,
+        _BOILER_MIN_PPM,
+    )
+
+    src_counts = {
+        r.source: r.n
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = _QUERIES["text_boilerplate_ngrams"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_freq >= _BOILER_MIN_DF
+        assert r.df_ppm >= _BOILER_MIN_PPM
+        assert r.doc_freq <= src_counts[r.source]

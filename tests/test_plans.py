@@ -499,6 +499,39 @@ def test_ivfpq_adc_join_carries_all_three_keys(spark):
     ), f"no 3-key ADC join in plan:\n{plan[:2000]}"
 
 
+def test_boilerplate_ngrams_broadcasts_source_totals(spark):
+    """The per-source totals join must broadcast (sources are a tiny
+    dimension); the doc-frequency count must be a hash aggregate over
+    the per-doc-distinct bigram explode — no corpus re-shuffle beyond
+    the one (source, bigram) aggregation."""
+    plan = _plan(spark, "text_boilerplate_ngrams")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_ngram_fraction_is_shingle_keyed_left_join(spark):
+    """The graded contamination probe must stay an equi join on the
+    shingle key — never a nested loop — feeding one per-doc aggregate."""
+    plan = _plan(spark, "decontaminate_ngram_fraction")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_cluster_analytics_stay_off_the_corpus(spark):
+    """Cluster-size histogram and representative selection run over the
+    pair-graph-sized label table: aggregations and a component-keyed
+    window only — no join back to the corpus-wide token/shingle tables
+    in the size query, and the representative's quality join keys on
+    doc_id (equi, no nested loop)."""
+    plan = _plan(spark, "dedup_cluster_sizes")
+    assert "HashAggregate" in plan
+    assert "Join" not in plan.split("\n\n", 1)[0]
+    plan = _plan(spark, "dedup_quality_representative")
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_remove_passages_anti_join_is_keyed(spark):
     """The kept-token filter must anti-join on the doc_id equi key with
     the interval test as residual — a nested loop here would compare
