@@ -13,7 +13,7 @@ Tokenization contract (mirrored exactly in the DuckDB oracles):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jorvik_spark.tables import load_table
@@ -906,13 +906,15 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Boilerplate gate: a bigram present in >= 20% of a source's documents
-# (and at least 3 of them, so tiny sources cannot promote noise) is
-# site furniture — headers, footers, licenses, navigation — not content.
-# Tuned to bite without exploding at every SF: ~220-270 rows at
-# sf0.001-0.01.
+# Boilerplate report: per source, the TOP-K bigrams by document
+# frequency (each of them in >= _BOILER_MIN_DF docs, so tiny sources
+# cannot promote noise). Top-K, not a fixed fraction threshold: a
+# corpus with no real site furniture (like this synthetic one at
+# sf0.1's 250-doc sources) makes any absolute cutoff vacuous, while the
+# candidates a curation reviewer inspects are the top of the ranking
+# either way. Output is bounded at K x |sources| by construction.
 _BOILER_MIN_DF = 3
-_BOILER_MIN_PPM = 200_000
+_BOILER_TOP_K = 20
 
 
 @query(
@@ -929,30 +931,37 @@ _BOILER_MIN_PPM = 200_000
         FROM toks GROUP BY source),
     df AS (
         SELECT source, bigram, CAST(COUNT(*) AS BIGINT) AS doc_freq
-        FROM grams GROUP BY source, bigram)
-    SELECT d.source, d.bigram, d.doc_freq,
-           CAST(d.doc_freq * 1000000 // s.n_docs AS BIGINT) AS df_ppm
-    FROM df d JOIN src_docs s USING (source)
-    WHERE d.doc_freq >= {_BOILER_MIN_DF}
-      AND d.doc_freq * 1000000 // s.n_docs >= {_BOILER_MIN_PPM}
+        FROM grams GROUP BY source, bigram
+        HAVING COUNT(*) >= {_BOILER_MIN_DF}),
+    ranked AS (
+        SELECT d.source, d.bigram, d.doc_freq,
+               CAST(d.doc_freq * 1000000 // s.n_docs AS BIGINT) AS df_ppm,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY d.doc_freq DESC, d.bigram) AS rk
+        FROM df d JOIN src_docs s USING (source))
+    SELECT source, bigram, doc_freq, df_ppm, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {_BOILER_TOP_K}
     """,
 )
 def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source boilerplate detection: bigrams occurring in a large
-    FRACTION of one source's documents (site furniture — headers,
-    nav, license blurbs) — the signal CCNet-style curation uses to
-    strip templated text before dedup, and the explanation behind
+    """Per-source boilerplate candidates: the K bigrams occurring in the
+    most of one source's documents (site furniture — headers, nav,
+    license blurbs) — the signal CCNet-style curation uses to strip
+    templated text before dedup, and the explanation behind
     ``dedup_ngram_jaccard``'s hot-shingle cap. Document frequency is
     per (source, bigram) with each doc counted once however often it
-    repeats the gram; the ratio is integer ppm against the source's
-    doc count for cross-engine exactness.
+    repeats the gram; df_ppm reports the fraction in integer ppm, and
+    the (doc_freq DESC, bigram) ranking is a total order so the cut is
+    deterministic across engines.
 
     Scale shape: explode per-doc DISTINCT bigrams (dedup before the
     shuffle, so a gram repeated 1000× in one doc ships once), one
-    map-side-combined count per (source, bigram), and a broadcast-sized
-    per-source totals join. The threshold keeps the result
-    reporting-sized; raising it only changes the final filter, not the
-    plan.
+    map-side-combined count per (source, bigram) with the df floor
+    applied BEFORE the ranking window (the window sees the rare-gram
+    survivors, not the full gram vocabulary), a broadcast-sized
+    per-source totals join, and a per-source top-K — output bounded at
+    K × |sources| whatever the corpus size.
     """
     toks = _tokenized_docs(spark, sf_dir)
     bigrams = F.expr(
@@ -965,9 +974,12 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_docs = toks.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
-    df = grams.groupBy("source", "bigram").agg(
-        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    df = (
+        grams.groupBy("source", "bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= _BOILER_MIN_DF)
     )
+    w = Window.partitionBy("source").orderBy(F.desc("doc_freq"), "bigram")
     return (
         df.join(F.broadcast(src_docs), "source")
         .withColumn(
@@ -975,9 +987,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("doc_freq") * 1_000_000 / F.col("n_docs"))
             .cast("long"),
         )
-        .filter(
-            (F.col("doc_freq") >= _BOILER_MIN_DF)
-            & (F.col("df_ppm") >= _BOILER_MIN_PPM)
-        )
-        .select("source", "bigram", "doc_freq", "df_ppm")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BOILER_TOP_K)
+        .select("source", "bigram", "doc_freq", "df_ppm", F.col("rk").cast("int").alias("rk"))
     )

@@ -81,6 +81,15 @@ EXTRA_TARGETS = [
     "text_bigram_lm_score",
     "dedup_remove_passages",
     "text_bpe_train",
+    # Round-8 additions: cluster analytics over the replicated corpus's
+    # 10-member dup groups (labels exist for ~every doc here — worst
+    # case for the histogram/representative passes), the graded
+    # contamination probe, and the boilerplate detector (replication
+    # makes every shared bigram high-df: maximal group-count pressure).
+    "dedup_cluster_sizes",
+    "dedup_quality_representative",
+    "decontaminate_ngram_fraction",
+    "text_boilerplate_ngrams",
 ]
 
 

@@ -658,12 +658,13 @@ def test_ngram_fraction_consistent_with_boolean_overlap(spark):
         assert 0 <= r.n_contaminated <= r.n_shingles
 
 
-def test_boilerplate_ngrams_df_bounded_by_source_size(spark):
-    """doc_freq can never exceed the source's doc count; every reported
-    gram clears both gates (absolute df and ppm fraction)."""
+def test_boilerplate_ngrams_topk_per_source(spark):
+    """Per source: at most K candidates, ranked contiguously from 1 in
+    non-increasing doc_freq order, every one clearing the df floor and
+    never exceeding the source's doc count."""
     from jorvik_spark.queries.text_analysis import (
         _BOILER_MIN_DF,
-        _BOILER_MIN_PPM,
+        _BOILER_TOP_K,
     )
 
     src_counts = {
@@ -673,7 +674,14 @@ def test_boilerplate_ngrams_df_bounded_by_source_size(spark):
     }
     rows = _QUERIES["text_boilerplate_ngrams"](spark, SF_DIR).collect()
     assert rows
+    by_src = {}
     for r in rows:
         assert r.doc_freq >= _BOILER_MIN_DF
-        assert r.df_ppm >= _BOILER_MIN_PPM
         assert r.doc_freq <= src_counts[r.source]
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert len(rs) <= _BOILER_TOP_K
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        freqs = [r.doc_freq for r in rs]
+        assert freqs == sorted(freqs, reverse=True)

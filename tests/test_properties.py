@@ -314,3 +314,88 @@ def test_zorder_buckets_are_monotone_rectangles(spark, keys):
     rows = QUERIES["sink_zorder_layout"](spark, d).collect()
     assert sum(r["n_rows"] for r in rows) == len(keys)
     assert all(0 <= r["zbucket"] < _Z_BUCKETS for r in rows)
+
+
+@given(n_bytes=st.integers(0, 4 * 16_000 * 8 + 13))
+@settings(max_examples=60, deadline=None)
+def test_chunk_audio_partition_law(n_bytes):
+    """For any blob size: chunk indices are contiguous from 0, starts
+    advance by exactly one rate-window, sample counts sum to
+    min(n_samples, cap × SR), every chunk except a lone empty-blob
+    marker is non-empty, and the layout is a pure function of size
+    (keys aside)."""
+    from jorvik_spark.queries.multimodal import (
+        _AUDIO_BYTES_PER_SAMPLE,
+        _AUDIO_MAX_CHUNKS,
+        _AUDIO_SR,
+        chunk_audio,
+    )
+
+    content = b"\x7f" * n_bytes
+    chunks = chunk_audio(content)
+    n_samples = n_bytes // _AUDIO_BYTES_PER_SAMPLE
+    assert 1 <= len(chunks) <= _AUDIO_MAX_CHUNKS
+    assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+    assert [c["start_sample"] for c in chunks] == [
+        i * _AUDIO_SR for i in range(len(chunks))
+    ]
+    covered = sum(c["n_chunk_samples"] for c in chunks)
+    assert covered == min(n_samples, _AUDIO_MAX_CHUNKS * _AUDIO_SR)
+    if n_samples > 0:
+        assert all(c["n_chunk_samples"] > 0 for c in chunks)
+    else:
+        assert len(chunks) == 1 and chunks[0]["n_chunk_samples"] == 0
+
+
+@given(
+    sizes=st.lists(st.integers(2, 9), min_size=1, max_size=6),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cluster_size_histogram_law(spark, sizes):
+    """For synthetic clusters of known sizes (exact-duplicate groups →
+    every group IS one component), the histogram over the computed
+    labels must recover the multiset of planted sizes."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from jorvik_spark.queries.dedup import bands_of_docs
+
+    rows, doc_id = [], 0
+    for g, size in enumerate(sizes):
+        text = " ".join(f"grp{g}w{i}" for i in range(30))
+        for _ in range(size):
+            rows.append((doc_id, text, "en"))
+            doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    bands = bands_of_docs(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+        .collect()
+    )
+    # exact duplicates always band-collide, so the union-find over the
+    # pair list reproduces the planted grouping
+    parent = list(range(doc_id))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for r in pairs:
+        parent[find(r.x)] = find(r.y)
+    got = Counter(Counter(find(i) for i in range(doc_id)).values())
+    assert got == Counter(sizes)
