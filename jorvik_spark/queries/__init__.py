@@ -49,11 +49,12 @@ from jorvik_spark.queries import sampling  # noqa: F401,E402
 #     covered by an in-prefix sibling (text_explode_positional,
 #     multimodal_frame_sample, embed_quantize_int8); local parity still
 #     covers all of them every session.
-#   * Round-9 rotation note: front-load the four operators NEW in round
+#   * Round-9 rotation note: front-load the five operators NEW in round
 #     8 (dedup_cluster_sizes, dedup_quality_representative,
-#     decontaminate_ngram_fraction, text_boilerplate_ngrams — registered
-#     outside the prefix this round, hash-verified by the local parity
-#     suite at sf0.001/0.01/0.1 until they get their first driver row),
+#     decontaminate_ngram_fraction, text_boilerplate_ngrams,
+#     corpus_mixture_epochs — registered outside the prefix this round,
+#     hash-verified by the local parity suite at sf0.001/0.01/0.1 until
+#     they get their first driver row),
 #     then fill with the round-7-verified cohort whose evidence will
 #     then be oldest (the r7 prefix: scan/sink/projection/join/agg/
 #     window/set queries last driver-checked in CORRECTNESS_r07).

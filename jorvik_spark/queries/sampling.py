@@ -954,3 +954,104 @@ def decontaminate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("contamination_ppm"),
     )
+
+
+# Token budget for the mixture plan: 1.5x the corpus (integer 3/2), so
+# at least one source must repeat (epochs > 1.0) at every SF — the
+# upsampling arithmetic is exercised, not just the downsampling side.
+_MIX_BUDGET_NUM, _MIX_BUDGET_DEN = 3, 2
+
+
+@query(
+    "corpus_mixture_epochs",
+    oracle=f"""
+    WITH toks AS (SELECT source, {_SQL_TOKENS} AS t FROM documents),
+    avail AS (
+        SELECT source, CAST(SUM(len(t)) AS BIGINT) AS avail_tokens
+        FROM toks GROUP BY source),
+    rooted AS (
+        SELECT source, avail_tokens,
+               CAST(floor(sqrt(avail_tokens)) AS BIGINT) AS rt
+        FROM avail),
+    tot AS (
+        SELECT SUM(avail_tokens) AS total_tokens, SUM(rt) AS total_rt
+        FROM rooted),
+    planned AS (
+        SELECT r.source, r.avail_tokens,
+               r.rt * 1000000 // t.total_rt AS weight_ppm,
+               (t.total_tokens * {_MIX_BUDGET_NUM} // {_MIX_BUDGET_DEN})
+                   * (r.rt * 1000000 // t.total_rt) // 1000000
+                   AS alloc_tokens
+        FROM rooted r CROSS JOIN tot t)
+    SELECT source, avail_tokens,
+           CAST(weight_ppm AS BIGINT) AS weight_ppm,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           CAST(alloc_tokens * 1000000 // greatest(avail_tokens, 1)
+                AS BIGINT) AS epochs_ppm
+    FROM planned
+    """,
+)
+def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture PLAN a training run is configured from: given a token
+    budget (1.5× the corpus here) and temperature-weighted source
+    shares (α=0.5, as in ``sample_temperature``), how many tokens each
+    source contributes and how many EPOCHS of it that implies —
+    epochs_ppm > 1,000,000 means the source repeats (upsampled), below
+    means it is subsampled. This is the planning twin of the samplers:
+    they decide per-document membership, this emits the per-source
+    repeat factors a data-loading config consumes.
+
+    Every ratio is integer arithmetic: weights use floor(sqrt(tokens))
+    so the normalizing sum is an exact integer sum — summing raw double
+    sqrts would make the result depend on summation order, which
+    differs between engines and could flip a floor boundary.
+
+    Scale shape: ONE map-side-combined corpus aggregation to
+    |sources| rows, a broadcast single-row total, then narrow
+    arithmetic — the same report-over-aggregate pattern as
+    ``corpus_domain_mix``, nothing corpus-sized after the first agg.
+    """
+    toks = _tokenized_docs(spark, sf_dir)
+    avail = toks.groupBy("source").agg(
+        F.sum(F.size("t")).cast("long").alias("avail_tokens")
+    )
+    rooted = avail.withColumn(
+        "rt", F.floor(F.sqrt("avail_tokens")).cast("long")
+    )
+    tot = rooted.agg(
+        F.sum("avail_tokens").alias("total_tokens"),
+        F.sum("rt").alias("total_rt"),
+    )
+    budget = (
+        F.col("total_tokens") * _MIX_BUDGET_NUM / _MIX_BUDGET_DEN
+    )
+    planned = rooted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail_tokens",
+        F.floor(F.col("rt") * 1_000_000 / F.col("total_rt"))
+        .cast("long")
+        .alias("weight_ppm"),
+        F.floor(
+            F.floor(budget)
+            * (F.floor(F.col("rt") * 1_000_000 / F.col("total_rt")))
+            / 1_000_000
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+    return planned.select(
+        "source",
+        "avail_tokens",
+        "weight_ppm",
+        "alloc_tokens",
+        # greatest(...,1): an all-empty source has zero tokens; 0/0 is
+        # NULL on Spark but an error-or-NULL divergence risk on other
+        # engines — pin epochs 0 for an empty source on both.
+        F.floor(
+            F.col("alloc_tokens")
+            * 1_000_000
+            / F.greatest(F.col("avail_tokens"), F.lit(1))
+        )
+        .cast("long")
+        .alias("epochs_ppm"),
+    )

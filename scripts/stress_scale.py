@@ -90,6 +90,7 @@ EXTRA_TARGETS = [
     "dedup_quality_representative",
     "decontaminate_ngram_fraction",
     "text_boilerplate_ngrams",
+    "corpus_mixture_epochs",
 ]
 
 

@@ -83,6 +83,15 @@ DOC_QUERIES = [
     "sample_quality_percentile",
     "export_length_bucketed",
     "corpus_curation_funnel",
+    # Round-8 additions. boilerplate/ngram_fraction may resolve to the
+    # empty set on this 10-doc corpus (df floor / split buckets) — both
+    # engines must agree on that too; mixture_epochs exercises the
+    # zero-token-source guard via src0's null/empty docs.
+    "dedup_cluster_sizes",
+    "dedup_quality_representative",
+    "decontaminate_ngram_fraction",
+    "text_boilerplate_ngrams",
+    "corpus_mixture_epochs",
 ]
 
 

@@ -685,3 +685,21 @@ def test_boilerplate_ngrams_topk_per_source(spark):
         assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
         freqs = [r.doc_freq for r in rs]
         assert freqs == sorted(freqs, reverse=True)
+
+
+def test_mixture_epochs_reconciles_with_budget(spark):
+    """The plan must reconcile: weights sum to <= 1e6 (floor rounding
+    only loses ppm), allocations sum to <= the 1.5x budget and within
+    |sources| ppm-floors of it, and each row's epochs_ppm is exactly
+    floor(alloc * 1e6 / avail)."""
+    rows = _QUERIES["corpus_mixture_epochs"](spark, SF_DIR).collect()
+    assert rows
+    total_avail = sum(r.avail_tokens for r in rows)
+    budget = total_avail * 3 // 2
+    w = sum(r.weight_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= w <= 1_000_000
+    alloc = sum(r.alloc_tokens for r in rows)
+    assert alloc <= budget
+    assert budget - alloc <= len(rows) * (budget // 1_000_000 + 1)
+    for r in rows:
+        assert r.epochs_ppm == r.alloc_tokens * 1_000_000 // r.avail_tokens
