@@ -531,3 +531,45 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_customers"),
     )
     return per_month.unionByName(total)
+
+
+@query(
+    "agg_q6_selective",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def agg_q6_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change scan (TPC-H Q6 shape): three conjunctive
+    range predicates + a global two-column aggregate, no joins.
+
+    The pushdown showcase: all three predicates reach the parquet scan as
+    PushedFilters (row-group min/max statistics skip whole chunks), only
+    the three referenced columns are read (ReadSchema pruning), and the
+    surviving ~2% of rows fold into one map-side partial aggregate per
+    task plus a single-row final reduce. At 100 TB this is the shape that
+    proves the engine reads gigabytes, not the full corpus, for a
+    selective global metric.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -1157,3 +1157,65 @@ def dedup_quality_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").alias("rep_n_tokens"),
         )
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc
+               FROM ex GROUP BY shingle),
+    scored AS (
+        SELECT ex.doc_id,
+               COUNT(*) AS n_shingles,
+               SUM(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+                   AS n_novel
+        FROM ex JOIN firsts f USING (shingle)
+        GROUP BY ex.doc_id)
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(n_novel * 1000000 // n_shingles AS BIGINT) AS novelty_ppm
+    FROM scored
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence n-gram novelty: for each document, the fraction
+    of its distinct 3-gram shingles whose globally FIRST occurrence
+    (lowest doc_id = earliest in crawl order) is this document. The
+    corpus-growth diagnostic behind "how much new text does each crawl
+    snapshot actually add?" — near-zero novelty marks recycled/templated
+    content even when no single pair crosses a dedup threshold.
+
+    Reuses the memoized shingle inverted index shared with the Jaccard /
+    MinHash / passage dedups (one tokenize+shingle pass per session).
+    Shape: one groupBy(shingle) for the global first-doc table, one join
+    back on shingle, one groupBy(doc). The join is self-skew-safe: hot
+    shingles are exactly the high-df rows, and the firsts side of each
+    hot key is a single row, so AQE's skew split replicates almost
+    nothing. Uncapped df here (unlike the Jaccard index) because the
+    output is per-DOC counts, not pairs — no quadratic blowup to guard.
+    """
+    ex = _shingle_index(spark, sf_dir)
+    firsts = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.expr(
+                "n_novel * CAST(1000000 AS BIGINT) div n_shingles"
+            )
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )

@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jorvik_spark.tables import load_table
-from jorvik_spark.queries.registry import dsum, query, sql_dsum
+from jorvik_spark.queries.registry import (
+    davg,
+    dsum,
+    query,
+    sql_davg,
+    sql_dsum,
+)
 
 
 @query(
@@ -443,4 +449,213 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             dsum("o_totalprice").alias("sum_price"),
         )
+    )
+
+
+@query(
+    "join_q10_returned_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           c.c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def join_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue per customer, top-20 (TPC-H Q10 shape).
+
+    The two filters (order-date window, returnflag) sit before the joins
+    so both reach the parquet scans as PushedFilters; the quarter filter
+    keeps ~1/12 of orders, which AQE sizes at runtime for the
+    orders⋈lineitem shuffle join. Grouping keys ride the customer join, so
+    the final agg reuses the customer-key shuffle; top-20 is
+    TakeOrderedAndProject — no global sort, no full-result
+    materialization. At 100 TB nothing here is broadcast-dependent: both
+    fact joins degrade gracefully to sort-merge.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(dsum(revenue).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# Q18 large-order threshold: p99.9 of per-order quantity sums at every
+# test SF (~0.2% of orders qualify) — selective but never vacuous.
+_Q18_MIN_QTY = 300.0
+
+
+@query(
+    "join_q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING {sql_dsum('l_quantity')} > {_Q18_MIN_QTY})
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def join_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-quantity orders with their customers (TPC-H Q18 shape).
+
+    The classic HAVING-subquery join: aggregate lineitem per order, keep
+    the >300-quantity tail, then join the tiny survivor set back to
+    orders and customer. The aggregation happens FIRST (map-side partial
+    sums, one shuffle on l_orderkey) so the expensive fact⋈fact join runs
+    on ~0.1% of orders; AQE sees the post-HAVING statistics at runtime
+    and broadcasts the survivor side. Top-100 is TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_MIN_QTY)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "join_q14_promo_share",
+    oracle=f"""
+    SELECT CAST(floor(
+               (SUM(CAST(floor(CASE WHEN p.p_type = 'PROMO'
+                                    THEN l.l_extendedprice * (1 - l.l_discount)
+                                    ELSE 0.0 END * 1000000 + 0.5) AS BIGINT))
+                / SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                 * 1000000 + 0.5) AS BIGINT)))
+               * 1000000 + 0.5) AS BIGINT) AS promo_share_ppm,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def join_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotional revenue share for one ship-month (TPC-H Q14 shape):
+    conditional aggregation over a fact⋈dimension join, returning one row.
+
+    The month filter reaches the lineitem scan; part is the build side
+    (AQE broadcasts it while it fits — at TPC-H scale part grows ~200k
+    rows/SF, so past the broadcast threshold this degrades to a shuffle
+    join on p_partkey, which is the right fallback). The share is
+    computed ppm-style from the two quantized integer sums: the division
+    runs on bit-identical operands on both engines, so the rounded ppm is
+    hash-stable (see registry.py's numeric-determinism convention; a raw
+    100*a/b double would also match today, but the integer form can't
+    drift).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    q = lambda c: F.sum(F.floor(c * 1_000_000 + F.lit(0.5)))  # noqa: E731
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            q(promo_rev).alias("_promo_q"),
+            q(rev).alias("_all_q"),
+            dsum(rev).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.floor(
+                (F.col("_promo_q") / F.col("_all_q")) * 1_000_000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("promo_share_ppm"),
+            "total_revenue",
+            "n_items",
+        )
+    )
+
+
+@query(
+    "join_q22_idle_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT {sql_davg('c_acctbal')} AS v
+        FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c.c_acctbal')} AS total_balance
+    FROM customer c, avg_bal a
+    WHERE c.c_acctbal > a.v
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def join_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-balance customers with no recent orders, per nation (TPC-H
+    Q22 shape): scalar-subquery threshold + anti join + grouped agg.
+
+    The global average is a one-row aggregate cross-joined back (Spark
+    plans it as a broadcast nested-loop over a single row — free); the
+    "no recent orders" predicate is a native left_anti against the
+    date-filtered orders scan (filter pushed down, no EXISTS
+    materialization). Both shapes scale: the anti join shuffles on the
+    customer key only, and the threshold compare is a map-side filter.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o_recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal").alias("v"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(o_recent, c.c_custkey == o_recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_balance"),
+        )
+        .orderBy("c_nationkey")
     )

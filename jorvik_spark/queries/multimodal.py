@@ -459,3 +459,52 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return binaries.mapInPandas(_chunk_audio_batched, schema=_AUDIO_SCHEMA)
+
+
+@query(
+    "multimodal_dedup_binary",
+    oracle="""
+    WITH keyed AS (
+        SELECT filename, size, md5(lower(hex(content))) AS content_key
+        FROM read_blob('{sf_dir}/*.parquet'))
+    SELECT content_key,
+           COUNT(*) AS n_copies,
+           MIN(filename) AS first_path,
+           CAST(SUM(size) AS BIGINT) AS total_bytes
+    FROM keyed GROUP BY content_key ORDER BY first_path
+    """,
+)
+def multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over opaque media blobs: group the binary scan by a
+    content digest, keep the lexically-first path as the representative
+    and report reclaimable bytes. The media twin of dedup_exact — the
+    first pass every multimodal ingest runs (identical images/audio
+    re-crawled under different URLs collide on the digest, whatever the
+    decode stack later does with them).
+
+    Digest is computed JVM-side (md5 over lowercase hex of the bytes —
+    the only form both engines can hash, see decode_media) so no Python
+    stage runs: whole-stage codegen from scan to the single hash-key
+    shuffle. binaryFile parallelizes per-file; content bytes stream
+    through the digest and are dropped before the shuffle — only
+    (digest, path, size) rows move.
+    """
+    scan = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select(
+            F.regexp_replace("path", _STRIP_SCHEME, "").alias("path"),
+            "length",
+            F.md5(F.lower(F.hex(F.col("content")))).alias("content_key"),
+        )
+    )
+    return (
+        scan.groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("path").alias("first_path"),
+            F.sum("length").cast("long").alias("total_bytes"),
+        )
+        .orderBy("first_path")
+    )

@@ -12,7 +12,7 @@ any engine that has md5 (which is what makes these oracle-checkable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jorvik_spark.queries.dedup import _SHINGLES_T, _SQL_SHINGLES
@@ -1054,4 +1054,112 @@ def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("epochs_ppm"),
+    )
+
+
+@query(
+    "sample_dedup_downweight",
+    oracle="""
+    WITH grp AS (
+        SELECT doc_id, source,
+               COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count
+        FROM documents)
+    SELECT doc_id, source, CAST(dup_count AS BIGINT) AS dup_count,
+           CAST(1000000 // dup_count AS BIGINT) AS weight_ppm
+    FROM grp
+    """,
+)
+def sample_dedup_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware training weights: instead of DROPPING duplicates
+    (dedup_exact), keep every copy and weight each 1/cluster-size so a
+    document's total contribution to the loss is independent of how many
+    times it was crawled — the soft-dedup option pretraining mixes use
+    when provenance diversity matters (same text from N domains).
+
+    One shuffle on md5(text) (the COUNT window); the key is a uniform
+    hash so no skew handling is needed. Weight is integer ppm
+    (1e6 // count) — exact on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.count(F.lit(1)).over(w).cast("long").alias("dup_count"),
+        (F.lit(1_000_000).cast("long") / F.count(F.lit(1)).over(w))
+        .cast("long")
+        .alias("weight_ppm"),
+    )
+
+
+@query(
+    "corpus_source_gini",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS i
+        FROM documents),
+    stats AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               SUM(i * n_chars) AS rank_weighted
+        FROM ranked GROUP BY source)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST((2 * rank_weighted - (n_docs + 1) * total_chars) * 1000000
+                // (n_docs * total_chars) AS BIGINT) AS gini_ppm
+    FROM stats ORDER BY source
+    """,
+)
+def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-concentration (Gini coefficient over document
+    sizes): the corpus-diagnostics metric that flags a source whose token
+    mass is dominated by a few huge documents (gini → 1) versus evenly
+    spread (gini → 0) — a standard input to mixture re-weighting
+    decisions.
+
+    Gini via the rank formula G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) with xᵢ
+    ascending — ALL-INTEGER arithmetic until one final floor-division to
+    ppm, so the value hash can't drift between engines. Ties in x make
+    the rank assignment ambiguous but not the sum (equal x contribute
+    identically under any tie order); doc_id tiebreak just pins Spark's
+    row_number determinism.
+
+    Scale: one window sort per source. Bounded by the largest single
+    source, which is the honest cost of an exact Gini; at 100 TB swap the
+    exact ranks for a fixed-width histogram approximation (integer bucket
+    counts, same downstream formula) if the largest source outgrows a
+    task's sort budget — the orchestration (groupBy source) is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("i")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("i") * F.col("n_chars")).alias("rank_weighted"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+            # Integer `div`, not double `/` + floor: the scaled numerator
+            # can exceed 2^53 on a big source, where double division
+            # would round before the floor while DuckDB's `//` stays
+            # exact in wide integers.
+            F.expr(
+                "(2 * rank_weighted - (n_docs + 1) * total_chars) "
+                "* CAST(1000000 AS BIGINT) "
+                "div (n_docs * total_chars)"
+            )
+            .cast("long")
+            .alias("gini_ppm"),
+        )
+        .orderBy("source")
     )

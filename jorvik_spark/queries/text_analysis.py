@@ -991,3 +991,64 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BOILER_TOP_K)
         .select("source", "bigram", "doc_freq", "df_ppm", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@query(
+    "text_simpson_diversity",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    ex AS (SELECT doc_id, unnest(t) AS w FROM toks WHERE len(t) >= 1),
+    cnt AS (SELECT doc_id, w, COUNT(*) AS n FROM ex GROUP BY doc_id, w),
+    agg AS (SELECT doc_id,
+                   SUM(n) AS n_tokens,
+                   COUNT(*) AS n_types,
+                   SUM(n * n) AS sum_sq
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(sum_sq * 1000000 // (n_tokens * n_tokens) AS BIGINT)
+               AS simpson_ppm
+    FROM agg
+    """,
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical concentration via the Simpson index
+    Σ(nᵢ/n)² — the log-free diversity twin of token entropy (1/Simpson
+    is the "effective vocabulary size"). High simpson_ppm = the doc
+    keeps repeating a few tokens (template/spam signal); low = diverse
+    vocabulary. A standard quality-filter feature next to the repetition
+    ratio, computed here without log() so the value hash is exact on any
+    engine (see text_bigram_lm_score for the same design choice).
+
+    Shape: explode tokens → two map-side-combined aggregations keyed by
+    doc (token counts, then per-doc moments) — all-integer arithmetic,
+    one shuffle on (doc_id, token) whose key is near-unique, so no skew.
+    Docs with zero tokens carry no rows (0/0 is undefined).
+    """
+    ex = (
+        _tokenized_docs(spark, sf_dir)
+        .filter(F.size("t") >= 1)
+        .select("doc_id", F.explode("t").alias("w"))
+    )
+    cnt = ex.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            # Integer div: exact on both engines (double / could round
+            # above 2^53 before the floor).
+            F.expr(
+                "sum_sq * CAST(1000000 AS BIGINT) "
+                "div (n_tokens * n_tokens)"
+            )
+            .cast("long")
+            .alias("simpson_ppm"),
+        )
+    )

@@ -92,6 +92,15 @@ DOC_QUERIES = [
     "decontaminate_ngram_fraction",
     "text_boilerplate_ngrams",
     "corpus_mixture_epochs",
+    # Batch-B round-8 additions. dedup_downweight partitions by md5(text)
+    # where text is NULL on doc 0 — both engines must group the NULL key
+    # into one cluster; ngram_novelty/simpson drop sub-shingle/empty docs
+    # identically; source_gini exercises zero-length rows inside a
+    # nonzero-total source.
+    "sample_dedup_downweight",
+    "text_ngram_novelty",
+    "text_simpson_diversity",
+    "corpus_source_gini",
 ]
 
 

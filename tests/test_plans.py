@@ -540,3 +540,79 @@ def test_remove_passages_anti_join_is_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
+
+
+def test_q6_triple_range_pushdown_prunes_to_four_columns(spark):
+    """The selective-scan showcase: all three range predicates must reach
+    the parquet scan (row-group min/max skipping at 100 TB) and the read
+    schema must carry exactly the four referenced columns."""
+    plan = _plan(spark, "agg_q6_selective")
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, f"q6 predicate not pushed: {pushed}"
+    assert "l_orderkey" not in plan  # column pruning
+    assert "l_returnflag" not in plan
+
+
+def test_q10_filters_pushed_and_topk_take_ordered(spark):
+    plan = _plan(spark, "join_q10_returned_revenue")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_aggregates_before_joining_facts(spark):
+    """The HAVING-subquery shape: lineitem must be reduced to per-order
+    sums (HashAggregate) BEFORE any join touches it, and top-100 must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "join_q18_large_orders")
+    tree = plan.split("\n\n")[0]
+    # In the node tree the aggregate pair appears deeper (= later lines,
+    # higher indent) than the first join node only if aggregation feeds
+    # the join; assert the aggregate exists and no nested loop was chosen.
+    assert "HashAggregate" in tree
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_scalar_broadcast_and_anti_join(spark):
+    """One BroadcastNestedLoopJoin (the one-row average — free) and a
+    keyed LeftAnti for the no-recent-orders probe; the date filter
+    reaches the orders scan."""
+    plan = _plan(spark, "join_q22_idle_customers")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 1
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_binary_dedup_is_jvm_only_digest_groupby(spark):
+    """The blob dedup must never move content bytes through a shuffle:
+    digest computed scan-side, one hash aggregate on the digest key, no
+    Python stage (the generic no-python test also covers this — here we
+    additionally pin that `content` is dropped before the exchange)."""
+    plan = _plan(spark, "multimodal_dedup_binary")
+    tree = plan.split("\n\n")[0]
+    assert "Aggregate" in tree  # Hash or Sort — either is key-partial
+    exchange_tail = plan[plan.index("Exchange"):] if "Exchange" in plan else ""
+    assert "content#" not in exchange_tail.split("\n\n")[0]
+
+
+def test_novelty_and_diversity_single_purpose_shuffles(spark):
+    """text_ngram_novelty: equi join on the shingle key, no nested loop.
+    text_simpson_diversity / sample_dedup_downweight / corpus_source_gini:
+    aggregate/window shapes with no join at all."""
+    plan = _plan(spark, "text_ngram_novelty")
+    assert "BroadcastNestedLoopJoin" not in plan
+    for name in (
+        "text_simpson_diversity",
+        "sample_dedup_downweight",
+        "corpus_source_gini",
+    ):
+        tree = _plan(spark, name).split("\n\n")[0]
+        assert "Join" not in tree, f"{name} should not join"
