@@ -49,15 +49,17 @@ from jorvik_spark.queries import sampling  # noqa: F401,E402
 #     covered by an in-prefix sibling (text_explode_positional,
 #     multimodal_frame_sample, embed_quantize_int8); local parity still
 #     covers all of them every session.
-#   * Round-9 rotation note: front-load the fifteen operators NEW in
-#     round 8 (dedup_cluster_sizes, dedup_quality_representative,
+#   * Round-9 rotation note: front-load the operators NEW in round 8
+#     (dedup_cluster_sizes, dedup_quality_representative,
 #     decontaminate_ngram_fraction, text_boilerplate_ngrams,
 #     corpus_mixture_epochs, agg_q6_selective, join_q10_returned_revenue,
 #     join_q18_large_orders, join_q14_promo_share, join_q22_idle_customers,
 #     text_ngram_novelty, text_simpson_diversity, sample_dedup_downweight,
-#     corpus_source_gini, multimodal_dedup_binary — registered outside
-#     the prefix this round, hash-verified by the local parity suite at
-#     sf0.001/0.01/0.1 until they get their first driver row),
+#     corpus_source_gini, multimodal_dedup_binary, join_q13_custdist,
+#     join_q15_top_supplier, simsearch_recall_eval, text_lm_score_histogram,
+#     sample_reservoir_per_source, multimodal_size_histogram — registered
+#     outside the prefix this round, hash-verified by the local parity
+#     suite at sf0.001/0.01/0.1 until they get their first driver row),
 #     then fill with the round-7-verified cohort whose evidence will
 #     then be oldest (the r7 prefix: scan/sink/projection/join/agg/
 #     window/set queries last driver-checked in CORRECTNESS_r07).

@@ -659,3 +659,108 @@ def join_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "join_q13_custdist",
+    oracle="""
+    WITH co AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           COUNT(*) AS custdist
+    FROM co GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def join_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join so zero-order customers land in the c_count=0 bucket, then a
+    second aggregation over the counts — the double-grouping histogram
+    pattern.
+
+    The priority exclusion applies only to the orders side, so it is a
+    pre-join filter pushed to the orders scan (inside an outer-join ON
+    clause it could not be pushed past the join). First aggregation
+    shuffles on c_custkey — the join's own key, so AQE reuses the
+    exchange; the second groups the per-customer rows (|customers|, not
+    |orders|) by the tiny c_count key space. Count skew on popular
+    c_count values is capped by |customers| per bucket and the map-side
+    partial combine.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "join_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 1000000 + 0.5) AS BIGINT)) AS total_q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey),
+    mx AS (SELECT MAX(total_q) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           r.total_q / 1000000.0 AS total_revenue
+    FROM rev r, mx
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_q = mx.m
+    ORDER BY s.s_suppkey
+    """,
+)
+def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue supplier for a quarter (TPC-H Q15 shape): aggregate,
+    take the scalar max, join the argmax rows back to the dimension —
+    the view-plus-scalar-subquery pattern.
+
+    The max rides a one-row broadcast back onto the per-supplier
+    aggregate (cheap second pass over |suppliers| rows, NOT the fact
+    table); the equality compare runs on the QUANTIZED integer revenue,
+    so float summation order can neither drop nor double the argmax row
+    on either engine — revenue converts to a double only in the output
+    projection. Supplier join is a broadcast at any realistic dimension
+    size; ties (several suppliers at the max) all surface, ordered.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev_q = F.sum(
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    rev = li.groupBy("l_suppkey").agg(rev_q.alias("total_q"))
+    mx = rev.agg(F.max("total_q").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_q") == F.col("m"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_q") / 1_000_000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

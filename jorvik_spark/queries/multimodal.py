@@ -508,3 +508,56 @@ def multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_path")
     )
+
+
+@query(
+    "multimodal_size_histogram",
+    oracle="""
+    SELECT regexp_extract(filename, '\\.([A-Za-z0-9]+)$', 1) AS ext,
+           CAST(length(bin(CAST(size AS BIGINT))) AS INTEGER) AS size_bits,
+           COUNT(*) AS n_files,
+           CAST(SUM(size) AS BIGINT) AS total_bytes,
+           CAST(MIN(size) AS BIGINT) AS min_bytes,
+           CAST(MAX(size) AS BIGINT) AS max_bytes
+    FROM read_blob('{sf_dir}/*.parquet')
+    GROUP BY ext, size_bits ORDER BY ext, size_bits
+    """,
+)
+def multimodal_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two blob-size histogram per media extension: the storage
+    survey a multimodal ingest runs FIRST — it sizes the decode batch
+    memory budget (see the feature-extract blob cap), exposes truncated/
+    zero-byte objects, and decides the small-file compaction plan before
+    any expensive per-blob work.
+
+    The bucket is the byte count's binary digit count (floor(log2)+1),
+    computed with integer/string built-ins on BOTH engines (length of
+    the base-2 rendering) — no libm log2, whose rounding at exact powers
+    of two could put 1024 in different buckets per engine. Scan-side
+    projection drops content before the tiny (ext, bits) aggregate, so
+    only metadata rows shuffle — same contract as multimodal_dedup_binary.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select(
+            F.regexp_extract(
+                F.regexp_replace("path", _STRIP_SCHEME, ""),
+                r"\.([A-Za-z0-9]+)$",
+                1,
+            ).alias("ext"),
+            F.length(F.conv(F.col("length").cast("string"), 10, 2))
+            .cast("int")
+            .alias("size_bits"),
+            "length",
+        )
+        .groupBy("ext", "size_bits")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("length").cast("long").alias("total_bytes"),
+            F.min("length").cast("long").alias("min_bytes"),
+            F.max("length").cast("long").alias("max_bytes"),
+        )
+        .orderBy("ext", "size_bits")
+    )

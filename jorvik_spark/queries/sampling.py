@@ -1163,3 +1163,76 @@ def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_RESERVOIR_N = 20  # per-source sample size
+_RESERVOIR_SALT = "rsv1"
+_RESERVOIR_CHUNK = 4096
+
+
+@query(
+    "sample_reservoir_per_source",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(concat('{_RESERVOIR_SALT}',
+                                       CAST(doc_id AS VARCHAR))),
+                            doc_id) AS rk
+        FROM documents)
+    SELECT doc_id, source, CAST(rk AS INTEGER) AS sample_rank
+    FROM ranked WHERE rk <= {_RESERVOIR_N}
+    ORDER BY source, sample_rank
+    """,
+)
+def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size uniform sample per source — the
+    distributed replacement for reservoir sampling: rank every doc by a
+    salted content-independent hash and keep the N smallest per source.
+    Same guarantees as a true reservoir (uniform, fixed size, one pass)
+    plus reproducibility: re-runs and incremental re-ingests agree on
+    the sample wherever the doc set agrees.
+
+    NOT a per-source window sort: that would sort each source's full
+    partition on one task (the largest source bounds the job — the exact
+    trap the oracle's ROW_NUMBER is allowed because DuckDB is the small-
+    scale referee). Instead the two-phase tree shape shared with
+    simsearch_topk: a local top-N per (source, doc-id chunk) — fine keys,
+    bounded sorts — then a merge of the |sources| × N survivors.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.struct(
+        F.md5(
+            F.concat(F.lit(_RESERVOIR_SALT), F.col("doc_id").cast("string"))
+        ).alias("h"),
+        F.col("doc_id").alias("d"),
+    )
+    local = (
+        docs.select("source", key.alias("k"))
+        .withColumn("chunk", F.expr(f"k.d div {_RESERVOIR_CHUNK}"))
+        .groupBy("source", "chunk")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("k")), 1, _RESERVOIR_N
+            ).alias("top")
+        )
+    )
+    merged = (
+        local.select("source", F.explode("top").alias("k"))
+        .groupBy("source")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("k")), 1, _RESERVOIR_N
+            ).alias("top")
+        )
+    )
+    return (
+        merged.select("source", F.posexplode("top").alias("pos", "k"))
+        .select(
+            F.col("k.d").alias("doc_id"),
+            "source",
+            (F.col("pos") + 1).cast("int").alias("sample_rank"),
+        )
+        .orderBy("source", "sample_rank")
+    )

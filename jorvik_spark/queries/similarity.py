@@ -1024,3 +1024,88 @@ def embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("white_x"),
     )
+
+
+@query(
+    "simsearch_recall_eval",
+    oracle=f"""
+    WITH nz AS (SELECT * FROM embeddings WHERE {_SQL_POS_NORM}),
+    gtq AS (SELECT vec_id AS query_id, embedding AS qe
+            FROM nz WHERE vec_id < {_N_QUERIES}),
+    gt_scored AS (
+        SELECT gtq.query_id, c.vec_id AS candidate_id,
+               round({_SQL_COS.format(a='gtq.qe', b='c.embedding')}, 6)
+                   AS cosine
+        FROM gtq JOIN nz c ON c.vec_id <> gtq.query_id),
+    gt AS (
+        SELECT query_id, candidate_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, candidate_id) AS rank
+            FROM gt_scored) WHERE rank <= {_TOPK}),
+    {_SQL_IVF_ASSIGN},
+    cells AS (SELECT vec_id, embedding, cent_id AS cell
+              FROM assign WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS qe, cent_id AS cell
+        FROM assign WHERE vec_id < {_N_QUERIES} AND rn <= {_IVF_NPROBE}),
+    ann_scored AS (
+        SELECT p.query_id, c.vec_id AS candidate_id,
+               round({_SQL_COS.format(a='p.qe', b='c.embedding')}, 6)
+                   AS cosine
+        FROM probes p JOIN cells c ON p.cell = c.cell
+        WHERE c.vec_id <> p.query_id),
+    ann AS (
+        SELECT query_id, candidate_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, candidate_id) AS rank
+            FROM ann_scored) WHERE rank <= {_TOPK})
+    SELECT gt.query_id,
+           COUNT(*) AS k,
+           CAST(SUM(CASE WHEN ann.candidate_id IS NOT NULL THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN ann.candidate_id IS NOT NULL THEN 1 ELSE 0
+                    END) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM gt LEFT JOIN ann USING (query_id, candidate_id)
+    GROUP BY gt.query_id ORDER BY gt.query_id
+    """,
+)
+def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force, per query —
+    the measurement loop every ANN deployment needs before trusting an
+    approximate index ("measure, don't guess": nprobe/K tuning is this
+    number against the cell-probe cost).
+
+    Composes the two registered paths as plain functions: the exact
+    ground truth (:func:`simsearch_topk`, query side broadcast) and the
+    IVF candidates (:func:`simsearch_ivf`, sharing the memoized
+    :func:`_ivf_assign` quantizer — the corpus is NOT re-assigned for the
+    eval). The comparison itself is a left join of ground truth onto ANN
+    results on (query, candidate) — |queries| × k rows, negligible next
+    to either search. Recall is integer ppm: n_hits * 1e6 // k, exact on
+    both engines.
+    """
+    gt = simsearch_topk(spark, sf_dir).select("query_id", "candidate_id")
+    ann = (
+        simsearch_ivf(spark, sf_dir)
+        .select("query_id", "candidate_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        gt.join(ann, ["query_id", "candidate_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hits",
+            F.expr("n_hits * CAST(1000000 AS BIGINT) div k")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )

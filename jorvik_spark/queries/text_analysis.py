@@ -1052,3 +1052,65 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("simpson_ppm"),
         )
     )
+
+
+# Fixed-width score buckets for the LM-score distribution: familiarity is
+# integer ppm in [0, 1e6], so `div 100000` yields stable decile-style
+# buckets 0..10 with no quantile estimation (and no cross-engine
+# percentile semantics to reconcile).
+_LM_BUCKET_PPM = 100_000
+
+
+@query(
+    "text_lm_score_histogram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(t[1:len(t) - 1]) AS w1,
+                  unnest(t[2:len(t)]) AS w2
+           FROM toks WHERE len(t) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(n12) AS n1 FROM c12 GROUP BY w1),
+    ppm AS (SELECT w1, w2, (n12 * 1000000) // n1 AS ppm
+            FROM c12 JOIN c1 USING (w1)),
+    scored AS (SELECT bg.doc_id, SUM(p.ppm) // COUNT(*) AS fam
+               FROM bg JOIN ppm p USING (w1, w2) GROUP BY bg.doc_id)
+    SELECT d.source,
+           CAST(s.fam // {_LM_BUCKET_PPM} AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(s.fam) // COUNT(*) AS BIGINT) AS mean_familiarity_ppm
+    FROM scored s JOIN documents d USING (doc_id)
+    GROUP BY d.source, bucket ORDER BY d.source, bucket
+    """,
+)
+def text_lm_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the corpus-LM quality score per source: fixed
+    0.1-wide buckets of the bigram familiarity with doc counts and the
+    in-bucket mean — the report a curation run reads to place the CCNet
+    head/middle/tail cut points BEFORE committing to a filter threshold.
+
+    Composes :func:`text_bigram_lm_score` as a plain function (the model
+    train + doc scoring shapes are identical — see that docstring for the
+    scale analysis); this query adds one |docs|-sized join to recover the
+    source label and a map-side-combined aggregate over ≤ 11 buckets per
+    source. Bucket edges are integer ppm division — no percentile
+    estimation, so the histogram is exact and engine-independent.
+    """
+    scored = text_bigram_lm_score(spark, sf_dir).select(
+        "doc_id", F.col("familiarity_ppm").alias("fam")
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        scored.join(src, "doc_id")
+        .groupBy(
+            "source",
+            F.expr(f"fam div {_LM_BUCKET_PPM}").cast("long").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(fam) div count(1)")
+            .cast("long")
+            .alias("mean_familiarity_ppm"),
+        )
+        .orderBy("source", "bucket")
+    )

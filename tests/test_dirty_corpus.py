@@ -101,6 +101,10 @@ DOC_QUERIES = [
     "text_ngram_novelty",
     "text_simpson_diversity",
     "corpus_source_gini",
+    # Batch-C: reservoir N exceeds every dirty source size (full ranking
+    # must still agree); lm histogram drops sub-bigram docs identically.
+    "sample_reservoir_per_source",
+    "text_lm_score_histogram",
 ]
 
 

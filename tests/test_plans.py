@@ -616,3 +616,48 @@ def test_novelty_and_diversity_single_purpose_shuffles(spark):
     ):
         tree = _plan(spark, name).split("\n\n")[0]
         assert "Join" not in tree, f"{name} should not join"
+
+
+def test_q13_priority_filter_pushed_and_double_agg(spark):
+    """The orders-side exclusion must be a pre-join pushed filter (inside
+    an outer-join ON clause it could not move past the join); both
+    grouping levels are hash aggregates."""
+    plan = _plan(spark, "join_q13_custdist")
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+    assert plan.split("\n\n")[0].count("HashAggregate") >= 4  # 2 levels × partial/final
+
+
+def test_q15_argmax_rides_one_row_broadcast(spark):
+    """The scalar max joins back as a one-row broadcast nested loop; the
+    supplier dimension stays a broadcast hash join; the revenue equality
+    compares quantized integers (pinned by the oracle hash)."""
+    tree = _plan(spark, "join_q15_top_supplier").split("\n\n")[0]
+    # Spark 4 plans the one-row cross as BroadcastHashJoin Cross (or a
+    # BroadcastNestedLoopJoin on older planners) — either is the free
+    # one-row broadcast; a CartesianProduct is the only wrong answer.
+    assert (
+        "BroadcastHashJoin Cross" in tree
+        or "BroadcastNestedLoopJoin" in tree
+    )
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin Inner" in tree  # the supplier dim join
+
+
+def test_recall_eval_joins_are_keyed(spark):
+    plan = _plan(spark, "simsearch_recall_eval")
+    assert "CartesianProduct" not in plan
+    assert "LeftOuter" in plan  # ground truth keeps zero-hit queries
+
+
+def test_reservoir_is_two_phase_not_window(spark):
+    """The per-source sample must use the chunked tree reduction — a
+    per-source ROW_NUMBER window would sort each source on one task."""
+    plan = _plan(spark, "sample_reservoir_per_source")
+    assert "Window" not in plan.split("\n\n")[0]
+    assert plan.split("\n\n")[0].count("Aggregate") >= 2
+
+
+def test_size_histogram_drops_content_before_shuffle(spark):
+    plan = _plan(spark, "multimodal_size_histogram")
+    exchange_tail = plan[plan.index("Exchange"):] if "Exchange" in plan else ""
+    assert "content#" not in exchange_tail.split("\n\n")[0]
