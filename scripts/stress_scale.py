@@ -16,7 +16,9 @@ Skew is max/median task run time per stage (reported for stages with
 wave, so max/median ~ straggler factor). Peak memory is the max task
 peakExecutionMemory across the query's stages.
 
-Usage: python scripts/stress_scale.py [replicas]   (default 10)
+Usage: python scripts/stress_scale.py [replicas] [--all] [--only=a,b,c]
+(default 10 replicas; --only stresses the named queries instead of the
+target lists — the incremental loop for newly added operators)
 Not part of the driver contract — a scale-feedback loop; results are
 committed to PROFILE.md.
 """
@@ -91,6 +93,27 @@ EXTRA_TARGETS = [
     "decontaminate_ngram_fraction",
     "text_boilerplate_ngrams",
     "corpus_mixture_epochs",
+    # Round-8 batch B/C: the shapes with a shuffle or window to watch.
+    # corpus_source_gini is the headline risk (per-source window sort —
+    # bounded by the largest source, the docstring's honest cost);
+    # sample_dedup_downweight windows over 10-member md5 clusters;
+    # text_ngram_novelty joins the replicated corpus's hottest shingles
+    # against a 1-row-per-key firsts side (AQE skew-split best case);
+    # the TPC-H shapes run against 10x facts over fixed dims.
+    "text_ngram_novelty",
+    "text_simpson_diversity",
+    "sample_dedup_downweight",
+    "corpus_source_gini",
+    "text_lm_score_histogram",
+    "sample_reservoir_per_source",
+    "agg_q6_selective",
+    "join_q10_returned_revenue",
+    "join_q13_custdist",
+    "join_q14_promo_share",
+    "join_q15_top_supplier",
+    "join_q18_large_orders",
+    "join_q22_idle_customers",
+    "simsearch_recall_eval",
 ]
 
 
@@ -191,6 +214,27 @@ def synthesize(spark: SparkSession, replicas: int) -> str:
     for p in lparts[1:]:
         lunion = lunion.unionAll(p)
     lunion.write.parquet(f"{out}/lineitem.parquet")
+
+    # orders replicated with the SAME key shift as lineitem (the join
+    # keys stay consistent) while o_custkey keeps the original ids:
+    # every customer owns replicas x the orders — fact tables grow,
+    # dimensions don't, which is exactly the 100 TB proportion the
+    # TPC-H-shaped joins must survive.
+    o = spark.read.parquet(f"{BASE}/orders.parquet")
+    oparts = [
+        o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(r * 100_000_000))
+        for r in range(replicas)
+    ]
+    ounion = oparts[0]
+    for p in oparts[1:]:
+        ounion = ounion.unionAll(p)
+    ounion.write.parquet(f"{out}/orders.parquet")
+
+    # Dimensions copy verbatim (fixed size at any corpus scale).
+    for t in ("customer", "supplier", "part", "region", "nation"):
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.parquet(
+            f"{out}/{t}.parquet"
+        )
     return out
 
 
@@ -235,9 +279,20 @@ def max_stage_id(spark: SparkSession) -> int:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--all"]
+    only = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+        elif a != "--all":
+            args.append(a)
     replicas = int(args[0]) if args else 10
     targets = TARGETS + (EXTRA_TARGETS if "--all" in sys.argv else [])
+    if only is not None:
+        unknown = [n for n in only if n not in QUERIES]
+        if unknown:
+            raise SystemExit(f"--only names unknown queries: {unknown}")
+        targets = only
     spark = build_session()
     print(f"synthesizing {replicas}x sf0.1 corpus ...", flush=True)
     sf_dir = synthesize(spark, replicas)
