@@ -86,6 +86,22 @@ GATE_2C_REF = {
 }
 _GATE_2C_LIMIT = 1.5
 
+# Round-8 additions on the bench radar, report-only this round (the
+# same lifecycle the §2C shapes followed: first measurements here,
+# gated against them from the next round). One representative per new
+# shape family: the pushdown scan, the two heaviest TPC-H joins, the
+# disjunctive-bracket join, the hot-shingle novelty join, the ANN
+# recall eval, and the dedup attribution report.
+BENCH_R8_QUERIES = {
+    "r8_q6": "agg_q6_selective",
+    "r8_q13": "join_q13_custdist",
+    "r8_q18": "join_q18_large_orders",
+    "r8_q19": "join_q19_brackets",
+    "r8_novelty": "text_ngram_novelty",
+    "r8_recall": "simsearch_recall_eval",
+    "r8_dedup_impact": "corpus_dedup_impact",
+}
+
 N_RUNS = 3
 
 
@@ -137,6 +153,7 @@ def main() -> None:
 
     times = {lb: time_query(qn) for lb, qn in BENCH_QUERIES.items()}
     times_2c = {lb: time_query(qn) for lb, qn in BENCH_2C_QUERIES.items()}
+    times_r8 = {lb: time_query(qn) for lb, qn in BENCH_R8_QUERIES.items()}
 
     # §2C gate: within _GATE_2C_LIMIT × the round-7 reference. Gate only
     # applies at the reference's scale (sf0.1).
@@ -176,6 +193,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_2c": times_2c,
+                "queries_r8": times_r8,
                 "gate_2c": {
                     "limit_x": _GATE_2C_LIMIT,
                     "ref_round": 7,

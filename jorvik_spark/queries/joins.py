@@ -764,3 +764,65 @@ def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# Q19-style disjunctive brackets: three (brand, size-range, qty-range)
+# clauses OR'd together — sized to stay non-vacuous at every test SF.
+_Q19_BRACKETS = [
+    ("Brand#12", 1, 15, 1.0, 11.0),
+    ("Brand#23", 1, 25, 10.0, 20.0),
+    ("Brand#3", 1, 50, 20.0, 30.0),
+]
+
+
+def _q19_sql_pred() -> str:
+    return " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s0} AND {s1}"
+        f" AND l.l_quantity BETWEEN {q0} AND {q1})"
+        for b, s0, s1, q0, q1 in _Q19_BRACKETS
+    )
+
+
+@query(
+    "join_q19_brackets",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {_q19_sql_pred()}
+    """,
+)
+def join_q19_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive bracket predicates over a fact⋈dimension join (TPC-H
+    Q19 shape): three OR'd (brand, size-range, quantity-range) clauses
+    that each mix columns from BOTH tables.
+
+    The pushdown test case the conjunctive queries can't exercise:
+    Catalyst's constraint propagation derives the per-table implications
+    of the disjunction — the union of the quantity ranges filters the
+    lineitem SCAN and the union of the brand/size brackets filters the
+    part scan (pinned in test_plans) — so at 100 TB the join consumes
+    only bracket-plausible rows from each side; the exact mixed-table
+    disjunction then runs as a post-join filter on that reduced stream.
+    Part is the broadcast side at every realistic dimension size.
+    """
+    li = load_table(spark, sf_dir, "lineitem").alias("l")
+    p = load_table(spark, sf_dir, "part").alias("p")
+    pred = None
+    for b, s0, s1, q0, q1 in _Q19_BRACKETS:
+        clause = (
+            (F.col("p.p_brand") == b)
+            & F.col("p.p_size").between(s0, s1)
+            & F.col("l.l_quantity").between(q0, q1)
+        )
+        pred = clause if pred is None else (pred | clause)
+    return (
+        li.join(p, F.col("l.l_partkey") == F.col("p.p_partkey"))
+        .filter(pred)
+        .agg(
+            dsum(
+                F.col("l.l_extendedprice") * (1 - F.col("l.l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

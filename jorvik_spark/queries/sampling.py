@@ -22,7 +22,11 @@ from jorvik_spark.queries.registry import (
     query,
     sql_hash_bucket as _sql_bucket,
 )
-from jorvik_spark.queries.text_analysis import _SQL_TOKENS, _tokenized_docs
+from jorvik_spark.queries.text_analysis import (
+    _SQL_TOKENS,
+    _TOKENS as _TOKENS_EXPR,
+    _tokenized_docs,
+)
 from jorvik_spark.tables import load_table
 
 # Per-language sampling rates (per-mille): a data-mixing config —
@@ -1235,4 +1239,85 @@ def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") + 1).cast("int").alias("sample_rank"),
         )
         .orderBy("source", "sample_rank")
+    )
+
+
+@query(
+    "corpus_dedup_impact",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, md5(coalesce(text, '')) AS k,
+               len({_SQL_TOKENS}) AS n_toks
+        FROM documents),
+    keepers AS (SELECT k, MIN(doc_id) AS keeper FROM keyed GROUP BY k)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN doc_id <> keeper THEN n_toks ELSE 0 END)
+                AS BIGINT) AS tokens_removed,
+           CAST(CASE WHEN SUM(n_toks) = 0 THEN 0
+                ELSE SUM(CASE WHEN doc_id <> keeper THEN n_toks ELSE 0 END)
+                     * 1000000 // SUM(n_toks) END AS BIGINT)
+               AS removed_ppm
+    FROM keyed JOIN keepers USING (k)
+    GROUP BY source ORDER BY source
+    """,
+)
+def corpus_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted attribution of exact dedup per source: how many
+    documents AND how many training tokens each source loses when
+    dedup_exact's keep-lowest-id rule runs — the report that turns "we
+    deduped" into "source X was 40% recycled by token mass", which is
+    what actually moves a mixture decision (doc counts alone overweight
+    short duplicates).
+
+    One corpus scan computes (md5 key, token count); keepers are one
+    hash-key groupBy (the same shuffle dedup_exact performs — with the
+    key null-coalesced so a null document participates as an empty one,
+    per the module contract, instead of dropping out of the equi join);
+    the join
+    back on the md5 key is equi with near-uniform key distribution (a
+    cluster is replicas-of-one-text, bounded), and the final per-source
+    rollup is map-side combined. Integer ppm with an explicit zero-token
+    guard — a source of empty/null docs reports 0, not a division error.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("k"),
+        F.expr(f"size({_TOKENS_EXPR})").cast("long").alias("n_toks"),
+    )
+    keepers = keyed.groupBy("k").agg(F.min("doc_id").alias("keeper"))
+    dup = F.col("doc_id") != F.col("keeper")
+    return (
+        keyed.join(keepers, "k")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup.cast("long")).alias("n_dup_docs"),
+            F.sum("n_toks").alias("tokens_total"),
+            F.sum(F.when(dup, F.col("n_toks")).otherwise(0)).alias(
+                "tokens_removed"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "tokens_total",
+            "tokens_removed",
+            F.when(F.col("tokens_total") == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "tokens_removed * CAST(1000000 AS BIGINT)"
+                    " div tokens_total"
+                )
+            )
+            .cast("long")
+            .alias("removed_ppm"),
+        )
+        .orderBy("source")
     )

@@ -105,6 +105,10 @@ DOC_QUERIES = [
     # must still agree); lm histogram drops sub-bigram docs identically.
     "sample_reservoir_per_source",
     "text_lm_score_histogram",
+    # Batch-D: the null-text doc dedups against itself only (md5(NULL) is
+    # NULL — never equi-joins another doc on either engine) and its
+    # zero-token source path exercises the removed_ppm division guard.
+    "corpus_dedup_impact",
 ]
 
 

@@ -661,3 +661,21 @@ def test_size_histogram_drops_content_before_shuffle(spark):
     plan = _plan(spark, "multimodal_size_histogram")
     exchange_tail = plan[plan.index("Exchange"):] if "Exchange" in plan else ""
     assert "content#" not in exchange_tail.split("\n\n")[0]
+
+
+def test_q19_disjunction_splits_per_table(spark):
+    """Constraint propagation must derive each table's implication of the
+    mixed-table OR brackets and push BOTH to their scans: the quantity
+    ranges to lineitem, the brand+size brackets to part. Without this a
+    100 TB scan feeds every row into the join and filters after."""
+    plan = _plan(spark, "join_q19_brackets")
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "And(EqualTo(p_brand,Brand#12)" in plan
+
+
+def test_dedup_impact_single_key_join(spark):
+    """The attribution joins keyed rows back on the md5 content key —
+    equi, no nested loop — and rolls up per source."""
+    plan = _plan(spark, "corpus_dedup_impact")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
