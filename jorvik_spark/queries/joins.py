@@ -826,3 +826,51 @@ def join_q19_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+_BASKET_TOP_N = 20
+
+
+@query(
+    "join_market_basket",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    counted AS (
+        SELECT part_a, part_b, COUNT(*) AS n_orders
+        FROM pairs GROUP BY part_a, part_b)
+    SELECT part_a, part_b, n_orders FROM counted
+    ORDER BY n_orders DESC, part_a, part_b LIMIT {_BASKET_TOP_N}
+    """,
+)
+def join_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-ordered part pairs (market-basket affinity): enumerate the
+    part pairs inside each order, count across orders, keep the top-20 —
+    the within-group pair-mining shape (identical physics to shingle
+    pair mining: a self-join whose key bounds the blow-up).
+
+    Safe at 100 TB because the join key is the ORDER, and an order holds
+    at most 7 lineitems — pairs per key are C(7,2) ≤ 21, so the output
+    is linearly bounded by the fact table, never quadratic in it (the
+    same reason the dedup self-joins key on shingle/band/cell, never on
+    a corpus-wide constant). The pair count shuffles on the (part_a,
+    part_b) key — near-uniform, map-side combined — and the top-20 is
+    TakeOrderedAndProject, not a global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(_BASKET_TOP_N)
+    )

@@ -1109,3 +1109,51 @@ def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "embed_cluster_balance",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGN},
+    cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rn = 1),
+    tot AS (SELECT COUNT(*) AS n FROM cells)
+    SELECT cell,
+           COUNT(*) AS n_vectors,
+           CAST(COUNT(*) * 1000000 // MAX(tot.n) AS BIGINT) AS share_ppm
+    FROM cells, tot
+    GROUP BY cell ORDER BY cell
+    """,
+)
+def embed_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health report: per-cell occupancy and corpus share —
+    the number an ANN deployment watches before recall ever degrades.
+    A cell holding 30% of the corpus means (a) cell-probe searches pay
+    30% of brute force whenever a query lands there and (b) the pair
+    stage of dedup_embedding_cosine is that cell squared; the fix (more
+    centroids / re-trained quantizer / splitting the hot cell) is an
+    index rebuild, so this report is what triggers it.
+
+    Reuses the memoized :func:`_ivf_assign` quantizer (no extra corpus
+    pass when it is already warm); occupancy is one groupBy on the cell
+    id, the total rides a one-row broadcast back for the exact integer
+    share. K rows out — driver-safe at any corpus size.
+    """
+    cells = (
+        _ivf_assign(spark, sf_dir)
+        .filter(F.col("rn") == 1)
+        .select(F.col("cent_id").alias("cell"))
+    )
+    tot = cells.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vectors",
+            F.expr("n_vectors * CAST(1000000 AS BIGINT) div n")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("cell")
+    )

@@ -114,6 +114,8 @@ EXTRA_TARGETS = [
     "join_q18_large_orders",
     "join_q22_idle_customers",
     "simsearch_recall_eval",
+    "embed_cluster_balance",
+    "join_market_basket",
 ]
 
 

@@ -174,6 +174,8 @@ EMB_QUERIES = [
     "simsearch_range",  # zero vector excluded (cosine undefined)
     "embed_dim_stats",  # keeps the zero vector (pure moments)
     "embed_whiten",  # zero vector whitened like any other (no cosine)
+    "simsearch_recall_eval",  # zero vector in neither truth nor ANN set
+    "embed_cluster_balance",  # zero vector excluded from the index
 ]
 
 

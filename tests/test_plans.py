@@ -679,3 +679,20 @@ def test_dedup_impact_single_key_join(spark):
     plan = _plan(spark, "corpus_dedup_impact")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cluster_balance_reuses_assignment_no_corpus_rescan(spark):
+    """The occupancy report is a groupBy over the (memoized) cell
+    assignment plus a one-row broadcast total — no second corpus join,
+    no nested loop beyond the K-row centroid broadcast."""
+    plan = _plan(spark, "embed_cluster_balance")
+    assert "CartesianProduct" not in plan
+
+
+def test_market_basket_keys_on_order_and_takes_ordered(spark):
+    """Pair mining must self-join on the bounded order key (≤ C(7,2)
+    pairs per key) and finish with TakeOrderedAndProject."""
+    plan = _plan(spark, "join_market_basket")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
