@@ -852,8 +852,9 @@ def join_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair mining: a self-join whose key bounds the blow-up).
 
     Safe at 100 TB because the join key is the ORDER, and an order holds
-    at most 7 lineitems — pairs per key are C(7,2) ≤ 21, so the output
-    is linearly bounded by the fact table, never quadratic in it (the
+    a bounded handful of lineitems (≤ 17 in this corpus, avg ~4) — pairs
+    per key are C(lines,2), so the output stays linearly bounded by the
+    fact table with a small constant, never quadratic in it (the
     same reason the dedup self-joins key on shingle/band/cell, never on
     a corpus-wide constant). The pair count shuffles on the (part_a,
     part_b) key — near-uniform, map-side combined — and the top-20 is

@@ -690,7 +690,7 @@ def test_cluster_balance_reuses_assignment_no_corpus_rescan(spark):
 
 
 def test_market_basket_keys_on_order_and_takes_ordered(spark):
-    """Pair mining must self-join on the bounded order key (≤ C(7,2)
+    """Pair mining must self-join on the bounded order key (C(lines,2), small
     pairs per key) and finish with TakeOrderedAndProject."""
     plan = _plan(spark, "join_market_basket")
     assert "CartesianProduct" not in plan
