@@ -1219,3 +1219,101 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_ppm"),
         )
     )
+
+
+@query(
+    "dedup_banding_recall_eval",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    dfok AS (SELECT shingle FROM ex GROUP BY shingle
+             HAVING COUNT(*) <= {_MAX_SHINGLE_DF}),
+    exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN dfok USING (shingle)),
+    inter AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_common
+        FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM exf GROUP BY doc_id),
+    truth AS (
+        SELECT i.i AS doc_a, i.j AS doc_b
+        FROM inter i
+        JOIN sizes sa ON i.i = sa.doc_id
+        JOIN sizes sb ON i.j = sb.doc_id
+        WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.8),
+    shex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sig AS (SELECT doc_id,
+            {', '.join(f'{_sql_mh(i)} AS h{i}' for i in range(_MH_SEEDS))}
+            FROM shex GROUP BY doc_id),
+    bands AS ({_sql_mh_bands()}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id),
+    m AS (SELECT
+        (SELECT COUNT(*) FROM truth) AS n_true,
+        (SELECT COUNT(*) FROM cand) AS n_candidates,
+        (SELECT COUNT(*) FROM truth t JOIN cand c
+         USING (doc_a, doc_b)) AS n_hits)
+    SELECT CAST(n_true AS BIGINT) AS n_true_pairs,
+           CAST(n_candidates AS BIGINT) AS n_candidate_pairs,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(CASE WHEN n_true = 0 THEN 0
+                ELSE n_hits * 1000000 // n_true END AS BIGINT)
+               AS recall_ppm,
+           CAST(CASE WHEN n_candidates = 0 THEN 0
+                ELSE n_hits * 1000000 // n_candidates END AS BIGINT)
+               AS precision_ppm
+    FROM m
+    """,
+)
+def dedup_banding_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the banded-MinHash candidate generator against
+    exact capped-set Jaccard ≥ 0.8 ground truth — the tuning loop for the
+    band geometry (bands × rows trades recall against candidate volume),
+    measured instead of assumed, exactly as simsearch_recall_eval does
+    for the ANN index.
+
+    Composes the two registered paths as plain functions over the SHARED
+    memoized shingle index (one corpus tokenize/shingle pass feeds the
+    exact Jaccard truth, the MinHash signatures, and this eval). The
+    comparison is a semi join of truth onto candidates plus three
+    one-row aggregates cross-joined as broadcasts — negligible next to
+    either pair stage. Integer-ppm metrics with zero-denominator guards.
+
+    Note the deliberate asymmetry the eval measures through: the truth
+    side scores df-capped (boilerplate-insensitive) shingle sets while
+    the production signatures hash the UNCAPPED sets — so the number
+    here is the recall of the banding as deployed, including that
+    mismatch, not a sanitized in-vitro figure.
+    """
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    n_hits = (
+        truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+    def ratio(num: str, den: str):
+        return (
+            F.when(F.col(den) == 0, F.lit(0))
+            .otherwise(
+                F.expr(f"{num} * CAST(1000000 AS BIGINT) div {den}")
+            )
+            .cast("long")
+        )
+
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_true_pairs",
+            "n_candidate_pairs",
+            "n_hits",
+            ratio("n_hits", "n_true_pairs").alias("recall_ppm"),
+            ratio("n_hits", "n_candidate_pairs").alias("precision_ppm"),
+        )
+    )

@@ -116,6 +116,7 @@ EXTRA_TARGETS = [
     "simsearch_recall_eval",
     "embed_cluster_balance",
     "join_market_basket",
+    "dedup_banding_recall_eval",
 ]
 
 

@@ -109,6 +109,10 @@ DOC_QUERIES = [
     # NULL — never equi-joins another doc on either engine) and its
     # zero-token source path exercises the removed_ppm division guard.
     "corpus_dedup_impact",
+    # Banding eval on a corpus where truth is tiny but nonempty (the
+    # identical-text pair and the shared-passage pair): the ppm ratios
+    # and the zero-guard arithmetic must agree exactly.
+    "dedup_banding_recall_eval",
 ]
 
 
