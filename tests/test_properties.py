@@ -399,3 +399,133 @@ def test_cluster_size_histogram_law(spark, sizes):
         parent[find(r.x)] = find(r.y)
     got = Counter(Counter(find(i) for i in range(doc_id)).values())
     assert got == Counter(sizes)
+
+
+def _docs_parquet(tmp_path_factory, rows):
+    """Write (doc_id, text, lang, source, n_chars) rows as a documents
+    table in a fresh scratch dir; returns the dir."""
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("prop_docs")
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@given(
+    per_source=st.lists(st.integers(1, 30), min_size=1, max_size=4),
+    seed=st.integers(0, 10_000),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_reservoir_sample_laws(spark, tmp_path_factory, per_source, seed):
+    """For any per-source population: the sample holds exactly
+    min(N, |source|) docs per source with contiguous ranks 1..k, and the
+    SELECTED SET is a pure function of the doc ids — invariant under row
+    order and partitioning (the reservoir's reproducibility contract)."""
+    from collections import Counter
+
+    from jorvik_spark.queries.sampling import (
+        _RESERVOIR_N,
+        sample_reservoir_per_source,
+    )
+
+    rng = random.Random(seed)
+    rows, doc_id = [], 0
+    for s, n in enumerate(per_source):
+        for _ in range(n):
+            rows.append((doc_id, f"text {doc_id}", "en", f"s{s}", 10))
+            doc_id += 1
+    rng.shuffle(rows)  # row order must not matter
+    d = _docs_parquet(tmp_path_factory, rows)
+    got = sample_reservoir_per_source(spark, d).collect()
+    by_source = Counter(r["source"] for r in got)
+    for s, n in enumerate(per_source):
+        assert by_source[f"s{s}"] == min(_RESERVOIR_N, n)
+    for s in by_source:
+        ranks = sorted(
+            r["sample_rank"] for r in got if r["source"] == s
+        )
+        assert ranks == list(range(1, len(ranks) + 1))
+    # determinism: a second run over a differently-ordered copy of the
+    # same population selects the same (doc_id, source, rank) set
+    rng.shuffle(rows)
+    d2 = _docs_parquet(tmp_path_factory, rows)
+    got2 = sample_reservoir_per_source(spark, d2).collect()
+    key = lambda r: (r["doc_id"], r["source"], r["sample_rank"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, got2))
+
+
+@given(
+    sizes=st.lists(st.integers(1, 500), min_size=1, max_size=12),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_source_gini_matches_integer_formula(spark, tmp_path_factory, sizes):
+    """The per-source Gini must equal the brute-force integer rank
+    formula computed in Python on the sorted sizes — exactly, not
+    approximately (the all-integer design claim) — and uniform sizes
+    give exactly 0."""
+    rows = [
+        (i, f"t {i}", "en", "s0", n) for i, n in enumerate(sizes)
+    ]
+    d = _docs_parquet(tmp_path_factory, rows)
+    from jorvik_spark.queries.sampling import corpus_source_gini
+
+    [r] = corpus_source_gini(spark, d).collect()
+    xs = sorted(sizes)
+    n, tot = len(xs), sum(xs)
+    rank_weighted = sum((i + 1) * x for i, x in enumerate(xs))
+    expect = (2 * rank_weighted - (n + 1) * tot) * 1_000_000 // (n * tot)
+    assert r["gini_ppm"] == expect
+    if len(set(sizes)) == 1:
+        assert r["gini_ppm"] == 0
+
+
+@given(
+    clusters=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(1, 6)),  # (copies, words)
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dedup_impact_reconciles(spark, tmp_path_factory, clusters):
+    """Conservation laws of the attrition report: per source,
+    tokens_removed ≤ tokens_total and dup docs < docs; across sources,
+    kept docs (n_docs − n_dup_docs summed) equal the number of DISTINCT
+    content keys, and removed tokens equal the Python-computed token
+    mass of every non-keeper copy."""
+    from jorvik_spark.queries.sampling import corpus_dedup_impact
+
+    rows, doc_id, expected_removed = [], 0, 0
+    for g, (copies, words) in enumerate(clusters):
+        text = " ".join(f"g{g}w{i}" for i in range(words))
+        for c in range(copies):
+            rows.append(
+                (doc_id, text, "en", f"s{doc_id % 2}", len(text))
+            )
+            if c > 0:  # keeper is the lowest doc_id = first copy
+                expected_removed += words
+            doc_id += 1
+    d = _docs_parquet(tmp_path_factory, rows)
+    got = corpus_dedup_impact(spark, d).collect()
+    assert sum(r["n_docs"] - r["n_dup_docs"] for r in got) == len(clusters)
+    assert sum(r["tokens_removed"] for r in got) == expected_removed
+    for r in got:
+        assert 0 <= r["tokens_removed"] <= r["tokens_total"]
+        # n_dup_docs may EQUAL n_docs: a source is 100% duplicate when
+        # every cluster keeper lives in another source — the exact
+        # cross-source case the report exists to surface.
+        assert 0 <= r["n_dup_docs"] <= r["n_docs"]
