@@ -28,20 +28,25 @@ state after each.
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
+from pyspark.sql.types import (  # noqa: E402
     LongType,
     StringType,
     StructField,
     StructType,
 )
 
-from jorvik_spark.storage import BasicStorage
-from jorvik_spark.streaming import incremental_dedup_sink
-from jorvik_spark.queries.text_analysis import _TOKENS
+from jorvik_spark.storage import BasicStorage  # noqa: E402
+from jorvik_spark.streaming import incremental_dedup_sink  # noqa: E402
+from jorvik_spark.queries.text_analysis import _TOKENS  # noqa: E402
 
 DOCUMENTS_SCHEMA = StructType(
     [
