@@ -59,9 +59,10 @@ from jorvik_spark.queries import sampling  # noqa: F401,E402
 #     join_q15_top_supplier, simsearch_recall_eval, text_lm_score_histogram,
 #     sample_reservoir_per_source, multimodal_size_histogram,
 #     join_q19_brackets, corpus_dedup_impact, embed_cluster_balance,
-#     join_market_basket, dedup_banding_recall_eval — registered outside
-#     the prefix this round, hash-verified by the local parity suite at
-#     sf0.001/0.01/0.1 until they get their first driver row),
+#     join_market_basket, dedup_banding_recall_eval,
+#     agg_histogram_quantile_rollup — registered outside the prefix this
+#     round, hash-verified by the local parity suite at sf0.001/0.01/0.1
+#     until they get their first driver row),
 #     then fill with the round-7-verified cohort whose evidence will
 #     then be oldest (the r7 prefix: scan/sink/projection/join/agg/
 #     window/set queries last driver-checked in CORRECTNESS_r07).

@@ -14,7 +14,7 @@ No collect(), no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jorvik_spark.tables import load_table
@@ -572,4 +572,107 @@ def agg_q6_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_items"),
         )
+    )
+
+
+# Histogram-sketch quantiles: fixed integer bucket width over
+# l_extendedprice (range ~[900, 105000] at every SF — ~1k buckets).
+# Resolution is the bucket's lower edge; mergeability is by construction
+# (integer bucket counts sum across any partitioning of the data).
+_HQ_BUCKET_W = 100
+_HQ_QS = [(500_000, "p50"), (950_000, "p95"), (990_000, "p99")]
+
+
+@query(
+    "agg_histogram_quantile_rollup",
+    oracle=f"""
+    WITH hist AS (
+        SELECT date_trunc('month', l_shipdate) AS month,
+               CAST(floor(l_extendedprice / {_HQ_BUCKET_W}) AS BIGINT)
+                   AS bucket,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+    both_h AS (
+        SELECT month, bucket, cnt FROM hist
+        UNION ALL
+        SELECT CAST(NULL AS TIMESTAMP) AS month, bucket,
+               SUM(cnt) AS cnt
+        FROM hist GROUP BY bucket),
+    cum AS (
+        SELECT month, bucket, cnt,
+               SUM(cnt) OVER (PARTITION BY month ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS c,
+               SUM(cnt) OVER (PARTITION BY month) AS n
+        FROM both_h)
+    SELECT month,
+           CAST(MAX(n) AS BIGINT) AS n_items,
+           {', '.join(
+               f"CAST(MIN(CASE WHEN c * 1000000 >= n * {q} THEN bucket END)"
+               f" * {_HQ_BUCKET_W} AS BIGINT) AS {lbl}_lo"
+               for q, lbl in _HQ_QS
+           )}
+    FROM cum GROUP BY month ORDER BY month NULLS FIRST
+    """,
+)
+def agg_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches: per-month fixed-width histograms of
+    l_extendedprice with p50/p95/p99 read off the cumulative counts, plus
+    a grand-total row merged FROM THE SKETCHES (bucket counts sum — the
+    fact table is scanned exactly once however many rollup levels exist).
+    The percentile twin of agg_hll_rollup, but exactly oracle-checkable:
+    unlike t-digest/GK sketches, integer bucket counts have no
+    engine-specific internals, and the answer is exact to the bucket
+    resolution by construction.
+
+    Scale shape: one map-side-combined groupBy builds the histogram
+    (|months| × |buckets| rows ≈ 10^5, regardless of corpus size); the
+    quantile extraction windows over THAT aggregate, never the corpus.
+    The quantile rank test uses integer cross-multiplication
+    (c * 1e6 >= n * q) — no float division anywhere, so the bucket
+    choice cannot drift between engines at any n.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_trunc(
+            "month", F.col("l_shipdate").cast("timestamp")
+        ).alias("month"),
+        F.floor(F.col("l_extendedprice") / _HQ_BUCKET_W)
+        .cast("long")
+        .alias("bucket"),
+    )
+    hist = li.groupBy("month", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    total = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).select(
+        F.lit(None).cast("timestamp").alias("month"), "bucket", "cnt"
+    )
+    both = hist.unionByName(total)
+    w_cum = (
+        Window.partitionBy("month")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("month")
+    cum = both.select(
+        "month",
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("c"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    agg_cols = [F.max("n").cast("long").alias("n_items")]
+    for q, lbl in _HQ_QS:
+        agg_cols.append(
+            (
+                F.min(
+                    F.when(
+                        F.col("c") * 1_000_000 >= F.col("n") * q,
+                        F.col("bucket"),
+                    )
+                )
+                * _HQ_BUCKET_W
+            )
+            .cast("long")
+            .alias(f"{lbl}_lo")
+        )
+    return (
+        cum.groupBy("month")
+        .agg(*agg_cols)
+        .orderBy(F.col("month").asc_nulls_first())
     )

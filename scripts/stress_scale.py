@@ -117,6 +117,7 @@ EXTRA_TARGETS = [
     "embed_cluster_balance",
     "join_market_basket",
     "dedup_banding_recall_eval",
+    "agg_histogram_quantile_rollup",
 ]
 
 

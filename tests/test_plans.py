@@ -696,3 +696,22 @@ def test_market_basket_keys_on_order_and_takes_ordered(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_histogram_quantile_windows_over_sketch_not_corpus(spark):
+    """The quantile windows must run over the bucket-histogram aggregate
+    (|months| × |buckets| rows), never the fact table: in the node tree
+    Window sits above the histogram HashAggregates, and the scan reads
+    only the two referenced lineitem columns."""
+    plan = _plan(spark, "agg_histogram_quantile_rollup")
+    tree = plan.split("\n\n", 1)[0]
+    lines = tree.splitlines()
+    last_window = max(i for i, ln in enumerate(lines) if "Window" in ln)
+    last_agg = max(i for i, ln in enumerate(lines) if "HashAggregate" in ln)
+    # Printed top = final operator: the histogram aggregates must sit
+    # BELOW the windows (they feed them), and the sketch union merges
+    # the per-month and grand-total branches before the windows run.
+    assert last_agg > last_window
+    assert "Union" in tree
+    assert "l_orderkey" not in plan  # column pruning to shipdate+price
+    assert "l_discount" not in plan
