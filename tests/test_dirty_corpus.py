@@ -305,6 +305,13 @@ REL_QUERIES = [
     "stream_foreachbatch_merge",
     # CDC apply with tombstones over the same dirty orders.
     "merge_cdc_delete",
+    # Round-8 TPC-H shapes over the same dirty tables: q13's outer join
+    # must bucket the never-ordered (and null-custkey) customers at
+    # c_count=0 with the priority exclusion pushed pre-join; q22's anti
+    # join must treat null o_custkey as matching nothing and null
+    # c_acctbal as failing the threshold on both engines.
+    "join_q13_custdist",
+    "join_q22_idle_customers",
 ]
 
 
