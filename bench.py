@@ -197,6 +197,9 @@ def main() -> None:
                 "gate_2c": {
                     "limit_x": _GATE_2C_LIMIT,
                     "ref_round": 7,
+                    # applied=false (sf != 0.1) means the gate was
+                    # SKIPPED — its "ok" is then vacuous, not a pass.
+                    "applied": sf == 0.1,
                     "ok": not violations,
                     "violations": violations,
                 },

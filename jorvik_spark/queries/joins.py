@@ -834,9 +834,11 @@ _BASKET_TOP_N = 20
 @query(
     "join_market_basket",
     oracle=f"""
-    WITH pairs AS (
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
-        FROM lineitem a JOIN lineitem b
+        FROM items a JOIN items b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
     counted AS (
         SELECT part_a, part_b, COUNT(*) AS n_orders
@@ -851,22 +853,28 @@ def join_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     the within-group pair-mining shape (identical physics to shingle
     pair mining: a self-join whose key bounds the blow-up).
 
+    The self-join runs over the DISTINCT (order, part) item set, not raw
+    lineitem rows: a part appearing on several lines of one order (55
+    such combos at sf0.01 — split shipments) must contribute ONE basket
+    membership, or n_orders multiplies by lineA×lineB per order and the
+    affinity ranking biases toward split-shipped parts.
+
     Safe at 100 TB because the join key is the ORDER, and an order holds
     a bounded handful of lineitems (≤ 17 in this corpus, avg ~4) — pairs
-    per key are C(lines,2), so the output stays linearly bounded by the
+    per key are C(items,2), so the output stays linearly bounded by the
     fact table with a small constant, never quadratic in it (the
     same reason the dedup self-joins key on shingle/band/cell, never on
-    a corpus-wide constant). The pair count shuffles on the (part_a,
-    part_b) key — near-uniform, map-side combined — and the top-20 is
+    a corpus-wide constant). The dedup itself is one map-side-combined
+    aggregation on the (order, part) key; the pair count shuffles on
+    the (part_a, part_b) key — near-uniform; the top-20 is
     TakeOrderedAndProject, not a global sort.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), "l_partkey"
+    ).distinct()
+    a = items.select("ok", F.col("l_partkey").alias("part_a"))
+    b = items.select("ok", F.col("l_partkey").alias("part_b"))
     return (
         a.join(b, "ok")
         .filter(F.col("part_a") < F.col("part_b"))

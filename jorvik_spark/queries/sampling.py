@@ -1026,35 +1026,39 @@ def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("avail_tokens").alias("total_tokens"),
         F.sum("rt").alias("total_rt"),
     )
-    budget = (
-        F.col("total_tokens") * _MIX_BUDGET_NUM / _MIX_BUDGET_DEN
-    )
-    planned = rooted.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "avail_tokens",
-        F.floor(F.col("rt") * 1_000_000 / F.col("total_rt"))
-        .cast("long")
-        .alias("weight_ppm"),
-        F.floor(
-            F.floor(budget)
-            * (F.floor(F.col("rt") * 1_000_000 / F.col("total_rt")))
-            / 1_000_000
+    # All divisions are integral `div` on exact operands — double `/` +
+    # floor can misround a quotient sitting just under an integer. The
+    # two products that multiply a corpus-scale token count by 1e6 run
+    # in DECIMAL(38,0): in int64 they overflow past ~9.2e12 budget
+    # tokens (~37 TB of text — inside the design point), where the
+    # oracle's HUGEINT sums stay exact and parity would break (ANSI
+    # deployments fail the job outright instead).
+    planned = (
+        rooted.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "weight_ppm",
+            F.expr("rt * CAST(1000000 AS BIGINT) div total_rt"),
         )
-        .cast("long")
-        .alias("alloc_tokens"),
+        .withColumn(
+            "alloc_tokens",
+            F.expr(
+                f"CAST(total_tokens * {_MIX_BUDGET_NUM} "
+                f"div {_MIX_BUDGET_DEN} AS DECIMAL(38,0)) "
+                "* weight_ppm div 1000000"
+            ).cast("long"),
+        )
     )
     return planned.select(
         "source",
         "avail_tokens",
-        "weight_ppm",
+        F.col("weight_ppm").cast("long").alias("weight_ppm"),
         "alloc_tokens",
         # greatest(...,1): an all-empty source has zero tokens; 0/0 is
         # NULL on Spark but an error-or-NULL divergence risk on other
         # engines — pin epochs 0 for an empty source on both.
-        F.floor(
-            F.col("alloc_tokens")
-            * 1_000_000
-            / F.greatest(F.col("avail_tokens"), F.lit(1))
+        F.expr(
+            "CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000 "
+            "div greatest(avail_tokens, CAST(1 AS BIGINT))"
         )
         .cast("long")
         .alias("epochs_ppm"),
@@ -1147,20 +1151,29 @@ def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.sum(F.col("i") * F.col("n_chars")).alias("rank_weighted"),
+            # The per-term product i*n_chars fits int64 comfortably, but
+            # its SUM over a big source does not (1e9 docs × ~4e12/term
+            # ≈ 4e21) — accumulate in DECIMAL(38,0), mirroring the
+            # oracle's HUGEINT SUM, or Spark overflows (ANSI failure /
+            # silent wrap) exactly where the report matters.
+            F.sum(
+                (F.col("i") * F.col("n_chars")).cast("decimal(38,0)")
+            ).alias("rank_weighted"),
         )
         .select(
             "source",
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("total_chars").cast("long").alias("total_chars"),
-            # Integer `div`, not double `/` + floor: the scaled numerator
-            # can exceed 2^53 on a big source, where double division
-            # would round before the floor while DuckDB's `//` stays
-            # exact in wide integers.
+            # Integer `div` on DECIMAL(38,0) operands, not double `/` +
+            # floor and not int64: the scaled numerator reaches ~1e21 on
+            # a big source — past 2^53 (double rounds before the floor)
+            # AND past 2^63 (int64 overflows) — while DuckDB's `//`
+            # stays exact in HUGEINT.
             F.expr(
-                "(2 * rank_weighted - (n_docs + 1) * total_chars) "
-                "* CAST(1000000 AS BIGINT) "
-                "div (n_docs * total_chars)"
+                "(2 * rank_weighted"
+                " - CAST(n_docs + 1 AS DECIMAL(38,0)) * total_chars) "
+                "* 1000000 "
+                "div (CAST(n_docs AS DECIMAL(38,0)) * total_chars)"
             )
             .cast("long")
             .alias("gini_ppm"),
@@ -1201,9 +1214,12 @@ def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT a per-source window sort: that would sort each source's full
     partition on one task (the largest source bounds the job — the exact
     trap the oracle's ROW_NUMBER is allowed because DuckDB is the small-
-    scale referee). Instead the two-phase tree shape shared with
-    simsearch_topk: a local top-N per (source, doc-id chunk) — fine keys,
-    bounded sorts — then a merge of the |sources| × N survivors.
+    scale referee). Instead a THREE-level tree, the shape shared with
+    simsearch_topk: a local top-N per (source, doc-id chunk), a mid
+    merge per (source, chunk div {_RESERVOIR_CHUNK}) so no task ever
+    concatenates more than {_RESERVOIR_CHUNK} × N survivor structs (a
+    flat two-level merge re-creates the single-task bound for a source
+    spanning millions of chunks), then the |sources| × N final merge.
     """
     docs = load_table(spark, sf_dir, "documents")
     key = F.struct(
@@ -1212,24 +1228,28 @@ def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
         F.col("doc_id").alias("d"),
     )
+    top_n = lambda c: F.slice(  # noqa: E731
+        F.sort_array(F.collect_list(c)), 1, _RESERVOIR_N
+    )
     local = (
         docs.select("source", key.alias("k"))
         .withColumn("chunk", F.expr(f"k.d div {_RESERVOIR_CHUNK}"))
         .groupBy("source", "chunk")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list("k")), 1, _RESERVOIR_N
-            ).alias("top")
+        .agg(top_n("k").alias("top"))
+    )
+    mid = (
+        local.select(
+            "source",
+            F.expr(f"chunk div {_RESERVOIR_CHUNK}").alias("superchunk"),
+            F.explode("top").alias("k"),
         )
+        .groupBy("source", "superchunk")
+        .agg(top_n("k").alias("top"))
     )
     merged = (
-        local.select("source", F.explode("top").alias("k"))
+        mid.select("source", F.explode("top").alias("k"))
         .groupBy("source")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list("k")), 1, _RESERVOIR_N
-            ).alias("top")
-        )
+        .agg(top_n("k").alias("top"))
     )
     return (
         merged.select("source", F.posexplode("top").alias("pos", "k"))
@@ -1309,10 +1329,15 @@ def corpus_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_docs",
             "tokens_total",
             "tokens_removed",
+            # DECIMAL(38,0): a dominant source can hold > 9.2e12 tokens
+            # (int64 ceiling for the ×1e6 scale-up) well inside the
+            # 100 TB design point; the oracle's HUGEINT SUM is exact, so
+            # int64 here would overflow (ANSI failure / silent wrap) and
+            # break parity exactly on the biggest source.
             F.when(F.col("tokens_total") == 0, F.lit(0))
             .otherwise(
                 F.expr(
-                    "tokens_removed * CAST(1000000 AS BIGINT)"
+                    "CAST(tokens_removed AS DECIMAL(38,0)) * 1000000"
                     " div tokens_total"
                 )
             )

@@ -971,8 +971,11 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array()))"
     )
     grams = toks.select("doc_id", "source", F.explode(bigrams).alias("bigram"))
+    # count(1), not countDistinct(doc_id): the tokenized table is one
+    # row per doc, so distinct-aggregation (partial sets shuffled per
+    # source) buys nothing over the map-side-combined count.
     src_docs = toks.groupBy("source").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+        F.count(F.lit(1)).alias("n_docs")
     )
     df = (
         grams.groupBy("source", "bigram")
@@ -983,9 +986,13 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df.join(F.broadcast(src_docs), "source")
         .withColumn(
+            # div, not double /+floor: doc_freq*1e6 passes 2^53 on a
+            # 1e10-doc source, where the double quotient rounds before
+            # the floor while the oracle's // stays exact.
             "df_ppm",
-            F.floor(F.col("doc_freq") * 1_000_000 / F.col("n_docs"))
-            .cast("long"),
+            F.expr(
+                "doc_freq * CAST(1000000 AS BIGINT) div n_docs"
+            ).cast("long"),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _BOILER_TOP_K)
@@ -1042,11 +1049,13 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("n_types").cast("long").alias("n_types"),
-            # Integer div: exact on both engines (double / could round
-            # above 2^53 before the floor).
+            # Integral div on DECIMAL(38,0): double / rounds above 2^53
+            # before the floor, and int64 overflows the ×1e6 scale-up
+            # once n_tokens² passes ~9.2e12 (a multi-million-token doc);
+            # the oracle's HUGEINT // is exact either way.
             F.expr(
-                "sum_sq * CAST(1000000 AS BIGINT) "
-                "div (n_tokens * n_tokens)"
+                "CAST(sum_sq AS DECIMAL(38,0)) * 1000000 "
+                "div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)"
             )
             .cast("long")
             .alias("simpson_ppm"),

@@ -529,3 +529,34 @@ def test_dedup_impact_reconciles(spark, tmp_path_factory, clusters):
         # every cluster keeper lives in another source — the exact
         # cross-source case the report exists to surface.
         assert 0 <= r["n_dup_docs"] <= r["n_docs"]
+
+
+def test_ppm_arithmetic_survives_corpus_scale_operands(spark):
+    """The ×1e6 ppm scale-ups in the corpus reports run in DECIMAL(38,0):
+    pin that the exact expression forms used by corpus_dedup_impact /
+    corpus_source_gini / corpus_mixture_epochs / text_simpson_diversity
+    return the Python-exact integral quotient for operands past the
+    int64 ceiling (tokens_removed ≈ 6e18 · 1e6 ≈ 6e24), where the old
+    int64 forms overflowed (ANSI failure or silent wraparound)."""
+    from pyspark.sql import functions as F
+
+    removed, total = 6_148_914_691_236_517_205, 9_223_372_036_854_775_783
+    df = spark.createDataFrame(
+        [(removed, total)], "tokens_removed long, tokens_total long"
+    )
+    [r] = df.select(
+        F.expr(
+            "CAST(tokens_removed AS DECIMAL(38,0)) * 1000000"
+            " div tokens_total"
+        ).cast("long").alias("ppm"),
+        F.expr(
+            "(2 * CAST(tokens_removed AS DECIMAL(38,0))"
+            " - CAST(3 AS DECIMAL(38,0)) * 2000000000000)"
+            " * 1000000 div (CAST(2 AS DECIMAL(38,0)) * tokens_total)"
+        ).cast("long").alias("gini_like"),
+    ).collect()
+    assert r["ppm"] == removed * 1_000_000 // total
+    assert (
+        r["gini_like"]
+        == (2 * removed - 3 * 2_000_000_000_000) * 1_000_000 // (2 * total)
+    )
