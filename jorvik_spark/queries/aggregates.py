@@ -662,7 +662,12 @@ def agg_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
             (
                 F.min(
                     F.when(
-                        F.col("c") * 1_000_000 >= F.col("n") * q,
+                        # DECIMAL(38,0) cross-multiplication: c·1e6 and
+                        # n·q pass int64 at ~9.2e12 rows per month —
+                        # within reach of extreme fact tables — while the
+                        # oracle's HUGEINT window sums stay exact.
+                        F.col("c").cast("decimal(38,0)") * 1_000_000
+                        >= F.col("n").cast("decimal(38,0)") * q,
                         F.col("bucket"),
                     )
                 )

@@ -1301,7 +1301,9 @@ def dedup_banding_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             F.when(F.col(den) == 0, F.lit(0))
             .otherwise(
-                F.expr(f"{num} * CAST(1000000 AS BIGINT) div {den}")
+                F.expr(
+                f"CAST({num} AS DECIMAL(38,0)) * 1000000 div {den}"
+            )
             )
             .cast("long")
         )

@@ -589,7 +589,13 @@ def join_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    q = lambda c: F.sum(F.floor(c * 1_000_000 + F.lit(0.5)))  # noqa: E731
+    # Quantized units accumulate in DECIMAL(38,0) (int64 overflows past
+    # 9.2e12 value units per group — one 100 TB revenue month); the share
+    # division casts both exact sums to double, mirroring DuckDB's
+    # HUGEINT/HUGEINT → double, so the rounded ppm stays hash-identical.
+    q = lambda c: F.sum(  # noqa: E731
+        F.floor(c * 1_000_000 + F.lit(0.5)).cast("decimal(38,0)")
+    )
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
@@ -600,7 +606,12 @@ def join_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.floor(
-                (F.col("_promo_q") / F.col("_all_q")) * 1_000_000 + F.lit(0.5)
+                (
+                    F.col("_promo_q").cast("double")
+                    / F.col("_all_q").cast("double")
+                )
+                * 1_000_000
+                + F.lit(0.5)
             )
             .cast("long")
             .alias("promo_share_ppm"),
@@ -744,12 +755,15 @@ def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     s = load_table(spark, sf_dir, "supplier")
+    # DECIMAL(38,0) accumulator for the same reason as registry.dsum: a
+    # per-supplier quarter can pass the int64 unit ceiling at extreme
+    # corpus scale, and the argmax equality must compare exact integers.
     rev_q = F.sum(
         F.floor(
             F.col("l_extendedprice") * (1 - F.col("l_discount"))
             * 1_000_000
             + F.lit(0.5)
-        ).cast("long")
+        ).cast("decimal(38,0)")
     )
     rev = li.groupBy("l_suppkey").agg(rev_q.alias("total_q"))
     mx = rev.agg(F.max("total_q").alias("m"))

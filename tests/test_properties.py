@@ -560,3 +560,29 @@ def test_ppm_arithmetic_survives_corpus_scale_operands(spark):
         r["gini_like"]
         == (2 * removed - 3 * 2_000_000_000_000) * 1_000_000 // (2 * total)
     )
+
+
+def test_dsum_exceeds_int64_unit_ceiling_and_matches_oracle(spark):
+    """registry.dsum accumulates quantized units in DECIMAL(38,0): two
+    rows of 9e12 currency units (9e18 quantized each) push the unit sum
+    to 1.8e19 — past int64, where the old accumulator overflowed — and
+    the result must still match DuckDB's HUGEINT-sum sql_dsum on the
+    same values bit-for-bit after the common /1e6 double conversion."""
+    import duckdb
+
+    from jorvik_spark.queries.registry import dsum, sql_dsum
+
+    vals = [9.0e12, 9.0e12, 123.456789, -0.25]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    [got] = df.agg(dsum("x").alias("s")).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({v!r})" for v in vals)
+        + ") AS v(x)"
+    )
+    [(want,)] = con.execute(
+        f"SELECT {sql_dsum('x')} FROM t"
+    ).fetchall()
+    assert got["s"] == want
+    assert abs(got["s"] - sum(vals)) < 1.0  # sanity: magnitude right
