@@ -11,8 +11,6 @@ line: the indented operator tree, then per-node detail blocks
 
 from __future__ import annotations
 
-import contextlib
-import io
 import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -67,11 +65,21 @@ ExecutionNode = PlanNode
 
 def capture_explain(df: DataFrame) -> str:
     """Return ``df.explain('formatted')`` output as a string (the PySpark
-    API only prints it — reference execution_plan.py:56-71)."""
-    buffer = io.StringIO()
-    with contextlib.redirect_stdout(buffer):
-        df.explain("formatted")
-    return buffer.getvalue()
+    API only prints it — reference execution_plan.py:56-71).
+
+    Taken from the JVM queryExecution directly, NOT via
+    ``contextlib.redirect_stdout`` around ``df.explain()``: that redirect
+    swaps ``sys.stdout`` process-wide, and this capture runs on an
+    abandonable watchdog thread (observer.py) — a capture that outlives
+    its timeout would leave the whole application printing into an
+    orphaned buffer, and any concurrent thread's prints would corrupt
+    the captured plan text.
+    """
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
 
 
 def split_formatted_explain(explain_result: str) -> tuple:

@@ -18,6 +18,7 @@ Q10 kept), in Delta when available, else parquet.
 from __future__ import annotations
 
 import threading
+import warnings
 from datetime import datetime
 from typing import List
 
@@ -119,8 +120,28 @@ class DataLineageLogger:
         )
 
     def update(self, df: DataFrame, output_path: str) -> None:
-        data_sources = self._get_data_sources(df)
-        code_file = paths.get_codefile_path()
-        self._store_lineage_log(
-            self._create_lineage_log(data_sources, output_path, code_file)
-        )
+        """Capture and append one lineage row — BEST-EFFORT.
+
+        Deliberate deviation from the reference (observer.py:101-105
+        propagates): update() runs AFTER the user's data has landed, so a
+        lineage-only failure (log path outside the isolation mount, log
+        table locked, plan-capture error) must not turn a successful
+        write into a caller-visible exception — with the reference's
+        propagate-everything behavior, one misconfigured lineage path
+        fails every write in the pipeline. Failures surface as a warning
+        carrying the output path, so telemetry loss is visible without
+        being fatal.
+        """
+        try:
+            data_sources = self._get_data_sources(df)
+            code_file = paths.get_codefile_path()
+            self._store_lineage_log(
+                self._create_lineage_log(data_sources, output_path, code_file)
+            )
+        except Exception as exc:  # noqa: BLE001 — telemetry must not fail IO
+            warnings.warn(
+                f"Data-lineage capture failed for {output_path!r} "
+                f"({type(exc).__name__}: {exc}); the data write itself "
+                "succeeded.",
+                stacklevel=2,
+            )

@@ -202,15 +202,24 @@ class ETL:
     def extract(self) -> Tuple[DataFrame, ...]:
         return tuple(i.extract() for i in self.inputs)
 
-    def load(self, *transformed: DataFrame) -> None:
+    def load(self, *transformed: DataFrame) -> list:
+        """Load each output; returns the per-output load results.
+
+        Deviation from the reference (etl.py:166-171 returns None): a
+        ``StreamFileOutput.load`` returns its ``StreamingQuery``, and
+        discarding it leaves the caller no handle to await or stop the
+        stream — a script exiting right after ``run()`` would kill the
+        query mid-batch with no way to drain it. Batch outputs contribute
+        ``None`` entries; callers that ignore the return value are
+        unaffected.
+        """
         if len(transformed) != len(self.outputs):
             raise RuntimeError(
                 "Number of transformed dataframes must match number of outputs"
             )
-        for df, out in zip(transformed, self.outputs):
-            out.load(df)
+        return [out.load(df) for df, out in zip(transformed, self.outputs)]
 
-    def run(self) -> None:
+    def run(self) -> list:
         data = self.extract()
         if self.validate_schemas:
             self.verify_input_schemas(data)
@@ -222,7 +231,7 @@ class ETL:
         if self.validate_schemas:
             self.verify_output_schemas(transformed)
 
-        self.load(*transformed)
+        return self.load(*transformed)
 
     def verify_input_schemas(self, data: Tuple[DataFrame, ...]) -> None:
         """Input contract: declared ⊆ actual (reference etl.py:189-199)."""

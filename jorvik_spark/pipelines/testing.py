@@ -4,13 +4,22 @@
 *empty* DataFrames built from the declared input schemas and assert the
 output schemas — catches schema drift without reading any data (reference
 testing.py:22-32).
+
+Deliberate deviation: the assertion uses the SAME schema-equality contract
+as the runtime gate (``audit.schemas.are_equal`` — name-keyed, column-order-
+and nullability-insensitive) instead of the reference's
+``pyspark.testing.assertSchemaEqual`` (order-sensitive by default). The
+reference's pairing red-flags pipelines whose transform returns columns in
+a different order even though ``ETL.run()``'s own
+``verify_output_schemas`` accepts them — a smoke test stricter than the
+thing it smoke-tests is a false alarm, not a gate.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.testing import assertSchemaEqual
 
+from jorvik_spark.audit import schemas
 from jorvik_spark.pipelines.etl import ETL
 
 
@@ -24,4 +33,8 @@ def smoke_test_etl(etl: ETL) -> None:
         transformed = (transformed,)
 
     for df, out in zip(transformed, etl.outputs):
-        assertSchemaEqual(df.schema, out.schema)
+        if not schemas.are_equal(df.schema, out.schema):
+            raise AssertionError(
+                "Transform output schema does not match the declared "
+                "output schema:\n" + schemas.diff(out.schema, df.schema)
+            )

@@ -407,18 +407,21 @@ class BasicStorage:
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         HPath = jvm.org.apache.hadoop.fs.Path
         old = HPath(path.rstrip("/") + "__jorvik_merge_old__")
-        try:
-            fs = HPath(path).getFileSystem(hconf)
-            if fs.exists(old) and not fs.exists(HPath(path)):
-                if not fs.rename(old, HPath(path)):
-                    raise IOError(
-                        f"Found interrupted merge swap but could not "
-                        f"restore {old} -> {path}"
-                    )
-        except IOError:
-            raise
-        except Exception:  # noqa: BLE001 — FS without rename semantics
-            pass
+        # No blanket except around the probe: if getFileSystem/exists
+        # throws (transient FS/credential error), we CANNOT know whether
+        # an interrupted swap left the table aside — silently skipping
+        # recovery would let the retrying merge "create" the table from
+        # the incremental batch alone and later delete the __old__ copy
+        # as a stale leftover: permanent loss of the full table, the
+        # exact scenario this roll-forward exists to prevent. Failing the
+        # merge loudly is the only safe answer to an unanswerable probe.
+        fs = HPath(path).getFileSystem(hconf)
+        if fs.exists(old) and not fs.exists(HPath(path)):
+            if not fs.rename(old, HPath(path)):
+                raise IOError(
+                    f"Found interrupted merge swap but could not "
+                    f"restore {old} -> {path}"
+                )
 
     def _atomic_overwrite(
         self,

@@ -31,6 +31,20 @@ from pyspark.sql.streaming import StreamingQuery
 
 from jorvik_spark.storage.basic import BasicStorage
 
+_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+def _normalize(path: str) -> str:
+    """Collapse duplicate slashes WITHOUT destroying a URI scheme: the
+    plain ``re.sub('/+', '/')`` turns ``s3a://bucket/x`` into
+    ``s3a:/bucket/x``, silently breaking every isolation rewrite on an
+    object-store lake. The scheme's ``//`` is preserved; the path part
+    is collapsed as before."""
+    m = _SCHEME.match(path)
+    if m:
+        return m.group(0) + re.sub("/+", "/", path[m.end():])
+    return re.sub("/+", "/", path)
+
+
 MOUNT_POINT_CONF = "io.jorvik.storage.mount_point"
 ISOLATION_FOLDER_CONF = "io.jorvik.storage.isolation_folder"
 DEFAULT_MOUNT_POINT = "/mnt"
@@ -57,7 +71,9 @@ class IsolatedStorage:
         mount = (spark.conf.get(MOUNT_POINT_CONF, "") or "").rstrip("/")
         if not mount:
             mount = DEFAULT_MOUNT_POINT
-        if not mount.startswith("/"):
+        # URI-addressed lakes (s3a://bucket/lake, abfss://...) keep their
+        # scheme verbatim; only bare paths get the leading slash.
+        if not mount.startswith("/") and not _SCHEME.match(mount):
             mount = "/" + mount
         return mount
 
@@ -89,8 +105,17 @@ class IsolatedStorage:
 
     def _try_create_isolation_path(self, path: str) -> Optional[str]:
         """Anchored rewrite; ``None`` when ``path`` is outside the mount
-        (read paths fall back to production, write paths must raise)."""
+        (read paths fall back to production, write paths must raise).
+
+        The out-of-mount test runs BEFORE the provisioned-folder check: a
+        path the algebra cannot isolate anyway must fall back (or raise
+        ValueError on write) identically whether or not the sandbox
+        folder exists — an unprovisioned folder used to turn a
+        documented production fallback into a RuntimeError."""
         mount = self._mount_point()
+        normalized = _normalize(path)
+        if not normalized.startswith(mount.rstrip("/") + "/"):
+            return None
         folder = self._isolation_folder()
         mounted_folder = os.path.join(mount, folder)
         if not self.storage.exists(mounted_folder):
@@ -98,14 +123,11 @@ class IsolatedStorage:
                 f"Isolation folder: {mounted_folder} does not exist! "
                 "Have you mounted it?"
             )
-        normalized = re.sub("/+", "/", path)
-        if not normalized.startswith(mount.rstrip("/") + "/"):
-            return None
         context = (self.isolation_provider() or "").strip("/")
         rewritten = normalized.replace(
-            mount, os.path.join(mount, folder, context) + "/", 1
+            mount, mount + "/" + folder + "/" + context + "/", 1
         )
-        return re.sub("/+", "/", rewritten)
+        return _normalize(rewritten)
 
     def _remove_isolation_path(self, path: str) -> str:
         """Inverse rewrite for forced production reads (isolation.py:66-83).
@@ -119,13 +141,13 @@ class IsolatedStorage:
         mount = self._mount_point()
         folder = self._isolation_folder()
         context = (self.isolation_provider() or "").strip("/")
-        normalized = re.sub("/+", "/", path)
-        prefix = re.sub(
-            "/+", "/", os.path.join(mount, folder, context)
+        normalized = _normalize(path)
+        prefix = _normalize(
+            mount + "/" + folder + "/" + context
         ).rstrip("/")
         if normalized.startswith(prefix + "/"):
-            return re.sub(
-                "/+", "/", mount + "/" + normalized[len(prefix) + 1:]
+            return _normalize(
+                mount + "/" + normalized[len(prefix) + 1:]
             )
         return normalized
 
@@ -228,8 +250,17 @@ class IsolatedStorage:
 
     def _resolve_read_path(self, path: str) -> str:
         """Isolated copy if present, else production. A path outside the
-        mount has no isolated copy by construction — read it as-is."""
-        isolation_path = self._try_create_isolation_path(path)
+        mount has no isolated copy by construction — read it as-is.
+
+        An unprovisioned isolation folder means no sandbox copy can
+        exist, so reads fall back to production — the same probe
+        semantics as :meth:`exists` (``if exists(p): read(p)`` must not
+        raise where exists() answered). Only WRITES require the
+        provisioned folder (reference isolation.py:53 raises there)."""
+        try:
+            isolation_path = self._try_create_isolation_path(path)
+        except RuntimeError:
+            isolation_path = None
         if isolation_path is not None and self.storage.exists(isolation_path):
             return isolation_path
         return path

@@ -21,9 +21,18 @@ from jorvik_spark.utils import git
 CONTEXT_ENV_VAR = "JORVIK_ISOLATION_CONTEXT"
 
 
+# Context values already proven filesystem-safe this process: the probe
+# creates and deletes a real temp directory, and configure() runs on the
+# hot write path (per ETL output + per lineage append) — re-probing the
+# same branch name on every write is pure filesystem churn.
+_VALIDATED_CONTEXTS: set = set()
+
+
 def _validate_isolation_context(context: str) -> None:
     """The context becomes a directory path component — probe that the
     filesystem accepts it (reference isolation_providers.py:9-25).
+    Memoized per context value: a name the filesystem accepted once
+    cannot stop being a valid directory name within the same process.
 
     ``makedirs`` rather than the reference's ``mkdir``: git's dominant
     branch convention is slash-namespaced (``feature/x``), which the path
@@ -33,6 +42,8 @@ def _validate_isolation_context(context: str) -> None:
     (they resolve outside the probe dir and the commonpath check below
     catches them).
     """
+    if context in _VALIDATED_CONTEXTS:
+        return
     try:
         with tempfile.TemporaryDirectory() as tmp:
             target = os.path.join(tmp, context)
@@ -46,6 +57,7 @@ def _validate_isolation_context(context: str) -> None:
             f"Invalid isolation context name {context!r}: not accepted as a "
             "directory name by the filesystem."
         ) from e
+    _VALIDATED_CONTEXTS.add(context)
 
 
 def get_spark_config(config_key: str, default_value: Optional[str] = None) -> str:

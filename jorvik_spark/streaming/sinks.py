@@ -61,7 +61,13 @@ def foreach_batch_merge(
     aliases, e.g. ``incremental.op = 'D'``) this sink is a full CDC
     apply: tombstone rows delete their target match, other rows upsert —
     combined with ``dedup_keys``/``dedup_order_col`` collapsing each key
-    to its latest change first, replaying a CDC feed converges.
+    to its latest change first, replaying a CDC feed converges. The
+    creation batch is pre-filtered by the same conditions (merge() alone
+    creates a missing table unconditionally — documented reference
+    behavior — which would let tombstones land as live rows exactly
+    once). For full convergence also gate inserts on the tombstone flag
+    (e.g. ``insert_condition="incremental.op != 'D'"``) so a replayed
+    tombstone whose target is already gone is not resurrected as a row.
 
     Which row survives: with ``dedup_order_col`` (an event-time/sequence
     column), the LATEST row per key wins — greatest order value, residual
@@ -106,6 +112,38 @@ def foreach_batch_merge(
                 )
             else:
                 batch_df = batch_df.dropDuplicates(dedup_keys)
+        # Bootstrap screen: merge() creates a MISSING target with a plain
+        # write where no clause conditions apply (documented reference
+        # behavior, basic.py merge docstring) — so on the very first
+        # batch, tombstones would land as live rows and
+        # insert_condition-rejected rows would slip in, and a checkpoint
+        # replay of that same batch against the now-existing table would
+        # then delete/skip them: first apply and replay would DIVERGE.
+        # Pre-filtering the creation batch by the same conditions keeps
+        # the sink's replay-convergence contract.
+        if not storage.exists(path):
+            delete_c = (
+                str(delete_condition).lower()
+                if isinstance(delete_condition, bool)
+                else delete_condition
+            )
+            insert_c = (
+                str(insert_condition).lower()
+                if isinstance(insert_condition, bool)
+                else insert_condition
+            )
+            if delete_c is not None and delete_c != "false":
+                batch_df = batch_df.alias("incremental").filter(
+                    ~F.expr(delete_c)
+                )
+            if insert_c == "false":
+                return  # inserts disabled: nothing may create the table
+            if insert_c is not None and insert_c != "true":
+                batch_df = batch_df.alias("incremental").filter(
+                    F.expr(insert_c)
+                )
+            if batch_df.isEmpty():
+                return
         storage.merge(
             batch_df,
             path,

@@ -164,3 +164,25 @@ def test_smoke_test_etl_catches_drift(spark, tmp_path):
     wrong_out = StructType([StructField("id", LongType(), True)])
     with pytest.raises(Exception):
         smoke_test_etl(_simple_join(str(tmp_path), out_schema=wrong_out))
+
+
+def test_run_returns_per_output_load_results(spark, tmp_path):
+    """ETL.run surfaces each output's load() result so a streaming
+    output's StreamingQuery handle is not lost (batch outputs yield
+    None). Deviation from the reference documented in ETL.load."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame([(1,)], "id long").write.parquet(src)
+
+    schema = StructType([StructField("id", LongType())])
+
+    @etl(
+        FileInput(path=src, schema=schema),
+        FileOutput(path=out, schema=schema, mode="overwrite"),
+    )
+    def passthrough(df):
+        return df
+
+    results = passthrough.run()
+    assert results == [None]  # batch FileOutput.load returns nothing
+    assert spark.read.parquet(out).count() == 1

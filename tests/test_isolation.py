@@ -395,3 +395,53 @@ def test_exists_falls_back_when_isolation_unprovisioned(spark, set_conf):
     answers = iter([False, True])  # folder missing, production present
     fake.exists = lambda path: next(answers)
     assert st.exists("/mnt/data/t") is True
+
+
+class _FolderlessStorage(FakeStorage):
+    """exists() is False ONLY for the isolation folder itself — the
+    unprovisioned-sandbox environment."""
+
+    def __init__(self, folder_prefix):
+        super().__init__(exists=True)
+        self._folder_prefix = folder_prefix
+
+    def exists(self, path):
+        self.calls.append(("exists", path))
+        return not path.startswith(self._folder_prefix)
+
+
+def test_unprovisioned_folder_probes_fall_back_but_writes_raise(
+    spark, set_conf
+):
+    """With the isolation folder NOT mounted: (a) reading a path outside
+    the mount falls back to production (the out-of-mount test runs before
+    the provisioned-folder check); (b) reading an under-mount path falls
+    back to production — the same probe semantics exists() documents, so
+    `if exists(p): read(p)` never raises; (c) writing under the mount
+    still raises the reference's RuntimeError (isolation.py:53)."""
+    set_conf("/mnt", "iso")
+    st = IsolatedStorage(
+        storage=_FolderlessStorage("/mnt/iso"),
+        isolation_provider=lambda: "branch",
+    )
+    assert st.read("/data/outside.parquet") == "df@/data/outside.parquet"
+    assert st.exists("/mnt/data/t.parquet")
+    assert st.read("/mnt/data/t.parquet") == "df@/mnt/data/t.parquet"
+    with pytest.raises(RuntimeError, match="Have you mounted"):
+        st.write("df", "/mnt/data/t.parquet")
+
+
+def test_uri_scheme_mount_round_trips(spark, set_conf):
+    """An object-store lake (s3a://bucket/lake) must isolate and invert
+    without the scheme's // collapsing to / — the plain slash-normalizer
+    silently corrupted every URI rewrite."""
+    set_conf("s3a://bucket/lake", "iso")
+    st = IsolatedStorage(
+        storage=FakeStorage(), isolation_provider=lambda: "branch"
+    )
+    prod = "s3a://bucket/lake/tables/t.parquet"
+    isolated = st._create_isolation_path(prod)
+    assert isolated == "s3a://bucket/lake/iso/branch/tables/t.parquet"
+    assert st._remove_isolation_path(isolated) == prod
+    # outside the bucket → not isolatable, reads fall back
+    assert st._try_create_isolation_path("s3a://other/t") is None

@@ -619,3 +619,39 @@ def test_incremental_dedup_sink_tolerates_empty_index_dir(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
+
+
+def test_foreach_batch_merge_bootstrap_screens_cdc_conditions(spark, tmp_path):
+    """First micro-batch against a MISSING target: merge() alone creates
+    the table unconditionally (documented reference behavior), so the
+    sink must pre-filter the creation batch — a tombstone (op='D') and an
+    insert-condition-rejected row must NOT land as live rows, and a
+    checkpoint replay of the same batch must leave the table unchanged
+    (replay convergence)."""
+    from jorvik_spark.streaming.sinks import foreach_batch_merge
+
+    st = BasicStorage()
+    target = str(tmp_path / "t")
+    src = str(tmp_path / "s")
+    spark.createDataFrame(
+        [(1, "I", "keep"), (2, "D", "tombstone"), (3, "X", "rejected")],
+        "id long, op string, v string",
+    ).write.parquet(src)
+
+    def run(cp):
+        q = foreach_batch_merge(
+            st.readStream(src, "parquet"), st, target,
+            "full.id = incremental.id", checkpoint=cp,
+            insert_condition="incremental.op = 'I'",
+            delete_condition="incremental.op = 'D'",
+        )
+        q.awaitTermination(120)
+        return sorted(tuple(r) for r in st.read(target, "parquet").collect())
+
+    first = run(str(tmp_path / "cp1"))
+    assert first == [(1, "I", "keep")]
+    # fresh checkpoint = full replay of the same source against the
+    # now-existing table: the tombstone matches nothing, the rejected row
+    # fails the insert gate, row 1 upserts onto itself
+    replay = run(str(tmp_path / "cp2"))
+    assert replay == first
