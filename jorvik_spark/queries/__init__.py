@@ -60,7 +60,10 @@ from jorvik_spark.queries import sampling  # noqa: F401,E402
 #     sample_reservoir_per_source, multimodal_size_histogram,
 #     join_q19_brackets, corpus_dedup_impact, embed_cluster_balance,
 #     join_market_basket, dedup_banding_recall_eval,
-#     agg_histogram_quantile_rollup — registered outside the prefix this
+#     agg_histogram_quantile_rollup, join_q2_best_supplier,
+#     join_q4_priority_exists, join_q7_nation_volume, join_q8_market_share,
+#     join_q9_profit_proxy, join_q12_late_lines, join_q17_small_quantity,
+#     join_q21_waiting_supplier — registered outside the prefix this
 #     round, hash-verified by the local parity suite at sf0.001/0.01/0.1
 #     until they get their first driver row),
 #     then fill with the round-7-verified cohort whose evidence will

@@ -897,3 +897,570 @@ def join_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(_BASKET_TOP_N)
     )
+
+
+@query(
+    "join_q2_best_supplier",
+    oracle="""
+    WITH eligible AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ranked AS (
+        SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+               n.n_name,
+               ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                                  ORDER BY s.s_acctbal DESC, s.s_suppkey)
+                   AS rn
+        FROM part p
+        JOIN eligible e ON e.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = e.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_size BETWEEN 10 AND 15 AND p.p_type = 'STANDARD'
+          AND r.r_name = 'EUROPE')
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+    FROM ranked WHERE rn = 1
+    ORDER BY s_acctbal DESC, p_partkey LIMIT 100
+    """,
+)
+def join_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best regional supplier per part (TPC-H Q2 shape): a correlated
+    min/max-per-group subquery re-expressed as a window rank over the
+    part⋈supplier relation.
+
+    The corpus has no partsupp table, so the part↔supplier relation is
+    the DISTINCT (l_partkey, l_suppkey) pair set from lineitem — one
+    map-side-combined aggregation standing in for the partsupp scan —
+    and "best" is highest s_acctbal (ties to the lowest suppkey; TPC-H
+    picks min ps_supplycost, which does not exist here). Both dimension
+    sides (filtered part, supplier⋈nation⋈region) broadcast; the only
+    shuffle is the pair-set distinct on (partkey, suppkey), and the
+    per-part rank partitions by partkey — high cardinality, no hot key.
+    Unlike TPC-H's NOT-EXISTS formulation, the window form computes the
+    argmax in one pass without re-scanning the relation.
+    """
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("p_partkey").orderBy(
+            F.desc("s_acctbal"), F.asc("s_suppkey")
+        )
+    )
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(F.broadcast(sup), pairs.l_suppkey == sup.s_suppkey)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+            "n_name",
+        )
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy(F.desc("s_acctbal"), "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "join_q4_priority_exists",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def join_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority counts among orders with a late shipment (TPC-H Q4
+    shape): correlated EXISTS → native left_semi join with a compound
+    (equi + non-equi) condition.
+
+    The corpus lineitem has no commit/receipt dates, so "late" is a
+    shipment more than 90 days after the order date — the same
+    both-sides-referencing correlated predicate as Q4's
+    l_commitdate < l_receiptdate. The semi join carries the equi key
+    (orderkey) for the shuffle plus the date comparison as a residual
+    condition — no EXISTS materialization, no distinct, at most one
+    probe match kept per order. The 6-month window is pushed to the
+    orders scan; the agg groups five priority values (map-side combine
+    collapses it before the final 5-row exchange).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey) & late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "join_q7_nation_volume",
+    oracle=f"""
+    WITH shipping AS (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum('volume')} AS revenue,
+           COUNT(*) AS n_items
+    FROM shipping GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def join_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume between two nations by year (TPC-H Q7
+    shape): a five-way fact⋈fact⋈dims join where the selective predicate
+    lives on BOTH distant dimensions (supplier nation, customer nation).
+
+    The nation-pair disjunction is decomposed into per-side IN filters
+    applied BEFORE the joins — the supplier side collapses to a tiny
+    broadcast that prunes lineitem at its first probe, and the customer
+    side shrinks to the two nations' customers before the orders join —
+    with the exact (A,B)/(B,A) pairing applied once both names are in
+    scope. Only two wide shuffles remain at any scale: orders⋈customer
+    on custkey and lineitem⋈orders on orderkey; the final agg groups
+    (2 pairs × years), collapsed map-side.
+    """
+    pair = ("NATION_1", "NATION_2")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = load_table(spark, sf_dir, "supplier")
+    sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    cust = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == pair[0])
+                & (F.col("cust_nation") == pair[1])
+            )
+            | (
+                (F.col("supp_nation") == pair[1])
+                & (F.col("cust_nation") == pair[0])
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum(volume).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "join_q8_market_share",
+    oracle=f"""
+    WITH allrev AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA')
+    SELECT o_year,
+           CAST(floor(
+               (SUM(CAST(floor(CASE WHEN supp_nation = 'NATION_9'
+                                    THEN volume ELSE 0.0 END
+                               * 1000000 + 0.5) AS BIGINT))
+                / SUM(CAST(floor(volume * 1000000 + 0.5) AS BIGINT)))
+               * 1000000 + 0.5) AS BIGINT) AS mkt_share_ppm,
+           {sql_dsum('volume')} AS total_revenue,
+           COUNT(*) AS n_items
+    FROM allrev GROUP BY o_year ORDER BY o_year
+    """,
+)
+def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One supplier nation's share of a region's market by year (TPC-H
+    Q8 shape): the widest join tree in the library — fact⋈fact plus four
+    dimension hops — reduced to a per-year conditional-ratio aggregate.
+
+    Part (type-filtered) and supplier⋈nation broadcast and prune
+    lineitem first; the customer side pre-joins nation⋈region down to an
+    ASIA-customer key set, so the two remaining shuffles (orders⋈customer
+    on custkey, lineitem⋈orders on orderkey) carry only regional traffic.
+    The share is ppm-style from quantized integer sums (the q14
+    convention): both engines divide bit-identical operands, so the
+    rounded ppm cannot drift. DECIMAL(38,0) accumulators keep the sums
+    exact past the int64 unit ceiling (one year of 100 TB revenue).
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    cust = (
+        c.join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
+        .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target_vol = F.when(
+        F.col("supp_nation") == "NATION_9", volume
+    ).otherwise(F.lit(0.0))
+    q = lambda col: F.sum(  # noqa: E731
+        F.floor(col * 1_000_000 + F.lit(0.5)).cast("decimal(38,0)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            q(target_vol).alias("_target_q"),
+            q(volume).alias("_all_q"),
+            dsum(volume).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "o_year",
+            F.floor(
+                (
+                    F.col("_target_q").cast("double")
+                    / F.col("_all_q").cast("double")
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mkt_share_ppm"),
+            "total_revenue",
+            "n_items",
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "join_q9_profit_proxy",
+    oracle=f"""
+    WITH profit AS (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                   - 0.5 * p.p_retailprice * l.l_quantity AS amount
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%red%')
+    SELECT nation, o_year,
+           {sql_dsum('amount')} AS sum_profit,
+           COUNT(*) AS n_items
+    FROM profit GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def join_q9_profit_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-line profit by supplier nation and year (TPC-H Q9 shape):
+    name-pattern part filter, two broadcast dimension probes, grouped
+    signed-amount aggregation.
+
+    The corpus has no partsupp/ps_supplycost, so unit cost is proxied as
+    half the part's retail price — the amount keeps Q9's
+    revenue-minus-cost SIGNED arithmetic, which is the point of the
+    shape: dsum's fixed-point accumulator is exercised with negative
+    quantized units (floor(x*1e6+0.5) rounds half-up for negatives
+    identically on both engines). The LIKE filter cannot push to the
+    parquet scan as a range, but it prunes the broadcast build side to
+    ~13% of part before the probe; lineitem is never shuffled at all —
+    both probes broadcast, and the only exchange is the final
+    (25 nations × years) agg.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(
+            "nation", F.year("l_shipdate").cast("long").alias("o_year")
+        )
+        .agg(
+            dsum(amount).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "join_q12_late_lines",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_linestatus ORDER BY l.l_linestatus
+    """,
+)
+def join_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority mix of late shipments per line status (TPC-H Q12 shape):
+    fact⋈fact join with a residual cross-table predicate, then paired
+    conditional counts.
+
+    The corpus has no l_shipmode, so the receipt-year window and
+    commit/receipt lateness become a shipdate-year window (pushed to the
+    lineitem parquet scan) and a shipped->90-days-after-order residual
+    carried on the join itself — evaluated during the probe, so late
+    rows never materialize. l_linestatus stands in for shipmode as the
+    grouping column. One shuffle on orderkey (the year filter shrinks it
+    ~7× first); the high/low split is two CASE counts in one aggregate
+    pass, long-typed on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "join_q17_small_quantity",
+    oracle=f"""
+    WITH li_brand AS (
+        SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+               l.l_extendedprice
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'),
+    stats AS (
+        SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+               COUNT(*) AS cnt
+        FROM li_brand GROUP BY l_partkey)
+    SELECT {sql_dsum('l.l_extendedprice')} AS total_extended_price,
+           COUNT(*) AS n_small_lines
+    FROM li_brand l JOIN stats s ON s.l_partkey = l.l_partkey
+    WHERE 2 * l.qty * s.cnt < s.sum_qty
+    """,
+)
+def join_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue sitting in below-half-average-quantity order lines of one
+    brand (TPC-H Q17 shape): a correlated per-part average re-expressed
+    as aggregate + join-back.
+
+    The correlated subquery (``l_quantity < 0.5 * avg per part``) is the
+    classic re-scan trap; the oracle keeps the aggregate-plus-join-back
+    SQL, while the Spark plan computes the per-part stats as WINDOW
+    aggregates over the partkey partition — the brand-filtered slice
+    shuffles exactly once (the window's exchange; the join-back form
+    costs a second exchange to co-locate the probe side, measured on
+    this shape). Per-part fan-in is a constant (~30 lines/part at every
+    SF — lineitem and part both scale linearly), so the window
+    partitions never grow with the corpus. The threshold compare is
+    EXACT integer arithmetic (2·qty·cnt < Σqty, quantities are
+    integral), not a float-avg compare — a double average divides
+    differently than DuckDB's HUGEINT/COUNT only in the last ulp, but
+    an ulp is all it takes to flip a row across engines. TPC-H's 0.2
+    factor is 0.5 here so the small-line set stays non-trivial on the
+    uniform corpus.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            "l_extendedprice",
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("sum_qty", F.sum("qty").over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(2 * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            dsum("l_extendedprice").alias("total_extended_price"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+@query(
+    "join_q21_waiting_supplier",
+    oracle="""
+    WITH pairs AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey, l.l_suppkey),
+    waiting AS (
+        SELECT p.l_orderkey, p.l_suppkey
+        FROM pairs p
+        WHERE p.late = 1
+          AND EXISTS (
+              SELECT 1 FROM pairs p2
+              WHERE p2.l_orderkey = p.l_orderkey
+                AND p2.l_suppkey <> p.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM pairs p3
+              WHERE p3.l_orderkey = p.l_orderkey
+                AND p3.l_suppkey <> p.l_suppkey
+                AND p3.late = 1))
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM waiting w
+    JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_6', 'NATION_9', 'NATION_11')
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 100
+    """,
+)
+def join_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for holding up multi-supplier orders
+    (TPC-H Q21 shape): the EXISTS + NOT-EXISTS double correlation, the
+    hardest subquery pattern in the suite.
+
+    Everything correlates through the (order, supplier) pair relation,
+    so both subqueries collapse into windowed counts over it: a pair is
+    "waiting" iff it is late, the order has >1 supplier (the EXISTS),
+    and the order's late-supplier count is exactly 1 (the NOT EXISTS —
+    this pair being late, no OTHER one is). The oracle keeps the
+    canonical EXISTS/NOT-EXISTS SQL, so the hash check proves the
+    rewrite. One shuffle total for the whole correlation: the pair
+    relation is explicitly ``repartition(orderkey)``-ed BEFORE the
+    (order, supplier) grouping — hash(orderkey) satisfies the grouped
+    agg's clustered distribution AND the window's partitioning, so
+    Spark inserts no further exchange where the naive
+    aggregate-then-self-join form shuffles the relation three more
+    times (measured: 1 exchange vs 3, identical 973-row result at
+    sf0.01). Lateness = shipped >90 days after order date (the corpus
+    has no commit/receipt dates). Per-order fan-in is bounded
+    (suppliers/order avg ~4, p99 ~9), so the window partitions stay
+    tiny at any corpus size; the supplier⋈nation name filter
+    broadcasts, and the final top-100 is TakeOrderedAndProject.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(li.l_orderkey, li.l_suppkey, late.alias("is_late"))
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        pairs.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter(
+            (F.col("late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_6", "NATION_9", "NATION_11")
+    )
+    sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        waiting.join(F.broadcast(sup), waiting.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
