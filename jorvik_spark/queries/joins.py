@@ -1377,7 +1377,7 @@ def join_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN 1 ELSE 0 END) AS late
         FROM lineitem l
         JOIN orders o ON o.o_orderkey = l.l_orderkey
-        WHERE o.o_orderstatus = 'F'
+        WHERE o.o_orderstatus = 'F' AND l.l_suppkey IS NOT NULL
         GROUP BY l.l_orderkey, l.l_suppkey),
     waiting AS (
         SELECT p.l_orderkey, p.l_suppkey
@@ -1427,8 +1427,16 @@ def join_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
+    # Null supplier keys are excluded from the pair relation (pinned in
+    # the oracle too): a null key identifies no supplier, AND under the
+    # EXISTS form `p2.l_suppkey <> p.l_suppkey` a null pair can never
+    # satisfy either subquery — the windowed n_supp/n_late counts WOULD
+    # count it, so without this filter the rewrite and the canonical SQL
+    # diverge on dirty data.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey").isNotNull())
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
     )
     late = F.when(
         li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS"), 1

@@ -118,6 +118,19 @@ EXTRA_TARGETS = [
     "join_market_basket",
     "dedup_banding_recall_eval",
     "agg_histogram_quantile_rollup",
+    # Correlated-subquery TPC-H family: the shapes to watch are Q21's
+    # single-exchange pair-relation window (per-order fan-in must stay
+    # bounded under 10x facts), Q17's per-part window (fan-in grows with
+    # replicas here since part is fixed — the honest worst case), and
+    # Q2's pair-set distinct over 10x lineitem.
+    "join_q2_best_supplier",
+    "join_q4_priority_exists",
+    "join_q7_nation_volume",
+    "join_q8_market_share",
+    "join_q9_profit_proxy",
+    "join_q12_late_lines",
+    "join_q17_small_quantity",
+    "join_q21_waiting_supplier",
 ]
 
 

@@ -312,6 +312,19 @@ REL_QUERIES = [
     # c_acctbal as failing the threshold on both engines.
     "join_q13_custdist",
     "join_q22_idle_customers",
+    # Correlated-subquery TPC-H shapes over the dirty tables: q4's
+    # EXISTS date residual must treat null ship/order dates as
+    # non-matching and group a null-priority order; q9 must skip
+    # null-amount rows in the sum while still counting them; q12's
+    # null-priority rows must land in NEITHER CASE bucket; q17's null
+    # quantities must fail the integer threshold on both engines; q21
+    # must exclude null supplier keys from the pair relation (the pinned
+    # contract that keeps the windowed rewrite ≡ the EXISTS SQL).
+    "join_q4_priority_exists",
+    "join_q9_profit_proxy",
+    "join_q12_late_lines",
+    "join_q17_small_quantity",
+    "join_q21_waiting_supplier",
 ]
 
 
@@ -323,16 +336,94 @@ def dirty_rel_dir(tmp_path_factory):
     ts = datetime.datetime(1995, 3, 1)
     pd.DataFrame(
         {
-            "o_orderkey": [1, 2, 3, 4, 5, 6],
-            "o_custkey": pd.array([10, 11, None, 12, 10, None], dtype="Int64"),
-            "o_orderstatus": ["F", "O", None, "F", "O", "F"],
-            "o_totalprice": [100.0, None, 50.0, 75.0, 20.0, 30.0],
-            "o_orderdate": pd.to_datetime([ts] * 5 + [None]).as_unit("us"),
+            "o_orderkey": [1, 2, 3, 4, 5, 6, 7, 8],
+            "o_custkey": pd.array(
+                [10, 11, None, 12, 10, None, 13, None], dtype="Int64"
+            ),
+            "o_orderstatus": ["F", "O", None, "F", "O", "F", "F", "O"],
+            "o_totalprice": [100.0, None, 50.0, 75.0, 20.0, 30.0, 60.0, None],
+            "o_orderdate": pd.to_datetime(
+                [ts] * 5
+                + [None]
+                + [
+                    datetime.datetime(1996, 2, 1),
+                    datetime.datetime(1996, 3, 15),
+                ]
+            ).as_unit("us"),
             "o_orderpriority": [
                 "1-URGENT", "3-MEDIUM", None, "2-HIGH", "5-LOW", "1-URGENT",
+                "1-URGENT", None,
             ],
         }
     ).to_parquet(str(d / "orders.parquet"))
+    # Lineitem exercises every null the new TPC-H shapes must agree on:
+    # null shipdate (lateness residual → non-match), null suppkey
+    # (excluded from q21's pair relation by pinned contract), null
+    # partkey (join-dropped), null quantity/price/discount (skipped by
+    # sums, dropped by the q17 threshold), null linestatus (its own q12
+    # group), null orderkey (joins nothing anywhere).
+    dt = datetime.datetime
+    pd.DataFrame(
+        {
+            "l_orderkey": pd.array(
+                [1, 1, 2, 3, 4, 6, 1, 5, 4, 2, 3, 6, 7, 8, None],
+                dtype="Int64",
+            ),
+            "l_partkey": pd.array(
+                [100, 101, 100, None, 100, 102, 100, 103, 100, 101, 102,
+                 100, 100, 103, 100],
+                dtype="Int64",
+            ),
+            "l_suppkey": pd.array(
+                [50, 51, 50, None, 52, 50, 50, None, 52, 51, 52, 50, 50,
+                 52, 50],
+                dtype="Int64",
+            ),
+            "l_quantity": [10.0, 20.0, 5.0, None, 40.0, 1.0, 2.0, 3.0,
+                           7.0, 9.0, 4.0, 6.0, 3.0, 2.0, 1.0],
+            "l_extendedprice": [100.0, 200.0, None, 50.0, 80.0, 10.0,
+                                60.0, 30.0, 70.0, 90.0, 40.0, 55.0, 33.0,
+                                22.0, 5.0],
+            "l_discount": [0.1, 0.0, None, 0.1, 0.2, 0.0, 0.0, 0.0, 0.0,
+                           0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            "l_linestatus": ["F", "O", None, "F", "F", "F", "F", "O", "F",
+                             "O", None, "F", "F", "O", "F"],
+            "l_shipdate": pd.to_datetime(
+                [
+                    dt(1995, 7, 1), dt(1995, 3, 15), None, dt(1995, 8, 1),
+                    dt(1995, 9, 1), dt(1995, 4, 1), dt(1995, 3, 2),
+                    dt(1995, 3, 5), dt(1997, 6, 1), dt(1997, 8, 1),
+                    dt(1997, 5, 1), dt(1997, 3, 1), dt(1996, 6, 1),
+                    dt(1996, 8, 1), dt(1995, 5, 1),
+                ]
+            ).as_unit("us"),
+        }
+    ).to_parquet(str(d / "lineitem.parquet"))
+    pd.DataFrame(
+        {
+            "p_partkey": [100, 101, 102, 103],
+            "p_name": ["red widget", "blue bolt", None, "red gear"],
+            "p_brand": ["Brand#4", "Brand#4", None, "Brand#2"],
+            "p_type": ["STANDARD", "PROMO", "ECONOMY", "MEDIUM"],
+            "p_size": pd.array([12, 20, 5, None], dtype="Int64"),
+            "p_retailprice": [10.0, None, 20.0, 5.0],
+        }
+    ).to_parquet(str(d / "part.parquet"))
+    pd.DataFrame(
+        {
+            "s_suppkey": [50, 51, 52],
+            "s_name": ["S50", "S51", "S52"],
+            "s_nationkey": pd.array([6, None, 9], dtype="Int64"),
+            "s_acctbal": [100.0, 50.0, None],
+        }
+    ).to_parquet(str(d / "supplier.parquet"))
+    pd.DataFrame(
+        {
+            "n_nationkey": [6, 9, 11],
+            "n_name": ["NATION_6", "NATION_9", "NATION_11"],
+            "n_regionkey": [1, 4, 1],
+        }
+    ).to_parquet(str(d / "nation.parquet"))
     pd.DataFrame(
         {
             "c_custkey": [10, 11, 13],
@@ -348,7 +439,7 @@ def dirty_rel_dir(tmp_path_factory):
 @pytest.fixture(scope="module")
 def dirty_rel_con(dirty_rel_dir):
     con = duckdb.connect()
-    for t in ("orders", "customer"):
+    for t in ("orders", "customer", "lineitem", "part", "supplier", "nation"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{dirty_rel_dir}/{t}.parquet')"
