@@ -1094,9 +1094,11 @@ def sample_dedup_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.count(F.lit(1)).over(w).cast("long").alias("dup_count"),
-        (F.lit(1_000_000).cast("long") / F.count(F.lit(1)).over(w))
-        .cast("long")
-        .alias("weight_ppm"),
+    ).withColumn(
+        # exact integral div (1e6 // count), matching the module-wide
+        # all-integer ppm convention and the oracle's `//`
+        "weight_ppm",
+        F.expr("CAST(1000000 AS BIGINT) div dup_count"),
     )
 
 

@@ -1117,7 +1117,11 @@ def text_lm_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.expr("sum(fam) div count(1)")
+            # fam is up to 1e6 ppm: a plain int64 SUM would overflow at
+            # ~9.2e12 docs per (source, bucket); DECIMAL(38,0) matches
+            # the escalation the sibling ppm aggregates use (and the
+            # oracle's HUGEINT SUM is already exact).
+            F.expr("sum(CAST(fam AS DECIMAL(38,0))) div count(1)")
             .cast("long")
             .alias("mean_familiarity_ppm"),
         )

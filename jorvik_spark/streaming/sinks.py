@@ -133,8 +133,13 @@ def foreach_batch_merge(
                 else insert_condition
             )
             if delete_c is not None and delete_c != "false":
+                # merge() deletes only when the condition is TRUE; a row
+                # where it evaluates NULL is kept (NOT MATCHED -> insert
+                # on replay). Screen with the same TRUE-only semantics —
+                # a bare ~expr would also drop NULL-condition rows and
+                # make first apply and checkpoint replay diverge.
                 batch_df = batch_df.alias("incremental").filter(
-                    ~F.expr(delete_c)
+                    ~F.coalesce(F.expr(delete_c), F.lit(False))
                 )
             if insert_c == "false":
                 return  # inserts disabled: nothing may create the table

@@ -655,3 +655,39 @@ def test_foreach_batch_merge_bootstrap_screens_cdc_conditions(spark, tmp_path):
     # fails the insert gate, row 1 upserts onto itself
     replay = run(str(tmp_path / "cp2"))
     assert replay == first
+
+
+def test_foreach_batch_merge_bootstrap_keeps_null_delete_condition_rows(
+    spark, tmp_path
+):
+    """A row whose delete condition evaluates NULL (null op column) is NOT
+    deleted by merge() (WHEN MATCHED AND <cond> fires only on TRUE), so
+    the bootstrap screen must keep it — a bare ~expr filter would drop it
+    on first apply, then a checkpoint replay against the now-existing
+    table would insert it, and first apply / replay would diverge."""
+    from jorvik_spark.streaming.sinks import foreach_batch_merge
+
+    st = BasicStorage()
+    target = str(tmp_path / "t")
+    src = str(tmp_path / "s")
+    spark.createDataFrame(
+        [(1, "I", "keep"), (2, None, "null-op")],
+        "id long, op string, v string",
+    ).write.parquet(src)
+
+    def run(cp):
+        q = foreach_batch_merge(
+            st.readStream(src, "parquet"), st, target,
+            "full.id = incremental.id", checkpoint=cp,
+            delete_condition="incremental.op = 'D'",
+        )
+        q.awaitTermination(120)
+        return sorted(
+            tuple(r) for r in st.read(target, "parquet").collect()
+        )
+
+    first = run(str(tmp_path / "cp1"))
+    # the NULL-op row survives the bootstrap screen, same as replay
+    assert first == [(1, "I", "keep"), (2, None, "null-op")]
+    replay = run(str(tmp_path / "cp2"))
+    assert replay == first
