@@ -86,12 +86,11 @@ GATE_2C_REF = {
 }
 _GATE_2C_LIMIT = 1.5
 
-# Round-8 additions on the bench radar, report-only this round (the
-# same lifecycle the §2C shapes followed: first measurements here,
-# gated against them from the next round). One representative per new
-# shape family: the pushdown scan, the two heaviest TPC-H joins, the
-# disjunctive-bracket join, the hot-shingle novelty join, the ANN
-# recall eval, and the dedup attribution report.
+# Round-8 additions, gated from round 9 (the same lifecycle the §2C
+# shapes followed: first measurements report-only, then pinned). One
+# representative per new shape family: the pushdown scan, the two
+# heaviest TPC-H joins, the disjunctive-bracket join, the hot-shingle
+# novelty join, the ANN recall eval, and the dedup attribution report.
 BENCH_R8_QUERIES = {
     "r8_q6": "agg_q6_selective",
     "r8_q13": "join_q13_custdist",
@@ -100,6 +99,18 @@ BENCH_R8_QUERIES = {
     "r8_novelty": "text_ngram_novelty",
     "r8_recall": "simsearch_recall_eval",
     "r8_dedup_impact": "corpus_dedup_impact",
+}
+
+# Round-8 sf0.1 medians (BENCH_r08.json) — the r8-cohort regression
+# reference, same limit and adjudication mechanism as the §2C gate.
+GATE_R8_REF = {
+    "r8_q6": 0.2158,
+    "r8_q13": 0.3977,
+    "r8_q18": 0.5376,
+    "r8_q19": 0.3508,
+    "r8_novelty": 0.6414,
+    "r8_recall": 0.682,
+    "r8_dedup_impact": 0.3955,
 }
 
 N_RUNS = 3
@@ -168,6 +179,17 @@ def main() -> None:
         print(f"GATE_2C VIOLATIONS (> {_GATE_2C_LIMIT}x r7): {violations}",
               file=sys.stderr)
 
+    violations_r8 = {
+        lb: {"sec": t, "ref": GATE_R8_REF[lb], "x": round(t / GATE_R8_REF[lb], 2)}
+        for lb, t in times_r8.items()
+        if sf == 0.1
+        and lb in GATE_R8_REF
+        and t > GATE_R8_REF[lb] * _GATE_2C_LIMIT
+    }
+    if violations_r8:
+        print(f"GATE_R8 VIOLATIONS (> {_GATE_2C_LIMIT}x r8): {violations_r8}",
+              file=sys.stderr)
+
     # Host-load context: a uniformly inflated run on a busy host is
     # environmental, not a regression — record the evidence to
     # adjudicate (judge ask, round 7: q3 "+29%" was load noise).
@@ -202,6 +224,13 @@ def main() -> None:
                     "applied": sf == 0.1,
                     "ok": not violations,
                     "violations": violations,
+                },
+                "gate_r8": {
+                    "limit_x": _GATE_2C_LIMIT,
+                    "ref_round": 8,
+                    "applied": sf == 0.1,
+                    "ok": not violations_r8,
+                    "violations": violations_r8,
                 },
                 "load_avg": load_avg,
                 "uptime_sec": uptime_sec,

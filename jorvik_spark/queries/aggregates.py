@@ -144,17 +144,39 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # approximate → rows-only check by design
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS approx_within_bound
+    FROM orders
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct — the scale path (no exact-distinct shuffle).
 
     At 100 TB ``approx_count_distinct`` is the default recommendation; the
-    exact variant is registered separately (``agg_distinct``), so this plan
-    contains only the HLL sketch aggregation — no key-distinct expand.
+    exact variant is registered separately (``agg_distinct``), so the
+    interesting plan here is the HLL sketch aggregation.
+
+    Driver-legible form: the sketch registers are engine-specific, so the
+    estimate itself can never value-hash against ANSI SQL. Instead the
+    query emits the exact count (hash-checked against the oracle) plus
+    ``approx_within_bound`` — the HLL estimate sitting within 3× its
+    default rsd (0.05 → 15%) of the exact count, a bound the sketch meets
+    deterministically on fixed data. A sketch regression (wrong column,
+    broken rsd, empty input) flips the boolean and hash-fails.
     """
     o = load_table(spark, sf_dir, "orders")
     return o.agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey").alias("approx"),
+    ).select(
+        "exact_customers",
+        (
+            F.abs(F.col("approx") - F.col("exact_customers"))
+            <= 0.15 * F.col("exact_customers")
+        ).alias("approx_within_bound"),
     )
 
 
@@ -490,7 +512,20 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_rollup")  # sketch binary is engine-specific → rows-only
+@query(
+    "agg_hll_rollup",
+    oracle="""
+    SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS est_within_bound
+    FROM orders GROUP BY 1
+    UNION ALL
+    SELECT NULL AS month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS est_within_bound
+    FROM orders
+    """,
+)
 def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct rollup: per-month HLL sketches of the
     customer set, re-aggregated into a grand total by UNIONING THE
@@ -500,16 +535,21 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a cheap union over cells, exactly the DataSketches pattern
     ``hll_sketch_agg`` / ``hll_union_agg`` implement JVM-side.
 
-    Rows-only by design (the sketch registers are engine-specific, and
-    the estimate is approximate past sparse mode); the deterministic
-    hash-checked twins are ``agg_distinct`` (exact) and the error-bound
-    test in tests/test_llm_ops.py pinning estimate-vs-exact within HLL
-    tolerance at both month and rollup level.
+    Driver-legible form: the sketch registers are engine-specific, so
+    the estimates can never value-hash against ANSI SQL. Each output row
+    carries the exact distinct count (hash-checked against the oracle)
+    plus ``est_within_bound`` — the sketch estimate sitting within 5% of
+    exact (lgK=12 → ~1.6% 1σ; deterministic on fixed data). The total
+    row's bound is the strong part: it proves the UNION of the monthly
+    sketches estimates the GLOBAL distinct (which no single month
+    equals), i.e. mergeability actually worked. The error-bound test in
+    tests/test_llm_ops.py pins the same property with explicit deltas.
 
     Scale shape: one map-side-combined sketch agg over the scan (each
     partial is a fixed-size register array), then a second agg over
     |months| sketch rows. The total row costs the union of ~84 sketches
-    — independent of fact-table size.
+    — independent of fact-table size. (The exact countDistinct alongside
+    exists for the correctness hash; the sketch path is the operator.)
     """
     orders = load_table(spark, sf_dir, "orders").select(
         F.date_trunc("month", F.col("o_orderdate").cast("timestamp")).alias(
@@ -518,17 +558,36 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
     )
     monthly = orders.groupBy("month").agg(
-        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
     )
+    within = (
+        F.abs(F.col("est") - F.col("exact_customers"))
+        <= 0.05 * F.col("exact_customers")
+    ).alias("est_within_bound")
     per_month = monthly.select(
         "month",
-        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_customers"),
-    )
-    total = monthly.agg(
-        F.lit(None).cast("timestamp").alias("month"),
-        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
-        .cast("long")
-        .alias("est_customers"),
+        "exact_customers",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est"),
+    ).select("month", "exact_customers", within)
+    total = (
+        monthly.agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long")
+            .alias("est"),
+        )
+        .crossJoin(
+            F.broadcast(
+                orders.agg(
+                    F.countDistinct("o_custkey").alias("exact_customers")
+                )
+            )
+        )
+        .select(
+            F.lit(None).cast("timestamp").alias("month"),
+            "exact_customers",
+            within,
+        )
     )
     return per_month.unionByName(total)
 

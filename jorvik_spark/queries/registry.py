@@ -137,12 +137,19 @@ _MEMO: dict[str, tuple[SparkSession, DataFrame]] = {}
 def _drop_memo_entry(entry: tuple[SparkSession, DataFrame]) -> None:
     try:
         entry[1].unpersist()
+        # localCheckpoint storage sits below the CacheManager, where
+        # Dataset.unpersist silently no-ops — release the plan-leaf RDD
+        # directly (best-effort; ContextCleaner is the backstop).
+        entry[1]._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:  # noqa: BLE001 — session may already be stopped
         pass
 
 
 def memo_df(
-    key: str, spark: SparkSession, build: Callable[[], DataFrame]
+    key: str,
+    spark: SparkSession,
+    build: Callable[[], DataFrame],
+    cut_lineage: bool = False,
 ) -> DataFrame:
     """Persist-and-remember a DataFrame per (key, session).
 
@@ -153,6 +160,19 @@ def memo_df(
     DIFFERENT sf_dir — a run queries one directory at a time, so
     cross-directory reuse never happens and keeping one persisted corpus
     copy per directory ever touched would grow without bound.
+
+    ``cut_lineage=True`` materializes via ``localCheckpoint()`` instead of
+    ``persist()``: a plain persist caches DATA but every consumer's
+    logical plan still nests the full build lineage, so a memo shared by
+    many operators (the IVF/PQ quantizer family) grows each consumer's
+    serialized task binary — measured 4.1 MiB task broadcasts at sf0.1
+    before the cut. The checkpoint truncates the plan to a LogicalRDD
+    leaf, so consumers embed only the leaf. Trade-off (why it is not the
+    default): checkpoint blocks on full materialization even if the
+    caller only needed a partial read, and on a real cluster the blocks
+    are executor-local (lost with an executor, not recomputable) — the
+    right call for small, hot, many-consumer derived tables; wrong for a
+    one-consumer cache of a big scan.
     """
     hit = _MEMO.get(key)
     if hit is not None and hit[0] is spark:
@@ -165,7 +185,8 @@ def memo_df(
         or (scope is not None and k.split(":", 1)[1:] != [scope])
     ]:
         _drop_memo_entry(_MEMO.pop(k))
-    df = build().persist()
+    built = build()
+    df = built.localCheckpoint() if cut_lineage else built.persist()
     _MEMO[key] = (spark, df)
     return df
 

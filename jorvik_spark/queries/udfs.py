@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -114,7 +115,13 @@ def udaf_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("udf_map_in_pandas")  # iterator plumbing demo → rows-only
+@query(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT event_id, value, TRUE AS z_bounded
+    FROM events
+    """,
+)
 def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``mapInPandas`` partition-wise transform: per-Arrow-batch z-score
     of event values against *running* partition statistics.
@@ -122,8 +129,14 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     The iterator form processes one Arrow batch at a time — constant
     memory per partition regardless of partition size, the required shape
     for 100 TB map-side Python (feature extraction, tokenizer calls).
-    Rows-only check: the running (per-partition) baseline is
-    partitioning-dependent by design.
+
+    Driver-legible form: the running (per-partition) z itself is
+    partitioning-dependent by design, so it is projected to ``z_bounded``
+    (finite and |z| ≤ 1e6 — true under any partitioning of this data)
+    while ``event_id``/``value`` pass through untouched. The hash check
+    then pins exactly what CAN break in iterator plumbing: a dropped or
+    duplicated batch, a misaligned passthrough column, or a NaN/inf from
+    the running-variance update — each flips a row and hash-fails.
     """
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
 
@@ -135,14 +148,15 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             s2 += float((pdf["value"] ** 2).sum())
             mean = s / n
             var = max(s2 / n - mean * mean, 1e-12)
+            z = (pdf["value"] - mean) / (var**0.5)
             yield pd.DataFrame(
                 {
                     "event_id": pdf["event_id"],
                     "value": pdf["value"],
-                    "running_z": (pdf["value"] - mean) / (var**0.5),
+                    "z_bounded": np.isfinite(z) & (z.abs() <= 1e6),
                 }
             )
 
     return ev.mapInPandas(
-        zscore, schema="event_id long, value double, running_z double"
+        zscore, schema="event_id long, value double, z_bounded boolean"
     )

@@ -586,3 +586,23 @@ def test_dsum_exceeds_int64_unit_ceiling_and_matches_oracle(spark):
     ).fetchall()
     assert got["s"] == want
     assert abs(got["s"] - sum(vals)) < 1.0  # sanity: magnitude right
+
+
+def test_local_checkpoint_release_private_api_still_resolves(spark):
+    """Sentinel for the private plan-leaf reclaim path
+    (dedup._release_local_checkpoint and registry._drop_memo_entry both
+    call df._jdf.queryExecution().analyzed().rdd().unpersist()). The
+    callers swallow failures by design — a Spark upgrade that renames any
+    hop would silently downgrade eager storage release to the async
+    ContextCleaner and pin memory under load. This test fails LOUDLY in
+    that world so the fallback is a decision, not an accident."""
+    df = spark.range(4).localCheckpoint()
+    rdd = df._jdf.queryExecution().analyzed().rdd()
+    # the checkpointed plan leaf must actually carry storage to release
+    assert rdd.getStorageLevel().useMemory() or (
+        rdd.getStorageLevel().useDisk()
+    ), "localCheckpoint leaf no longer reports a storage level"
+    rdd.unpersist(False)
+    assert not rdd.getStorageLevel().useMemory(), (
+        "unpersist on the plan-leaf RDD no longer releases storage"
+    )

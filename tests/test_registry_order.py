@@ -10,26 +10,15 @@ from jorvik_spark.queries import ORACLES, QUERIES, _CHECK_PRIORITY
 
 DRIVER_PREFIX = 50
 
-# Rows-only by design: engine-specific hash families / HLL sketches /
-# partitioning-dependent state that an ANSI-SQL oracle cannot reproduce
-# value-for-value. They already carry their rows-only driver records and
-# must not occupy checked-prefix slots. (dedup_simhash left this set in
-# round 6 when its hash family moved to cross-engine md5.)
+# Rows-only by design: the ONE remaining query whose output an ANSI-SQL
+# oracle cannot reproduce value-for-value (iterative BPE merge table,
+# learned on Spark's own ordering; brute-force-Python-verified in
+# tests/test_llm_ops.py, rows-only driver row on file from round 8).
+# Round 9 upgraded the other four former members — agg_approx_distinct,
+# udf_map_in_pandas, dedup_minhash_lsh, simsearch_lsh (plus
+# agg_hll_rollup) — to hash-mode deterministic projections (exact counts
+# + within-bound booleans), so they now hold checked-prefix slots.
 ROWS_ONLY = {
-    "agg_approx_distinct",
-    "udf_map_in_pandas",
-    "simsearch_lsh",
-    "dedup_minhash_lsh",
-}
-
-# Round-8 exception: these two are also rows-only by design (HLL sketch
-# internals / iterative BPE merge table have no ANSI-SQL twin — both are
-# verified by error-bound / brute-force-Python tests instead) but shipped
-# in round 7 and have NEVER had a driver record of any kind. They hold
-# prefix slots this one round to collect their first rows-only driver
-# row, then rotate back out.
-ROWS_ONLY_FIRST_EVIDENCE = {
-    "agg_hll_rollup",
     "text_bpe_train",
 }
 
@@ -51,22 +40,9 @@ def test_check_priority_entries_all_registered():
 def test_checked_prefix_is_fully_hash_checkable():
     # Every slot in the checked prefix should be a query the driver can
     # value-hash against its oracle — rows-only queries waste the slot.
-    # Sole exception: ROWS_ONLY_FIRST_EVIDENCE entries collecting their
-    # first-ever (rows-only) driver record this round.
-    no_oracle = [
-        n
-        for n in _CHECK_PRIORITY
-        if n not in ORACLES and n not in ROWS_ONLY_FIRST_EVIDENCE
-    ]
+    no_oracle = [n for n in _CHECK_PRIORITY if n not in ORACLES]
     assert not no_oracle
     assert not (set(_CHECK_PRIORITY) & ROWS_ONLY)
-
-
-def test_first_evidence_rows_only_in_prefix_this_round():
-    # They exist precisely to pick up a driver row — being outside the
-    # prefix would silently defeat the rotation's purpose.
-    assert ROWS_ONLY_FIRST_EVIDENCE <= set(_CHECK_PRIORITY)
-    assert not (ROWS_ONLY_FIRST_EVIDENCE & set(ORACLES))
 
 
 def test_rows_only_queries_still_registered():
