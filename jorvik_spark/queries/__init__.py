@@ -43,6 +43,13 @@ from jorvik_spark.queries import sampling  # noqa: F401,E402
 #     text_explode_positional, embed_quantize_int8,
 #     multimodal_frame_sample) — local parity covers them every session;
 #     rotate them in next round along with the r7 prefix.
+#   * Round-10 rotation note: front-load the operators NEW in round 9
+#     (stream_stateful_running_totals, agg_approx_percentiles,
+#     agg_heavy_hitters, sink_compact_small_files,
+#     simsearch_hard_negatives, window_percent_rank_cume — all hash-mode,
+#     registered outside the prefix this round, parity-green at
+#     sf0.001/0.01/0.1), then the 5 r6 leftovers above, then the oldest
+#     r7-prefix rows.
 # tests/test_registry_order.py pins list(queries())[:50] == this list.
 _CHECK_PRIORITY = [
     # -- new in round 8: first driver check (35) --

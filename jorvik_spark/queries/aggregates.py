@@ -740,3 +740,102 @@ def agg_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(*agg_cols)
         .orderBy(F.col("month").asc_nulls_first())
     )
+
+
+@query(
+    "agg_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS approx_within_rank_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path percentiles — ``approx_percentile`` (GK, one pass,
+    bounded memory) next to the exact sort-based variant
+    (``agg_percentiles``). At 100 TB the sketch IS the percentile path:
+    exact ``percentile`` holds each group's values for a final sort,
+    which dies on high-cardinality groups; GK state is O(1/accuracy)
+    per group regardless of group size.
+
+    Driver-legible the same way as the HLL pair: the sketch estimate is
+    engine-specific (no ANSI twin), so the query emits the exact median
+    (hash-checked) plus ``approx_within_rank_bound`` — the estimate
+    sitting inside the exact [p40, p60] value window, a 10× looser rank
+    window than the sketch's guaranteed ±n/1000 rank error, so it is
+    deterministic on fixed data and flips only if the sketch path is
+    genuinely broken (wrong column, wrong accuracy, empty input).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
+        F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.round("p50", 6).alias("exact_p50"),
+        "n",
+        (
+            (F.col("ap") >= F.col("p40")) & (F.col("ap") <= F.col("p60"))
+        ).alias("approx_within_rank_bound"),
+    )
+
+
+# Heavy-hitter threshold: keys at >= 1.5x the MEAN key frequency
+# (cnt * n_keys * 2 >= 3 * n, exact integers). A fixed table-fraction
+# (phi) threshold empties out as the key space grows with the data —
+# measured: phi=1/1000 over l_partkey matches 200 keys at sf0.001 and
+# ZERO at sf0.01 — while the mean-relative form stays non-vacuous at
+# every SF (14 / 124 / 723 customers at sf0.001/0.01/0.1). Exact
+# two-pass form; at 100 TB the single-pass bounded-memory alternative is
+# Misra-Gries/SpaceSaving over mapPartitions with a merge, which
+# over-reports candidates and re-verifies them with exactly this query.
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH c AS (SELECT o_custkey, COUNT(*) AS cnt
+               FROM orders GROUP BY o_custkey),
+    tot AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS n FROM c)
+    SELECT c.o_custkey, CAST(c.cnt AS BIGINT) AS cnt
+    FROM c, tot
+    WHERE c.cnt * tot.n_keys * 2 >= 3 * tot.n
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent items (heavy hitters): customers placing >= 1.5x the mean
+    order count — the skew report that decides which join keys need
+    salting and which dimension values dominate a corpus.
+
+    Scale shape: ONE map-side-combined groupBy over the scan (the
+    partial aggregate shrinks each partition to its distinct keys before
+    the exchange), a broadcast single-row (n_keys, n) total over the
+    ALREADY-AGGREGATED key counts, and an integer-arithmetic filter —
+    no doubles, no ratio rounding to reconcile, no second fact scan.
+    """
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # Materialize the |keys|-row aggregate once: both consumers below
+        # (the broadcast total and the filter) would otherwise each
+        # re-run the fact scan + shuffle — two full passes at 100 TB for
+        # a second consumer that only needs two scalars.
+        .localCheckpoint()
+    )
+    total = F.broadcast(
+        counts.agg(
+            F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("n")
+        )
+    )
+    return (
+        counts.crossJoin(total)
+        .filter(F.col("cnt") * F.col("n_keys") * 2 >= 3 * F.col("n"))
+        .select("o_custkey", "cnt")
+    )

@@ -1274,3 +1274,90 @@ def embed_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# Hard-negative mining band on the ROUNDED cosine: similar enough to be
+# informative contrastive negatives, below the near-dup zone. Both edges
+# compare the rounded value (module convention) so the band cannot admit
+# different rows per engine.
+_HN_LO, _HN_HI = 0.25, 0.45
+_HN_K = 5
+
+
+@query(
+    "simsearch_hard_negatives",
+    oracle=f"""
+    WITH nz AS (SELECT * FROM embeddings WHERE {_SQL_POS_NORM}),
+    q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM nz WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS candidate_id,
+               round({_SQL_COS.format(a='q.qe', b='c.embedding')}, 6) AS cosine
+        FROM q JOIN nz c ON c.vec_id <> q.query_id),
+    banded AS (
+        SELECT * FROM scored
+        WHERE cosine >= {_HN_LO} AND cosine < {_HN_HI}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, candidate_id) AS rank
+        FROM banded)
+    SELECT query_id, candidate_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_HN_K}
+    """,
+)
+def simsearch_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k candidates inside a mid-similarity band [{_HN_LO}, {_HN_HI})
+    — similar enough to be informative negatives, below the near-dup
+    zone where a "negative" is probably a missed positive. The standard
+    pair-mining step for embedding-model fine-tuning (in-batch negatives
+    are mostly easy; banded mining is what moves retrieval metrics).
+
+    Same two-phase tree reduction as ``simsearch_topk`` (score → filter
+    → per-(query, candidate-chunk) local top-k → tiny merge): the band
+    filter runs BEFORE any reduction state exists, fully pipelined, so
+    at 100 TB this is one broadcast-join pass over the corpus plus a
+    bounded-cell sort — never a window over the full scored stream.
+    """
+    emb = (
+        _vec_double(load_table(spark, sf_dir, "embeddings"))
+        .withColumn("n2", F.expr(_DOT.format(a="v", b="v")))
+        .filter(F.col("n2") > 0)
+    )
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("n2").alias("nq"),
+        )
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("candidate_id"), "v", F.col("n2").alias("nc")
+    )
+    cosine = F.round(
+        F.expr(_DOT.format(a="qv", b="v")) / (F.sqrt("nq") * F.sqrt("nc")), 6
+    )
+    key = F.struct(
+        (-F.col("cosine")).alias("nc"), F.col("candidate_id").alias("cid")
+    )
+    local = (
+        cands.join(queries, F.col("candidate_id") != F.col("query_id"))
+        .select("query_id", "candidate_id", cosine.alias("cosine"))
+        .filter((F.col("cosine") >= _HN_LO) & (F.col("cosine") < _HN_HI))
+        .withColumn("chunk", F.expr(f"candidate_id div {_TOPK_CHUNK}"))
+        .groupBy("query_id", "chunk")
+        .agg(F.slice(F.sort_array(F.collect_list(key)), 1, _HN_K).alias("top"))
+    )
+    merged = (
+        local.select("query_id", F.explode("top").alias("k"))
+        .groupBy("query_id")
+        .agg(F.slice(F.sort_array(F.collect_list("k")), 1, _HN_K).alias("top"))
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "k")
+    ).select(
+        "query_id",
+        F.col("k.cid").alias("candidate_id"),
+        (-F.col("k.nc")).alias("cosine"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )

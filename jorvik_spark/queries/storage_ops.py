@@ -570,3 +570,113 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_partkey").alias("min_partkey"),
         F.max("l_partkey").alias("max_partkey"),
     )
+
+
+@query(
+    "stream_stateful_running_totals",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_u
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator through the full driver
+    contract: per-user running (count, exact fixed-point sum) via
+    ``applyInPandasWithState`` — the canonical shape for operators the
+    built-ins can't express (per-key counters, custom sessionization,
+    CDC conflation). The stream is drained with a real checkpoint and a
+    foreachBatch file sink (update-mode rows cannot go to a file sink
+    directly), then the FINAL state per key — the update with the
+    highest n_events, which is strictly monotone per key — is selected
+    and value-hash-compared against the one-shot batch aggregate.
+
+    The value sum is carried in dsum micro-units (exact integers), not a
+    float accumulator: float sums are arrival-order dependent in the
+    last ulps, and a custom stateful operator is only driver-checkable
+    if its state folds are order-independent — see
+    ``running_user_totals_fixedpoint``.
+
+    Scale shape: state is 3 scalars per key in the state store, shuffled
+    once on the group key; the post-drain final-state select is a window
+    over |keys| × |micro-batches| tiny rows. State never grows with
+    event count — the property that lets this run forever at 100 TB/day.
+    """
+    from pyspark.sql import Window
+
+    from jorvik_spark.streaming.ops import running_user_totals_fixedpoint
+
+    st = BasicStorage()
+    base = _scratch("sstate")
+    src, dst, cp = f"{base}/src", f"{base}/dst", f"{base}/cp"
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    st.write(events, src, "parquet", "overwrite")
+    out = running_user_totals_fixedpoint(st.readStream(src, "parquet"))
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(dst)
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(dst)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        back.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_u")
+    )
+
+
+# Compaction target: bytes per output file. At 100 TB this is the
+# 128 MB-1 GB knob; at test scale a small target keeps the query from
+# degenerating to a single file so the bin-packing math stays exercised.
+_COMPACT_TARGET_BYTES = 256 * 1024
+
+
+@query(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance operator every
+    streaming/incremental ingest needs: a 64-way fragmented write (the
+    small-files problem: per-file open/footer costs dominate scans, and
+    at 100 TB a NameNode/metastore chokes on file counts long before
+    data volume hurts) is rewritten into size-targeted files, and the
+    read-back is value-hash-checked against the source — compaction must
+    be byte-preserving, and a dropped or duplicated row flips the hash.
+
+    Sizing: output file count = ceil(on-disk bytes / target), measured
+    from the fragmented files themselves (no sampling, no row-count
+    heuristics), then an exact repartition — the same math a production
+    OPTIMIZE/rewriteFiles pass runs per partition-directory. The test
+    pins the before/after file counts; the oracle pins the data.
+    """
+    import math
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.col("n_chars").cast("long")
+    )
+    base = _scratch("compact")
+    small, compacted = f"{base}/small", f"{base}/compacted"
+    docs.repartition(64).write.parquet(small)
+    frag_bytes = sum(
+        e.stat().st_size
+        for e in os.scandir(small)
+        if e.name.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(frag_bytes / _COMPACT_TARGET_BYTES))
+    spark.read.parquet(small).repartition(n_out).write.parquet(compacted)
+    return spark.read.parquet(compacted)

@@ -527,3 +527,45 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(new_session).over(run_w).cast("long").alias("session_seq"),
     )
+
+
+@query(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile
+    FROM lineitem
+    WHERE l_quantity = 1
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    """,
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank / cume_dist / ntile)
+    in one frame — the percentile-position triple a feature pipeline
+    derives per entity (price position within its flag class here).
+
+    percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are exact
+    integer ratios evaluated as one double division — bit-identical on
+    both engines; rounded to 6 anyway per module convention. The ORDER BY
+    carries the full (price, orderkey, linenumber) tie-break so ranks are
+    total-ordered and ntile boundaries cannot float between engines.
+
+    Scale shape: one shuffle on the partition key; each partition sorts
+    once and all three functions share the frame. The l_quantity filter
+    is pushed to the scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") == 1)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )

@@ -237,6 +237,79 @@ def running_user_totals(
     )
 
 
+def running_user_totals_fixedpoint(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """:func:`running_user_totals` with the value sum carried in EXACT
+    integer micro-units (the registry ``dsum`` quantization:
+    ``floor(v * 1e6 + 0.5)`` per value, integers summed) instead of a
+    float accumulator. Float sums are arrival-order-dependent in the
+    last ulps, so a replayed/repartitioned stream could emit a
+    hash-different total; the fixed-point total is order-independent and
+    therefore value-hash-comparable against a batch SQL twin — which is
+    what lets the driver check a custom stateful operator at all.
+
+    Output: (key, n_events long, total_u long) — ``total_u`` is NULL
+    until a non-null value arrives (SQL SUM semantics), else the exact
+    micro-unit sum. Python ints are arbitrary-precision, so the running
+    per-key total cannot overflow; the emitted long holds any total
+    below 9.2e12 in value units — the same int64 unit ceiling every
+    dsum consumer documents.
+    """
+    import numpy as np
+
+    def _q(vals: pd.Series) -> int:
+        return int(np.floor(vals.to_numpy() * 1e6 + 0.5).astype("int64").sum())
+
+    if not df.isStreaming:
+        return df.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("total_u"),
+        )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total_u, n_nonnull = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            vals = pdf[value_col].dropna()
+            n_nonnull += len(vals)
+            if len(vals):
+                total_u += _q(vals)
+        state.update((n, total_u, n_nonnull))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "total_u": pd.array(
+                    [total_u if n_nonnull else None], dtype="Int64"
+                ),
+            }
+        )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, n_events long, total_u long"
+        ),
+        stateStructType="n long, total_u long, n_nonnull long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 class _ActivityProcessor(StatefulProcessor):
     """Per-key activity state for :func:`user_activity_summary`.
 

@@ -1,0 +1,180 @@
+"""Round-9 operator tests: stateful fixed-point totals, compaction,
+sketch-percentile bounds, heavy hitters, hard negatives, relative-rank
+windows. Oracle parity runs through tests/test_oracle_parity.py; these
+pin the SEMANTIC edges the hash compare can't see (file counts, state
+equivalence, bound non-vacuity, band edges)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from jorvik_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stateful_fixedpoint_stream_equals_batch(spark, tmp_path):
+    """The streaming applyInPandasWithState fold must reach EXACTLY the
+    batch aggregate's state — including an all-null-value key whose
+    total stays NULL (SQL SUM semantics) and a multi-batch replay
+    (two source files → at least the same final state)."""
+    from jorvik_spark.streaming.ops import running_user_totals_fixedpoint
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, 1.25), (1, 2.5), (1, None),
+        (2, None), (2, None),
+        (3, 0.000001),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    df.write.parquet(src)
+
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_u"])
+        for r in running_user_totals_fixedpoint(
+            spark.read.parquet(src)
+        ).collect()
+    }
+    assert batch[1] == (3, 3_750_000)
+    assert batch[2] == (2, None)  # all-null: NULL, not 0
+    assert batch[3] == (1, 1)
+
+    stream = (
+        spark.readStream.schema("user_id long, value double").parquet(src)
+    )
+    out = running_user_totals_fixedpoint(stream)
+    dst, cp = str(tmp_path / "dst"), str(tmp_path / "cp")
+    q = (
+        out.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(dst)
+        )
+        .option("checkpointLocation", cp)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(dst)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = {
+        r["user_id"]: (r["n_events"], r["total_u"])
+        for r in back.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert final == batch
+
+
+def test_compaction_reduces_file_count(spark):
+    """The fragmented write must produce many files and the compacted
+    output strictly fewer, matching ceil(bytes/target)."""
+    import glob
+    import math
+
+    from jorvik_spark.queries.storage_ops import _COMPACT_TARGET_BYTES
+
+    # run the registered query, then locate its scratch dirs via the
+    # returned DataFrame's input files
+    df = QUERIES["sink_compact_small_files"](spark, SF_DIR)
+    compacted_dir = os.path.dirname(
+        df.inputFiles()[0].replace("file:", "")
+    )
+    small_dir = os.path.join(os.path.dirname(compacted_dir), "small")
+    n_small = len(glob.glob(os.path.join(small_dir, "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(compacted_dir, "*.parquet")))
+    frag_bytes = sum(
+        e.stat().st_size
+        for e in os.scandir(small_dir)
+        if e.name.endswith(".parquet")
+    )
+    assert n_small == 64
+    assert n_comp == max(1, math.ceil(frag_bytes / _COMPACT_TARGET_BYTES))
+    assert n_comp < n_small
+    assert df.count() == 500
+
+
+def test_approx_percentile_bound_is_evaluated_not_vacuous(spark):
+    """Every group's sketch estimate must really sit inside the exact
+    [p40, p60] window — and the window must be non-degenerate (p40 <
+    p60) so the boolean could actually fail."""
+    rows = QUERIES["agg_approx_percentiles"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r["approx_within_rank_bound"] for r in rows)
+    from jorvik_spark.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
+        F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
+    )
+    for r in g.collect():
+        assert r["p40"] < r["p60"]
+
+
+def test_heavy_hitters_threshold_exact_and_complete(spark):
+    """Returned keys are exactly the >= 1.5x-mean set — no extras, none
+    missing — against a brute-force recount."""
+    got = {
+        r["o_custkey"]: r["cnt"]
+        for r in QUERIES["agg_heavy_hitters"](spark, SF_DIR).collect()
+    }
+    from jorvik_spark.tables import load_table
+
+    counts = {
+        r["o_custkey"]: r["cnt"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n, n_keys = sum(counts.values()), len(counts)
+    want = {k: c for k, c in counts.items() if c * n_keys * 2 >= 3 * n}
+    assert got == want
+    assert got, "threshold must be non-vacuous at test scale"
+
+
+def test_hard_negatives_band_and_ranks(spark):
+    """Every mined pair sits inside the similarity band, ranks are
+    1..k dense per query, cosines descend with rank."""
+    from jorvik_spark.queries.similarity import _HN_HI, _HN_LO, _HN_K
+
+    rows = QUERIES["simsearch_hard_negatives"](spark, SF_DIR).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert _HN_LO <= r["cosine"] < _HN_HI
+        assert r["candidate_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= _HN_K
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in ordered]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_percent_rank_cume_shape(spark):
+    """pct_rank/cume in [0,1] with the partition extremes present;
+    deciles dense in 1..10; cume monotone in pct_rank."""
+    rows = QUERIES["window_percent_rank_cume"](spark, SF_DIR).collect()
+    assert rows
+    by_p = {}
+    for r in rows:
+        assert 0.0 <= r["pct_rank"] <= 1.0
+        assert 0.0 < r["cume"] <= 1.0
+        assert 1 <= r["decile"] <= 10
+        by_p.setdefault(r["l_returnflag"], []).append(r)
+    for flag, rs in by_p.items():
+        rs = sorted(rs, key=lambda r: r["pct_rank"])
+        assert rs[0]["pct_rank"] == 0.0
+        assert rs[-1]["pct_rank"] == 1.0
+        assert rs[-1]["cume"] == 1.0
+        cumes = [r["cume"] for r in rs]
+        assert cumes == sorted(cumes)
