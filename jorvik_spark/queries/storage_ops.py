@@ -680,3 +680,97 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_out = max(1, math.ceil(frag_bytes / _COMPACT_TARGET_BYTES))
     spark.read.parquet(small).repartition(n_out).write.parquet(compacted)
     return spark.read.parquet(compacted)
+
+
+@query(
+    "sql_api_revenue_report",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                               * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_u
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    HAVING COUNT(DISTINCT o.o_orderkey) >= 5
+    """,
+)
+def sql_api_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string API surface: the same engine queried through
+    ``spark.sql`` over registered temp views instead of the DataFrame
+    builder — proof a reference user who writes SQL (notebooks, BI
+    connectors) gets the identical Catalyst plan and the identical
+    answer. Revenue by (nation, order year) with a HAVING floor: a
+    4-table join, a distinct-count, and dsum-quantized revenue, all
+    expressed in one SQL string.
+
+    Views are session-scoped and name-spaced per invocation is
+    unnecessary: createOrReplaceTempView is idempotent and every
+    registration points at the same immutable files for a given sf_dir
+    within a run. Catalyst treats the view text exactly like the
+    DataFrame lineage — same pushdown, same broadcast of nation/customer,
+    same partial aggregation; `.explain` shows no seam.
+    """
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders,
+               SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                              * 1000000 + 0.5) AS BIGINT)) AS revenue_u
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate)
+        HAVING COUNT(DISTINCT o.o_orderkey) >= 5
+        """
+    )
+
+
+@query(
+    "scan_merge_schema_union",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, NULL AS o_clerk_flag
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice,
+           CAST(o_orderkey % 7 = 0 AS BOOLEAN) AS o_clerk_flag
+    FROM orders WHERE o_orderkey % 2 <> 0
+    """,
+)
+def scan_merge_schema_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READ-side schema evolution: a table directory whose early files
+    predate a column (the normal state of any long-lived lake table)
+    read back as ONE relation with ``mergeSchema`` — old files null-fill
+    the new column, new files carry it. The write-side half (A6
+    ``_merge_schema``) evolves the schema on MERGE; this query proves
+    the complementary contract that a reader never needs the table
+    rewritten.
+
+    At 100 TB mergeSchema's footer-reconciliation cost is why production
+    tables pin schemas in a metastore — the read itself stays one scan
+    with pushdown intact either way; the test pins that the pruned
+    single-column read does NOT pay for the wide files' extra column.
+    """
+    base = _scratch("evolve")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.parquet(f"{base}/t/gen=0")
+    orders.filter(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 7 == 0).alias("o_clerk_flag"),
+    ).write.parquet(f"{base}/t/gen=1")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{base}/t")
+        .select("o_orderkey", "o_totalprice", "o_clerk_flag")
+    )

@@ -178,3 +178,80 @@ def test_percent_rank_cume_shape(spark):
         assert rs[-1]["cume"] == 1.0
         cumes = [r["cume"] for r in rs]
         assert cumes == sorted(cumes)
+
+
+def test_sql_api_matches_dataframe_twin(spark):
+    """The SQL-string surface and the equivalent DataFrame-builder plan
+    must agree row-for-row (same Catalyst backend, no seam), and view
+    registration must be idempotent across invocations."""
+    from jorvik_spark.tables import load_table
+
+    got = {
+        (r["nation"], r["order_year"]): (r["n_orders"], r["revenue_u"])
+        for r in QUERIES["sql_api_revenue_report"](spark, SF_DIR).collect()
+    }
+    # re-run: createOrReplaceTempView must not error or change the answer
+    again = {
+        (r["nation"], r["order_year"]): (r["n_orders"], r["revenue_u"])
+        for r in QUERIES["sql_api_revenue_report"](spark, SF_DIR).collect()
+    }
+    assert got == again
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    n = load_table(spark, SF_DIR, "nation")
+    twin = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 1_000_000
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("revenue_u"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+    want = {
+        (r["nation"], r["order_year"]): (r["n_orders"], r["revenue_u"])
+        for r in twin.collect()
+    }
+    assert got == want
+
+
+def test_merge_schema_read_prunes_old_and_new_files(spark, tmp_path):
+    """A single-column projection over the evolved directory must read
+    ONLY that column (ReadSchema excludes the late-added column), and
+    the evolved column must be null exactly for the pre-evolution
+    files' rows."""
+    import io
+    import contextlib
+
+    base = str(tmp_path / "t")
+    spark.range(10).selectExpr("id AS k", "id * 2 AS v").write.parquet(
+        f"{base}/gen=0"
+    )
+    spark.range(10, 20).selectExpr(
+        "id AS k", "id * 2 AS v", "id % 3 = 0 AS flag"
+    ).write.parquet(f"{base}/gen=1")
+    evolved = spark.read.option("mergeSchema", "true").parquet(base)
+    narrow = evolved.select("k")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        narrow.explain("formatted")
+    plan = buf.getvalue()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "flag" not in read_schema[0]
+    assert "v" not in read_schema[0]
+    rows = evolved.orderBy("k").collect()
+    assert all(r["flag"] is None for r in rows[:10])
+    assert all(r["flag"] is not None for r in rows[10:])
