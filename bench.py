@@ -101,6 +101,20 @@ BENCH_R8_QUERIES = {
     "r8_dedup_impact": "corpus_dedup_impact",
 }
 
+# Round-9 additions, report-only this round (first measurements here,
+# pinned into a gate_r9 next round — the same lifecycle as §2C and r8).
+# One representative per new shape family: the stateful-streaming drain,
+# the skew report, contrastive mining, the SQL-string surface, the
+# rank-correlation calibration, and the compaction rewrite.
+BENCH_R9_QUERIES = {
+    "r9_stateful": "stream_stateful_running_totals",
+    "r9_hitters": "agg_heavy_hitters",
+    "r9_hardneg": "simsearch_hard_negatives",
+    "r9_sql": "sql_api_revenue_report",
+    "r9_spearman": "corpus_quality_rank_correlation",
+    "r9_compact": "sink_compact_small_files",
+}
+
 # Round-8 sf0.1 medians (BENCH_r08.json) — the r8-cohort regression
 # reference, same limit and adjudication mechanism as the §2C gate.
 GATE_R8_REF = {
@@ -165,6 +179,7 @@ def main() -> None:
     times = {lb: time_query(qn) for lb, qn in BENCH_QUERIES.items()}
     times_2c = {lb: time_query(qn) for lb, qn in BENCH_2C_QUERIES.items()}
     times_r8 = {lb: time_query(qn) for lb, qn in BENCH_R8_QUERIES.items()}
+    times_r9 = {lb: time_query(qn) for lb, qn in BENCH_R9_QUERIES.items()}
 
     # §2C gate: within _GATE_2C_LIMIT × the round-7 reference. Gate only
     # applies at the reference's scale (sf0.1).
@@ -216,6 +231,7 @@ def main() -> None:
                 "queries": times,
                 "queries_2c": times_2c,
                 "queries_r8": times_r8,
+                "queries_r9": times_r9,
                 "gate_2c": {
                     "limit_x": _GATE_2C_LIMIT,
                     "ref_round": 7,

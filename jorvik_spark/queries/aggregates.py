@@ -166,10 +166,18 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     default rsd (0.05 → 15%) of the exact count, a bound the sketch meets
     deterministically on fixed data. A sketch regression (wrong column,
     broken rsd, empty input) flips the boolean and hash-fails.
+
+    Plan shape: asking Spark for countDistinct + approx in ONE agg makes
+    the planner carry the 52-register HLL partial PER KEY through the
+    distinct expand (53 columns × |keys| on the wire — measured here).
+    Distinct-ing first, then counting + sketching the distinct stream,
+    keeps the shuffle at one narrow column and the sketch a single
+    register array per partition; the estimate is over the same value
+    set (HLL is duplicate-insensitive), so the bound is unchanged.
     """
-    o = load_table(spark, sf_dir, "orders")
-    return o.agg(
-        F.countDistinct("o_custkey").alias("exact_customers"),
+    d = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return d.agg(
+        F.count(F.lit(1)).alias("exact_customers"),
         F.approx_count_distinct("o_custkey").alias("approx"),
     ).select(
         "exact_customers",

@@ -291,7 +291,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.6 pairs, the deterministic ground truth, hash-checked
     against the oracle), ``labels_cover_all`` (every shingled doc got a
     component — a dropped-row propagation bug flips it), and
-    ``recall_ok`` (≥ {_MINHASH_LSH_RECALL_MIN:.0%} of true pairs share a
+    ``recall_ok`` (≥ 85% — _MINHASH_LSH_RECALL_MIN — of true pairs share a
     component — a broken banding join or under-merged components flips
     it). The clusters stay fully computed; only the projection changed.
 

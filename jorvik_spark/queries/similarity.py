@@ -186,10 +186,10 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver-legible form: which candidates the random hyperplanes surface
     is hash-family specific, so the pair list itself can never value-hash
     against ANSI SQL. The query instead emits the retrieval eval this
-    operator needs anyway, over a fixed {_LSH_EVAL_PROBES}-probe set:
+    operator needs anyway, over a fixed 50-probe set (_LSH_EVAL_PROBES):
     ``n_true_pairs`` (exact rounded-distance ≤ 1.2 probe pairs — the
     deterministic ground truth, hash-checked against the oracle),
-    ``recall_ok`` (LSH recovered ≥ {_LSH_RECALL_MIN:.0%} of them — a
+    ``recall_ok`` (LSH recovered ≥ 80% — _LSH_RECALL_MIN — of them; a
     broken bucketing join or mis-wired threshold flips it), and
     ``precision_ok`` (every LSH probe pair IS a true pair — exact by
     construction since candidates are re-checked against the same
@@ -1307,7 +1307,7 @@ _HN_K = 5
 )
 def simsearch_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per query, the
-    top-k candidates inside a mid-similarity band [{_HN_LO}, {_HN_HI})
+    top-k candidates inside a mid-similarity band [0.25, 0.45) (_HN_LO/_HN_HI)
     — similar enough to be informative negatives, below the near-dup
     zone where a "negative" is probably a missed positive. The standard
     pair-mining step for embedding-model fine-tuning (in-batch negatives

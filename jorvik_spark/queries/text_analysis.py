@@ -1127,3 +1127,91 @@ def text_lm_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+@query(
+    "corpus_quality_rank_correlation",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(t[1:len(t) - 1]) AS w1,
+                  unnest(t[2:len(t)]) AS w2
+           FROM toks WHERE len(t) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(n12) AS n1 FROM c12 GROUP BY w1),
+    ppm AS (SELECT w1, w2, (n12 * 1000000) // n1 AS ppm
+            FROM c12 JOIN c1 USING (w1)),
+    scored AS (SELECT bg.doc_id, SUM(p.ppm) // COUNT(*) AS fam
+               FROM bg JOIN ppm p USING (w1, w2) GROUP BY bg.doc_id),
+    joined AS (
+        SELECT d.source, s.fam, d.n_chars, d.doc_id
+        FROM scored s JOIN documents d USING (doc_id)),
+    ranked AS (
+        SELECT source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY fam, doc_id) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rl
+        FROM joined),
+    stats AS (
+        SELECT source, COUNT(*) AS n,
+               SUM((rf - rl) * (rf - rl)) AS sd2
+        FROM ranked GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(1000000 - (6000000 * sd2)
+                // (n * n * n - n) AS BIGINT) AS spearman_ppm
+    FROM stats WHERE n >= 2
+    """,
+)
+def corpus_quality_rank_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-score calibration: per-source Spearman rank correlation
+    between the corpus-LM familiarity score and raw document LENGTH —
+    the diagnostic that catches a "quality" filter that is secretly a
+    length proxy (spearman → 1 means the expensive score adds nothing
+    over n_chars; near 0 means it measures something length doesn't).
+
+    Exact integer arithmetic end-to-end: ranks are ROW_NUMBERs under a
+    total order (score, then doc_id — ties broken identically on both
+    engines, the price of avoiding fractional average-ranks), Σd² is
+    summed in DECIMAL(38,0) (d ≤ n per pair, Σd² ≤ n³ — past int64 at
+    ~2M docs/source, and 6e6·Σd² needs headroom to n≈1e9), and
+    spearman_ppm = 1e6 − 6e6·Σd² div n(n²−1) — floor division of
+    non-negative integers, identical on both engines.
+
+    Scale shape: composes the memoized LM scoring pass, one |docs|-row
+    join to recover (source, n_chars), two ROW_NUMBER windows on the
+    same source partition (one shuffle, shared sort prefix), and a
+    map-side-combined per-source aggregate.
+    """
+    scored = text_bigram_lm_score(spark, sf_dir).select(
+        "doc_id", F.col("familiarity_ppm").alias("fam")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    j = scored.join(docs, "doc_id")
+    wf = Window.partitionBy("source").orderBy("fam", "doc_id")
+    wl = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = j.select(
+        "source",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    stats = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                (F.col("rf") - F.col("rl")) * (F.col("rf") - F.col("rl"))
+            ).cast("decimal(38,0)")
+        ).alias("sd2"),
+    )
+    return stats.filter(F.col("n") >= 2).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.expr(
+            "CAST(1000000 - CAST(6000000 AS DECIMAL(38,0)) * sd2 div "
+            "(CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)"
+        ).alias("spearman_ppm"),
+    )

@@ -569,3 +569,54 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@query(
+    "stream_attribution_coverage",
+    oracle="""
+    SELECT b.event_id AS buy_id, b.user_id,
+           CAST(b.ts AS TIMESTAMP) AS buy_ts,
+           c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase'
+            AND ts IS NOT NULL AND user_id IS NOT NULL) b
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click'
+                 AND ts IS NOT NULL AND user_id IS NOT NULL) c
+      ON b.user_id = c.user_id
+     AND CAST(c.ts AS TIMESTAMP)
+         >= CAST(b.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(b.ts AS TIMESTAMP)
+    """,
+)
+def stream_attribution_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, batch twin — attribution
+    coverage: every purchase with each click in the hour before it, and
+    purchases with NO such click kept as null-padded rows (the
+    unattributed conversions the inner ``stream_stream_join`` drops).
+
+    Runs the SAME ``interval_join_outer`` operator the live streams use
+    (jorvik_spark.streaming.ops — watermark-gated null emission when
+    streaming). Same scale shape as the inner form: equi-key shuffle on
+    user_id, time bound inside key groups, never a cross join.
+    """
+    from jorvik_spark.streaming.ops import interval_join_outer
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join_outer(
+        buys, clicks, key="user_id", lookback="1 hour"
+    ).select(
+        F.col("l.event_id").alias("buy_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("buy_ts"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("r.ts").alias("click_ts"),
+    )

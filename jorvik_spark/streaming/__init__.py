@@ -19,6 +19,7 @@ the live-stream tests in ``tests/test_streaming.py``
 from jorvik_spark.streaming.ops import (  # noqa: F401
     dedup_within_watermark,
     interval_join,
+    interval_join_outer,
     running_user_totals,
     session_agg,
     sliding_agg,
@@ -36,6 +37,7 @@ __all__ = [
     "session_agg",
     "dedup_within_watermark",
     "interval_join",
+    "interval_join_outer",
     "running_user_totals",
     "user_activity_summary",
     "foreach_batch_merge",

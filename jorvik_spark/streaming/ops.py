@@ -177,6 +177,44 @@ def interval_join(
     )
 
 
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every LEFT event is kept;
+    RIGHT events match when they share ``key`` and fall in
+    ``[left.ts - lookback, left.ts]``. The attribution-COVERAGE shape:
+    :func:`interval_join` answers "which click drove this purchase";
+    this answers "which purchases have NO attributable click" — the rows
+    the inner join silently drops and a funnel report needs most.
+
+    Outer stream-stream joins are where watermarks stop being an
+    optimization and become semantics: an unmatched LEFT row can only be
+    EMITTED (null-padded) once the right side's watermark has passed its
+    join window — before that, a matching right event might still
+    arrive. Batch inputs run the identical left join in one pass, which
+    is how the batch twin's DuckDB oracle pins the semantics.
+
+    Scale shape: same equi-key shuffle + per-key range predicate as the
+    inner form; state bounded by ``watermark + lookback`` per side.
+    """
+    l = _with_watermark(left, ts_col, watermark).alias("l")
+    r = _with_watermark(right, ts_col, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND "
+            f"r.{ts_col} >= l.{ts_col} - INTERVAL {lookback} AND "
+            f"r.{ts_col} <= l.{ts_col}"
+        ),
+        "leftOuter",
+    )
+
+
 def running_user_totals(
     df: DataFrame,
     key_col: str = "user_id",

@@ -691,3 +691,61 @@ def test_foreach_batch_merge_bootstrap_keeps_null_delete_condition_rows(
     assert first == [(1, "I", "keep"), (2, None, "null-op")]
     replay = run(str(tmp_path / "cp2"))
     assert replay == first
+
+
+def test_interval_join_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Live LEFT OUTER stream-stream interval join: a matched buy emits
+    its pair; an unmatched buy OLD ENOUGH for the watermark to have
+    passed its join window emits exactly one null-padded row. (Unmatched
+    rows near the stream's end stay in state forever on a finite source
+    — the documented outer-join tail — so the test places the unmatched
+    buy far in the past.)"""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(hours):
+        return t0 + dt.timedelta(hours=hours)
+
+    buys_src = str(tmp_path / "buys")
+    clicks_src = str(tmp_path / "clicks")
+    spark.createDataFrame(
+        [(101, 1, ts(10.0)), (102, 2, ts(0.0))],
+        "event_id long, user_id long, ts timestamp",
+    ).write.parquet(buys_src)
+    spark.createDataFrame(
+        [(201, 1, ts(9.5)), (202, 3, ts(10.0))],
+        "event_id long, user_id long, ts timestamp",
+    ).write.parquet(clicks_src)
+
+    out = S.interval_join_outer(
+        _stream(spark, buys_src), _stream(spark, clicks_src),
+        key="user_id", lookback="1 hour", watermark="2 hours",
+    ).select(
+        F.col("l.event_id").alias("buy_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    assert out.isStreaming
+    _run_to_memory(out, "t_ssjoin_outer", "append")
+    got = {
+        (r["buy_id"], r["click_id"])
+        for r in spark.table("t_ssjoin_outer").collect()
+    }
+    # buy 101 matched click 201; buy 102 (t0, watermark reached ~t0+8h)
+    # emitted unmatched with a null click
+    assert got == {(101, 201), (102, None)}
+
+    # batch twin: identical join in one pass, no watermark gating
+    batch = {
+        (r["buy_id"], r["click_id"])
+        for r in S.interval_join_outer(
+            spark.read.parquet(buys_src), spark.read.parquet(clicks_src),
+            key="user_id", lookback="1 hour",
+        )
+        .select(
+            F.col("l.event_id").alias("buy_id"),
+            F.col("r.event_id").alias("click_id"),
+        )
+        .collect()
+    }
+    assert batch == got
