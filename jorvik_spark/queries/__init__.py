@@ -48,8 +48,8 @@ from jorvik_spark.queries import sampling  # noqa: F401,E402
 #     agg_heavy_hitters, sink_compact_small_files,
 #     simsearch_hard_negatives, window_percent_rank_cume,
 #     sql_api_revenue_report, scan_merge_schema_union,
-#     stream_attribution_coverage, corpus_quality_rank_correlation — all
-#     hash-mode,
+#     stream_attribution_coverage, corpus_quality_rank_correlation,
+#     scan_python_datasource — all hash-mode,
 #     registered outside the prefix this round, parity-green at
 #     sf0.001/0.01/0.1), then the 5 r6 leftovers above, then the oldest
 #     r7-prefix rows.

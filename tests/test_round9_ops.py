@@ -255,3 +255,37 @@ def test_merge_schema_read_prunes_old_and_new_files(spark, tmp_path):
     rows = evolved.orderBy("k").collect()
     assert all(r["flag"] is None for r in rows[:10])
     assert all(r["flag"] is not None for r in rows[10:])
+
+
+def test_python_datasource_partition_fanout_and_jsonl(spark, tmp_path):
+    """The synthetic source must fan out into the requested partition
+    count (parallel executor reads, not one driver-side generator), and
+    the JSONL source must read a directory one-partition-per-file with
+    declared-schema field extraction and null for missing keys."""
+    from jorvik_spark.storage.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("jorvik_synthetic")
+        .option("n", 100)
+        .option("parts", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    rows = {r["id"]: (r["bucket"], r["value"]) for r in df.collect()}
+    assert len(rows) == 100
+    assert rows[42] == (42 % 16, (42 * 1_000_003) % 999_983)
+
+    d = tmp_path / "jl"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"k": 1, "v": "x"}\n{"k": 2}\n')
+    (d / "b.jsonl").write_text('\n{"k": 3, "v": "z"}\n')
+    (d / "_SUCCESS").write_text("")  # marker files must be skipped
+    jdf = (
+        spark.read.format("jorvik_jsonl")
+        .schema("k long, v string")
+        .load(str(d))
+    )
+    assert jdf.rdd.getNumPartitions() == 2
+    got = sorted(tuple(r) for r in jdf.collect())
+    assert got == [(1, "x"), (2, None), (3, "z")]
