@@ -1472,3 +1472,116 @@ def join_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+# SCD2 spend tiers (micro-units): the yearly-spend classification that
+# builds the slowly-changing dimension below. Integer thresholds.
+_SCD2_TIER_HI = 300_000 * 1_000_000
+_SCD2_TIER_MID = 150_000 * 1_000_000
+
+
+@query(
+    "join_scd2_pointintime",
+    oracle=f"""
+    WITH yearly AS (
+        SELECT o_custkey,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+               SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+                   AS spend_u
+        FROM orders GROUP BY 1, 2),
+    tiered AS (
+        SELECT o_custkey, yr,
+               CASE WHEN spend_u >= {_SCD2_TIER_HI} THEN 'high'
+                    WHEN spend_u >= {_SCD2_TIER_MID} THEN 'mid'
+                    ELSE 'low' END AS tier
+        FROM yearly),
+    runs AS (
+        SELECT o_custkey, yr, tier,
+               yr - ROW_NUMBER() OVER (PARTITION BY o_custkey, tier
+                                       ORDER BY yr) AS grp
+        FROM tiered),
+    dim AS (
+        SELECT o_custkey, tier,
+               MIN(yr) AS valid_from, MAX(yr) + 1 AS valid_to
+        FROM runs GROUP BY o_custkey, tier, grp)
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+           d.tier, CAST(d.valid_from AS BIGINT) AS valid_from,
+           CAST(d.valid_to AS BIGINT) AS valid_to
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.o_custkey
+              AND EXTRACT(year FROM o.o_orderdate) >= d.valid_from
+              AND EXTRACT(year FROM o.o_orderdate) < d.valid_to
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time join — the warehouse pattern ``join_asof``
+    does NOT cover: the dimension carries explicit validity intervals
+    (type-2 slowly-changing rows), and each fact row joins the version
+    valid AT its event time, not the nearest preceding row. Here the
+    SCD2 dimension is built in-query (per-customer yearly spend tier,
+    consecutive equal-tier years merged into one validity run via the
+    gaps-and-islands ``yr - row_number`` trick), then orders PIT-join
+    the tier in force at their order date.
+
+    Every fact row matches exactly one version (validity runs partition
+    each customer's years), so the join is loss- and duplicate-free —
+    the invariant tests/test_round9_ops.py pins.
+
+    Scale shape: the dimension build is two map-side-combined aggregates
+    plus one window over (custkey, tier) — |customers|-sized state. The
+    PIT join is an EQUI join on o_custkey with the interval test as a
+    residual predicate inside key groups (never a range-only join, never
+    a cross join); versions-per-customer is small and bounded, exactly
+    the SCD2 contract. Spend is summed in exact micro-units so tier
+    boundaries cannot float between engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    yearly = (
+        o.select(
+            "o_custkey",
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.floor(F.col("o_totalprice") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("u"),
+        )
+        .groupBy("o_custkey", "yr")
+        .agg(F.sum("u").alias("spend_u"))
+    )
+    tiered = yearly.select(
+        "o_custkey",
+        "yr",
+        F.when(F.col("spend_u") >= _SCD2_TIER_HI, "high")
+        .when(F.col("spend_u") >= _SCD2_TIER_MID, "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
+    w = Window.partitionBy("o_custkey", "tier").orderBy("yr")
+    runs = tiered.withColumn(
+        "grp", F.col("yr") - F.row_number().over(w)
+    )
+    dim = runs.groupBy("o_custkey", "tier", "grp").agg(
+        F.min("yr").alias("valid_from"),
+        (F.max("yr") + 1).alias("valid_to"),
+    )
+    facts = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+    return (
+        facts.join(
+            dim.withColumnRenamed("o_custkey", "d_custkey"),
+            (F.col("o_custkey") == F.col("d_custkey"))
+            & (F.col("order_year") >= F.col("valid_from"))
+            & (F.col("order_year") < F.col("valid_to")),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "order_year",
+            "tier",
+            "valid_from",
+            "valid_to",
+        )
+    )

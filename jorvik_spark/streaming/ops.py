@@ -139,6 +139,90 @@ def dedup_within_watermark(
     return df.dropDuplicates(list(keys))
 
 
+# Interval lookback → microseconds, for the batch-side bucketed join.
+_INTERVAL_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _lookback_micros(lookback: str) -> int:
+    n, unit = lookback.strip().split()
+    return int(n) * _INTERVAL_US[unit.rstrip("s")]
+
+
+def _bucketed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    lookback: str,
+    how: str,
+    right_within_left: bool = False,
+) -> DataFrame:
+    """Batch-side interval join with TIME-BUCKETED pair generation.
+
+    A plain equi-key join evaluates every (l, r) pair within each key
+    group — quadratic in the group, which a single hot key turns into
+    the whole job (measured on the deliberately-skewed 10× stress
+    corpus: user 0 holds ~30% of events, ~1e10 candidate pairs for that
+    one key, 260 s on one core). Bucketing time into lookback-width
+    cells and joining on (key, bucket) — the right side probing its own
+    cell and the previous one — bounds pair evaluation to pairs at most
+    2×lookback apart, which is within a constant factor of the TRUE
+    match set: the hot key's quadratic group becomes many small
+    (key, hour) groups spread across the cluster. This is the rewrite
+    range-join hints perform in engines that have them.
+
+    A (l, r) pair inside the window satisfies
+    ``l.bucket ∈ {r.bucket - 1, r.bucket}`` (bucket width == lookback),
+    and each pair can match through exactly ONE probe row (the probes
+    sit at distinct buckets) — so the join is duplicate-free and the
+    left-outer variant's unmatched set is exact.
+
+    Streaming inputs never take this path: Spark's stream-stream state
+    machinery needs the raw time-range condition for watermark-based
+    state cleanup, and incremental arrival already amortizes each key's
+    pair work across micro-batches.
+    """
+    us = _lookback_micros(lookback)
+    # Integer div, never float: unix_micros/width as a double rounds at
+    # the 53-bit mantissa and a boundary timestamp could land one bucket
+    # off; `div` stays exact (timestamps here are post-epoch).
+    bucket = F.expr(f"unix_micros({ts_col}) div {us}")
+    if right_within_left:
+        # pair satisfies r.ts ∈ [l.ts - lookback, l.ts]
+        # ⟺ l.bucket ∈ {r.bucket, r.bucket + 1} → right probes (b, b+1)
+        probes = F.array(F.col("__b0"), F.col("__b0") + 1)
+        cond = (
+            f"r.{ts_col} >= l.{ts_col} - INTERVAL {lookback} AND "
+            f"r.{ts_col} <= l.{ts_col}"
+        )
+    else:
+        # pair satisfies l.ts ∈ [r.ts - lookback, r.ts]
+        # ⟺ l.bucket ∈ {r.bucket - 1, r.bucket} → right probes (b, b-1)
+        probes = F.array(F.col("__b0"), F.col("__b0") - 1)
+        cond = (
+            f"l.{ts_col} >= r.{ts_col} - INTERVAL {lookback} AND "
+            f"l.{ts_col} <= r.{ts_col}"
+        )
+    l = left.withColumn("__bl", bucket).alias("l")
+    r = (
+        right.withColumn("__b0", bucket)
+        .withColumn("__bl", F.explode(probes))
+        .drop("__b0")
+        .alias("r")
+    )
+    joined = l.join(
+        r,
+        F.expr(f"l.{key} = r.{key} AND l.__bl = r.__bl AND {cond}"),
+        how,
+    )
+    return joined.drop("__bl")
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -165,6 +249,10 @@ def interval_join(
     At 100 TB/day the state-store shuffle partitions the same way, and a
     skewed key (one bot user) skews state: pre-filter or salt such keys.
     """
+    if not (left.isStreaming or right.isStreaming):
+        return _bucketed_interval_join(
+            left, right, key, ts_col, lookback, "inner"
+        )
     l = _with_watermark(left, ts_col, watermark).alias("l")
     r = _with_watermark(right, ts_col, watermark).alias("r")
     return l.join(
@@ -202,6 +290,14 @@ def interval_join_outer(
     Scale shape: same equi-key shuffle + per-key range predicate as the
     inner form; state bounded by ``watermark + lookback`` per side.
     """
+    if not (left.isStreaming or right.isStreaming):
+        # same bucket geometry with the window anchored on the KEPT
+        # left side (right matches within [l.ts - lookback, l.ts]);
+        # aliases keep the caller orientation l = kept, r = matched.
+        return _bucketed_interval_join(
+            left, right, key, ts_col, lookback, "leftOuter",
+            right_within_left=True,
+        )
     l = _with_watermark(left, ts_col, watermark).alias("l")
     r = _with_watermark(right, ts_col, watermark).alias("r")
     return l.join(

@@ -289,3 +289,32 @@ def test_python_datasource_partition_fanout_and_jsonl(spark, tmp_path):
     assert jdf.rdd.getNumPartitions() == 2
     got = sorted(tuple(r) for r in jdf.collect())
     assert got == [(1, "x"), (2, None), (3, "z")]
+
+
+def test_scd2_pit_join_loss_and_duplicate_free(spark):
+    """Every order matches EXACTLY ONE dimension version (validity runs
+    partition each customer's years), the matched version really covers
+    the order year, and runs are maximal (a customer's consecutive
+    years in one tier share one version row)."""
+    rows = QUERIES["join_scd2_pointintime"](spark, SF_DIR).collect()
+    from jorvik_spark.tables import load_table
+
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert len(rows) == n_orders  # loss- and duplicate-free
+    seen = set()
+    for r in rows:
+        assert r["o_orderkey"] not in seen
+        seen.add(r["o_orderkey"])
+        assert r["valid_from"] <= r["order_year"] < r["valid_to"]
+    # maximality: no two versions of one customer+tier are adjacent
+    versions = {
+        (r["o_custkey"], r["tier"], r["valid_from"], r["valid_to"])
+        for r in rows
+    }
+    by_cust_tier = {}
+    for ck, tier, vf, vt in versions:
+        by_cust_tier.setdefault((ck, tier), []).append((vf, vt))
+    for spans in by_cust_tier.values():
+        spans.sort()
+        for (f1, t1), (f2, t2) in zip(spans, spans[1:]):
+            assert t1 < f2, "adjacent same-tier runs must be merged"
