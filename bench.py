@@ -181,29 +181,34 @@ def main() -> None:
     times_r8 = {lb: time_query(qn) for lb, qn in BENCH_R8_QUERIES.items()}
     times_r9 = {lb: time_query(qn) for lb, qn in BENCH_R9_QUERIES.items()}
 
-    # §2C gate: within _GATE_2C_LIMIT × the round-7 reference. Gate only
-    # applies at the reference's scale (sf0.1).
-    violations = {
-        lb: {"sec": t, "ref": GATE_2C_REF[lb], "x": round(t / GATE_2C_REF[lb], 2)}
-        for lb, t in times_2c.items()
-        if sf == 0.1
-        and lb in GATE_2C_REF
-        and t > GATE_2C_REF[lb] * _GATE_2C_LIMIT
-    }
-    if violations:
-        print(f"GATE_2C VIOLATIONS (> {_GATE_2C_LIMIT}x r7): {violations}",
-              file=sys.stderr)
+    def gate(times_g: dict, ref: dict, ref_round: int, label: str) -> dict:
+        """Regression gate vs a prior round's sf0.1 medians: within
+        _GATE_2C_LIMIT × the reference, applied only at the reference's
+        scale. One mechanism for every per-round cohort — a change to
+        the adjudication (limit, load-context handling) lands once.
+        applied=false (sf != 0.1) means the gate was SKIPPED — its "ok"
+        is then vacuous, not a pass."""
+        violations = {
+            lb: {"sec": t, "ref": ref[lb], "x": round(t / ref[lb], 2)}
+            for lb, t in times_g.items()
+            if sf == 0.1 and lb in ref and t > ref[lb] * _GATE_2C_LIMIT
+        }
+        if violations:
+            print(
+                f"GATE_{label} VIOLATIONS (> {_GATE_2C_LIMIT}x "
+                f"r{ref_round}): {violations}",
+                file=sys.stderr,
+            )
+        return {
+            "limit_x": _GATE_2C_LIMIT,
+            "ref_round": ref_round,
+            "applied": sf == 0.1,
+            "ok": not violations,
+            "violations": violations,
+        }
 
-    violations_r8 = {
-        lb: {"sec": t, "ref": GATE_R8_REF[lb], "x": round(t / GATE_R8_REF[lb], 2)}
-        for lb, t in times_r8.items()
-        if sf == 0.1
-        and lb in GATE_R8_REF
-        and t > GATE_R8_REF[lb] * _GATE_2C_LIMIT
-    }
-    if violations_r8:
-        print(f"GATE_R8 VIOLATIONS (> {_GATE_2C_LIMIT}x r8): {violations_r8}",
-              file=sys.stderr)
+    gate_2c = gate(times_2c, GATE_2C_REF, 7, "2C")
+    gate_r8 = gate(times_r8, GATE_R8_REF, 8, "R8")
 
     # Host-load context: a uniformly inflated run on a busy host is
     # environmental, not a regression — record the evidence to
@@ -232,22 +237,8 @@ def main() -> None:
                 "queries_2c": times_2c,
                 "queries_r8": times_r8,
                 "queries_r9": times_r9,
-                "gate_2c": {
-                    "limit_x": _GATE_2C_LIMIT,
-                    "ref_round": 7,
-                    # applied=false (sf != 0.1) means the gate was
-                    # SKIPPED — its "ok" is then vacuous, not a pass.
-                    "applied": sf == 0.1,
-                    "ok": not violations,
-                    "violations": violations,
-                },
-                "gate_r8": {
-                    "limit_x": _GATE_2C_LIMIT,
-                    "ref_round": 8,
-                    "applied": sf == 0.1,
-                    "ok": not violations_r8,
-                    "violations": violations_r8,
-                },
+                "gate_2c": gate_2c,
+                "gate_r8": gate_r8,
                 "load_avg": load_avg,
                 "uptime_sec": uptime_sec,
                 "sf": sf,

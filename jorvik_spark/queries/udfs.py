@@ -141,19 +141,27 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
 
     def zscore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Null values (Arrow delivers them as NaN) are excluded from the
+        # running moments — a NaN row counted in n but skipped by the
+        # NaN-skipping sums would silently bias the mean for every later
+        # row — and are vacuously bounded (no z is defined for them),
+        # matching the oracle's unconditional TRUE.
         n, s, s2 = 0, 0.0, 0.0
         for pdf in batches:
-            n += len(pdf)
-            s += float(pdf["value"].sum())
-            s2 += float((pdf["value"] ** 2).sum())
-            mean = s / n
-            var = max(s2 / n - mean * mean, 1e-12)
-            z = (pdf["value"] - mean) / (var**0.5)
+            vals = pdf["value"]
+            present = vals.notna()
+            n += int(present.sum())
+            s += float(vals.sum())  # pandas sum skips NaN
+            s2 += float((vals**2).sum())
+            mean = s / n if n else 0.0
+            var = max(s2 / n - mean * mean, 1e-12) if n else 1.0
+            z = (vals - mean) / (var**0.5)
             yield pd.DataFrame(
                 {
                     "event_id": pdf["event_id"],
-                    "value": pdf["value"],
-                    "z_bounded": np.isfinite(z) & (z.abs() <= 1e6),
+                    "value": vals,
+                    "z_bounded": ~present
+                    | (np.isfinite(z) & (z.abs() <= 1e6)),
                 }
             )
 

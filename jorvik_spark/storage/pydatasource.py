@@ -74,6 +74,10 @@ class SyntheticReader(DataSourceReader):
         self._parts = max(1, int(options.get("parts", 8)))
 
     def partitions(self) -> Sequence[InputPartition]:
+        if self._n <= 0:
+            # a zero-row source still needs ONE split: Spark's Python
+            # datasource path errors on an empty partition list
+            return [_RangePartition(0, 0)]
         step = -(-self._n // self._parts)  # ceil div
         return [
             _RangePartition(s, min(s + step, self._n))

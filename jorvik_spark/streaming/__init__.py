@@ -25,6 +25,7 @@ from jorvik_spark.streaming.ops import (  # noqa: F401
     sliding_agg,
     tumbling_agg,
     user_activity_summary,
+    window_unique_users,
 )
 from jorvik_spark.streaming.sinks import (  # noqa: F401
     foreach_batch_merge,
@@ -40,6 +41,7 @@ __all__ = [
     "interval_join_outer",
     "running_user_totals",
     "user_activity_summary",
+    "window_unique_users",
     "foreach_batch_merge",
     "incremental_dedup_sink",
 ]

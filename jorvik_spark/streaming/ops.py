@@ -139,18 +139,29 @@ def dedup_within_watermark(
     return df.dropDuplicates(list(keys))
 
 
-# Interval lookback → microseconds, for the batch-side bucketed join.
-_INTERVAL_US = {
-    "second": 1_000_000,
-    "minute": 60_000_000,
-    "hour": 3_600_000_000,
-    "day": 86_400_000_000,
-}
-
-
-def _lookback_micros(lookback: str) -> int:
-    n, unit = lookback.strip().split()
-    return int(n) * _INTERVAL_US[unit.rstrip("s")]
+def _lookback_micros(df: DataFrame, lookback: str) -> int | None:
+    """Fixed width of ``INTERVAL {lookback}`` in microseconds, or None
+    when no fixed width exists. Evaluated by Spark itself (one literal
+    row on the driver) so every interval string Spark accepts — weeks,
+    milliseconds, compound forms — keeps working; hand-parsing a unit
+    table silently regressed "1 week" callers. Calendar units (month/
+    year) have no fixed microsecond width, so they return None and the
+    caller falls back to the plain range join.
+    """
+    try:
+        [(us,)] = (
+            df.sparkSession.range(1)
+            .select(
+                F.expr(
+                    "unix_micros(timestamp'1970-01-01 00:00:00 UTC'"
+                    f" + INTERVAL {lookback})"
+                )
+            )
+            .collect()
+        )
+        return int(us) if us and us > 0 else None
+    except Exception:  # noqa: BLE001 — calendar/unparseable interval
+        return None
 
 
 def _bucketed_interval_join(
@@ -187,7 +198,25 @@ def _bucketed_interval_join(
     state cleanup, and incremental arrival already amortizes each key's
     pair work across micro-batches.
     """
-    us = _lookback_micros(lookback)
+    us = _lookback_micros(left, lookback)
+    if us is None:
+        # no fixed bucket width (calendar interval) — plain range join,
+        # the pre-bucketing batch behavior
+        l = left.alias("l")
+        r = right.alias("r")
+        if right_within_left:
+            cond = (
+                f"l.{key} = r.{key} AND "
+                f"r.{ts_col} >= l.{ts_col} - INTERVAL {lookback} AND "
+                f"r.{ts_col} <= l.{ts_col}"
+            )
+        else:
+            cond = (
+                f"l.{key} = r.{key} AND "
+                f"l.{ts_col} >= r.{ts_col} - INTERVAL {lookback} AND "
+                f"l.{ts_col} <= r.{ts_col}"
+            )
+        return l.join(r, F.expr(cond), how)
     # Integer div, never float: unix_micros/width as a double rounds at
     # the 53-bit mantissa and a boundary timestamp could land one bucket
     # off; `div` stays exact (timestamps here are post-epoch).
@@ -221,6 +250,39 @@ def _bucketed_interval_join(
         how,
     )
     return joined.drop("__bl")
+
+
+def window_unique_users(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    key_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window approximate distinct keys — the streamable "hourly
+    uniques". EXACT distinct is not streamable (Spark rejects distinct
+    aggregates on streams: the state would hold every key per open
+    window); the HLL sketch is the standard substitute — fixed-size
+    per-window state merged in the state store, bounded by the
+    watermark. Batch inputs run the identical expression, and HLL merge
+    is order-independent, so stream and batch estimates are EQUAL, not
+    merely close — the live test pins equality. The batch-twin query
+    ``stream_window_unique_users`` additionally hash-checks the exact
+    counts and the estimate's error bound against DuckDB.
+    """
+    df = _with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window))
+        .agg(
+            F.approx_count_distinct(key_col).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "approx_users",
+            "n_events",
+        )
+    )
 
 
 def interval_join(

@@ -237,6 +237,21 @@ EVENT_QUERIES = [
     # the full distinct source). Pinned here so Spark-version or
     # watermark-semantics drift fails loudly instead of silently.
     "stream_dedup_watermark",
+    # LEFT OUTER interval join: unmatched purchases null-pad; null-ts /
+    # null-user rows excluded like the inner form.
+    "stream_attribution_coverage",
+    # mapInPandas z-score: a NULL value row must pass through with
+    # z_bounded TRUE (no z is defined for it) and must NOT bias the
+    # running moments for later rows (n counts non-null only) — the
+    # oracle emits every event unconditionally.
+    "udf_map_in_pandas",
+    # stateful fixed-point totals: NULL values are skipped by the sum
+    # (total stays NULL until a non-null arrives) but counted in
+    # n_events — SQL SUM/COUNT(*) semantics on both engines.
+    "stream_stateful_running_totals",
+    # per-window HLL uniques: null-ts / null-user rows excluded; the
+    # within-bound boolean must hold on tiny dirty windows too.
+    "stream_window_unique_users",
 ]
 
 

@@ -749,3 +749,52 @@ def test_interval_join_outer_emits_unmatched_after_watermark(spark, tmp_path):
         .collect()
     }
     assert batch == got
+
+
+def test_window_unique_users_stream_equals_batch(spark, events_src):
+    """Streaming per-window HLL uniques must EQUAL the batch run (HLL
+    merge is order-independent), not merely approximate it."""
+    stream = S.window_unique_users(
+        _stream(spark, events_src).filter(
+            "ts IS NOT NULL AND user_id IS NOT NULL"
+        )
+    )
+    _run_to_memory(stream, "t_uniq", "complete")
+    got = _sorted_rows(spark.table("t_uniq"), "window_start")
+    want = _sorted_rows(
+        S.window_unique_users(
+            spark.read.parquet(events_src).filter(
+                "ts IS NOT NULL AND user_id IS NOT NULL"
+            )
+        ),
+        "window_start",
+    )
+    assert got == want and len(got) > 0
+
+
+def test_interval_join_batch_accepts_all_spark_interval_forms(spark):
+    """The bucketed batch path must accept every lookback Spark itself
+    accepts — weeks, compound intervals — and fall back to the plain
+    range join for calendar units (month/year have no fixed bucket
+    width). A hand-parsed unit table regressed "1 week" callers once;
+    this pins the contract."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    l = spark.createDataFrame(
+        [(1, 10, t0)], "id long, user_id long, ts timestamp"
+    )
+    r = spark.createDataFrame(
+        [(2, 10, t0 + dt.timedelta(days=3))],
+        "id long, user_id long, ts timestamp",
+    )
+    # 3 days within 1 week → match; outside 1.5 hours → none
+    assert S.interval_join(l, r, lookback="1 week").count() == 1
+    assert S.interval_join(l, r, lookback="1 hour 30 minutes").count() == 0
+    # calendar interval: falls back to the unbucketed join, still works
+    assert S.interval_join(l, r, lookback="1 month").count() == 1
+    # outer forms keep every left row regardless of parse path
+    assert S.interval_join_outer(r, l, lookback="1 week").count() == 1
+    assert (
+        S.interval_join_outer(r, l, lookback="1 month").count() == 1
+    )
