@@ -50,7 +50,8 @@ from jorvik_spark.queries import sampling  # noqa: F401,E402
 #     sql_api_revenue_report, scan_merge_schema_union,
 #     stream_attribution_coverage, corpus_quality_rank_correlation,
 #     scan_python_datasource, join_scd2_pointintime,
-#     stream_window_unique_users — all hash-mode,
+#     stream_window_unique_users, join_null_safe_equi,
+#     stream_binary_ingest — all hash-mode,
 #     registered outside the prefix this round, parity-green at
 #     sf0.001/0.01/0.1), then the 5 r6 leftovers above, then the oldest
 #     r7-prefix rows.

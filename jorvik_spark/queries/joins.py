@@ -1585,3 +1585,63 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_to",
         )
     )
+
+
+@query(
+    "join_null_safe_equi",
+    oracle="""
+    WITH o1 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_custkey END AS k,
+               o_totalprice
+        FROM orders),
+    o2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_custkey END AS k
+        FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT CAST(o1.k IS NULL AS BOOLEAN) AS null_key,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT o1.o_orderkey) AS BIGINT) AS n_left
+    FROM o1 JOIN o2 ON o1.k IS NOT DISTINCT FROM o2.k
+    GROUP BY 1
+    """,
+)
+def join_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match EACH OTHER instead of matching nothing — the semantics a
+    "group unknowns together" reconciliation needs (plain ``=`` silently
+    drops every NULL-keyed row from an inner join, the classic silent
+    data loss on dirty keys). Derived NULLs are injected (every 5th
+    order) so the null bucket is non-vacuous at every SF, and the result
+    is aggregated per null/non-null bucket — making the NULL-match
+    cardinality itself the checked value.
+
+    Scale caution, stated because the oracle-visible n_pairs shows it:
+    null-safe equality hashes every NULL to ONE key, so a null-heavy
+    corpus turns the NULL bucket into the hottest key in the job — the
+    5%-null injection here already makes the null bucket's pair count
+    quadratic in its size (visible as n_pairs per bucket). Production
+    null-safe joins split the NULL partition out first unless the null
+    group is known-small.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_totalprice",
+    )
+    right = keyed.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("r_orderkey"), F.col("k").alias("rk")
+    )
+    return (
+        keyed.join(right, F.col("k").eqNullSafe(F.col("rk")))
+        .groupBy(F.col("k").isNull().alias("null_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("o_orderkey").alias("n_left"),
+        )
+    )

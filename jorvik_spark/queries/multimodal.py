@@ -561,3 +561,67 @@ def multimodal_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ext", "size_bits")
     )
+
+
+@query(
+    "stream_binary_ingest",
+    oracle="""
+    SELECT filename AS path,
+           CAST(size AS BIGINT) AS n_bytes,
+           md5(lower(hex(content))) AS content_key,
+           CAST(size <= 524288 AS BOOLEAN) AS decode_eligible
+    FROM read_blob('{sf_dir}/*.parquet')
+    """,
+)
+def stream_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING multimodal ingest: the binaryFile source consumed as a
+    file STREAM — the landing-zone shape where media blobs drop into a
+    directory continuously and each micro-batch extracts typed metadata
+    (size, content digest, decode-eligibility under the blob-size cap)
+    without ever shuffling blob bytes. The drained sink is value-hashed
+    against DuckDB's read_blob over the same files, so the streaming
+    scan→digest→sink pipeline is verified end-to-end, not smoke-tested.
+
+    Scale shape: file-stream sources parallelize per file and checkpoint
+    progress by file name — a crashed ingest resumes where it stopped,
+    never re-digesting processed blobs. Content bytes are dropped after
+    the JVM-side digest projection; only (path, size, digest, flag) rows
+    reach the sink. maxBytesPerTrigger would bound per-batch memory on a
+    production landing zone; the blob-size cap here mirrors
+    multimodal_feature_extract's decode screen.
+    """
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="jorvik_spark_bining_")
+    dst, cp = f"{base}/dst", f"{base}/cp"
+    stream = (
+        spark.readStream.format("binaryFile")
+        # streaming sources need a DECLARED schema (A2 contract — no
+        # inference pass on a stream); binaryFile's is fixed:
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select(
+            F.regexp_replace("path", _STRIP_SCHEME, "").alias("path"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.lower(F.hex(F.col("content")))).alias("content_key"),
+            (F.col("length") <= _MAX_DECODE_BYTES).alias(
+                "decode_eligible"
+            ),
+        )
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.read.parquet(dst)
