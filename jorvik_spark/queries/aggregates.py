@@ -863,3 +863,98 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * F.col("n_keys") * 2 >= 3 * F.col("n"))
         .select("o_custkey", "cnt")
     )
+
+
+@query(
+    "agg_regression_moments",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*)::HUGEINT AS n,
+               SUM(CAST(floor(l_quantity) AS BIGINT))::HUGEINT AS sx,
+               SUM(CAST(floor(l_extendedprice) AS BIGINT))::HUGEINT AS sy,
+               SUM(CAST(floor(l_quantity) AS BIGINT)
+                   * CAST(floor(l_extendedprice) AS BIGINT))::HUGEINT AS sxy,
+               SUM(CAST(floor(l_quantity) AS BIGINT)
+                   * CAST(floor(l_quantity) AS BIGINT))::HUGEINT AS sxx,
+               SUM(CAST(floor(l_extendedprice) AS BIGINT)
+                   * CAST(floor(l_extendedprice) AS BIGINT))::HUGEINT AS syy
+        FROM lineitem GROUP BY l_returnflag),
+    d AS (SELECT l_returnflag, n,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS den1,
+                 n * syy - sy * sy AS den2,
+                 sx, sy
+          FROM m)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST((num * 1000000) // den1 AS BIGINT) AS slope_ppm,
+           CAST((sy * 1000000 - ((num * 1000000) // den1) * sx) // n
+                AS BIGINT) AS intercept_ppm,
+           CAST(floor((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                      / (CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS r2_ppm
+    FROM d
+    """,
+)
+def agg_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass linear regression + correlation per group (price vs
+    quantity per return flag): slope, intercept, and r² computed from
+    the FIVE sufficient moments (Σx, Σy, Σxy, Σx², Σy²) gathered in a
+    single map-side-combined aggregate — the way corr/regr run at
+    100 TB (Spark's own F.corr/covar_samp are the same one-pass moment
+    fold, but accumulate in doubles, whose order-dependent rounding
+    breaks cross-engine value hashes).
+
+    Determinism layering: inputs floor to integer units, moments
+    accumulate exactly in DECIMAL(38,0) (both engines 128-bit here),
+    slope/intercept come out via integral division at ppm scale, and
+    only r² — whose exact numerator (num²·1e6 ≈ 4e40 at sf0.1) would
+    overflow 38 digits — converts the exact moments to IEEE doubles for
+    one mul/div/floor sequence mirrored operation-for-operation in the
+    oracle (IEEE ops are exactly specified, so the hash still matches).
+    Caveat pinned for the integer path: Spark's decimal ``div`` yields
+    a LONG, so it is only used where the quotient provably fits (slope
+    ≤ ~1e10 ppm, intercept ≤ Σy·1e6/n); at 1e12-row groups the moment
+    products approach the 38-digit ceiling — shard the moments and
+    combine, or drop to the double path entirely.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor("l_quantity").alias("x"),
+        F.floor("l_extendedprice").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    d = m.select(
+        "l_returnflag",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den1"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("den2"),
+        "sx",
+        "sy",
+    )
+    return d.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.expr("(num * 1000000) div den1").cast("long").alias("slope_ppm"),
+        F.expr(
+            "(sy * 1000000 - CAST((num * 1000000) div den1 AS DECIMAL(38,0))"
+            " * sx) div n"
+        )
+        .cast("long")
+        .alias("intercept_ppm"),
+        F.expr(
+            "CAST(floor((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))"
+            " / (CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("r2_ppm"),
+    )

@@ -1,0 +1,203 @@
+"""Data-quality audit queries (SURVEY.md §2B gap-fill: profiling and
+expectation checks — the Deequ/Great-Expectations job shapes).
+
+The reference's audit surface is schema-level only
+(/root/reference/jorvik/audit/schemas.py — is_subset / are_equal on
+StructTypes, re-implemented in jorvik_spark/audit/schemas.py). A lake
+engine also needs DATA-level audits: column profiles (null/distinct/
+bounds) and constraint suites (keys, foreign keys, ranges) that run as
+ordinary aggregation plans over the full table. Both queries here emit
+small per-column / per-check report rows, so the audit of a 100 TB table
+returns kilobytes.
+
+Scale notes: the profile is one full scan with map-side-combined
+aggregates; the multi-column exact distinct counts expand the scan
+|distinct-aggs|-fold (Catalyst's Expand), which is the documented cost
+of exactness — the bounded column list keeps it a small constant, and
+the 100 TB variant swaps in approx_count_distinct per column (1 pass, no
+expand) at the cost of hash-checkability. The constraint suite is
+anti-join counts (broadcast or shuffled-hash as AQE decides) plus narrow
+predicate counts — each check is the cheapest plan that can prove its
+violation count is zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jorvik_spark.tables import load_table
+from jorvik_spark.queries.registry import query
+
+# Columns profiled by audit_column_profile — a fixed, small list: each
+# exact distinct count multiplies the scan via Expand, so profiling is
+# "pick your columns", not "all 400 of them exactly".
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+
+
+@query(
+    "audit_column_profile",
+    oracle="""
+    WITH agg AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(o_orderstatus) AS nn1, COUNT(DISTINCT o_orderstatus) AS nd1,
+               CAST(MIN(o_orderstatus) AS VARCHAR) AS mn1,
+               CAST(MAX(o_orderstatus) AS VARCHAR) AS mx1,
+               COUNT(o_orderpriority) AS nn2, COUNT(DISTINCT o_orderpriority) AS nd2,
+               CAST(MIN(o_orderpriority) AS VARCHAR) AS mn2,
+               CAST(MAX(o_orderpriority) AS VARCHAR) AS mx2,
+               COUNT(o_custkey) AS nn3, COUNT(DISTINCT o_custkey) AS nd3,
+               CAST(MIN(o_custkey) AS VARCHAR) AS mn3,
+               CAST(MAX(o_custkey) AS VARCHAR) AS mx3,
+               COUNT(o_totalprice) AS nn4, COUNT(DISTINCT o_totalprice) AS nd4,
+               CAST(MIN(o_totalprice) AS VARCHAR) AS mn4,
+               CAST(MAX(o_totalprice) AS VARCHAR) AS mx4
+        FROM orders)
+    SELECT 'o_orderstatus' AS column_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_rows - nn1 AS BIGINT) AS n_nulls,
+           CAST(nd1 AS BIGINT) AS n_distinct, mn1 AS min_value, mx1 AS max_value
+    FROM agg
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(n_rows AS BIGINT),
+           CAST(n_rows - nn2 AS BIGINT), CAST(nd2 AS BIGINT), mn2, mx2 FROM agg
+    UNION ALL
+    SELECT 'o_custkey', CAST(n_rows AS BIGINT),
+           CAST(n_rows - nn3 AS BIGINT), CAST(nd3 AS BIGINT), mn3, mx3 FROM agg
+    UNION ALL
+    SELECT 'o_totalprice', CAST(n_rows AS BIGINT),
+           CAST(n_rows - nn4 AS BIGINT), CAST(nd4 AS BIGINT), mn4, mx4 FROM agg
+    """,
+)
+def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of ``orders`` in ONE scan: row count, null
+    count, exact distinct count, min/max (stringified for a uniform
+    report schema) — the table-health report a curation pipeline runs
+    before trusting a new drop of data.
+
+    All per-column statistics are computed in a single wide aggregate
+    (one scan, one reduce), then reshaped to one report row per column
+    with ``stack`` — never one job per column (the naive profiler runs
+    4 scans here and 400 on a real table). min/max are cast to string
+    AFTER aggregation, so the comparison order is each column's native
+    type, not lexicographic.
+
+    float-column caveat, stated because o_totalprice exercises it: the
+    stringified double min/max round-trips exactly in both engines only
+    because Spark and DuckDB print shortest-round-trip doubles; decimals
+    are the production choice for money audits.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, c in enumerate(_PROFILE_COLS, 1):
+        aggs += [
+            F.count(c).alias(f"nn{i}"),
+            F.countDistinct(c).alias(f"nd{i}"),
+            F.min(c).cast("string").alias(f"mn{i}"),
+            F.max(c).cast("string").alias(f"mx{i}"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn{i}, nd{i}, mn{i}, mx{i}"
+        for i, c in enumerate(_PROFILE_COLS, 1)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )
+
+
+@query(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'pk_orders_unique' AS check_name,
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'fk_orders_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+                       (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'fk_lineitem_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'range_quantity_positive',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'nonnull_orderdate',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+                AS BIGINT)
+    """,
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite audit: five expectation checks — primary-key
+    uniqueness, two foreign-key orphan counts, a value-range rule, a
+    not-null rule — each reported as (check_name, n_violations). The
+    contract a pipeline asserts before publishing a table: every
+    violation count must be 0 (and on this lake they are, which is
+    itself the checked value).
+
+    Plan shapes, chosen per check: PK uniqueness is count minus exact
+    distinct (one map-combined pass — never a groupBy-then-count-dups
+    materialization of the key space); FK orphans are LEFT ANTI joins
+    (AQE broadcasts the customer side; lineitem→orders stays a shuffled
+    join on the already-co-partitioned key) aggregated to a single
+    count; range/null rules are pushed-down predicate counts. The five
+    single-row results union into the report — each branch scans only
+    the columns its check needs.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    pk = one(
+        "pk_orders_unique",
+        orders.agg(
+            (F.count("o_orderkey") - F.countDistinct("o_orderkey")).alias("n")
+        ),
+    )
+    fk_oc = one(
+        "fk_orders_customer",
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    fk_lo = one(
+        "fk_lineitem_orders",
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    rng = one(
+        "range_quantity_positive",
+        lineitem.filter(F.col("l_quantity") <= 0).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    nn = one(
+        "nonnull_orderdate",
+        orders.filter(F.col("o_orderdate").isNull()).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    return pk.unionByName(fk_oc).unionByName(fk_lo).unionByName(rng).unionByName(nn)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jorvik_spark.queries.registry import query
+from jorvik_spark.tables import load_table
 
 _FEATURE_SCHEMA = (
     "path string, n_bytes long, content_sha256 string, "
@@ -625,3 +626,87 @@ def stream_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(dst)
+
+
+@query(
+    "multimodal_pair_manifest",
+    oracle="""
+    WITH blobs AS (
+        SELECT filename AS path, CAST(size AS BIGINT) AS n_bytes,
+               ROW_NUMBER() OVER (ORDER BY filename) - 1 AS blob_idx,
+               COUNT(*) OVER () AS n_blobs
+        FROM read_blob('{sf_dir}/*.parquet')),
+    caps AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+'))
+                    AS INTEGER) AS caption_tokens
+        FROM documents WHERE doc_id < 500 AND text IS NOT NULL
+                         AND trim(text) <> '')
+    SELECT c.doc_id, c.lang, c.caption_tokens,
+           b.path, b.n_bytes,
+           CAST(b.n_bytes <= 524288 AS BOOLEAN) AS decode_eligible
+    FROM caps c JOIN blobs b ON c.doc_id % b.n_blobs = b.blob_idx
+    """,
+)
+def multimodal_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(caption, blob) TRAINING-PAIR assembly — the join that builds an
+    image-text dataset manifest: text rows pair with media blobs by a
+    deterministic assignment key, carrying the caption stats and blob
+    metadata a loader needs, WITHOUT moving a single content byte (the
+    binaryFile scan projects only path+length; Spark never reads blob
+    content a query doesn't touch).
+
+    The pairing key here (doc_id mod |blobs| onto a rank-ordered blob
+    index) stands in for the production join key (a shared sample id or
+    URL); what the oracle pins is the join plumbing — blob indexing is
+    deterministic (lexicographic path rank), the caption side filters
+    empties BEFORE pairing, and every surviving caption acquires exactly
+    one blob row. The blob index is tiny metadata — broadcast side of
+    the join; the caption side streams. Blob-size decode eligibility
+    rides along (same cap as multimodal_feature_extract), so the
+    downstream decode stage can partition-prune ineligible pairs.
+    """
+    from pyspark.sql import Window
+
+    blobs_raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select(
+            F.regexp_replace("path", _STRIP_SCHEME, "").alias("path"),
+            F.col("length").alias("n_bytes"),
+        )
+    )
+    # constant partition key: the blob index is file METADATA (one row
+    # per file — tiny by construction), so single-partition ranking is
+    # intended; lit(0) says so explicitly instead of tripping Spark's
+    # partitionless-window warning.
+    w = Window.partitionBy(F.lit(0)).orderBy("path")
+    blobs = blobs_raw.select(
+        "path",
+        "n_bytes",
+        (F.row_number().over(w) - 1).alias("blob_idx"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(F.lit(0)))
+        .alias("n_blobs"),
+    )
+    caps = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 500)
+            & F.col("text").isNotNull()
+            & (F.trim("text") != "")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("caption_tokens"),
+        )
+    )
+    return caps.join(
+        F.broadcast(blobs),
+        caps.doc_id % F.col("n_blobs") == F.col("blob_idx"),
+    ).select(
+        "doc_id", "lang", "caption_tokens", "path", "n_bytes",
+        (F.col("n_bytes") <= _MAX_DECODE_BYTES).alias("decode_eligible"),
+    )

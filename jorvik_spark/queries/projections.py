@@ -225,3 +225,71 @@ def expr_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("k") >= 50)
     )
+
+
+@query(
+    "expr_array_higher_order",
+    # The oracle states the VALUE semantics relationally (per-order
+    # aggregates over the rows); the Spark side computes the same values
+    # through the array higher-order-function pipeline it demonstrates.
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS INTEGER) AS n_lines,
+           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+               AS total_qty,
+           CAST(SUM(CASE WHEN floor(l_quantity) >= 30 THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_heavy,
+           bool_or(floor(l_quantity) = 50) AS has_qty50,
+           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)
+                    * CAST(floor(l_extendedprice * 1000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS revenue_units
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def expr_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions — ``transform`` / ``filter`` /
+    ``exists`` / ``zip_with`` / ``aggregate`` over a per-order line
+    array. HOFs run as Catalyst lambda expressions INSIDE whole-stage
+    codegen: the idiomatic way to compute over array columns (token
+    lists, embeddings, event traces) without any Python round-trip.
+
+    The array is built with ``sort_array(collect_list(struct(...)))`` —
+    collect_list order is partition-dependent, so the sort (on the
+    unique line number) is what makes the array, and everything derived
+    from it, deterministic. Values are quantized to integer units BEFORE
+    entering the arrays (floor qty; 1e-6 price units), so every lambda
+    accumulates exact integers — order-independent and engine-exact,
+    per the registry's fixed-point convention.
+
+    Scale: one shuffle (the groupBy); per-order arrays are bounded
+    (≤7 lineitems), so array rows never approach task-memory limits —
+    the pattern to avoid is collect_list over an UNBOUNDED group.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_quantity").alias("q"),
+        F.floor(F.col("l_extendedprice") * 1_000_000 + F.lit(0.5)).alias(
+            "p_units"
+        ),
+    )
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "q", "p_units"))
+        ).alias("lines")
+    )
+    return arr.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.expr(
+            "aggregate(transform(lines, x -> x.q),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("total_qty"),
+        F.expr("size(filter(lines, x -> x.q >= 30))").alias("n_heavy"),
+        F.expr("exists(lines, x -> x.q = 50)").alias("has_qty50"),
+        F.expr(
+            "aggregate(zip_with(transform(lines, x -> x.q),"
+            " transform(lines, x -> x.p_units), (q, p) -> q * p),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("revenue_units"),
+    )

@@ -1348,3 +1348,71 @@ def corpus_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Per-domain document cap for sample_domain_topk_cap: bites at every test
+# SF (25 docs/source at sf0.001/0.01, 250 at sf0.1) and stays a real
+# production shape (C4/RefinedWeb cap pages per domain so no site
+# dominates the mix).
+_DOMAIN_CAP = 10
+
+
+@query(
+    "sample_domain_topk_cap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_SQL_TOKENS} AS t FROM documents),
+    sc AS (SELECT doc_id, source,
+                  (len(list_distinct(t)) * 1000000) // greatest(len(t), 1)
+                      AS score_ppm
+           FROM toks),
+    rnk AS (SELECT doc_id, source, score_ppm,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY score_ppm DESC, doc_id)
+                       AS rnk
+            FROM sc)
+    SELECT doc_id, source, CAST(score_ppm AS BIGINT) AS score_ppm,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM rnk WHERE rnk <= {_DOMAIN_CAP}
+    """,
+)
+def sample_domain_topk_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap: keep each source's top-``N`` documents by
+    quality (the C4/RefinedWeb "no domain dominates the mix" rule),
+    emitting the kept manifest with each doc's within-domain rank.
+    Quality is the module's lexical-diversity ppm score; ties break on
+    doc_id, so the manifest is fully deterministic.
+
+    Scale shape — a hot domain must not become one terabyte-sort task,
+    and with this plan it doesn't: the ``row_number() <= N`` filter is
+    recognized by Catalyst's rank-limit pushdown, which inserts a
+    PARTIAL ``WindowGroupLimit`` on the MAP side — every input task
+    keeps at most N rows per source before the shuffle, so the exchange
+    carries ≤ N × map-tasks rows per domain and the final per-source
+    sort is over that bounded survivor set, never the raw corpus
+    (verified in the executed plan: WindowGroupLimit Partial below the
+    exchange, Final above). That is the two-phase tree top-k, done by
+    the optimizer — the hand-bucketed two-window variant this replaced
+    produced the same bound with one extra exchange.
+    """
+    toks = _tokenized_docs(spark, sf_dir)
+    sc = toks.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "(size(array_distinct(t)) * CAST(1000000 AS BIGINT))"
+            " div greatest(size(t), 1)"
+        ).alias("score_ppm"),
+    )
+    w_global = Window.partitionBy("source").orderBy(
+        F.col("score_ppm").desc(), F.col("doc_id")
+    )
+    return (
+        sc.withColumn("rnk", F.row_number().over(w_global))
+        .filter(F.col("rnk") <= _DOMAIN_CAP)
+        .select(
+            "doc_id",
+            "source",
+            F.col("score_ppm").cast("long").alias("score_ppm"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

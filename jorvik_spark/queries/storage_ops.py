@@ -828,3 +828,168 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("parts", 8)
         .load()
     )
+
+
+@query(
+    "merge_scd2_apply",
+    oracle="""
+    WITH changed AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        WHERE c_custkey % 4 = 0),
+    unchanged AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        WHERE c_custkey % 4 <> 0)
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           TIMESTAMP '1990-01-01' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           true AS is_current
+    FROM unchanged
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           TIMESTAMP '1990-01-01', TIMESTAMP '1995-06-01', false
+    FROM changed
+    UNION ALL
+    SELECT c_custkey, 'UPDATED', c_acctbal,
+           TIMESTAMP '1995-06-01', CAST(NULL AS TIMESTAMP), true
+    FROM changed
+    UNION ALL
+    SELECT c_custkey + 10000000, 'NEW', 0.0,
+           TIMESTAMP '1995-06-01', CAST(NULL AS TIMESTAMP), true
+    FROM customer WHERE c_custkey % 7 = 3
+    """,
+)
+def merge_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing dimension) MAINTENANCE via one
+    MERGE — the write-side complement of ``join_scd2_pointintime``
+    (which consumes the validity intervals this produces). A CDC batch
+    of segment changes plus brand-new customers is applied to a customer
+    dimension: each changed key's current row is CLOSED (valid_to set,
+    is_current dropped) and a new open version INSERTED, atomically in a
+    single merge.
+
+    The single-merge trick is the composite merge key ``(c_custkey,
+    valid_from)``: the staged batch carries each changed key TWICE — a
+    "close" row reproducing the current version's valid_from (MATCHES →
+    update-all rewrites it closed) and an "open" row with the new
+    effective date (no match → insert). A merge keyed on c_custkey alone
+    cannot do both for one key, which is why naive SCD2 loaders fall
+    back to full-table rewrites. Staging requires one join against the
+    CURRENT dimension slice (is_current filter pushed to the scan) —
+    broadcast-able when the changed-key set is CDC-sized.
+
+    Scale: the merge shuffles on the composite key; the dimension is
+    partitioned state, the CDC batch is small — exactly the
+    AQE-broadcast-into-SMJ shape ``merge_upsert`` pins. History grows
+    append-only (closed rows are rewritten once, never revisited).
+    """
+    st = BasicStorage()
+    target = _scratch("scd2") + "/dim"
+    eff = F.lit("1995-06-01").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    dim0 = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    st.write(dim0, target, "parquet", "overwrite")
+
+    current = st.read(target, "parquet").filter("is_current")
+    changed = (
+        current.join(
+            cust.filter(F.col("c_custkey") % 4 == 0).select("c_custkey"),
+            "c_custkey",
+        )
+        # screen no-op CDC rows: only rows whose tracked attribute
+        # actually changes may close a version
+        .filter(F.col("c_mktsegment") != F.lit("UPDATED"))
+    )
+    close_rows = changed.select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "valid_from",
+        eff.alias("valid_to"), F.lit(False).alias("is_current"),
+    )
+    open_rows = changed.select(
+        "c_custkey", F.lit("UPDATED").alias("c_mktsegment"), "c_acctbal",
+        eff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    new_rows = cust.filter(F.col("c_custkey") % 7 == 3).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+        eff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    staged = close_rows.unionByName(open_rows).unionByName(new_rows)
+    st.merge(
+        staged,
+        target,
+        "full.c_custkey = incremental.c_custkey"
+        " AND full.valid_from = incremental.valid_from",
+    )
+    return st.read(target, "parquet")
+
+
+@query(
+    "scan_csv_corrupt_records",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           {sql_dsum("CASE WHEN o_orderkey % 10 <> 0 THEN o_totalprice END")}
+               AS valid_total,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def scan_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE malformed-record handling on a CSV scan — the ingest
+    contract for dirty landing-zone data: a corrupt field must NOT kill
+    the job (FAILFAST) or silently vanish (DROPMALFORMED); the row
+    survives with the bad field nulled and the RAW line captured in
+    ``_corrupt_record`` for quarantine. The query plants a deterministic
+    corruption (every 10th order's price becomes non-numeric), reads the
+    file back under a DECLARED schema + PERMISSIVE, and reports row
+    count, corrupt count, and the sum over the rows that parsed — the
+    oracle reconstructs all three relationally, proving corrupt rows
+    were kept, flagged, and excluded from the numeric aggregate.
+
+    Scale notes: schema-on-read with a declared schema (no inference
+    pass over 100 TB); the corrupt-record column materializes only the
+    bad rows' raw text. Sum parity across the text round-trip holds
+    because double→string→double is shortest-round-trip exact in Spark.
+    """
+    base = _scratch("csvcorrupt")
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("oops")).otherwise(
+                F.col("o_totalprice").cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(base + "/t")
+    parsed = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_orderstatus STRING,"
+            " o_totalprice DOUBLE, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(base + "/t")
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        dsum("o_totalprice").alias("valid_total"),
+        F.max("o_orderkey").alias("max_key"),
+    )

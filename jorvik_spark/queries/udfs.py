@@ -168,3 +168,60 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.mapInPandas(
         zscore, schema="event_id long, value double, z_bounded boolean"
     )
+
+
+@query(
+    "udtf_sentence_split",
+    oracle="""
+    WITH s AS (SELECT doc_id, string_split(text, '. ') AS t
+               FROM documents WHERE doc_id < 200),
+    pos AS (SELECT doc_id,
+                   CAST(unnest(range(0, len(t))) AS INTEGER) AS idx,
+                   unnest(t) AS sentence
+            FROM s)
+    SELECT doc_id, idx, sentence,
+           CAST(len(sentence) AS INTEGER) AS n_chars
+    FROM pos
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark 4): one input row → N output
+    rows via ``LATERAL`` — the user-defined explode. The function splits
+    each document into ('. '-delimited) sentences with their positions;
+    per-sentence char counts are added JVM-side AFTER the lateral join,
+    so the Python stage emits only what Python computed.
+
+    Policy (same as the module docstring): a UDTF is a ROW-AT-A-TIME
+    Python path — the demo caps the input (doc_id < 200) and the
+    equivalent built-in (``posexplode(split(...))``, see
+    text_explode_positional) is always preferred when the expansion is
+    expressible. A UDTF earns its cost only when the row-generating
+    logic genuinely needs Python (a parser, a tokenizer library); then
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` switches the
+    transfer to Arrow batches.
+
+    NULL contract, mirrored by the oracle: a NULL text yields no rows
+    (the generator returns without yielding), exactly as DuckDB's
+    ``unnest(NULL)``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx: int, sentence: string")
+    class SentSplit:
+        def eval(self, text: str):  # noqa: ANN001 — UDTF signature
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                yield i, s
+
+    spark.udtf.register("jorvik_sent_split", SentSplit)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, s.idx, s.sentence,
+               CAST(length(s.sentence) AS INT) AS n_chars
+        FROM _udtf_docs, LATERAL jorvik_sent_split(text) AS s
+        """
+    )

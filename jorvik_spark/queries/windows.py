@@ -673,3 +673,99 @@ def stream_window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(4.0), 0.15 * F.col("exact_users"))
         ).alias("approx_within_bound"),
     )
+
+
+@query(
+    "set_unpivot_melt",
+    oracle=f"""
+    WITH w AS (
+        SELECT l_returnflag,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_price,
+               CAST(COUNT(*) AS DOUBLE) AS n_rows
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM w
+    UNION ALL
+    SELECT l_returnflag, 'n_rows', n_rows FROM w
+    """,
+)
+def set_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via ``DataFrame.unpivot`` (a.k.a. ``melt``,
+    Spark 3.4+): a per-flag wide aggregate (3 measure columns) unpivoted
+    to (flag, measure, value) rows — the metrics-table shape reporting
+    sinks want, produced WITHOUT re-scanning the fact table per measure.
+
+    ``unpivot`` is a pure narrow Expand over the already-aggregated
+    rows: |flags| × |measures| output rows from |flags| input rows, zero
+    additional shuffle — the anti-pattern it replaces is one
+    scan-and-filter per measure UNIONed together (|measures| scans).
+    All measures are cast to a common double type (unpivot requires it);
+    sums go through :func:`dsum` so the melted values hash identically
+    cross-engine.
+    """
+    wide = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+            F.count(F.lit(1)).cast("double").alias("n_rows"),
+        )
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_rows"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type) OVER w AS last_type,
+           NTH_VALUE(event_type, 2) OVER w AS second_type,
+           FIRST_VALUE(value IGNORE NULLS) OVER w AS first_nonnull_value
+    FROM events WHERE ts IS NOT NULL AND user_id < 200
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value (+ IGNORE NULLS) over each
+    user's full event timeline — the "attach the session's entry page /
+    exit page / second touch to every row" attribution shape.
+
+    The frame is EXPLICIT full-partition (unbounded preceding →
+    unbounded following): the default frame stops at CURRENT ROW, which
+    silently turns last_value into "this row's value" — the classic
+    window-function bug, pinned here by the oracle. IGNORE NULLS on
+    first_value skips events with NULL amounts, i.e. "first touch that
+    carried revenue". One exchange + one sort serves all four analytic
+    columns (a single shared WINDOW spec, not four)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .filter(F.col("user_id") < 200)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.first("value", ignorenulls=True).over(w).alias(
+            "first_nonnull_value"
+        ),
+    )

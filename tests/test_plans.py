@@ -37,6 +37,8 @@ _PYTHON_OK = {
     # Spark ML LSH models evaluate their hash families as UDFs.
     "dedup_minhash_lsh",
     "simsearch_lsh",
+    # Python UDTF demo (LATERAL) — BatchEvalPythonUDTF by design.
+    "udtf_sentence_split",
 }
 
 # Queries that drive side-effecting IO (scratch writes / streams); their
@@ -53,6 +55,9 @@ _IO_QUERIES = {
     "merge_upsert",
     "merge_schema_evolution",
     "sink_zorder_layout",
+    "merge_scd2_apply",
+    "stream_binary_ingest",
+    "scan_csv_corrupt_records",
 }
 
 
@@ -785,3 +790,54 @@ def test_q2_rank_partitions_by_part(spark):
     assert "Window" in tree
     assert tree.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_unpivot_is_expand_over_aggregate(spark):
+    # wide→long must reshape the AGGREGATE (|flags| rows), never re-scan
+    # the fact table per measure: one scan, agg, then a narrow Expand.
+    plan = _plan(spark, "set_unpivot_melt")
+    tree = plan.split("\n\n")[0]
+    assert "Expand" in tree
+    assert tree.count("Scan parquet") == 1
+
+
+def test_column_profile_single_scan(spark):
+    # the whole 4-column profile (nulls/distinct/min/max) runs off ONE
+    # scan of orders; the multi-distinct Expand is the documented cost.
+    plan = _plan(spark, "audit_column_profile")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Expand" in tree
+
+
+def test_referential_checks_anti_join_and_pushdown(spark):
+    plan = _plan(spark, "audit_referential_integrity")
+    tree = plan.split("\n\n")[0]
+    # both FK orphan checks are anti joins (broadcast at this scale)
+    assert tree.count("LeftAnti") == 2
+    # range / not-null rules are pushed into their scans
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThanOrEqual(l_quantity,0.0)]" in plan
+    assert "PushedFilters: [IsNull(o_orderdate)]" in plan
+
+
+def test_domain_cap_rank_limit_pushed_to_map_side(spark):
+    # Catalyst's rank-limit pushdown must insert a PARTIAL
+    # WindowGroupLimit below the exchange: each map task emits ≤N rows
+    # per source, so a hot domain never becomes one giant sort task.
+    plan = _plan(spark, "sample_domain_topk_cap")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("WindowGroupLimit") == 2  # Partial + Final
+    details = plan
+    assert "Partial" in details and "Final" in details
+
+
+def test_pagerank_reuses_persisted_edges(spark):
+    # the edge list builds once (InMemoryRelation); every unrolled round
+    # re-reads the cache, never re-runs the orders⋈lineitem distinct.
+    plan = _plan(spark, "graph_pagerank_unrolled")
+    tree = plan.split("\n\n")[0]
+    assert "InMemoryTableScan" in tree
+    # the fact join appears only inside the cached relation's build plan
+    # (one Union of fwd+rev inside InMemoryRelation); rounds are joins +
+    # aggregates over the cache, with no CartesianProduct anywhere.
+    assert "CartesianProduct" not in tree
