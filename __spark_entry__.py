@@ -17,8 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from jorvik_spark.queries import ORACLES, QUERIES  # noqa: E402
 from jorvik_spark.session import apply_runtime_confs  # noqa: E402
+from jorvik_spark.tables import default_sf_dir
 
-_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+_SMOKE_SF_DIR = default_sf_dir()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -48,7 +49,7 @@ def oracle_sql() -> dict[str, str]:
     scale (sf0.01), overridable via ``SPARK_GRAFT_TEST_SF`` so the local
     parity suite can run the same oracles at other SFs.
     """
-    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF") or default_sf_dir("sf0.01")
     return {
         name: sql.replace("{sf_dir}", sf_dir) for name, sql in ORACLES.items()
     }

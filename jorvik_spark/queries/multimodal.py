@@ -666,8 +666,6 @@ def multimodal_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides along (same cap as multimodal_feature_extract), so the
     downstream decode stage can partition-prune ineligible pairs.
     """
-    from pyspark.sql import Window
-
     blobs_raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
@@ -677,18 +675,21 @@ def multimodal_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("length").alias("n_bytes"),
         )
     )
-    # constant partition key: the blob index is file METADATA (one row
-    # per file — tiny by construction), so single-partition ranking is
-    # intended; lit(0) says so explicitly instead of tripping Spark's
-    # partitionless-window warning.
-    w = Window.partitionBy(F.lit(0)).orderBy("path")
-    blobs = blobs_raw.select(
-        "path",
-        "n_bytes",
-        (F.row_number().over(w) - 1).alias("blob_idx"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy(F.lit(0)))
-        .alias("n_blobs"),
+    # rank the blob index WITHOUT a global window (whose partitionless
+    # sort Spark rightly warns about): the index is file METADATA (one
+    # row per file), so a single sorted-array aggregate + posexplode
+    # assigns lexicographic positions in one tiny reduction.
+    blobs = (
+        blobs_raw.agg(
+            F.sort_array(
+                F.collect_list(F.struct("path", "n_bytes"))
+            ).alias("files")
+        )
+        .select(
+            F.size("files").alias("n_blobs"),
+            F.posexplode("files").alias("blob_idx", "f"),
+        )
+        .select("f.path", "f.n_bytes", "blob_idx", "n_blobs")
     )
     caps = (
         load_table(spark, sf_dir, "documents")

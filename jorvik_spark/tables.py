@@ -8,8 +8,23 @@ catalog only touches this module.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def default_sf_dir(sf: str = "sf0.001") -> str:
+    """Resolve a test-lake directory: the driver's `/root/testdata` when
+    present (this sandbox), else the repo's checked-in `testdata/`
+    fixtures (CI / a fresh clone). `SPARK_GRAFT_TESTDATA_ROOT` overrides
+    the root for either layout."""
+    root = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+    cand = os.path.join(root, sf)
+    if os.path.isdir(cand):
+        return cand
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata", sf)
+
 
 TABLES = (
     "region",

@@ -13,9 +13,9 @@ import math
 import duckdb
 import pandas as pd
 
-from jorvik_spark.tables import TABLES
+from jorvik_spark.tables import default_sf_dir, TABLES
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = default_sf_dir()
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from jorvik_spark import storage
 from jorvik_spark.data_lineage import execution_plan, node_handler
 from jorvik_spark.data_lineage.observer import LINEAGE_SCHEMA, DataLineageLogger
+from jorvik_spark.tables import default_sf_dir
 
 # Golden fixture: Databricks-formatted explain of a Delta scan left-joined
 # with an in-memory DataFrame (reference fixtures/data_lineage.py:23-90).
@@ -258,7 +259,7 @@ def test_lineage_captures_all_sources_of_a_join_dag(spark, tmp_path, lineage_con
     an aggregate) must record EVERY source path — the lineage answer to
     'which tables fed this gold output', exercised on a realistic plan
     with BroadcastExchange/HashAggregate nodes, not a single-scan toy."""
-    sf = "/root/testdata/sf0.001"
+    sf = default_sf_dir()
     st = storage.configure()
     orders = st.read(f"{sf}/orders.parquet", format="parquet")
     customer = st.read(f"{sf}/customer.parquet", format="parquet")

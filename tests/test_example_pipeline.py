@@ -10,8 +10,9 @@ from pyspark.sql import functions as F
 
 from examples import orders_pipeline as pipe
 from jorvik_spark.pipelines.testing import smoke_test_etl
+from jorvik_spark.tables import default_sf_dir
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = default_sf_dir()
 
 
 @pytest.fixture(scope="module")

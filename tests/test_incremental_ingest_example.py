@@ -11,8 +11,9 @@ import tempfile
 from pyspark.sql import functions as F
 
 from examples.incremental_ingest import ingest_drop, quality_gate
+from jorvik_spark.tables import default_sf_dir
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = default_sf_dir()
 
 
 def test_two_drops_with_resends(spark):

@@ -5,10 +5,11 @@ values reconcile with the underlying queries."""
 from __future__ import annotations
 
 from examples.index_health import audit
+from jorvik_spark.tables import default_sf_dir
 
 
 def test_audit_report_complete_and_consistent(spark):
-    report = audit(spark, "/root/testdata/sf0.001")
+    report = audit(spark, default_sf_dir())
     for key in (
         "ann_mean_recall_ppm",
         "ivf_max_cell_share_ppm",

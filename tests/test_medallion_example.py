@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from jorvik_spark.pipelines.testing import smoke_test_etl
 from jorvik_spark.storage import configure
 
+from jorvik_spark.tables import default_sf_dir
+
 from examples.medallion import run_pipeline, schemas
 from examples.medallion import (
     nb_clean_orders,
@@ -23,7 +25,7 @@ from examples.medallion import (
     nb_ingest_raw_orders,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = default_sf_dir()
 
 
 @pytest.mark.parametrize(

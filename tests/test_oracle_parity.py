@@ -10,8 +10,9 @@ import pytest
 
 import __spark_entry__ as entrymod
 from tests.oracle_utils import duck_con, compare
+from jorvik_spark.tables import default_sf_dir
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", default_sf_dir())
 # Pin the {sf_dir} oracle placeholder (binaryFile-scan oracles) to the SF
 # this suite runs at — the driver resolves it to sf0.01.
 os.environ["SPARK_GRAFT_TEST_SF"] = SF_DIR

@@ -4,6 +4,7 @@ import pandas as pd
 import pytest
 
 from tests.oracle_utils import _assert_no_int_float_split, compare, duck_con
+from jorvik_spark.tables import default_sf_dir
 
 
 def test_int_vs_float_split_fails():
@@ -29,7 +30,7 @@ def test_compare_rejects_equal_valued_dtype_split(spark):
     # Values are equal (5 == 5.0) so the old compare passed; the driver's
     # value hash would not. compare() must now fail.
     df = spark.range(1).selectExpr("CAST(5 AS BIGINT) AS x")
-    con = duck_con("/root/testdata/sf0.001")
+    con = duck_con(default_sf_dir())
     with pytest.raises(AssertionError, match="int-vs-float"):
         compare(df, con, "SELECT 5.0 AS x", "dtype_split")
     # identical dtypes still pass

@@ -24,8 +24,9 @@ import io
 import pytest
 
 from jorvik_spark.queries import QUERIES
+from jorvik_spark.tables import default_sf_dir
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = default_sf_dir()
 
 # Queries that intentionally run Python in the data path.
 _PYTHON_OK = {
@@ -256,7 +257,7 @@ def test_partitioned_readback_prunes_partitions(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from jorvik_spark.storage import BasicStorage
-    from jorvik_spark.tables import load_table
+    from jorvik_spark.tables import default_sf_dir, load_table
 
     st = BasicStorage()
     path = str(tmp_path / "orders_parted")

@@ -12,7 +12,9 @@ import pyspark.sql.functions as F
 
 from jorvik_spark.queries import QUERIES
 
-SF_DIR = "/root/testdata/sf0.001"
+from jorvik_spark.tables import default_sf_dir
+
+SF_DIR = default_sf_dir()
 
 
 def test_stateful_fixedpoint_stream_equals_batch(spark, tmp_path):
@@ -106,7 +108,7 @@ def test_approx_percentile_bound_is_evaluated_not_vacuous(spark):
     rows = QUERIES["agg_approx_percentiles"](spark, SF_DIR).collect()
     assert rows
     assert all(r["approx_within_rank_bound"] for r in rows)
-    from jorvik_spark.tables import load_table
+    from jorvik_spark.tables import default_sf_dir, load_table
 
     li = load_table(spark, SF_DIR, "lineitem")
     g = li.groupBy("l_returnflag").agg(

@@ -13,9 +13,9 @@ from pyspark.sql import functions as F
 
 from jorvik_spark import streaming as S
 from jorvik_spark.storage import BasicStorage
-from jorvik_spark.tables import load_table
+from jorvik_spark.tables import default_sf_dir, load_table
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = default_sf_dir()
 
 
 @pytest.fixture(scope="module")
