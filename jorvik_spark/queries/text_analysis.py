@@ -681,7 +681,8 @@ _PII_URL = "https?://[^ \\\\t\\\\n\\\\r]*[^ \\\\t\\\\n\\\\r.,;:!?)]"
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_PII_EMAIL.replace(chr(92)*2, chr(92))}')) AS BIGINT)
                AS n_emails,
-           CAST(len(regexp_extract_all(text, '{_PII_URL.replace(chr(92)*2, chr(92))}')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '{_PII_URL.replace(chr(92)*2, chr(92))}')) AS BIGINT)
+               AS n_urls,
            md5(regexp_replace(regexp_replace(text,
                '{_PII_EMAIL.replace(chr(92)*2, chr(92))}', '<EMAIL>', 'g'),
                '{_PII_URL.replace(chr(92)*2, chr(92))}', '<URL>', 'g')) AS scrubbed_key

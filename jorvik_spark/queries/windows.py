@@ -109,7 +109,11 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal-accumulated so segment-tree vs sequential accumulation order
     cannot drift the double result between engines.
     """
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).filter(F.col("user_id") < 100)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .filter(F.col("user_id") < 100)
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -300,7 +304,11 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly 30 minutes starts a new session; the oracle's ``>=`` condition
     mirrors that boundary.
     """
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).filter(F.col("user_id") < 50)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .filter(F.col("user_id") < 50)
+    )
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(
@@ -768,4 +776,169 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("value", ignorenulls=True).over(w).alias(
             "first_nonnull_value"
         ),
+    )
+
+
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(e.ts AS TIMESTAMP))
+               AS window_start,
+           c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('e.value')} AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    WHERE e.ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join, executed LIVE: the enrichment shape — a
+    micro-batched event stream joined to a static dimension (customer
+    segments), then windowed-aggregated per (hour, segment), drained
+    through a checkpointed availableNow run and value-hashed against the
+    relational oracle. This is the third join mode Structured Streaming
+    supports (alongside the stream-stream twin `stream_stream_join` and
+    batch joins): the static side needs NO watermark and re-snapshots
+    per micro-batch.
+
+    Plan/scale shape: the static dim broadcasts into every micro-batch
+    (the same BroadcastHashJoin a batch enrichment gets — no streaming
+    state for the join at all); only the windowed aggregate keeps state,
+    bounded by the watermark. Sink mode is a deliberate choice, pinned
+    here: APPEND emits a window only when a LATER batch advances the
+    watermark past it — under availableNow the final windows would stay
+    in state and never emit (the classic drain-and-see-nothing trap) —
+    so the drain uses COMPLETE mode into a memory sink, correct because
+    the full aggregate is sink-sized (|windows|×|segments|). A forever
+    pipeline writing to files keeps append + watermark and simply keeps
+    running; late-data semantics are exercised live in
+    tests/test_streaming.py.
+    """
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="jorvik_spark_enrich_")
+    cp = f"{base}/cp"
+    sink = "enrich_" + base.rsplit("_", 1)[-1]
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long,"
+            " event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # the parquet STREAM source resolves the TIMESTAMP(NANOS)
+        # column against the declared LONG field as µs (truncating),
+        # unlike the batch reader's raw-ns long under nanosAsLong — so
+        # no further div 1000 here; the value-hash against DuckDB's
+        # truncating ns→µs cast is what proves the truncation matches.
+        .withColumn("ts", F.timestamp_micros(F.col("ts")))
+        .filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "1 hour")
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("user_id") + 1)
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    # the memory sink's table stays readable after stop(); the unique
+    # per-invocation name keeps concurrent drains from clobbering it.
+    return spark.table(sink)
+
+
+@query(
+    "window_resample_ffill",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id,
+               time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
+               {sql_dsum('value')} AS v,
+               COUNT(*) AS n
+        FROM events WHERE ts IS NOT NULL AND user_id < 40
+        GROUP BY 1, 2),
+    bounds AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx
+               FROM hourly GROUP BY 1),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+             FROM bounds),
+    j AS (SELECT g.user_id, g.h, hy.v, hy.n
+          FROM grid g LEFT JOIN hourly hy USING (user_id, h))
+    SELECT user_id, h AS hour_start,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           last_value(v IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY h
+                     ROWS UNBOUNDED PRECEDING) AS filled_value,
+           v IS NULL AS gap_filled
+    FROM j
+    """,
+)
+def window_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLE to a regular hourly grid + forward-fill —
+    the gap-filling shape every feature pipeline needs before lag/rate
+    features (an absent hour must become an explicit row, carrying the
+    last observed value, or downstream moving windows silently skip
+    time). Per user: hourly aggregate → dense hour grid via
+    ``sequence(min, max, 1 hour)`` + explode → left join → ``last(v,
+    ignorenulls)`` over the ordered running frame fills the gaps, with a
+    ``gap_filled`` flag preserving observability.
+
+    Scale: the grid explode is bounded by (time-range ÷ step) rows per
+    user — for unbounded histories, resample a window of recent time,
+    not all of it (the explode is per-USER-sized, never corpus-sized).
+    One shuffle for the hourly aggregate; the grid join and fill reuse
+    the same user partitioning. The fill window is a running frame —
+    map-side bounded state, no full-partition materialization.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .filter(F.col("user_id") < 40)
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(dsum("value").alias("v"), F.count(F.lit(1)).alias("n"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.col("h").alias("hour_start"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("v").isNull().alias("gap_filled"),
     )

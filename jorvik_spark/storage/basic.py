@@ -32,7 +32,7 @@ write-amplified; the production recommendation is a transactional format
 
 from __future__ import annotations
 
-from typing import List, Optional, Union
+from typing import List, Union
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window

@@ -59,6 +59,7 @@ _IO_QUERIES = {
     "merge_scd2_apply",
     "stream_binary_ingest",
     "scan_csv_corrupt_records",
+    "stream_static_enrich",
 }
 
 

@@ -147,7 +147,10 @@ def test_foreach_batch_merge_requires_checkpoint(spark, tmp_path):
     ev.write.mode("overwrite").parquet(src)
     stream = st.readStream(src, "parquet")
     with pytest.raises(ValueError, match="checkpoint"):
-        S.foreach_batch_merge(stream, st, str(tmp_path / "t"), "full.id = incremental.id", checkpoint="")
+        S.foreach_batch_merge(
+            stream, st, str(tmp_path / "t"),
+            "full.id = incremental.id", checkpoint="",
+        )
 
 
 def test_stateful_accumulates_across_microbatches(spark, tmp_path):
