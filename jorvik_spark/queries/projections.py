@@ -293,3 +293,45 @@ def expr_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS BIGINT), (a, x) -> a + x)"
         ).alias("revenue_units"),
     )
+
+
+@query(
+    "expr_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod7,
+           json_extract_string(props, '$.absent') AS absent_field
+    FROM events
+    WHERE props IS NOT NULL
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 40
+    """,
+)
+def expr_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    ``parse_json`` decodes the JSON string ONCE into variant's binary
+    encoding, then ``variant_get`` extractions are cheap typed reads —
+    the lakehouse upgrade over ``get_json_object`` (expr_json_extract's
+    path), which re-parses the string per extraction expression. With
+    repeated multi-field access at 100 TB the parse-once economics
+    dominate; columns whose JSON is accessed often should be STORED as
+    variant so the scan itself skips string parsing.
+
+    ``variant_get`` on a missing path returns NULL (not an error) —
+    mirrored by the oracle's json_extract of ``$.absent``. The variant
+    itself never leaves the plan: outputs are extracted primitives, so
+    the result is engine-comparable.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select(
+            "event_id",
+            k.alias("k"),
+            (k % 7).alias("k_mod7"),
+            F.expr(
+                "variant_get(parse_json(props), '$.absent', 'string')"
+            ).alias("absent_field"),
+        )
+        .filter(F.col("k") >= 40)
+    )

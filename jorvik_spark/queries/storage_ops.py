@@ -993,3 +993,86 @@ def scan_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("valid_total"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "scan_xml_roundtrip",
+    oracle=f"SELECT {', '.join(_ORDER_COLS)} FROM orders",
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write + read round-trip — an ENGINE EXTENSION source: the
+    reference's A1/A3 format allowlist deliberately rejects xml
+    (tests/test_storage_basic.py pins the ValueError, reference
+    basic.py:31), so this query uses the raw DataFrameReader/Writer —
+    BasicStorage semantics are untouched. Spark 4 ships the XML source
+    built in (the former spark-xml package).
+
+    Read back under a DECLARED schema: XML carries no types, so
+    schema-on-read is what keeps o_orderkey a BIGINT and o_totalprice a
+    DOUBLE (inference would re-derive them per batch). Value-hash
+    parity across the text round-trip holds because Spark prints
+    shortest-round-trip doubles and reparses them exactly — the same
+    contract scan_csv_corrupt_records pins for CSV.
+    """
+    target = _scratch("xml") + "/t"
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(*_ORDER_COLS)
+        .write.format("xml")
+        .option("rowTag", "order")
+        .mode("overwrite")
+        .save(target)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+        )
+        .load(target)
+    )
+
+
+@query(
+    "catalog_table_roundtrip",
+    oracle=f"SELECT {', '.join(_ORDER_COLS)} FROM orders WHERE o_orderkey % 2 = 1",
+)
+def catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-addressed table round-trip: ``saveAsTable`` → catalog
+    visibility → ``spark.table`` read-back — the NAMED-table surface
+    next to the path-addressed A1/A3 round-trips (production lakes
+    address data through a catalog; the reference is path-only, this is
+    the engine extension that makes the move). The write registers the
+    table in the session catalog with its schema; the read resolves
+    through the catalog, not a path string.
+
+    Idempotent per session (overwrite mode); the catalog entry is
+    asserted present before the read so a silent registration failure
+    cannot masquerade as a pass. Managed-table files land under
+    spark.sql.warehouse.dir — at 100 TB the same statement against a
+    production metastore (Hive/Glue/Unity) is unchanged, which is the
+    point of the catalog indirection.
+    """
+    name = "jorvik_catalog_orders"
+    # idempotent across SESSIONS too: a prior process may have left the
+    # managed-table files without this session's catalog knowing the
+    # name — DROP alone won't clear them, and saveAsTable refuses an
+    # occupied location (LOCATION_ALREADY_EXISTS).
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(*_ORDER_COLS)
+        .filter(F.col("o_orderkey") % 2 == 1)
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    assert any(
+        t.name == name for t in spark.catalog.listTables()
+    ), f"{name} missing from catalog after saveAsTable"
+    return spark.table(name)

@@ -60,6 +60,8 @@ _IO_QUERIES = {
     "stream_binary_ingest",
     "scan_csv_corrupt_records",
     "stream_static_enrich",
+    "scan_xml_roundtrip",
+    "catalog_table_roundtrip",
 }
 
 
