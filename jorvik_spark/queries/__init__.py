@@ -60,7 +60,9 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 #     graph_pagerank_unrolled, agg_regression_moments,
 #     scan_csv_corrupt_records, multimodal_pair_manifest,
 #     stream_static_enrich, window_resample_ffill, scan_xml_roundtrip,
-#     expr_variant_json, catalog_table_roundtrip — all hash-mode,
+#     expr_variant_json, catalog_table_roundtrip,
+#     join_q11_important_stock, join_q16_supplier_cnt,
+#     join_q20_surplus_suppliers — all hash-mode,
 #     registered outside the prefix this round, parity-green at
 #     sf0.001/0.01/0.1), then the 5 r6 leftovers above, then the oldest
 #     r7-prefix rows.

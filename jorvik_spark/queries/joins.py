@@ -1645,3 +1645,236 @@ def join_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("n_left"),
         )
     )
+
+
+@query(
+    "join_q11_important_stock",
+    oracle="""
+    WITH pairs AS (
+        SELECT l_partkey,
+               SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 1000000 + 0.5) AS HUGEINT)) AS part_units
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_0','NATION_1','NATION_2',
+                           'NATION_3','NATION_4')
+        GROUP BY l_partkey),
+    tot AS (
+        SELECT SUM(part_units) AS total_units,
+               COUNT(*) AS n_parts
+        FROM pairs)
+    SELECT p.l_partkey AS partkey,
+           CAST(p.part_units AS DOUBLE) / 1000000.0 AS stock_value
+    FROM pairs p, tot t
+    WHERE p.part_units * 2 > (t.total_units // t.n_parts) * 3
+    ORDER BY stock_value DESC, partkey
+    """,
+)
+def join_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape): per-part value
+    within a supplier bloc, kept only where it clears a threshold derived
+    from a *scalar subquery over the same relation* — the
+    aggregate-in-HAVING-vs-global-aggregate pattern.
+
+    Adaptations to this corpus (no partsupp): "stock value" per part is
+    the quantized revenue suppliers in the NATION_0-4 bloc shipped of it,
+    and Q11's fixed ``SUM(...) * 0.0001`` fraction — which silently
+    empties or floods as SF moves — becomes a *relative* cut, 1.5× the
+    mean per-part value (``part_units*2 > (total div n_parts)*3``), so
+    the selectivity is scale-free (the same reasoning as the
+    heavy-hitter threshold note in PROFILE.md). The comparison runs on
+    exact integers on both engines: DECIMAL(38,0) quantized units vs
+    DuckDB HUGEINT, integer ``div`` for the mean — no double drift.
+
+    Scale: supplier⋈nation is a broadcast dimension probe on the
+    lineitem scan; the only fact shuffle is the per-part aggregation
+    (high-cardinality key, map-side combined). The totals row is a
+    single-row broadcast cross join, same plan family as Q22's
+    threshold. Reference parity: jorvik delegates relational work to the
+    engine (jorvik/storage/basic.py read→transform→write); this is the
+    Q11 semantics a reference user would run via spark.sql.
+    """
+    bloc = [f"NATION_{i}" for i in range(5)]
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(bloc)
+    )
+    sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    units = F.sum(
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000
+            + F.lit(0.5)
+        ).cast("decimal(38,0)")
+    )
+    per_part = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(units.alias("part_units"))
+    )
+    tot = per_part.agg(
+        F.sum("part_units").alias("total_units"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("part_units") * 2
+            > F.expr("total_units div n_parts") * 3
+        )
+        .select(
+            "partkey",
+            (F.col("part_units").cast("double") / 1_000_000.0).alias(
+                "stock_value"
+            ),
+        )
+        .orderBy(F.desc("stock_value"), "partkey")
+    )
+
+
+@query(
+    "join_q16_supplier_cnt",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT pr.l_suppkey) AS supplier_cnt
+    FROM pairs pr
+    JOIN part p ON p.p_partkey = pr.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 7, 10, 15, 22, 30, 45)
+      AND pr.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+    """,
+)
+def join_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier diversity per part segment (TPC-H Q16 shape): NOT IN
+    subquery exclusion + COUNT(DISTINCT) over the part↔supplier relation.
+
+    Adaptations: the relation is the distinct (partkey, suppkey) pair set
+    from lineitem (same partsupp stand-in as Q2), and Q16's
+    ``s_comment LIKE '%Customer%Complaints%'`` complaint screen — no
+    comment column here — becomes negative account balance. The NOT IN
+    is a native ``left_anti`` join, NOT a Python-side exclusion list:
+    the excluded-supplier set is unbounded in principle, so it must stay
+    a relation. (NULL-semantics note: s_suppkey is a non-null key, so
+    anti join and NOT IN agree; with nullable keys NOT IN would need the
+    null-safe guard join_null_safe_equi demonstrates.)
+
+    Scale: the pair-set distinct is the one fact shuffle and it is
+    map-side combined; filtered part broadcasts (size/brand/type cuts
+    applied before the hint), the flagged-supplier side is tiny and
+    broadcast by the anti join. COUNT(DISTINCT suppkey) per segment
+    expands on (brand, type, size) — thousands of groups, each bounded
+    by |suppliers|, so no Expand blow-up.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin([1, 4, 7, 10, 15, 22, 30, 45]))
+    )
+    flagged = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(flagged, pairs.l_suppkey == flagged.s_suppkey, "left_anti")
+        .groupBy(
+            "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size")
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "join_q20_surplus_suppliers",
+    oracle="""
+    WITH red_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    flows AS (
+        SELECT l.l_suppkey,
+               SUM(CAST(floor(l.l_quantity * 1000000 + 0.5) AS HUGEINT))
+                   AS qty_total,
+               SUM(CASE WHEN l.l_shipdate >=
+                             TIMESTAMP '1999-01-01 00:00:00'
+                        THEN CAST(floor(l.l_quantity * 1000000 + 0.5)
+                                  AS HUGEINT)
+                        ELSE 0 END) AS qty_recent
+        FROM lineitem l
+        JOIN red_parts rp ON rp.p_partkey = l.l_partkey
+        GROUP BY l.l_suppkey, l.l_partkey)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (
+          SELECT l_suppkey FROM flows WHERE qty_recent * 2 > qty_total)
+    ORDER BY s.s_suppkey
+    """,
+)
+def join_q20_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers surging on a part class (TPC-H Q20 shape): the
+    doubly-nested correlated subquery — IN (parts LIKE ...) inside an
+    aggregate threshold inside an IN over suppliers — re-expressed as
+    one aggregation and a semi join.
+
+    Adaptations: no partsupp/ps_availqty, so Q20's "excess stock"
+    predicate (availqty > ½ · shipped qty) becomes a per-(supplier,
+    part) *recency surge*: recent shipments (1999+) exceed half the
+    all-time flow of that red part. Both sums come out of ONE grouped
+    pass (conditional aggregation), not two scans joined back — the
+    correlated-subquery tree flattened the way Catalyst itself would
+    decorrelate it, but with the threshold exact: quantized DECIMAL(38,0)
+    units vs DuckDB HUGEINT, compared as integers.
+
+    Scale: red-part keys broadcast into the lineitem scan; the one fact
+    shuffle groups on (suppkey, partkey) — high cardinality, combined
+    map-side. The qualifying-supplier set is ≤|suppliers| and semi-joins
+    the region-filtered supplier dimension (broadcast either way). Final
+    DISTINCT is over the supplier dimension only.
+    """
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    qunits = F.floor(F.col("l_quantity") * 1_000_000 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    recent = F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp")
+    surging = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(qunits).alias("qty_total"),
+            F.sum(F.when(recent, qunits).otherwise(F.lit(0))).alias(
+                "qty_recent"
+            ),
+        )
+        .filter(F.col("qty_recent") * 2 > F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(surging, s.s_suppkey == surging.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )

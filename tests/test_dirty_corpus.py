@@ -340,6 +340,16 @@ REL_QUERIES = [
     "join_q12_late_lines",
     "join_q17_small_quantity",
     "join_q21_waiting_supplier",
+    # The round-9 completions of the TPC-H family. q11: a null
+    # extendedprice makes a NULL per-part sum that must fail the
+    # threshold on both engines while COUNT(*) still counts the part;
+    # q16: a NULL s_acctbal supplier is NOT flagged (NULL < 0 is not
+    # TRUE) and a null p_size falls out of the IN list on both engines;
+    # q20: a NULL p_name never matches LIKE 'red%', and an all-NULL
+    # quantity pair yields a NULL total that fails the surge compare.
+    "join_q11_important_stock",
+    "join_q16_supplier_cnt",
+    "join_q20_surplus_suppliers",
 ]
 
 
@@ -380,29 +390,40 @@ def dirty_rel_dir(tmp_path_factory):
     dt = datetime.datetime
     pd.DataFrame(
         {
+            # Rows 15-20 activate the q11/q16/q20 completions: supplier
+            # 54 (bloc nation NATION_2) ships parts 105/101/102 with one
+            # null price (q11's NULL-sum pin), supplier 50 surges on red
+            # part 107 in 1999 (q20), flagged supplier 53 ships an
+            # eligible part (q16's NOT IN), and a null quantity lands on
+            # a 1999 row (q20's NULL-total pin).
             "l_orderkey": pd.array(
-                [1, 1, 2, 3, 4, 6, 1, 5, 4, 2, 3, 6, 7, 8, None],
+                [1, 1, 2, 3, 4, 6, 1, 5, 4, 2, 3, 6, 7, 8, None,
+                 9, 9, 9, 9, 9, 9],
                 dtype="Int64",
             ),
             "l_partkey": pd.array(
                 [100, 101, 100, None, 100, 102, 100, 103, 100, 101, 102,
-                 100, 100, 103, 100],
+                 100, 100, 103, 100, 105, 107, 105, 101, 102, 106],
                 dtype="Int64",
             ),
             "l_suppkey": pd.array(
                 [50, 51, 50, None, 52, 50, 50, None, 52, 51, 52, 50, 50,
-                 52, 50],
+                 52, 50, 54, 50, 52, 54, 54, 53],
                 dtype="Int64",
             ),
             "l_quantity": [10.0, 20.0, 5.0, None, 40.0, 1.0, 2.0, 3.0,
-                           7.0, 9.0, 4.0, 6.0, 3.0, 2.0, 1.0],
+                           7.0, 9.0, 4.0, 6.0, 3.0, 2.0, 1.0,
+                           8.0, 5.0, None, 1.0, 1.0, 3.0],
             "l_extendedprice": [100.0, 200.0, None, 50.0, 80.0, 10.0,
                                 60.0, 30.0, 70.0, 90.0, 40.0, 55.0, 33.0,
-                                22.0, 5.0],
+                                22.0, 5.0, 40.0, 12.0, 10.0, 10.0, None,
+                                9.0],
             "l_discount": [0.1, 0.0, None, 0.1, 0.2, 0.0, 0.0, 0.0, 0.0,
+                           0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
                            0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
             "l_linestatus": ["F", "O", None, "F", "F", "F", "F", "O", "F",
-                             "O", None, "F", "F", "O", "F"],
+                             "O", None, "F", "F", "O", "F",
+                             "F", "O", "F", "F", "O", "O"],
             "l_shipdate": pd.to_datetime(
                 [
                     dt(1995, 7, 1), dt(1995, 3, 15), None, dt(1995, 8, 1),
@@ -410,35 +431,52 @@ def dirty_rel_dir(tmp_path_factory):
                     dt(1995, 3, 5), dt(1997, 6, 1), dt(1997, 8, 1),
                     dt(1997, 5, 1), dt(1997, 3, 1), dt(1996, 6, 1),
                     dt(1996, 8, 1), dt(1995, 5, 1),
+                    dt(1999, 6, 1), dt(1999, 7, 1), dt(1999, 5, 1),
+                    dt(1997, 2, 1), dt(1997, 4, 1), dt(1996, 5, 1),
                 ]
             ).as_unit("us"),
         }
     ).to_parquet(str(d / "lineitem.parquet"))
+    # Parts 104-107: a Brand#1 red part (q16 brand exclusion), two
+    # q16-eligible sizes (4, 15, 22), and a null-name part that q20's
+    # LIKE must drop even though 106 IS shipped.
     pd.DataFrame(
         {
-            "p_partkey": [100, 101, 102, 103],
-            "p_name": ["red widget", "blue bolt", None, "red gear"],
-            "p_brand": ["Brand#4", "Brand#4", None, "Brand#2"],
-            "p_type": ["STANDARD", "PROMO", "ECONOMY", "MEDIUM"],
-            "p_size": pd.array([12, 20, 5, None], dtype="Int64"),
-            "p_retailprice": [10.0, None, 20.0, 5.0],
+            "p_partkey": [100, 101, 102, 103, 104, 105, 106, 107],
+            "p_name": ["red widget", "blue bolt", None, "red gear",
+                       "red drum", "red valve", None, "red pump"],
+            "p_brand": ["Brand#4", "Brand#4", None, "Brand#2",
+                        "Brand#1", "Brand#3", "Brand#5", "Brand#6"],
+            "p_type": ["STANDARD", "PROMO", "ECONOMY", "MEDIUM",
+                       "STANDARD", "STANDARD", "LARGE", "SMALL"],
+            "p_size": pd.array(
+                [12, 20, 5, None, 4, 4, 15, 22], dtype="Int64"
+            ),
+            "p_retailprice": [10.0, None, 20.0, 5.0, 3.0, 6.0, 7.0, 8.0],
         }
     ).to_parquet(str(d / "part.parquet"))
+    # 53: negative balance → q16-flagged; 54: q11 bloc-nation supplier.
     pd.DataFrame(
         {
-            "s_suppkey": [50, 51, 52],
-            "s_name": ["S50", "S51", "S52"],
-            "s_nationkey": pd.array([6, None, 9], dtype="Int64"),
-            "s_acctbal": [100.0, 50.0, None],
+            "s_suppkey": [50, 51, 52, 53, 54],
+            "s_name": ["S50", "S51", "S52", "S53", "S54"],
+            "s_nationkey": pd.array([6, None, 9, 9, 12], dtype="Int64"),
+            "s_acctbal": [100.0, 50.0, None, -5.0, 10.0],
         }
     ).to_parquet(str(d / "supplier.parquet"))
     pd.DataFrame(
         {
-            "n_nationkey": [6, 9, 11],
-            "n_name": ["NATION_6", "NATION_9", "NATION_11"],
-            "n_regionkey": [1, 4, 1],
+            "n_nationkey": [6, 9, 11, 12],
+            "n_name": ["NATION_6", "NATION_9", "NATION_11", "NATION_2"],
+            "n_regionkey": [1, 4, 1, 4],
         }
     ).to_parquet(str(d / "nation.parquet"))
+    pd.DataFrame(
+        {
+            "r_regionkey": [1, 4],
+            "r_name": ["ASIA", "EUROPE"],
+        }
+    ).to_parquet(str(d / "region.parquet"))
     pd.DataFrame(
         {
             "c_custkey": [10, 11, 13],
@@ -454,7 +492,10 @@ def dirty_rel_dir(tmp_path_factory):
 @pytest.fixture(scope="module")
 def dirty_rel_con(dirty_rel_dir):
     con = duckdb.connect()
-    for t in ("orders", "customer", "lineitem", "part", "supplier", "nation"):
+    for t in (
+        "orders", "customer", "lineitem", "part", "supplier", "nation",
+        "region",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{dirty_rel_dir}/{t}.parquet')"

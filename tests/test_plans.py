@@ -796,6 +796,42 @@ def test_q2_rank_partitions_by_part(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q11_single_fact_shuffle_broadcast_threshold(spark):
+    """Q11's bloc probe must broadcast into the lineitem scan and the
+    scalar threshold must come back as a broadcast over the one-row
+    totals — the per-part aggregation is the only fact shuffle, and
+    there is never a cartesian product."""
+    plan = _plan(spark, "join_q11_important_stock")
+    tree = plan.split("\n\n", 1)[0]
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in tree  # dims never shuffle the fact side
+
+
+def test_q16_not_in_is_anti_join(spark):
+    """Q16's NOT IN subquery must plan as one LeftAnti join (no
+    materialized exclusion list, no subquery re-scan) over the
+    broadcast-filtered part dimension."""
+    plan = _plan(spark, "join_q16_supplier_cnt")
+    tree = plan.split("\n\n", 1)[0]
+    assert "LeftAnti" in tree
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_nested_subquery_is_one_pass_semi(spark):
+    """Q20's doubly-nested correlated subquery must flatten to ONE
+    grouped pass over the red-part lineitems (conditional agg computes
+    both the recent and all-time sums) feeding a LeftSemi probe — never
+    two scans joined back."""
+    plan = _plan(spark, "join_q20_surplus_suppliers")
+    tree = plan.split("\n\n", 1)[0]
+    assert "LeftSemi" in tree
+    assert tree.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert tree.count("Scan parquet") <= 5  # li + part + s + n + r, once each
+
+
 def test_unpivot_is_expand_over_aggregate(spark):
     # wide→long must reshape the AGGREGATE (|flags| rows), never re-scan
     # the fact table per measure: one scan, agg, then a narrow Expand.
