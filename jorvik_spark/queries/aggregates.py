@@ -958,3 +958,122 @@ def agg_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 + 0.5) AS BIGINT)"
         ).alias("r2_ppm"),
     )
+
+
+# Count-min sketch geometry: 4 independent md5-salted hash rows of 256
+# buckets each. The bucket function is parametrized by the row index so
+# Spark and DuckDB evaluate the identical expression — no per-row salt
+# literals to keep in sync.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_BUCKET = (
+    "CAST(conv(substring(md5(concat('cms', CAST({d} AS STRING), ':', "
+    "CAST({k} AS STRING))), 1, 8), 16, 10) AS BIGINT) % 256"
+)
+_SQL_CMS_BUCKET = (
+    "(('0x' || substr(md5('cms' || CAST({d} AS VARCHAR) || ':' || "
+    "CAST({k} AS VARCHAR)), 1, 8))::BIGINT % 256)"
+)
+
+
+@query(
+    "agg_countmin_sketch",
+    oracle=f"""
+    WITH src AS (
+        SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL),
+    d AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+    cells AS (
+        SELECT depth,
+               {_SQL_CMS_BUCKET.format(d='depth', k='k')} AS bucket,
+               COUNT(*) AS cnt
+        FROM src, d GROUP BY 1, 2),
+    exact AS (
+        SELECT k, COUNT(*) AS exact_cnt FROM src GROUP BY 1
+        ORDER BY exact_cnt DESC, k LIMIT 20),
+    tot AS (SELECT COUNT(*) AS n FROM src),
+    est AS (
+        SELECT e.k, e.exact_cnt, MIN(c.cnt) AS cms_est
+        FROM exact e
+        JOIN d ON TRUE
+        JOIN cells c ON c.depth = d.depth
+             AND c.bucket = {_SQL_CMS_BUCKET.format(d='d.depth', k='e.k')}
+        GROUP BY 1, 2)
+    SELECT e.k AS custkey,
+           CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           e.cms_est >= e.exact_cnt AS never_under,
+           e.cms_est <= e.exact_cnt + (4 * t.n) // 256 AS within_slack
+    FROM est e, tot t
+    ORDER BY exact_cnt DESC, custkey
+    """,
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates, checked against exact
+    counts — the mergeable fixed-size (4×256 counters) frequency summary
+    a streaming/telemetry pipeline keeps when per-key exact state is too
+    large. Same evidence pattern as agg_hll_rollup: the sketch estimate
+    rides next to deterministic exact counts plus two hash-checkable
+    booleans (CMS can only overestimate, so ``never_under`` must be
+    uniformly true; ``within_slack`` pins the ≤ exact + 4N/w Markov
+    band, deterministic for fixed salts and data).
+
+    The hash rows are md5-salted by row index (no Spark/ML RNG — the
+    DuckDB twin evaluates the byte-identical expression), so the sketch
+    itself, not just its summary, is cross-engine reproducible.
+
+    Scale (100 TB): the sketch build is one pass — explode each key into
+    its 4 (row, bucket) cells and hash-aggregate; the result is ≤1024
+    rows no matter the input size, and partial aggregation compresses
+    each map task to ≤1024 cells before the shuffle. Probes (top-20
+    exact, a TakeOrdered) join the broadcast sketch. The exact counts
+    exist only to *grade* the sketch; a production use keeps just the
+    1 KB of counters.
+    """
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .select(F.col("o_custkey").alias("k"))
+    )
+    bucket = F.expr(_CMS_BUCKET.format(d="depth", k="k"))
+    cells = (
+        src.select(
+            F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias(
+                "depth"
+            ),
+            "k",
+        )
+        .select("depth", bucket.alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        src.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("k"))
+        .limit(20)
+    )
+    probes = exact.select(
+        "k",
+        "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias(
+            "depth"
+        ),
+    ).withColumn("bucket", bucket)
+    tot = src.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        probes.join(F.broadcast(cells), ["depth", "bucket"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("custkey"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("never_under"),
+            (
+                F.col("cms_est")
+                <= F.col("exact_cnt") + F.expr("(4 * n) div 256")
+            ).alias("within_slack"),
+        )
+        .orderBy(F.desc("exact_cnt"), "custkey")
+    )

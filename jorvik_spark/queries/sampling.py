@@ -1416,3 +1416,104 @@ def sample_domain_topk_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# Context-window chunking geometry. Real pipelines use e.g. 1024/768
+# token windows; the test corpus averages ~54 whitespace tokens per doc,
+# so 16/12 keeps the multi-chunk + overlap paths exercised at every SF.
+_CHUNK_SIZE = 16
+_CHUNK_STRIDE = 12
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    sized AS (
+        SELECT doc_id, t, len(t) AS n,
+               CASE WHEN len(t) = 0 THEN 0
+                    WHEN len(t) <= {_CHUNK_SIZE} THEN 1
+                    ELSE 1 + ((len(t) - {_CHUNK_SIZE})
+                              + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}
+               END AS n_chunks
+        FROM toks),
+    chunks AS (
+        SELECT doc_id, n,
+               unnest(range(n_chunks)) AS chunk_idx
+        FROM sized WHERE n_chunks > 0),
+    sliced AS (
+        SELECT c.doc_id,
+               CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(c.chunk_idx * {_CHUNK_STRIDE} AS BIGINT)
+                   AS start_token,
+               s.t[c.chunk_idx * {_CHUNK_STRIDE} + 1 :
+                   least(c.chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE},
+                         c.n)] AS piece
+        FROM chunks c JOIN sized s ON s.doc_id = c.doc_id)
+    SELECT doc_id, chunk_idx, start_token,
+           CAST(len(piece) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(piece, ' ')) AS chunk_fp
+    FROM sliced
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: split each document's token
+    sequence into fixed-size windows with a stride smaller than the
+    window (here 16/12 → 25% overlap), emitting a deterministic md5
+    fingerprint per chunk — the standard pre-training/RAG segmentation
+    step between cleaning and packing (pack_sequences consumes whole
+    docs; this is the sub-document variant for long-context splits).
+
+    Chunk count is ``1 + ceil((n - size) / stride)`` for n > size, 1 for
+    0 < n ≤ size, 0 for empty docs — all integer arithmetic, identical
+    on both engines, and the final short chunk is kept (clipped slice),
+    never dropped.
+
+    Scale (100 TB): a pure narrow map — sequence → slice → hash, no
+    shuffle at all except the output sort; the explode fan-out is
+    bounded by the size/stride ratio (≤1.34× rows here), and tokens are
+    evaluated once off the memoized token cache. Chunk fingerprints
+    feed dedup_exact/passage dedup downstream on chunk granularity.
+    """
+    toks = _tokenized_docs(spark, sf_dir).select("doc_id", "t")
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+    sized = toks.select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n"),
+        F.expr(
+            f"CASE WHEN size(t) = 0 THEN 0 "
+            f"WHEN size(t) <= {size} THEN 1 "
+            f"ELSE 1 + (((size(t) - {size}) + {stride} - 1) "
+            f"div {stride}) END"
+        ).alias("n_chunks"),
+    )
+    return (
+        sized.filter(F.col("n_chunks") > 0)
+        .select(
+            "doc_id",
+            "n",
+            "t",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("long").alias("start_token"),
+            F.expr(f"slice(t, chunk_idx * {stride} + 1, {size})").alias(
+                "piece"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start_token",
+            F.size("piece").cast("long").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.col("piece"))).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -1216,3 +1216,83 @@ def corpus_quality_rank_correlation(
             "(CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)"
         ).alias("spearman_ppm"),
     )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT f.doc_id, f.term,
+               CAST(f.tf AS BIGINT) AS tf,
+               CAST(d.df AS BIGINT) AS df,
+               (f.tf * n.n) // d.df AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY f.doc_id
+                   ORDER BY (f.tf * n.n) // d.df DESC, f.term) AS rn
+        FROM tf f JOIN dfq d ON d.term = f.term, nd n)
+    SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, tf, df,
+           CAST(score AS BIGINT) AS score_tfn
+    FROM scored WHERE rn <= 5
+    ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per document by TF-IDF — the classic keyword /
+    salient-term extraction pass a curation pipeline runs before topic
+    bucketing or quality heuristics.
+
+    The score is the *log-free* surrogate ``tf · N div df`` (exact
+    integer arithmetic on both engines): within one document the factor
+    N is constant, and df-ranking is monotone under any decreasing
+    idf(df), so the top-k per doc matches what ``tf·ln(N/df)`` would
+    pick whenever the classic score orders two terms strictly by
+    (tf up, df down) — and unlike ``ln``, whose last-ulp rounding is
+    libm-specific, integer div can never rank-drift between engines.
+
+    Scale (100 TB): explode → (doc, term) count is map-side combined;
+    the df table is vocabulary-sized and joins the tf relation on term
+    (an equi shuffle — NOT broadcast, vocab grows with the corpus); the
+    corpus-size scalar broadcasts as a one-row cross join. The per-doc
+    top-5 is a row_number window partitioned on doc_id, which Spark
+    caps with WindowGroupLimit before the final sort. No driver
+    collects, no UDFs, tokenization evaluated once off the memoized
+    token cache.
+    """
+    toks = _tokenized_docs(spark, sf_dir)
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.desc("score_tfn"), F.asc("term")
+        )
+    )
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.expr("(tf * n) div df").cast("long").alias("score_tfn"),
+        )
+        .withColumn("rank", rn.cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "rank", "term", "tf", "df", "score_tfn")
+        .orderBy("doc_id", "rank")
+    )

@@ -113,6 +113,12 @@ DOC_QUERIES = [
     # identical-text pair and the shared-passage pair): the ppm ratios
     # and the zero-guard arithmetic must agree exactly.
     "dedup_banding_recall_eval",
+    # Round-9 text additions: tfidf must drop the null/empty-text docs
+    # (no tokens → no tf rows) and rank ties by term identically;
+    # chunking must emit ZERO chunks for them while short docs still
+    # produce their single clipped chunk.
+    "text_tfidf_topterms",
+    "text_chunk_overlap",
 ]
 
 
@@ -350,6 +356,10 @@ REL_QUERIES = [
     "join_q11_important_stock",
     "join_q16_supplier_cnt",
     "join_q20_surplus_suppliers",
+    # Count-min probe over orders with null custkeys: the null filter is
+    # part of the operator contract (md5(NULL) would group separately
+    # per-engine otherwise) — pinned here against the dirty orders.
+    "agg_countmin_sketch",
 ]
 
 

@@ -832,6 +832,35 @@ def test_q20_nested_subquery_is_one_pass_semi(spark):
     assert tree.count("Scan parquet") <= 5  # li + part + s + n + r, once each
 
 
+def test_cms_sketch_is_one_pass_broadcast_probe(spark):
+    """The count-min build must be a single hash-aggregate pass over the
+    exploded (depth, bucket) cells (map-side combined to ≤1024 rows per
+    task) and the probe side must join the sketch as a broadcast — the
+    fact table is never joined to itself."""
+    plan = _plan(spark, "agg_countmin_sketch")
+    tree = plan.split("\n\n", 1)[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_narrow_single_scan(spark):
+    """Overlapping chunking is a pure narrow map: one documents scan,
+    sequence→slice→hash generate+project, and no Exchange other than
+    the output sort."""
+    import re
+
+    plan = _plan(spark, "text_chunk_overlap")
+    tree = plan.split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in tree and "BroadcastHashJoin" not in tree
+    # ≤2 Exchanges: the token-cache memo's one-time build repartition
+    # (inside the shared InMemoryRelation) + the final output sort. The
+    # chunk generate/slice/hash itself must add none.
+    assert len(re.findall(r"\(\d+\) Exchange", tree)) <= 2
+    assert "InMemoryRelation" in tree  # reading the memo, not re-tokenizing
+
+
 def test_unpivot_is_expand_over_aggregate(spark):
     # wide→long must reshape the AGGREGATE (|flags| rows), never re-scan
     # the fact table per measure: one scan, agg, then a narrow Expand.
