@@ -606,3 +606,122 @@ def test_local_checkpoint_release_private_api_still_resolves(spark):
     assert not rdd.getStorageLevel().useMemory(), (
         "unpersist on the plan-leaf RDD no longer releases storage"
     )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lengths=st.lists(st.integers(0, 60), min_size=1, max_size=5))
+def test_chunk_overlap_law(spark, lengths):
+    """Laws behind text_chunk_overlap, vs a brute-force Python model:
+    chunk i of an n-token doc covers exactly [i*S, min(i*S+C, n)), every
+    token index is covered by >= 1 chunk, the chunk count matches the
+    closed form, and the fingerprint is md5 of the exact slice."""
+    import hashlib
+    import tempfile
+
+    import pandas as pd
+
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.queries.registry import _MEMO, _drop_memo_entry
+    from jorvik_spark.queries.sampling import _CHUNK_SIZE, _CHUNK_STRIDE
+
+    d = tempfile.mkdtemp(prefix="chunk_prop_")
+    docs = [" ".join(f"t{j}" for j in range(n)) for n in lengths]
+    pd.DataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(f"{d}/documents.parquet")
+    for k in list(_MEMO):
+        _drop_memo_entry(_MEMO.pop(k))
+
+    C, S = _CHUNK_SIZE, _CHUNK_STRIDE
+    want = {}
+    for doc_id, n in enumerate(lengths):
+        if n == 0:
+            continue
+        n_chunks = 1 if n <= C else 1 + -(-(n - C) // S)
+        for i in range(n_chunks):
+            piece = [f"t{j}" for j in range(i * S, min(i * S + C, n))]
+            want[(doc_id, i)] = (
+                i * S,
+                len(piece),
+                hashlib.md5(" ".join(piece).encode()).hexdigest(),
+            )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (
+            r["start_token"],
+            r["n_chunk_tokens"],
+            r["chunk_fp"],
+        )
+        for r in QUERIES["text_chunk_overlap"](spark, d).collect()
+    }
+    assert got == want
+    # coverage: every token index of every doc is inside >= 1 chunk
+    for doc_id, n in enumerate(lengths):
+        covered = set()
+        for (did, i), (start, ln, _) in want.items():
+            if did == doc_id:
+                covered.update(range(start, start + ln))
+        assert covered == set(range(n))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.dictionaries(
+        st.integers(1, 40), st.integers(1, 12), min_size=1, max_size=15
+    )
+)
+def test_countmin_sketch_law(spark, counts):
+    """Laws behind agg_countmin_sketch, vs a full Python count-min
+    model with the same md5 hash rows: the estimate equals the min over
+    the 4 salted counter cells (collisions included), and therefore can
+    never undercount."""
+    import hashlib
+    import tempfile
+
+    import pandas as pd
+
+    from jorvik_spark.queries import QUERIES
+
+    d = tempfile.mkdtemp(prefix="cms_prop_")
+    keys = [k for k, c in counts.items() for _ in range(c)]
+    pd.DataFrame(
+        {
+            "o_orderkey": range(len(keys)),
+            "o_custkey": keys,
+            "o_orderstatus": ["F"] * len(keys),
+            "o_totalprice": [1.0] * len(keys),
+            "o_orderdate": pd.to_datetime(
+                ["1995-01-01"] * len(keys)
+            ).as_unit("us"),
+            "o_orderpriority": ["1-URGENT"] * len(keys),
+        }
+    ).to_parquet(f"{d}/orders.parquet")
+
+    def bucket(depth, k):
+        h = hashlib.md5(f"cms{depth}:{k}".encode()).hexdigest()
+        return int(h[:8], 16) % 256
+
+    cells = {}
+    for k, c in counts.items():
+        for dep in range(4):
+            cell = (dep, bucket(dep, k))
+            cells[cell] = cells.get(cell, 0) + c
+    want_est = {
+        k: min(cells[(dep, bucket(dep, k))] for dep in range(4))
+        for k in counts
+    }
+    rows = QUERIES["agg_countmin_sketch"](spark, d).collect()
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["custkey"], r["exact_cnt"]) for r in rows] == top
+    for r in rows:
+        assert r["cms_est"] == want_est[r["custkey"]]
+        assert r["never_under"]
+        assert r["cms_est"] >= r["exact_cnt"]
