@@ -63,7 +63,8 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 #     expr_variant_json, catalog_table_roundtrip,
 #     join_q11_important_stock, join_q16_supplier_cnt,
 #     join_q20_surplus_suppliers, agg_countmin_sketch,
-#     text_tfidf_topterms, text_chunk_overlap — all hash-mode,
+#     text_tfidf_topterms, text_chunk_overlap,
+#     simsearch_rerank_twophase — all hash-mode,
 #     registered outside the prefix this round, parity-green at
 #     sf0.001/0.01/0.1), then the 5 r6 leftovers above, then the oldest
 #     r7-prefix rows.

@@ -938,6 +938,27 @@ def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     table IS the index you persist (8 bytes/vector), partitioned by
     cell.
     """
+    adc = _adc_scores(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy("adc_u", "candidate_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "candidate_id",
+            (F.col("adc_u") / 1_000_000.0).alias("adc"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probe candidates scored by PQ asymmetric distance, in exact
+    integer micro-units — the shared retrieval phase under
+    ``simsearch_ivfpq`` (which ranks it directly) and
+    ``simsearch_rerank_twophase`` (which shortlists, then reranks the
+    shortlist with exact cosines). Returns (query_id, candidate_id,
+    adc_u)."""
     # candidate cells + probes from the shared deterministic IVF quantizer
     assign = _ivf_assign(spark, sf_dir)
     cells = assign.filter(F.col("rn") == 1).select(
@@ -973,7 +994,7 @@ def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("candidate_id") != F.col("query_id"))
         .alias("d")
     )
-    adc = (
+    return (
         cand.join(codes, F.col("c.vec_id") == F.col("d.candidate_id"))
         .join(
             qcent,
@@ -983,17 +1004,6 @@ def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("d.query_id"), F.col("d.candidate_id"))
         .agg(F.sum(F.col("q.qd_u")).alias("adc_u"))
-    )
-    w = Window.partitionBy("query_id").orderBy("adc_u", "candidate_id")
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOPK)
-        .select(
-            "query_id",
-            "candidate_id",
-            (F.col("adc_u") / 1_000_000.0).alias("adc"),
-            F.col("rank").cast("int").alias("rank"),
-        )
     )
 
 
@@ -1345,3 +1355,136 @@ def simsearch_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-cell sort — never a window over the full scored stream.
     """
     return _twophase_topk(spark, sf_dir, _HN_K, band=(_HN_LO, _HN_HI))
+
+
+# Phase-1 shortlist depth for retrieve-then-rerank: 4x the final k, the
+# usual serving ratio (shortlist misses, not rerank ties, dominate
+# recall loss — simsearch_recall_eval measures that directly).
+_RERANK_SHORTLIST = 20
+
+
+@query(
+    "simsearch_rerank_twophase",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGN},
+    cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cent_id AS cell
+        FROM assign WHERE vec_id < {_N_QUERIES} AND rn <= {_IVF_NPROBE}),
+    {_SQL_PQ_CODES},
+    qcent AS (
+        SELECT q.vec_id AS query_id, q.m, c.cent_id,
+               CAST(floor(round(list_sum(list_transform(
+                   range(1, {_PQ_SUB} + 1),
+                   i -> (q.s[i] - c.c[i]) * (q.s[i] - c.c[i]))), 6)
+                   * 1000000 + 0.5) AS BIGINT) AS qd_u
+        FROM pq_subs q JOIN pq_cents c ON q.m = c.m
+        WHERE q.vec_id < {_N_QUERIES}),
+    cand AS (
+        SELECT p.query_id, c.vec_id AS candidate_id
+        FROM probes p JOIN cells c ON p.cell = c.cell
+        WHERE c.vec_id <> p.query_id),
+    adc AS (
+        SELECT cd.query_id, cd.candidate_id, SUM(qc.qd_u) AS adc_u
+        FROM cand cd
+        JOIN pq_codes k ON k.vec_id = cd.candidate_id
+        JOIN qcent qc ON qc.query_id = cd.query_id
+                     AND qc.m = k.m AND qc.cent_id = k.code
+        GROUP BY cd.query_id, cd.candidate_id),
+    short AS (
+        SELECT query_id, candidate_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_u, candidate_id)
+                   AS shortlist_rank
+        FROM adc
+        QUALIFY shortlist_rank <= {_RERANK_SHORTLIST}),
+    nz AS (SELECT * FROM embeddings WHERE {_SQL_POS_NORM}),
+    er AS (
+        SELECT s.query_id, s.candidate_id,
+               CAST(s.shortlist_rank AS INTEGER) AS shortlist_rank,
+               round({_SQL_COS.format(a='q.embedding', b='c.embedding')},
+                     6) AS cosine
+        FROM short s
+        JOIN nz q ON q.vec_id = s.query_id
+        JOIN nz c ON c.vec_id = s.candidate_id),
+    rr AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, candidate_id)
+               AS rank
+        FROM er)
+    SELECT query_id, candidate_id, shortlist_rank, cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM rr WHERE rank <= {_TOPK}
+    """,
+)
+def simsearch_rerank_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank — the production ANN serving composition:
+    phase 1 shortlists {_RERANK_SHORTLIST} candidates per query by
+    cheap PQ asymmetric distance over the IVF probe (compressed codes
+    only, shared with simsearch_ivfpq via _adc_scores), phase 2 fetches
+    ONLY the shortlist's full vectors and reranks by exact cosine. ADC
+    compression error can reorder true neighbors; the exact rerank
+    repairs ordering within the shortlist at a cost proportional to
+    |queries|·shortlist, not the corpus.
+
+    Scale: the rerank never touches full vectors outside the shortlist —
+    the shortlist (tiny: queries × {_RERANK_SHORTLIST} keys) broadcasts
+    into the corpus scan, so phase 2 adds no corpus shuffle; both
+    row_number windows run on query-keyed relations bounded by the probe
+    (phase 1) and the shortlist (phase 2). This is the FAISS
+    index-then-refine pattern (refine = IndexRefineFlat) expressed
+    relationally.
+    """
+    ws = Window.partitionBy("query_id").orderBy("adc_u", "candidate_id")
+
+    def build_short() -> DataFrame:
+        return (
+            _adc_scores(spark, sf_dir)
+            .withColumn("shortlist_rank", F.row_number().over(ws))
+            .filter(F.col("shortlist_rank") <= _RERANK_SHORTLIST)
+            .select(
+                "query_id",
+                "candidate_id",
+                F.col("shortlist_rank").cast("int").alias("shortlist_rank"),
+            )
+        )
+
+    # cut_lineage: the shortlist is |queries|×shortlist rows but its plan
+    # nests the whole IVF+PQ ADC tree — re-nesting that into the rerank
+    # join was a measured 4.2 MiB task binary; the cut leaves a tiny leaf.
+    short = memo_df(f"rerank_short:{sf_dir}", spark, build_short,
+                    cut_lineage=True)
+    emb = (
+        _vec_double(load_table(spark, sf_dir, "embeddings"))
+        .withColumn("n2", F.expr(_DOT.format(a="v", b="v")))
+        .filter(F.col("n2") > 0)
+    )
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("nq"),
+    )
+    # shortlist + query vectors is |queries| x shortlist rows — broadcast
+    # it into the corpus scan so phase 2 adds no corpus shuffle.
+    probe = F.broadcast(short.join(qv, "query_id"))
+    cosine = F.round(
+        F.expr(_DOT.format(a="qv", b="v"))
+        / (F.sqrt("nq") * F.sqrt("n2")),
+        6,
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("candidate_id")
+    )
+    return (
+        emb.select(F.col("vec_id").alias("candidate_id"), "v", "n2")
+        .join(probe, "candidate_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            "shortlist_rank",
+            cosine.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "candidate_id", "shortlist_rank", "cosine", "rank")
+    )

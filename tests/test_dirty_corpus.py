@@ -186,6 +186,7 @@ EMB_QUERIES = [
     "embed_whiten",  # zero vector whitened like any other (no cosine)
     "simsearch_recall_eval",  # zero vector in neither truth nor ANN set
     "embed_cluster_balance",  # zero vector excluded from the index
+    "simsearch_rerank_twophase",  # zero vector in neither phase
 ]
 
 
