@@ -113,6 +113,11 @@ BENCH_R9_QUERIES = {
     "r9_sql": "sql_api_revenue_report",
     "r9_spearman": "corpus_quality_rank_correlation",
     "r9_compact": "sink_compact_small_files",
+    # late-round additions with nontrivial shuffle shapes: the two-phase
+    # ADC-shortlist+exact-rerank serving path and the vocabulary-join
+    # TF-IDF top-k (the narrow chunking/sketch ops are sub-0.5 s scans).
+    "r9_rerank": "simsearch_rerank_twophase",
+    "r9_tfidf": "text_tfidf_topterms",
 }
 
 # Round-8 sf0.1 medians (BENCH_r08.json) — the r8-cohort regression
