@@ -960,20 +960,25 @@ def agg_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Count-min sketch geometry: 4 independent md5-salted hash rows of 256
-# buckets each. The bucket function is parametrized by the row index so
-# Spark and DuckDB evaluate the identical expression — no per-row salt
-# literals to keep in sync.
+# Count-min sketch geometry: _CMS_DEPTH independent md5-salted hash rows
+# of _CMS_WIDTH buckets each. The bucket function is parametrized by the
+# row index so Spark and DuckDB evaluate the identical expression, and
+# BOTH expression templates (plus the oracle's depth list and the Markov
+# slack bound below) derive from these two constants — change them here
+# and the engines stay in lockstep.
 _CMS_DEPTH = 4
 _CMS_WIDTH = 256
+# Markov slack: est <= exact + _CMS_SLACK_NUM * N / _CMS_WIDTH.
+_CMS_SLACK_NUM = 4
 _CMS_BUCKET = (
     "CAST(conv(substring(md5(concat('cms', CAST({d} AS STRING), ':', "
-    "CAST({k} AS STRING))), 1, 8), 16, 10) AS BIGINT) % 256"
+    f"CAST({{k}} AS STRING))), 1, 8), 16, 10) AS BIGINT) % {_CMS_WIDTH}"
 )
 _SQL_CMS_BUCKET = (
     "(('0x' || substr(md5('cms' || CAST({d} AS VARCHAR) || ':' || "
-    "CAST({k} AS VARCHAR)), 1, 8))::BIGINT % 256)"
+    f"CAST({{k}} AS VARCHAR)), 1, 8))::BIGINT % {_CMS_WIDTH})"
 )
+_SQL_CMS_DEPTHS = "[" + ", ".join(str(i) for i in range(_CMS_DEPTH)) + "]"
 
 
 @query(
@@ -981,7 +986,7 @@ _SQL_CMS_BUCKET = (
     oracle=f"""
     WITH src AS (
         SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL),
-    d AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+    d AS (SELECT unnest({_SQL_CMS_DEPTHS}) AS depth),
     cells AS (
         SELECT depth,
                {_SQL_CMS_BUCKET.format(d='depth', k='k')} AS bucket,
@@ -1002,7 +1007,8 @@ _SQL_CMS_BUCKET = (
            CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
            CAST(e.cms_est AS BIGINT) AS cms_est,
            e.cms_est >= e.exact_cnt AS never_under,
-           e.cms_est <= e.exact_cnt + (4 * t.n) // 256 AS within_slack
+           e.cms_est <= e.exact_cnt
+               + ({_CMS_SLACK_NUM} * t.n) // {_CMS_WIDTH} AS within_slack
     FROM est e, tot t
     ORDER BY exact_cnt DESC, custkey
     """,
@@ -1072,7 +1078,8 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") >= F.col("exact_cnt")).alias("never_under"),
             (
                 F.col("cms_est")
-                <= F.col("exact_cnt") + F.expr("(4 * n) div 256")
+                <= F.col("exact_cnt")
+                + F.expr(f"({_CMS_SLACK_NUM} * n) div {_CMS_WIDTH}")
             ).alias("within_slack"),
         )
         .orderBy(F.desc("exact_cnt"), "custkey")

@@ -1739,7 +1739,8 @@ def join_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_q16_supplier_cnt",
     oracle="""
     WITH pairs AS (
-        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        WHERE l_suppkey IS NOT NULL)
     SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
            COUNT(DISTINCT pr.l_suppkey) AS supplier_cnt
     FROM pairs pr
@@ -1763,9 +1764,13 @@ def join_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment column here — becomes negative account balance. The NOT IN
     is a native ``left_anti`` join, NOT a Python-side exclusion list:
     the excluded-supplier set is unbounded in principle, so it must stay
-    a relation. (NULL-semantics note: s_suppkey is a non-null key, so
-    anti join and NOT IN agree; with nullable keys NOT IN would need the
-    null-safe guard join_null_safe_equi demonstrates.)
+    a relation. NULL-semantics: a NULL probe key is where anti join and
+    NOT IN genuinely disagree (NOT IN drops it when the exclusion set is
+    non-empty, keeps it when empty; anti join always keeps it), so the
+    operator DECLARES null pairs out of scope — ``l_suppkey IS NOT
+    NULL`` is applied before the pair-set distinct on BOTH engines,
+    making the two forms provably equivalent instead of
+    coincidentally matching.
 
     Scale: the pair-set distinct is the one fact shuffle and it is
     map-side combined; filtered part broadcasts (size/brand/type cuts
@@ -1775,7 +1780,11 @@ def join_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     by |suppliers|, so no Expand blow-up.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    pairs = (
+        li.filter(F.col("l_suppkey").isNotNull())
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (~F.col("p_type").startswith("PROMO"))
@@ -1788,7 +1797,11 @@ def join_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
-        .join(flagged, pairs.l_suppkey == flagged.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(flagged),
+            pairs.l_suppkey == flagged.s_suppkey,
+            "left_anti",
+        )
         .groupBy(
             "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size")
         )

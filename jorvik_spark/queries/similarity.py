@@ -1419,7 +1419,7 @@ _RERANK_SHORTLIST = 20
 )
 def simsearch_rerank_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieve-then-rerank — the production ANN serving composition:
-    phase 1 shortlists {_RERANK_SHORTLIST} candidates per query by
+    phase 1 shortlists _RERANK_SHORTLIST (20) candidates per query by
     cheap PQ asymmetric distance over the IVF probe (compressed codes
     only, shared with simsearch_ivfpq via _adc_scores), phase 2 fetches
     ONLY the shortlist's full vectors and reranks by exact cosine. ADC
@@ -1428,7 +1428,7 @@ def simsearch_rerank_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     |queries|·shortlist, not the corpus.
 
     Scale: the rerank never touches full vectors outside the shortlist —
-    the shortlist (tiny: queries × {_RERANK_SHORTLIST} keys) broadcasts
+    the shortlist (tiny: queries × shortlist-depth keys) broadcasts
     into the corpus scan, so phase 2 adds no corpus shuffle; both
     row_number windows run on query-keyed relations bounded by the probe
     (phase 1) and the shortlist (phase 2). This is the FAISS

@@ -1269,9 +1269,10 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_t = tf.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # tf is already distinct on (doc_id, term), so docs-per-term is a
+    # plain count — countDistinct here would pay an extra partial-distinct
+    # pass over the hottest relation of the query for nothing.
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = (
         load_table(spark, sf_dir, "documents")
         .agg(F.count(F.lit(1)).alias("n"))

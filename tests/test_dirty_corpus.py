@@ -407,34 +407,39 @@ def dirty_rel_dir(tmp_path_factory):
             # part 107 in 1999 (q20), flagged supplier 53 ships an
             # eligible part (q16's NOT IN), and a null quantity lands on
             # a 1999 row (q20's NULL-total pin).
+            # Row 21 is q16's NULL-probe pin: an ELIGIBLE part (106)
+            # shipped also by a null-suppkey row. NOT IN and anti join
+            # disagree on that row, so the operator declares null pairs
+            # out of scope on both engines — the group must count only
+            # supplier-53's (flagged, excluded) and never a 0-count row.
             "l_orderkey": pd.array(
                 [1, 1, 2, 3, 4, 6, 1, 5, 4, 2, 3, 6, 7, 8, None,
-                 9, 9, 9, 9, 9, 9],
+                 9, 9, 9, 9, 9, 9, 9],
                 dtype="Int64",
             ),
             "l_partkey": pd.array(
                 [100, 101, 100, None, 100, 102, 100, 103, 100, 101, 102,
-                 100, 100, 103, 100, 105, 107, 105, 101, 102, 106],
+                 100, 100, 103, 100, 105, 107, 105, 101, 102, 106, 106],
                 dtype="Int64",
             ),
             "l_suppkey": pd.array(
                 [50, 51, 50, None, 52, 50, 50, None, 52, 51, 52, 50, 50,
-                 52, 50, 54, 50, 52, 54, 54, 53],
+                 52, 50, 54, 50, 52, 54, 54, 53, None],
                 dtype="Int64",
             ),
             "l_quantity": [10.0, 20.0, 5.0, None, 40.0, 1.0, 2.0, 3.0,
                            7.0, 9.0, 4.0, 6.0, 3.0, 2.0, 1.0,
-                           8.0, 5.0, None, 1.0, 1.0, 3.0],
+                           8.0, 5.0, None, 1.0, 1.0, 3.0, 2.0],
             "l_extendedprice": [100.0, 200.0, None, 50.0, 80.0, 10.0,
                                 60.0, 30.0, 70.0, 90.0, 40.0, 55.0, 33.0,
                                 22.0, 5.0, 40.0, 12.0, 10.0, 10.0, None,
-                                9.0],
+                                9.0, 4.0],
             "l_discount": [0.1, 0.0, None, 0.1, 0.2, 0.0, 0.0, 0.0, 0.0,
                            0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-                           0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+                           0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
             "l_linestatus": ["F", "O", None, "F", "F", "F", "F", "O", "F",
                              "O", None, "F", "F", "O", "F",
-                             "F", "O", "F", "F", "O", "O"],
+                             "F", "O", "F", "F", "O", "O", "F"],
             "l_shipdate": pd.to_datetime(
                 [
                     dt(1995, 7, 1), dt(1995, 3, 15), None, dt(1995, 8, 1),
@@ -444,6 +449,7 @@ def dirty_rel_dir(tmp_path_factory):
                     dt(1996, 8, 1), dt(1995, 5, 1),
                     dt(1999, 6, 1), dt(1999, 7, 1), dt(1999, 5, 1),
                     dt(1997, 2, 1), dt(1997, 4, 1), dt(1996, 5, 1),
+                    dt(1996, 7, 1),
                 ]
             ).as_unit("us"),
         }

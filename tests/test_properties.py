@@ -689,6 +689,7 @@ def test_countmin_sketch_law(spark, counts):
     import pandas as pd
 
     from jorvik_spark.queries import QUERIES
+    from jorvik_spark.queries.aggregates import _CMS_DEPTH, _CMS_WIDTH
 
     d = tempfile.mkdtemp(prefix="cms_prop_")
     keys = [k for k, c in counts.items() for _ in range(c)]
@@ -707,15 +708,15 @@ def test_countmin_sketch_law(spark, counts):
 
     def bucket(depth, k):
         h = hashlib.md5(f"cms{depth}:{k}".encode()).hexdigest()
-        return int(h[:8], 16) % 256
+        return int(h[:8], 16) % _CMS_WIDTH
 
     cells = {}
     for k, c in counts.items():
-        for dep in range(4):
+        for dep in range(_CMS_DEPTH):
             cell = (dep, bucket(dep, k))
             cells[cell] = cells.get(cell, 0) + c
     want_est = {
-        k: min(cells[(dep, bucket(dep, k))] for dep in range(4))
+        k: min(cells[(dep, bucket(dep, k))] for dep in range(_CMS_DEPTH))
         for k in counts
     }
     rows = QUERIES["agg_countmin_sketch"](spark, d).collect()
