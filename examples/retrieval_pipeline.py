@@ -1,0 +1,307 @@
+"""ANN retrieval-serving pipeline: index build → persisted artifacts →
+lake-served top-k, on the engine's own ETL framework.
+
+The embedding-side complement of the curation story in
+``documents_pipeline``: a serving team builds the IVF+PQ index ONCE
+(bronze → silver), persists it as plain parquet tables (the index at
+100 TB is 8 bytes/vector + a cell id — the point of PQ), and then every
+query run reads the small artifacts instead of re-quantizing the corpus.
+Gold serves retrieve-then-rerank off the persisted index and is pinned
+row-equal to the engine's in-memory ``simsearch_rerank_twophase`` query
+(tests/test_retrieval_example.py) — build-once/serve-many and
+compute-on-demand must be the same answer.
+
+Framework parity: every hop is an ``@etl`` pipeline with declared,
+verified schemas (reference etl.py:145-217); the index stage shows the
+framework's multi-output form (one transform, three artifact tables).
+
+Geometry constants are imported from the engine's similarity module so
+the example's index can never drift from the operators' (the same
+reason documents_pipeline imports the scrub regexes).
+
+Scale notes (100 TB):
+  * The index build is one corpus pass: home cell = argmin over the
+    broadcast coarse centroids, PQ codes = argmin over the broadcast
+    per-subspace codebooks — no corpus self-join anywhere.
+  * The index table is partitioned by cell, so a serving read that
+    filters to the probed cells prunes partitions at the scan.
+  * Serving touches full vectors ONLY for the shortlist (queries ×
+    shortlist-depth rows) — phase 2 adds no corpus shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from jorvik_spark.pipelines import ETL, FileInput, FileOutput, etl
+from jorvik_spark.queries.similarity import (
+    _DOT,
+    _EUCL,
+    _IVF_K,
+    _IVF_NPROBE,
+    _N_QUERIES,
+    _PQ_DIM,
+    _PQ_K,
+    _PQ_M,
+    _PQ_SQD,
+    _PQ_SUB,
+    _RERANK_SHORTLIST,
+    _TOPK,
+)
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+# The persisted serving index: one row per (vector, subspace) carrying
+# the home cell and the PQ code — 8 one-byte codes + a cell id is all a
+# candidate contributes at query time.
+# ``cell`` is IntegerType everywhere: it is the index table's partition
+# column, and partition values round-trip through directory names as
+# int — declaring long would fail the read-side schema verification.
+INDEX_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("cell", IntegerType()),
+        StructField("m", IntegerType()),
+        StructField("code", LongType()),
+    ]
+)
+
+COARSE_SCHEMA = StructType(
+    [
+        StructField("cell", IntegerType()),
+        StructField("cv", ArrayType(DoubleType())),
+    ]
+)
+
+CODEBOOK_SCHEMA = StructType(
+    [
+        StructField("m", IntegerType()),
+        StructField("code", LongType()),
+        StructField("c", ArrayType(DoubleType())),
+    ]
+)
+
+TOPK_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("candidate_id", LongType()),
+        StructField("cosine", DoubleType()),
+        StructField("rank", IntegerType()),
+    ]
+)
+
+# Per-subspace slice of the double-cast vector (1-based slice bounds).
+_SUBVECTORS = (
+    f"transform(sequence(0, {_PQ_M - 1}), "
+    f"m -> slice(v, m * {_PQ_SUB} + 1, {_PQ_SUB}))"
+)
+
+
+def _nz_vectors(emb: DataFrame) -> DataFrame:
+    """In-dimension, nonzero-norm vectors as array<double> + norm² —
+    the same eligibility screen every cosine operator applies."""
+    return (
+        emb.withColumn("v", F.expr("transform(embedding, x -> cast(x AS double))"))
+        .withColumn("n2", F.expr(_DOT.format(a="v", b="v")))
+        .filter((F.col("n2") > 0) & (F.size("embedding") == _PQ_DIM))
+    )
+
+
+def make_bronze_embeddings(sf_dir: str, lake: str) -> ETL:
+    """Bronze: schema-verified ingest of the raw embedding dump."""
+    raw = FileInput(path=f"{sf_dir}/embeddings.parquet", schema=EMB_SCHEMA)
+    bronze = FileOutput(
+        path=f"{lake}/bronze/embeddings", mode="overwrite", schema=EMB_SCHEMA
+    )
+
+    @etl(raw, bronze)
+    def ingest_embeddings(emb: DataFrame) -> DataFrame:
+        return emb
+
+    return ingest_embeddings
+
+
+def make_silver_ann_index(lake: str) -> ETL:
+    """Silver: ONE corpus pass builds all three index artifacts — the
+    coarse centroid table, the per-subspace PQ codebooks, and the
+    (cell, codes) index itself, partitioned by cell for probe-time
+    partition pruning. Deterministic "training" (first _IVF_K vectors
+    are the coarse centroids, first _PQ_K subvectors the codebooks)
+    exactly as the engine's operators define it, so the persisted index
+    answers queries identically to the in-memory quantizer."""
+    bronze = FileInput(path=f"{lake}/bronze/embeddings", schema=EMB_SCHEMA)
+    out_index = FileOutput(
+        path=f"{lake}/silver/ann_index",
+        mode="overwrite",
+        partition_fields="cell",
+        schema=INDEX_SCHEMA,
+    )
+    out_coarse = FileOutput(
+        path=f"{lake}/silver/coarse_centroids",
+        mode="overwrite",
+        schema=COARSE_SCHEMA,
+    )
+    out_codebooks = FileOutput(
+        path=f"{lake}/silver/pq_codebooks",
+        mode="overwrite",
+        schema=CODEBOOK_SCHEMA,
+    )
+
+    @etl(bronze, [out_index, out_coarse, out_codebooks])
+    def build_index(emb: DataFrame):
+        nz = _nz_vectors(emb)
+        coarse = nz.filter(F.col("vec_id") < _IVF_K).select(
+            F.col("vec_id").cast("int").alias("cell"),
+            F.col("v").alias("cv"),
+        )
+        # home cell: argmin Euclidean over the broadcast centroids,
+        # 6-decimal rounding + cell tiebreak exactly as _ivf_assign.
+        dist = F.round(F.expr(_EUCL.format(a="v", b="cv")), 6)
+        w_cell = Window.partitionBy("vec_id").orderBy("dist", "cell")
+        cells = (
+            nz.crossJoin(F.broadcast(coarse))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w_cell))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell")
+        )
+        subs = nz.select(
+            "vec_id",
+            F.posexplode(F.expr(_SUBVECTORS)).alias("m", "s"),
+        )
+        codebooks = subs.filter(F.col("vec_id") < _PQ_K).select(
+            "m", F.col("vec_id").alias("code"), F.col("s").alias("c")
+        )
+        sqd = F.round(F.expr(_PQ_SQD), 6)
+        w_code = Window.partitionBy("vec_id", "m").orderBy("sqd", "code")
+        codes = (
+            subs.join(F.broadcast(codebooks), "m")
+            .withColumn("sqd", sqd)
+            .withColumn("rn", F.row_number().over(w_code))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "code")
+        )
+        index = cells.join(codes, "vec_id").select(
+            "vec_id", "cell", "m", "code"
+        )
+        return index, coarse, codebooks
+
+    return build_index
+
+
+def make_gold_topk(lake: str) -> ETL:
+    """Gold: retrieve-then-rerank SERVED from the persisted artifacts —
+    probe the coarse centroids for each query's nearest cells, score the
+    probed cells' PQ codes by asymmetric distance (integer micro-units,
+    same exactness contract as the engine's dsum), shortlist, and rerank
+    only the shortlist with exact cosines from bronze."""
+    in_index = FileInput(path=f"{lake}/silver/ann_index", schema=INDEX_SCHEMA)
+    in_coarse = FileInput(
+        path=f"{lake}/silver/coarse_centroids", schema=COARSE_SCHEMA
+    )
+    in_codebooks = FileInput(
+        path=f"{lake}/silver/pq_codebooks", schema=CODEBOOK_SCHEMA
+    )
+    in_emb = FileInput(path=f"{lake}/bronze/embeddings", schema=EMB_SCHEMA)
+    gold = FileOutput(
+        path=f"{lake}/gold/topk", mode="overwrite", schema=TOPK_SCHEMA
+    )
+
+    @etl([in_index, in_coarse, in_codebooks, in_emb], gold)
+    def serve_topk(
+        index: DataFrame,
+        coarse: DataFrame,
+        codebooks: DataFrame,
+        emb: DataFrame,
+    ) -> DataFrame:
+        queries = _nz_vectors(emb).filter(F.col("vec_id") < _N_QUERIES)
+        # probes: each query's _IVF_NPROBE nearest cells.
+        dist = F.round(F.expr(_EUCL.format(a="v", b="cv")), 6)
+        w_probe = Window.partitionBy("vec_id").orderBy("dist", "cell")
+        probes = (
+            queries.crossJoin(F.broadcast(coarse))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w_probe))
+            .filter(F.col("rn") <= _IVF_NPROBE)
+            .select(F.col("vec_id").alias("query_id"), "cell")
+        )
+        # query→codebook distance table, exact integer micro-units.
+        qsubs = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(F.expr(_SUBVECTORS)).alias("m", "s"),
+        )
+        sqd = F.round(F.expr(_PQ_SQD), 6)
+        qd = F.broadcast(
+            qsubs.join(F.broadcast(codebooks), "m").select(
+                "query_id",
+                "m",
+                "code",
+                F.floor(sqd * 1_000_000 + F.lit(0.5))
+                .cast("long")
+                .alias("qd_u"),
+            )
+        )
+        # ADC over the probed cells of the persisted index.
+        adc = (
+            probes.join(index, "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .join(qd, ["query_id", "m", "code"])
+            .groupBy("query_id", F.col("vec_id").alias("candidate_id"))
+            .agg(F.sum("qd_u").alias("adc_u"))
+        )
+        w_short = Window.partitionBy("query_id").orderBy(
+            "adc_u", "candidate_id"
+        )
+        short = (
+            adc.withColumn("srn", F.row_number().over(w_short))
+            .filter(F.col("srn") <= _RERANK_SHORTLIST)
+            .select("query_id", "candidate_id")
+        )
+        # exact-cosine rerank of ONLY the shortlist.
+        qv = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("n2").alias("nq"),
+        )
+        probe = F.broadcast(short.join(qv, "query_id"))
+        cosine = F.round(
+            F.expr(_DOT.format(a="qv", b="v")) / (F.sqrt("nq") * F.sqrt("n2")),
+            6,
+        )
+        w_rank = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("candidate_id")
+        )
+        return (
+            _nz_vectors(emb)
+            .select(F.col("vec_id").alias("candidate_id"), "v", "n2")
+            .join(probe, "candidate_id")
+            .select("query_id", "candidate_id", cosine.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+            .filter(F.col("rank") <= _TOPK)
+            .select("query_id", "candidate_id", "cosine", "rank")
+        )
+
+    return serve_topk
+
+
+def run_pipeline(sf_dir: str, lake: str) -> None:
+    """bronze → silver (index artifacts) → gold (served top-k)."""
+    make_bronze_embeddings(sf_dir, lake).run()
+    make_silver_ann_index(lake).run()
+    make_gold_topk(lake).run()

@@ -1,0 +1,77 @@
+"""End-to-end run of the ANN retrieval-serving example
+(examples/retrieval_pipeline) on sf0.001: index artifacts persist as
+declared, and the gold top-k SERVED from the persisted index is
+row-equal to the engine's in-memory simsearch_rerank_twophase —
+build-once/serve-many and compute-on-demand must be the same answer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from examples import retrieval_pipeline as pipe
+from jorvik_spark.pipelines.testing import smoke_test_etl
+from jorvik_spark.queries import QUERIES
+from jorvik_spark.tables import default_sf_dir
+
+SF_DIR = default_sf_dir()
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("annlake"))
+    pipe.run_pipeline(SF_DIR, lake)
+    return lake
+
+
+def test_smoke_all_stages(spark, tmp_path):
+    lake = str(tmp_path)
+    smoke_test_etl(pipe.make_bronze_embeddings(SF_DIR, lake))
+    smoke_test_etl(pipe.make_silver_ann_index(lake))
+    smoke_test_etl(pipe.make_gold_topk(lake))
+
+
+def test_index_artifacts_shape(spark, lake):
+    index = spark.read.parquet(f"{lake}/silver/ann_index")
+    emb = spark.read.parquet(f"{lake}/bronze/embeddings")
+    n_eligible = (
+        emb.withColumn(
+            "v", F.expr("transform(embedding, x -> cast(x AS double))")
+        )
+        .filter(
+            (F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, "
+                    "(acc, x) -> acc + x)") > 0)
+            & (F.size("embedding") == pipe._PQ_DIM)
+        )
+        .count()
+    )
+    # one row per (eligible vector, subspace); every vector in exactly
+    # one cell; codes within the codebook range
+    assert index.count() == n_eligible * pipe._PQ_M
+    assert (
+        index.groupBy("vec_id").agg(F.countDistinct("cell").alias("n"))
+        .filter(F.col("n") != 1).count() == 0
+    )
+    assert index.filter(
+        (F.col("code") < 0) | (F.col("code") >= pipe._PQ_K)
+    ).count() == 0
+    # the cell partitioning actually materialized (probe-time pruning)
+    cells = spark.read.parquet(f"{lake}/silver/coarse_centroids")
+    assert cells.count() == pipe._IVF_K
+
+
+def test_served_topk_equals_engine_query(spark, lake):
+    """The lake-served result must match the in-engine two-phase rerank
+    row for row (same shortlist depth, probes, tie-breaks)."""
+    served = {
+        (r["query_id"], r["rank"]): (r["candidate_id"], r["cosine"])
+        for r in spark.read.parquet(f"{lake}/gold/topk").collect()
+    }
+    engine = {
+        (r["query_id"], r["rank"]): (r["candidate_id"], r["cosine"])
+        for r in QUERIES["simsearch_rerank_twophase"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert served == engine
