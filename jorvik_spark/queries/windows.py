@@ -942,3 +942,78 @@ def window_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         F.col("v").isNull().alias("gap_filled"),
     )
+
+
+@query(
+    "window_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    d AS (
+        SELECT user_id,
+               CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS vu,
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dur_us
+        FROM e)
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           round((SUM(vu * dur_us)::DOUBLE / SUM(dur_us)::DOUBLE)
+                 / 1000000.0, 6) AS twa_value,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us
+    FROM d WHERE dur_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled value per user —
+    the metrics/telemetry aggregate where a plain AVG is wrong because
+    samples hold until the NEXT observation (a value standing for an
+    hour must weigh 60× one standing for a minute).
+
+    Each event's value is weighted by the integer microseconds until the
+    user's next event (lead over the (ts, event_id)-ordered timeline;
+    the last sample has no holding interval and drops out — the standard
+    left-closed convention). All arithmetic is exact until the final
+    division: value in quantized micro-units (DECIMAL(38,0) vs HUGEINT —
+    a value·duration product is ~1e16 per hour-long interval, past int64
+    at ~900 such intervals per key) times integer epoch-microsecond
+    durations, so the rounded quotient cannot drift between engines.
+
+    Scale: one window pass keyed on user_id (high cardinality, the same
+    exchange the grouped agg reuses — AQE coalesces them), then a
+    map-side-combined aggregation. No corpus-sized state; NULL
+    timestamps and NULL values are screened before the lead so a NULL
+    can neither anchor nor terminate a holding interval.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    dur = F.lead(us).over(w) - us
+    vu = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    return (
+        e.select("user_id", vu.alias("vu"), dur.alias("dur_us"))
+        .filter(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("vu") * F.col("dur_us")).alias("_svd"),
+            F.sum("dur_us").alias("_sd"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            F.round(
+                (F.col("_svd").cast("double") / F.col("_sd").cast("double"))
+                / 1_000_000.0,
+                6,
+            ).alias("twa_value"),
+            F.col("_sd").cast("long").alias("total_dur_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -259,6 +259,10 @@ EVENT_QUERIES = [
     # per-window HLL uniques: null-ts / null-user rows excluded; the
     # within-bound boolean must hold on tiny dirty windows too.
     "stream_window_unique_users",
+    # time-weighted average: null-ts/null-value rows are screened BEFORE
+    # the lead, so a NULL can neither anchor nor terminate a holding
+    # interval; single-event users (no next event) drop out entirely.
+    "window_time_weighted_avg",
 ]
 
 
