@@ -1017,3 +1017,115 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# Sweep-line interval length for the concurrency census: each event
+# holds a slot for 5 minutes. Hour buckets partition the sweep.
+_CONC_HOLD = "INTERVAL 5 MINUTES"
+_CONC_BUCKET_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "window_peak_concurrency",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE ts IS NOT NULL),
+    b AS (
+        SELECT event_id, epoch_us(ts) AS t, 1 AS delta FROM e
+        UNION ALL
+        SELECT event_id, epoch_us(ts + INTERVAL 5 MINUTE), -1 FROM e),
+    bb AS (SELECT *, t // {_CONC_BUCKET_US} AS bucket FROM b),
+    run AS (
+        SELECT bucket, delta,
+               SUM(delta) OVER (PARTITION BY bucket
+                                ORDER BY t, delta, event_id
+                                ROWS UNBOUNDED PRECEDING) AS r
+        FROM bb),
+    mx AS (
+        SELECT bucket, MAX(r) AS max_r, COUNT(*) AS n_boundaries,
+               SUM(delta) AS net
+        FROM run GROUP BY bucket),
+    based AS (
+        SELECT bucket, max_r, n_boundaries,
+               COALESCE(SUM(net) OVER (ORDER BY bucket
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS base
+        FROM mx)
+    SELECT make_timestamp(bucket * {_CONC_BUCKET_US}) AS bucket_start,
+           CAST(greatest(base, base + max_r) AS BIGINT)
+               AS peak_concurrency,
+           CAST(n_boundaries AS BIGINT) AS n_boundaries
+    FROM based ORDER BY bucket
+    """,
+)
+def window_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent intervals per hour — the sweep-line concurrency
+    census (capacity planning: "how many 5-minute event holds were live
+    at once?"), expressed as a TWO-LEVEL prefix sum instead of the
+    classic single global ordered sweep.
+
+    A textbook sweep sorts every +1/-1 boundary into ONE ordered
+    sequence and takes the running sum's max — a single-reducer sort at
+    100 TB. Here the sweep is partitioned by hour bucket: each bucket's
+    running sum starts from a carry-in base (the net of ALL prior
+    buckets — a |buckets|-row second-level prefix sum, the same shape
+    pack_sequences uses for chunk offsets), and the bucket peak is
+    ``greatest(base, base + max(running))`` — the plateau BEFORE the
+    bucket's first boundary can itself be the peak when a busy hour
+    drains into a quiet one, which a max over boundary rows alone would
+    miss (pinned by the oracle).
+
+    Tie semantics are declared, not incidental: boundaries order by
+    (t, delta, event_id), so at the same instant an ending interval
+    frees its slot BEFORE a starting one takes it (half-open [start,
+    end) intervals — back-to-back holds never double-count), and the
+    event_id tiebreak makes the running sum's intermediate values
+    engine-identical, not just the max.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    start = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).alias("delta"),
+    )
+    end = ev.select(
+        "event_id",
+        F.unix_micros(F.expr(f"ts + {_CONC_HOLD}")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    bb = start.union(end).withColumn(
+        "bucket", F.expr(f"t div {_CONC_BUCKET_US}")
+    )
+    w_in = Window.partitionBy("bucket").orderBy(
+        "t", "delta", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per_bucket = (
+        bb.withColumn("r", F.sum("delta").over(w_in))
+        .groupBy("bucket")
+        .agg(
+            F.max("r").alias("max_r"),
+            F.count(F.lit(1)).alias("n_boundaries"),
+            F.sum("delta").alias("net"),
+        )
+    )
+    # second level: |buckets| rows (hours with activity) — driver-scale,
+    # so the single-partition prefix window is the cheap part by design.
+    w_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        per_bucket.withColumn(
+            "base", F.coalesce(F.sum("net").over(w_buckets), F.lit(0))
+        )
+        .select(
+            F.timestamp_micros(
+                F.col("bucket") * _CONC_BUCKET_US
+            ).alias("bucket_start"),
+            F.greatest(
+                F.col("base"), F.col("base") + F.col("max_r")
+            ).cast("long").alias("peak_concurrency"),
+            F.col("n_boundaries").cast("long").alias("n_boundaries"),
+        )
+        .orderBy("bucket_start")
+    )

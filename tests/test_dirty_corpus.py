@@ -263,6 +263,10 @@ EVENT_QUERIES = [
     # the lead, so a NULL can neither anchor nor terminate a holding
     # interval; single-event users (no next event) drop out entirely.
     "window_time_weighted_avg",
+    # sweep-line concurrency: null-ts events contribute no boundaries;
+    # the drain-into-quiet-hour plateau case (base > base + max_r) and
+    # the (t, delta, event_id) tie order must agree exactly.
+    "window_peak_concurrency",
 ]
 
 
