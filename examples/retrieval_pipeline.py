@@ -113,14 +113,31 @@ _SUBVECTORS = (
 )
 
 
-def _nz_vectors(emb: DataFrame) -> DataFrame:
-    """In-dimension, nonzero-norm vectors as array<double> + norm² —
-    the same eligibility screen every cosine operator applies."""
-    return (
-        emb.withColumn("v", F.expr("transform(embedding, x -> cast(x AS double))"))
-        .withColumn("n2", F.expr(_DOT.format(a="v", b="v")))
-        .filter((F.col("n2") > 0) & (F.size("embedding") == _PQ_DIM))
-    )
+def _vectors(emb: DataFrame) -> DataFrame:
+    """Every vector as array<double> + norm², unscreened."""
+    return emb.withColumn(
+        "v", F.expr("transform(embedding, x -> cast(x AS double))")
+    ).withColumn("n2", F.expr(_DOT.format(a="v", b="v")))
+
+
+# The engine applies DIFFERENT eligibility screens per artifact, and the
+# example must mirror each exactly or the persisted index drifts from
+# simsearch_rerank_twophase (the row-equality the test pins): the IVF
+# quantizer and every cosine step screen on POSITIVE NORM ONLY
+# (_ivf_assign — a wrong-dimension vector with positive norm is still
+# assigned a cell), while the PQ subspace path screens on DIMENSION ONLY
+# (_pq_subs — a zero-norm in-dimension vector IS a codebook centroid and
+# gets codes; pinned by the dirty-embeddings fixture).
+
+
+def _pos_norm(emb: DataFrame) -> DataFrame:
+    """The IVF/cosine screen: positive norm, any dimension."""
+    return _vectors(emb).filter(F.col("n2") > 0)
+
+
+def _in_dim(emb: DataFrame) -> DataFrame:
+    """The PQ screen: exact dimension, any norm."""
+    return _vectors(emb).filter(F.size("embedding") == _PQ_DIM)
 
 
 def make_bronze_embeddings(sf_dir: str, lake: str) -> ETL:
@@ -165,8 +182,8 @@ def make_silver_ann_index(lake: str) -> ETL:
 
     @etl(bronze, [out_index, out_coarse, out_codebooks])
     def build_index(emb: DataFrame):
-        nz = _nz_vectors(emb)
-        coarse = nz.filter(F.col("vec_id") < _IVF_K).select(
+        ivf = _pos_norm(emb)
+        coarse = ivf.filter(F.col("vec_id") < _IVF_K).select(
             F.col("vec_id").cast("int").alias("cell"),
             F.col("v").alias("cv"),
         )
@@ -175,13 +192,13 @@ def make_silver_ann_index(lake: str) -> ETL:
         dist = F.round(F.expr(_EUCL.format(a="v", b="cv")), 6)
         w_cell = Window.partitionBy("vec_id").orderBy("dist", "cell")
         cells = (
-            nz.crossJoin(F.broadcast(coarse))
+            ivf.crossJoin(F.broadcast(coarse))
             .withColumn("dist", dist)
             .withColumn("rn", F.row_number().over(w_cell))
             .filter(F.col("rn") == 1)
             .select("vec_id", "cell")
         )
-        subs = nz.select(
+        subs = _in_dim(emb).select(
             "vec_id",
             F.posexplode(F.expr(_SUBVECTORS)).alias("m", "s"),
         )
@@ -230,7 +247,7 @@ def make_gold_topk(lake: str) -> ETL:
         codebooks: DataFrame,
         emb: DataFrame,
     ) -> DataFrame:
-        queries = _nz_vectors(emb).filter(F.col("vec_id") < _N_QUERIES)
+        queries = _pos_norm(emb).filter(F.col("vec_id") < _N_QUERIES)
         # probes: each query's _IVF_NPROBE nearest cells.
         dist = F.round(F.expr(_EUCL.format(a="v", b="cv")), 6)
         w_probe = Window.partitionBy("vec_id").orderBy("dist", "cell")
@@ -242,9 +259,13 @@ def make_gold_topk(lake: str) -> ETL:
             .select(F.col("vec_id").alias("query_id"), "cell")
         )
         # query→codebook distance table, exact integer micro-units.
-        qsubs = queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.posexplode(F.expr(_SUBVECTORS)).alias("m", "s"),
+        qsubs = (
+            _in_dim(emb)
+            .filter(F.col("vec_id") < _N_QUERIES)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.posexplode(F.expr(_SUBVECTORS)).alias("m", "s"),
+            )
         )
         sqd = F.round(F.expr(_PQ_SQD), 6)
         qd = F.broadcast(
@@ -288,7 +309,7 @@ def make_gold_topk(lake: str) -> ETL:
             F.desc("cosine"), F.asc("candidate_id")
         )
         return (
-            _nz_vectors(emb)
+            _pos_norm(emb)
             .select(F.col("vec_id").alias("candidate_id"), "v", "n2")
             .join(probe, "candidate_id")
             .select("query_id", "candidate_id", cosine.alias("cosine"))

@@ -962,7 +962,7 @@ def window_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((SUM(vu * dur_us)::DOUBLE / SUM(dur_us)::DOUBLE)
                  / 1000000.0, 6) AS twa_value,
            CAST(SUM(dur_us) AS BIGINT) AS total_dur_us
-    FROM d WHERE dur_us IS NOT NULL
+    FROM d WHERE dur_us IS NOT NULL AND dur_us > 0
     GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -998,7 +998,12 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         e.select("user_id", vu.alias("vu"), dur.alias("dur_us"))
-        .filter(F.col("dur_us").isNotNull())
+        # dur > 0, not just non-null: a zero-length interval carries zero
+        # weight anyway, and a user whose events ALL share one timestamp
+        # would otherwise hit 0/0 — ANSI Spark aborts the query where
+        # DuckDB returns NULL. Excluding them keeps TWA defined exactly
+        # where a holding interval exists, identically on both engines.
+        .filter(F.col("dur_us") > 0)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
@@ -1020,8 +1025,11 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Sweep-line interval length for the concurrency census: each event
-# holds a slot for 5 minutes. Hour buckets partition the sweep.
-_CONC_HOLD = "INTERVAL 5 MINUTES"
+# holds a slot for _CONC_HOLD_MIN minutes — interpolated into BOTH
+# engines' expressions so retuning it cannot desynchronize the oracle.
+# Hour buckets partition the sweep.
+_CONC_HOLD_MIN = 5
+_CONC_HOLD = f"INTERVAL {_CONC_HOLD_MIN} MINUTES"
 _CONC_BUCKET_US = 3_600_000_000  # 1 hour
 
 
@@ -1034,7 +1042,8 @@ _CONC_BUCKET_US = 3_600_000_000  # 1 hour
     b AS (
         SELECT event_id, epoch_us(ts) AS t, 1 AS delta FROM e
         UNION ALL
-        SELECT event_id, epoch_us(ts + INTERVAL 5 MINUTE), -1 FROM e),
+        SELECT event_id,
+               epoch_us(ts + INTERVAL {_CONC_HOLD_MIN} MINUTE), -1 FROM e),
     bb AS (SELECT *, t // {_CONC_BUCKET_US} AS bucket FROM b),
     run AS (
         SELECT bucket, delta,

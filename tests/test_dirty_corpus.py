@@ -288,6 +288,13 @@ def dirty_events_dir(tmp_path_factory):
     rows.append((20, None, 0, "click", 1.0, None))  # null ts
     rows.append((21, base, None, "view", 2.0, None))  # null user
     rows.append((22, base, 1, None, None, None))  # null type + value
+    # user 7: every event at ONE instant — all holding intervals are
+    # zero-length, so window_time_weighted_avg must emit NO row for the
+    # user (the 0/0 case that aborts under ANSI if not screened), and
+    # the concurrency sweep gets same-instant +1/-1 tie traffic.
+    rows.append((23, base, 7, "view", 3.0, None))
+    rows.append((24, base, 7, "click", 4.0, None))
+    rows.append((25, base, 7, "purchase", 5.0, None))
     pdf = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     )

@@ -75,3 +75,40 @@ def test_served_topk_equals_engine_query(spark, lake):
         ).collect()
     }
     assert served == engine
+
+
+def test_served_equals_engine_on_degenerate_vectors(spark, tmp_path):
+    """The engine screens IVF on positive norm ONLY and PQ on dimension
+    ONLY (a zero-norm in-dimension vector IS a codebook centroid; a
+    wrong-dimension positive-norm vector still gets a cell). The example
+    must mirror both screens per artifact — pinned here on a corpus that
+    contains a zero vector inside the codebook range AND a
+    wrong-dimension vector, where a unified screen would shift every
+    code assignment."""
+    import numpy as np
+    import pandas as pd
+
+    d = tmp_path / "degenerate"
+    d.mkdir()
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, rng.randn(64).astype("float32"), i % 3) for i in range(40)
+    ]
+    rows[7] = (7, np.zeros(64, dtype="float32"), 1)  # zero-norm centroid
+    rows[23] = (23, rng.randn(32).astype("float32"), 2)  # wrong dim
+    frame = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    frame["label"] = frame["label"].astype("int32")  # match testdata dtype
+    frame.to_parquet(str(d / "embeddings.parquet"))
+    lake = str(tmp_path / "lake")
+    pipe.run_pipeline(str(d), lake)
+    served = {
+        (r["query_id"], r["rank"]): (r["candidate_id"], r["cosine"])
+        for r in spark.read.parquet(f"{lake}/gold/topk").collect()
+    }
+    engine = {
+        (r["query_id"], r["rank"]): (r["candidate_id"], r["cosine"])
+        for r in QUERIES["simsearch_rerank_twophase"](
+            spark, str(d)
+        ).collect()
+    }
+    assert served and served == engine
