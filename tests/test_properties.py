@@ -726,3 +726,146 @@ def test_countmin_sketch_law(spark, counts):
         assert r["cms_est"] == want_est[r["custkey"]]
         assert r["never_under"]
         assert r["cms_est"] >= r["exact_cnt"]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.integers(0, 120),  # offset seconds (duplicates likely)
+            st.integers(-50, 50),  # value in tenths
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_time_weighted_avg_law(spark, events):
+    """Law behind window_time_weighted_avg, vs a brute-force Python
+    model: per user, TWA = Σ(value·hold)/Σ(hold) over the sorted
+    timeline using only POSITIVE holding intervals — users whose events
+    all share one instant produce NO row (never a 0/0)."""
+    import datetime
+    import tempfile
+
+    import pandas as pd
+
+    from jorvik_spark.queries import QUERIES
+
+    d = tempfile.mkdtemp(prefix="twa_prop_")
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=off), u, "view", v / 10.0,
+         None)
+        for i, (u, off, v) in enumerate(events)
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(f"{d}/events.parquet")
+
+    want = {}
+    by_user = {}
+    for i, (u, off, v) in enumerate(events):
+        by_user.setdefault(u, []).append((off * 1_000_000, i, v / 10.0))
+    for u, evs in by_user.items():
+        evs.sort()
+        svd = sd = n = 0
+        for (t, _, v), (t2, _, _) in zip(evs, evs[1:]):
+            dur = t2 - t
+            if dur > 0:
+                import math
+
+                vu = math.floor(v * 1_000_000 + 0.5)
+                svd += vu * dur
+                sd += dur
+                n += 1
+        if sd > 0:
+            want[u] = (n, round((svd / sd) / 1_000_000.0, 6), sd)
+    got = {
+        r["user_id"]: (
+            r["n_intervals"],
+            r["twa_value"],
+            r["total_dur_us"],
+        )
+        for r in QUERIES["window_time_weighted_avg"](spark, d).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    offsets=st.lists(
+        st.integers(0, 7200),  # seconds across two+ hour buckets
+        min_size=1,
+        max_size=18,
+    )
+)
+def test_peak_concurrency_law(spark, offsets):
+    """Law behind window_peak_concurrency, vs a brute-force sweep: for
+    each hour bucket, the reported peak equals the max over the bucket's
+    time range of the TRUE concurrency function (half-open [t, t+5min)
+    holds), including the carry-in plateau before the bucket's first
+    boundary — the case a boundary-rows-only max would miss."""
+    import datetime
+    import tempfile
+
+    import pandas as pd
+
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.queries.windows import (
+        _CONC_BUCKET_US,
+        _CONC_HOLD_MIN,
+    )
+
+    d = tempfile.mkdtemp(prefix="conc_prop_")
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=off), 0, "view", 1.0, None)
+        for i, off in enumerate(offsets)
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(f"{d}/events.parquet")
+
+    base_us = int(base.timestamp() * 1_000_000)
+    hold = _CONC_HOLD_MIN * 60 * 1_000_000
+    ivals = [
+        (base_us + off * 1_000_000, base_us + off * 1_000_000 + hold)
+        for off in offsets
+    ]
+    # true concurrency evaluated at every boundary instant (it only
+    # changes there); bucket peak = max over instants in the bucket,
+    # plus the carry-in value at the bucket's start.
+    instants = sorted({t for iv in ivals for t in iv})
+    buckets = sorted({t // _CONC_BUCKET_US for t in instants})
+
+    def conc(t):
+        return sum(1 for s, e in ivals if s <= t < e)
+
+    want = {}
+    for b in buckets:
+        lo, hi = b * _CONC_BUCKET_US, (b + 1) * _CONC_BUCKET_US
+        pts = [t for t in instants if lo <= t < hi] + [lo]
+        want[b] = max(conc(t) for t in pts)
+    got = {
+        int(r["bucket_start"].timestamp() * 1_000_000) // _CONC_BUCKET_US:
+            r["peak_concurrency"]
+        for r in QUERIES["window_peak_concurrency"](spark, d).collect()
+    }
+    assert got == want
