@@ -376,6 +376,11 @@ REL_QUERIES = [
     # part of the operator contract (md5(NULL) would group separately
     # per-engine otherwise) — pinned here against the dirty orders.
     "agg_countmin_sketch",
+    # Fuzzy blocked matching: null names/sizes leave the block before
+    # pairing (levenshtein(NULL, x) is NULL → never in the band); the
+    # size-4 block's "red drum"/"red dram" pair (distance 1) is the one
+    # non-vacuous match, so an empty-result regression fails loudly.
+    "join_fuzzy_name_blocked",
 ]
 
 
@@ -476,7 +481,7 @@ def dirty_rel_dir(tmp_path_factory):
         {
             "p_partkey": [100, 101, 102, 103, 104, 105, 106, 107],
             "p_name": ["red widget", "blue bolt", None, "red gear",
-                       "red drum", "red valve", None, "red pump"],
+                       "red drum", "red dram", None, "red pump"],
             "p_brand": ["Brand#4", "Brand#4", None, "Brand#2",
                         "Brand#1", "Brand#3", "Brand#5", "Brand#6"],
             "p_type": ["STANDARD", "PROMO", "ECONOMY", "MEDIUM",

@@ -863,6 +863,18 @@ def test_chunking_is_narrow_single_scan(spark):
     assert len(re.findall(r"\(\d+\) Exchange", tree)) <= 2
 
 
+def test_fuzzy_match_aggregates_before_pairing(spark):
+    """The fuzzy-name join must pair the DISTINCT-name aggregate, never
+    row-level part instances (aggregate-first), with the size block as
+    an equi key — no cartesian product."""
+    plan = _plan(spark, "join_fuzzy_name_blocked")
+    tree = plan.split("\n\n", 1)[0]
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+    # both join inputs are the (size, name) aggregate
+    assert tree.count("HashAggregate") >= 2
+
+
 def test_rerank_phase2_broadcasts_shortlist(spark):
     """Phase 2 of retrieve-then-rerank must bring the shortlist to the
     corpus as a broadcast (no corpus shuffle for the exact-cosine pass)
