@@ -65,7 +65,8 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 #     join_q20_surplus_suppliers, agg_countmin_sketch,
 #     text_tfidf_topterms, text_chunk_overlap,
 #     simsearch_rerank_twophase, window_time_weighted_avg,
-#     window_peak_concurrency, join_fuzzy_name_blocked — all hash-mode,
+#     window_peak_concurrency, join_fuzzy_name_blocked,
+#     corpus_chunk_dedup_rate — all hash-mode,
 #     registered outside the prefix this round, parity-green at
 #     sf0.001/0.01/0.1), then the 5 r6 leftovers above, then the oldest
 #     r7-prefix rows.

@@ -1517,3 +1517,78 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "corpus_chunk_dedup_rate",
+    oracle=f"""
+    WITH chunked AS (
+        {{CHUNK_ORACLE}}
+    ),
+    fp AS (
+        SELECT chunk_fp, COUNT(*) AS n FROM chunked GROUP BY chunk_fp),
+    flagged AS (
+        SELECT c.doc_id, f.n > 1 AS is_dup
+        FROM chunked c JOIN fp f ON f.chunk_fp = c.chunk_fp)
+    SELECT d.source,
+           COUNT(*) AS n_chunks,
+           CAST(COALESCE(SUM(CASE WHEN fl.is_dup THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_dup_chunks,
+           CAST((1000000 * COALESCE(SUM(CASE WHEN fl.is_dup THEN 1
+                                             ELSE 0 END), 0))
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM flagged fl JOIN documents d ON d.doc_id = fl.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def corpus_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication census per source: the fraction of
+    fixed-window chunks (text_chunk_overlap's output, consumed directly
+    — the operators compose as DataFrames) whose fingerprint occurs more
+    than once in the corpus. Complements dedup_passage_spans: spans find
+    MAXIMAL verbatim runs for surgical removal; this gives the cheap
+    per-source duplication *rate* that decides whether that surgery is
+    worth scheduling at all (RefinedWeb-style corpus triage).
+
+    Integer ppm via exact integral division, the module convention.
+
+    Scale: chunk fingerprints group on md5 (uniform, high-cardinality —
+    map-side combined); the dup flag joins back on the same fingerprint
+    key so AQE reuses the exchange; the source attribution is a doc_id
+    equi join against the documents scan pruned to (doc_id, source).
+    Output is |sources| rows.
+    """
+    chunks = text_chunk_overlap(spark, sf_dir).select("doc_id", "chunk_fp")
+    fp = chunks.groupBy("chunk_fp").agg(F.count(F.lit(1)).alias("n"))
+    flagged = chunks.join(fp, "chunk_fp").select(
+        "doc_id", (F.col("n") > 1).alias("is_dup")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        flagged.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_dup_chunks"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_dup_chunks",
+            F.expr("(1000000 * n_dup_chunks) div n_chunks")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# The composite's oracle embeds the chunking oracle verbatim — one
+# definition of the chunk semantics on the SQL side too.
+from jorvik_spark.queries.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["corpus_chunk_dedup_rate"] = _ORACLES[
+    "corpus_chunk_dedup_rate"
+].replace("{CHUNK_ORACLE}", _ORACLES["text_chunk_overlap"])

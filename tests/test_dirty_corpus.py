@@ -119,6 +119,10 @@ DOC_QUERIES = [
     # produce their single clipped chunk.
     "text_tfidf_topterms",
     "text_chunk_overlap",
+    # composite over the chunk table: the identical 5-token dup docs
+    # produce fingerprint-equal chunks across sources, and null/empty
+    # docs contribute zero chunks to their source's denominator.
+    "corpus_chunk_dedup_rate",
 ]
 
 
