@@ -101,9 +101,9 @@ BENCH_R8_QUERIES = {
     "r8_dedup_impact": "corpus_dedup_impact",
 }
 
-# Round-9 additions, report-only this round (first measurements here,
-# pinned into a gate_r9 next round — the same lifecycle as §2C and r8).
-# One representative per new shape family: the stateful-streaming drain,
+# Round-9 additions, gated from round 10 against their round-9
+# first-measured medians (the same lifecycle as §2C and r8). One
+# representative per new shape family: the stateful-streaming drain,
 # the skew report, contrastive mining, the SQL-string surface, the
 # rank-correlation calibration, and the compaction rewrite.
 BENCH_R9_QUERIES = {
@@ -130,6 +130,19 @@ GATE_R8_REF = {
     "r8_novelty": 0.6414,
     "r8_recall": 0.682,
     "r8_dedup_impact": 0.3955,
+}
+
+# Round-9 sf0.1 medians (BENCH_r09.json) — the r9-cohort regression
+# reference, pinned in round 10 after one report-only round.
+GATE_R9_REF = {
+    "r9_stateful": 1.7119,
+    "r9_hitters": 0.0815,
+    "r9_hardneg": 0.4313,
+    "r9_sql": 0.621,
+    "r9_spearman": 0.9257,
+    "r9_compact": 0.7265,
+    "r9_rerank": 0.3746,
+    "r9_tfidf": 1.0155,
 }
 
 N_RUNS = 3
@@ -214,6 +227,7 @@ def main() -> None:
 
     gate_2c = gate(times_2c, GATE_2C_REF, 7, "2C")
     gate_r8 = gate(times_r8, GATE_R8_REF, 8, "R8")
+    gate_r9 = gate(times_r9, GATE_R9_REF, 9, "R9")
 
     # Host-load context: a uniformly inflated run on a busy host is
     # environmental, not a regression — record the evidence to
@@ -244,6 +258,7 @@ def main() -> None:
                 "queries_r9": times_r9,
                 "gate_2c": gate_2c,
                 "gate_r8": gate_r8,
+                "gate_r9": gate_r9,
                 "load_avg": load_avg,
                 "uptime_sec": uptime_sec,
                 "sf": sf,
