@@ -16,6 +16,14 @@ registered engine queries:
   s1 → stream_tumbling_agg   (1-hour tumbling window agg)
   d1 → agg_approx_distinct   (HLL distinct over orders)
 
+d1 round-over-round note (r8 0.161s → r9 0.214s, flagged in VERDICT r9):
+not a plan regression — commit 6b8f4e6 (round 9) upgraded the query from
+a rows-only HLL estimate to the hash-checkable projection (distinct-first
+exact count + NULL-safe key count + within-bound boolean), so the r9+
+query computes strictly more than the r8 one. Quiet-host medians settle
+at ~0.22s (5×3 repeated medians, load<2), inside every gate; sub-250ms
+shapes remain session-noise dominated.
+
 The LLM-pipeline (§2C) shapes are timed too and reported under
 "queries_2c". BASELINE.md has no reference numbers for them (the
 reference engine has no such operators), so since round 8 they gate
