@@ -1165,7 +1165,7 @@ def text_lm_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_quality_rank_correlation(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, sample_permille: int | None = None
 ) -> DataFrame:
     """Quality-score calibration: per-source Spearman rank correlation
     between the corpus-LM familiarity score and raw document LENGTH —
@@ -1184,14 +1184,33 @@ def corpus_quality_rank_correlation(
     Scale shape: composes the memoized LM scoring pass, one |docs|-row
     join to recover (source, n_chars), two ROW_NUMBER windows on the
     same source partition (one shuffle, shared sort prefix), and a
-    map-side-combined per-source aggregate.
+    map-side-combined per-source aggregate. The exact statistic
+    inherently needs two full per-source rank sorts of the doc
+    relation; at 100× this calibration diagnostic should run over a
+    sample instead — pass ``sample_permille`` (1..999) to rank only a
+    deterministic hash-mod subset of doc_ids (same md5-bucket primitive
+    as :func:`~jorvik_spark.queries.sampling.sample_stratified_split`,
+    its own salt so the subset is independent of any train split).
+    Spearman over a uniform doc subset is an unbiased estimate of the
+    corpus statistic; the default (None) keeps the exact form the
+    oracle checks.
     """
+    from jorvik_spark.queries.registry import hash_bucket
+
     scored = text_bigram_lm_score(spark, sf_dir).select(
         "doc_id", F.col("familiarity_ppm").alias("fam")
     )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
+    if sample_permille is not None:
+        if not 1 <= sample_permille <= 999:
+            raise ValueError(
+                "sample_permille must be in [1, 999]; use None for exact"
+            )
+        docs = docs.filter(
+            hash_bucket(F.col("doc_id"), "spearman:") < sample_permille
+        )
     j = scored.join(docs, "doc_id")
     wf = Window.partitionBy("source").orderBy("fam", "doc_id")
     wl = Window.partitionBy("source").orderBy("n_chars", "doc_id")
