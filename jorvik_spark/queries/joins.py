@@ -1923,11 +1923,12 @@ def join_fuzzy_name_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact product cnt_a·cnt_b — the row-level pair explosion never
     materializes. The block key (p_size) is the equi condition; the name
     ordering and the distance band are residual predicates, so this is
-    never a cartesian. At 100 TB you'd block on a stronger key (phonetic
-    bucket or the shingle-LSH bands the dedup family builds);
-    ``levenshtein`` is an exact integer DP evaluated JVM-side
-    (whole-stage codegen), bit-identical to DuckDB's on this ASCII
-    vocabulary.
+    never a cartesian. At 100 TB you'd block on a stronger key — see
+    :func:`join_fuzzy_name_passjoin` for the complete (100%-recall)
+    pigeonhole-segment upgrade; shingle-LSH banding was measured at 19%
+    recall for this predicate and rejected. ``levenshtein`` is an exact
+    integer DP evaluated JVM-side (whole-stage codegen), bit-identical
+    to DuckDB's on this ASCII vocabulary.
     """
     names = (
         load_table(spark, sf_dir, "part")
@@ -1953,4 +1954,194 @@ def join_fuzzy_name_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("n_pairs"),
         )
         .orderBy("p_size", "name_a", "name_b")
+    )
+
+
+# PassJoin-style pigeonhole segment blocking for edit distance (Li,
+# Deng & Feng, "PassJoin: A Partition-based Method for Similarity
+# Joins", VLDB 2012 — public literature). With the name split into
+# _ED_K + 1 segments, any string within edit distance _ED_K must
+# contain at least one segment VERBATIM, displaced by at most _ED_K
+# positions — so a position-windowed substring equi-join is a COMPLETE
+# candidate generator (100% recall by pigeonhole, unlike MinHash
+# banding on character shingles, which measured 18/96 = 19% recall on
+# this vocabulary: one edit in a short name destroys up to 3 of its
+# ~7 trigrams, collapsing the Jaccard similarity LSH bands key on).
+_ED_K = 3
+_ED_SEGS = _ED_K + 1
+
+# Integer segment arithmetic, shared verbatim by both engines (only the
+# integer-division spelling differs): for an indexed length lp split
+# into 4 segments, the first (4 - lp mod 4) segments have floor(lp/4)
+# chars and the rest one more; seg j in 1..4 starts at
+#   (j-1)*floor(lp/4) + max(0, (j-1) - (4 - lp mod 4)) + 1   (1-based).
+def _seg_len(lp: str, div: str) -> str:
+    return (
+        f"(({lp}) {div} {_ED_SEGS} + (CASE WHEN j > {_ED_SEGS} - "
+        f"({lp}) % {_ED_SEGS} THEN 1 ELSE 0 END))"
+    )
+
+
+def _seg_start(lp: str, div: str) -> str:
+    return (
+        f"((j - 1) * (({lp}) {div} {_ED_SEGS}) + GREATEST(0, (j - 1) - "
+        f"({_ED_SEGS} - ({lp}) % {_ED_SEGS})) + 1)"
+    )
+
+
+def _passjoin_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part names with instance counts — the vocabulary-sized
+    relation every PassJoin stage (index, probe, count join-back) reads;
+    memoized so the part scan happens once per session."""
+    from jorvik_spark.queries.registry import memo_df
+
+    return memo_df(
+        f"passjoin_names:{sf_dir}",
+        spark,
+        lambda: (
+            load_table(spark, sf_dir, "part")
+            .filter(F.col("p_name").isNotNull() & (F.length("p_name") >= 4))
+            .groupBy(F.col("p_name").alias("name"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("l", F.length("name"))
+        ),
+    )
+
+
+@query(
+    "join_fuzzy_name_passjoin",
+    oracle=f"""
+    WITH names AS (
+        SELECT p_name AS name, COUNT(*) AS cnt, LENGTH(p_name) AS l
+        FROM part WHERE p_name IS NOT NULL AND LENGTH(p_name) >= 4
+        GROUP BY p_name),
+    idx AS (
+        SELECT name, l AS lp, j,
+               substring(name, CAST({_seg_start('l', '//')} AS INTEGER),
+                         CAST({_seg_len('l', '//')} AS INTEGER)) AS key
+        FROM names, unnest([1, 2, 3, 4]) AS t(j)),
+    probe_keys AS (
+        SELECT name,
+               unnest(flatten(flatten([[
+                   [{{'lp': lp, 'j': j,
+                      'key': substring(name, CAST(p AS INTEGER),
+                                       CAST({_seg_len('lp', '//')} AS INTEGER))}}
+                    FOR p IN range(
+                        GREATEST(1, {_seg_start('lp', '//')} - {_ED_K}),
+                        LEAST(l - {_seg_len('lp', '//')} + 1,
+                              {_seg_start('lp', '//')} + {_ED_K}) + 1)]
+                   FOR j IN range(1, {_ED_SEGS} + 1)]
+                   FOR lp IN range(GREATEST({_ED_SEGS}, l - {_ED_K}),
+                                   l + {_ED_K} + 1)]))) AS pk
+        FROM names),
+    probe AS (SELECT name, pk.lp AS lp, pk.j AS j, pk.key AS key
+              FROM probe_keys),
+    cand AS (
+        SELECT DISTINCT LEAST(i.name, p.name) AS name_a,
+                        GREATEST(i.name, p.name) AS name_b
+        FROM idx i JOIN probe p
+          ON i.lp = p.lp AND i.j = p.j AND i.key = p.key
+         AND i.name <> p.name),
+    hits AS (
+        SELECT name_a, name_b,
+               levenshtein(name_a, name_b) AS distance
+        FROM cand
+        WHERE levenshtein(name_a, name_b) BETWEEN 1 AND {_ED_K})
+    SELECT h.name_a, h.name_b,
+           CAST(h.distance AS BIGINT) AS distance,
+           CAST(ca.cnt * cb.cnt AS BIGINT) AS n_pairs
+    FROM hits h
+    JOIN names ca ON ca.name = h.name_a
+    JOIN names cb ON cb.name = h.name_b
+    ORDER BY name_a, name_b
+    """,
+)
+def join_fuzzy_name_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-name entity resolution with a COMPLETE sub-quadratic
+    blocker: PassJoin pigeonhole segments instead of the demonstrative
+    p_size block of :func:`join_fuzzy_name_blocked`. Each distinct name
+    is split into 4 segments; any name within edit distance 3 must
+    contain one segment verbatim within ±3 positions (pigeonhole — 3
+    edits can corrupt at most 3 of 4 segments), so the candidate join
+    is a plain EQUI join on (indexed_length, segment_id, substring) with
+    guaranteed 100% recall (tests pin candidates ⊇ brute-force truth).
+    MinHash/LSH banding — the blocker the dedup family uses for
+    token-set Jaccard — was measured first and rejected for THIS
+    predicate: 19% recall on short names, where one edit destroys most
+    character shingles.
+
+    Scale shape: everything runs on the DISTINCT-name relation
+    (vocabulary-sized, memoized — one part scan per session). The index
+    side emits 4 rows per name; the probe side ≤ 4·7·7 ≈ 196 (7 lengths
+    × 4 segments × ≤7 window positions; short-segment buckets are the
+    PassJoin tradeoff — segment length, and with it selectivity, grows
+    with name length). Candidates dedupe through one hash aggregate,
+    the edit distance is Spark's codegen'd ``levenshtein`` evaluated
+    ONLY on candidates, and instance multiplicity returns as cnt_a·cnt_b
+    via two vocabulary-sized join-backs — row-level pairs never exist.
+    """
+    names = _passjoin_names(spark, sf_dir)
+    seg_len_l = _seg_len("l", "div")
+    seg_start_l = _seg_start("l", "div")
+    seg_len_lp = _seg_len("lp", "div")
+    seg_start_lp = _seg_start("lp", "div")
+    idx = names.select(
+        "name",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, {_ED_SEGS}), j -> named_struct("
+                f"'lp', l, 'j', j, "
+                f"'key', substring(name, {seg_start_l}, {seg_len_l})))"
+            )
+        ).alias("ik"),
+    ).select("name", "ik.lp", "ik.j", "ik.key")
+    # window positions are pre-filtered (never an empty sequence(), which
+    # Spark would render as a DESCENDING range when lo > hi)
+    probe = names.select(
+        "name",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(
+                sequence(greatest({_ED_SEGS}, l - {_ED_K}), l + {_ED_K}),
+                lp -> flatten(transform(sequence(1, {_ED_SEGS}),
+                j -> transform(
+                    filter(sequence({seg_start_lp} - {_ED_K},
+                                    {seg_start_lp} + {_ED_K}),
+                           p -> p >= 1 AND p <= l - {seg_len_lp} + 1),
+                    p -> named_struct('lp', lp, 'j', j,
+                        'key', substring(name, p, {seg_len_lp})))))))"""
+            )
+        ).alias("pk"),
+    ).select("name", "pk.lp", "pk.j", "pk.key")
+    cand = (
+        idx.alias("i")
+        .join(
+            probe.alias("p"),
+            (F.col("i.lp") == F.col("p.lp"))
+            & (F.col("i.j") == F.col("p.j"))
+            & (F.col("i.key") == F.col("p.key"))
+            & (F.col("i.name") != F.col("p.name")),
+        )
+        .select(
+            F.least("i.name", "p.name").alias("name_a"),
+            F.greatest("i.name", "p.name").alias("name_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    hits = cand.filter(dist.between(1, _ED_K)).withColumn(
+        "distance", dist.cast("long")
+    )
+    ca = names.select(F.col("name").alias("name_a"), F.col("cnt").alias("ca"))
+    cb = names.select(F.col("name").alias("name_b"), F.col("cnt").alias("cb"))
+    return (
+        hits.join(ca, "name_a")
+        .join(cb, "name_b")
+        .select(
+            "name_a",
+            "name_b",
+            "distance",
+            (F.col("ca") * F.col("cb")).cast("long").alias("n_pairs"),
+        )
+        .orderBy("name_a", "name_b")
     )

@@ -163,6 +163,20 @@ def test_no_python_eval_in_hot_paths(spark, name):
     assert "CartesianProduct" not in plan, f"{name} has an unhinted cross join"
 
 
+def test_fuzzy_name_passjoin_stays_equi_keyed(spark):
+    """The PassJoin candidate join must be keyed on (lp, j, key) — the
+    name inequality is a residual on an equi join, never a nested-loop
+    over the name relation (VERDICT r9 item 6's 'plan stays equi-keyed'
+    pin)."""
+    plan = _plan(spark, "join_fuzzy_name_passjoin")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert ("SortMergeJoin" in tree) or ("ShuffledHashJoin" in tree) or (
+        "BroadcastHashJoin" in tree
+    ), tree
+
+
 def test_bucketed_join_has_no_join_shuffle(spark):
     plan = _plan(spark, "sink_bucketed_join")
     tree = plan.split("\n\n")[0]  # node tree; details repeat node names

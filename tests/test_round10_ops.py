@@ -64,6 +64,53 @@ def test_spearman_sample_is_length_unbiased(spark):
     assert samp == pytest.approx(full, rel=0.25)
 
 
+def test_passjoin_blocking_is_complete(spark):
+    """The pigeonhole guarantee, asserted: the PassJoin-blocked result
+    equals the brute-force all-pairs edit-distance truth exactly — the
+    blocker may only PRUNE candidates that cannot match, never drop a
+    true pair (this is what the rejected MinHash-band blocker failed:
+    19% recall measured on this vocabulary)."""
+    from jorvik_spark.queries.joins import join_fuzzy_name_passjoin
+
+    got = {
+        (r["name_a"], r["name_b"]): (r["distance"], r["n_pairs"])
+        for r in join_fuzzy_name_passjoin(spark, SF_DIR).collect()
+    }
+
+    names = (
+        load_table(spark, SF_DIR, "part")
+        .filter(F.col("p_name").isNotNull() & (F.length("p_name") >= 4))
+        .groupBy("p_name")
+        .count()
+        .collect()
+    )
+    counts = {r["p_name"]: r["count"] for r in names}
+
+    def _ed(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    truth = {}
+    keys = sorted(counts)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            d = _ed(a, b)
+            if 1 <= d <= 3:
+                truth[(a, b)] = (d, counts[a] * counts[b])
+    assert got == truth
+
+
 def test_spearman_sampled_is_exact_statistic_over_subset(spark):
     """Sampling must change WHICH docs are ranked, never HOW: the
     sampled query's output equals a brute-force Python Spearman over
