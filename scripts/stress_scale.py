@@ -131,6 +131,27 @@ EXTRA_TARGETS = [
     "join_q12_late_lines",
     "join_q17_small_quantity",
     "join_q21_waiting_supplier",
+    # Round-9/10 additions (VERDICT r9 item 4): the iterative/window
+    # shapes whose scale arguments need execution proof. The events-side
+    # trio (time-weighted avg, peak concurrency, resample) runs against
+    # the deliberate user-0 hot key (~3/replicas of all events); TF-IDF
+    # faces a 10x-df vocabulary (every term appears in 10x the docs);
+    # the rerank shortlist and hard-negative mining probe 10x-occupancy
+    # IVF cells; the PassJoin blocker and Spearman ranks run on fixed
+    # vocab/sources with 10x instance counts behind them.
+    "window_time_weighted_avg",
+    "window_peak_concurrency",
+    "window_resample_ffill",
+    "text_tfidf_topterms",
+    "simsearch_rerank_twophase",
+    "simsearch_hard_negatives",
+    "join_fuzzy_name_passjoin",
+    "corpus_quality_rank_correlation",
+    "agg_countmin_sketch",
+    "agg_heavy_hitters",
+    "corpus_chunk_dedup_rate",
+    "sample_domain_topk_cap",
+    "graph_pagerank_unrolled",
 ]
 
 
