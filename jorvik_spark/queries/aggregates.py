@@ -531,6 +531,70 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        FROM events WHERE ts IS NOT NULL),
+    trans AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+           CAST((n * 1000000)
+                // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+    FROM trans ORDER BY from_type, to_type
+    """,
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    timeline: for every (from_type → to_type) pair, the transition count
+    and the row-normalized probability in exact integer ppm — the
+    behavioral fingerprint behind next-event prediction, bot detection
+    (self-loop-heavy rows), and session-model priors; the event-stream
+    twin of the text bigram LM (``text_bigram_lm_score``) with users as
+    documents and event types as tokens.
+
+    Ordering is the total (ts, event_id) order every window query in
+    this module uses, so ties resolve identically on both engines; NULL
+    timestamps are out of scope (cannot be sequenced). Each user's first
+    event has no predecessor and is excluded.
+
+    Scale shape: ONE shuffle — the per-user window sort keyed by the
+    high-cardinality user_id (the same exchange any sessionization
+    already pays; a 30%-hot user means one partition sorts that user's
+    events, bounded by per-user volume, not corpus). The transition
+    count is a map-side-combined hash agg to a |types|² relation
+    (vocabulary-sized), and the row normalization is a window over THAT
+    aggregate — never over events.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return trans.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.expr(
+            "CAST((n * CAST(1000000 AS BIGINT)) div "
+            "(SUM(n) OVER (PARTITION BY from_type)) AS BIGINT)"
+        ).alias("p_ppm"),
+    ).orderBy("from_type", "to_type")
+
+
+@query(
     "agg_hll_rollup",
     oracle="""
     SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,

@@ -528,6 +528,196 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All within-cell cosine pairs (vec_a < vec_b) off the shared IVF
+    quantizer — the relation the k-NN graph and the SemDeDup prune both
+    consume; memoized with a lineage cut so the salted self-join runs
+    once per session. Same salting rationale as dedup_embedding_cosine:
+    the cell-equi key alone is K-bounded, (cell, salt) lifts parallelism
+    and splits hot cells with identical results."""
+
+    def build() -> DataFrame:
+        cells = _ivf_assign(spark, sf_dir).filter(F.col("rn") == 1)
+        n_part = spark.sparkContext.defaultParallelism * 2
+        a = cells.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("cent_id").alias("cell"),
+            F.col("v").alias("va"),
+            F.col("n2").alias("na"),
+            F.pmod(
+                F.crc32(F.col("vec_id").cast("string")), F.lit(_CELL_SALTS)
+            ).alias("salt"),
+        ).repartition(n_part, "cell", "salt")
+        b = (
+            cells.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("cent_id").alias("cell"),
+                F.col("v").alias("vb"),
+                F.col("n2").alias("nb"),
+            )
+            .withColumn(
+                "salt",
+                F.explode(F.expr(f"sequence(0L, {_CELL_SALTS - 1}L)")),
+            )
+            .repartition(n_part, "cell", "salt")
+        )
+        dot = F.expr(_DOT.format(a="va", b="vb"))
+        cosine = F.round(dot / (F.sqrt("na") * F.sqrt("nb")), 6)
+        return (
+            a.join(b, ["cell", "salt"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", cosine.alias("cosine"))
+        )
+
+    return memo_df(f"cell_pairs:{sf_dir}", spark, build, cut_lineage=True)
+
+
+# DuckDB twin of _cell_pairs (salting is a task-layout detail — the pair
+# relation is salt-invariant, so the oracle skips it).
+_SQL_CELL_PAIRS = f"""
+    cells AS (SELECT vec_id, embedding, cent_id AS cell
+              FROM assign WHERE rn = 1),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 6)
+                   AS cosine
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id)"""
+
+
+@query(
+    "simsearch_knn_graph",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGN},
+    {_SQL_CELL_PAIRS},
+    directed AS (
+        SELECT vec_a AS vec_id, vec_b AS neighbor_id, cosine FROM pairs
+        UNION ALL
+        SELECT vec_b, vec_a, cosine FROM pairs),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM directed)
+    SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_TOPK}
+    """,
+)
+def simsearch_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the WHOLE corpus (every vector's
+    top-k within-cell neighbors) — the all-vectors sibling of
+    ``simsearch_ivf``'s probe-set search, and the substrate of
+    embedding-space curation: SemDeDup pruning (below), density/outlier
+    scoring, and graph-based clustering all start from this relation.
+
+    Scale shape: one salted cell-equi self-join builds the within-cell
+    pair relation ONCE (memoized behind a lineage cut — the SemDeDup
+    prune reads the same memo), each undirected pair is scored once and
+    mirrored into both endpoints' candidate lists, and the per-vector
+    top-k is a rank window WindowGroupLimit caps map-side. Work is
+    Σ|cell|² like every IVF consumer — cell balance is measured by
+    ``embed_cluster_balance`` before this runs at scale. Graph quality
+    (an in-cell k-NN list misses cross-cell neighbors) is the same
+    recall question ``simsearch_recall_eval`` answers for the probe set.
+    """
+    pairs = _cell_pairs(spark, sf_dir)
+    directed = pairs.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("neighbor_id"),
+        "cosine",
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    return directed.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _TOPK
+    )
+
+
+# SemDeDup-style prune threshold (Abbas et al., "SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication", 2023 — public
+# literature). Chosen against the corpus' measured within-cell cosine
+# quantiles (p99 ≈ 0.32, p99.9 ≈ 0.41 at every SF) so the prune is
+# non-vacuous yet selective at sf0.001/0.01/0.1 alike.
+_SEMDEDUP_TAU = 0.35
+
+
+@query(
+    "embed_semdedup_prune",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGN},
+    {_SQL_CELL_PAIRS},
+    dropped AS (
+        SELECT DISTINCT vec_b AS vec_id FROM pairs
+        WHERE cosine >= {_SEMDEDUP_TAU}),
+    labeled AS (
+        SELECT c.vec_id, e.label,
+               CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_drop
+        FROM cells c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        LEFT JOIN dropped d ON d.vec_id = c.vec_id)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(is_drop) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - SUM(is_drop) AS BIGINT) AS n_kept,
+           CAST((SUM(is_drop) * 1000000) // COUNT(*) AS BIGINT)
+               AS drop_ppm
+    FROM labeled GROUP BY label ORDER BY label
+    """,
+)
+def embed_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup): within each IVF cell, drop
+    every vector that has a semantically-near neighbor (cosine ≥ τ)
+    with a SMALLER id — a deterministic keep-the-first rule, the
+    embedding-space analogue of ``dedup_exact``'s keep-min-doc_id. The
+    report is the per-label attrition a curation run reads before
+    committing to τ (the token-weighted twin of ``corpus_dedup_impact``).
+
+    Scale shape: consumes the SAME memoized within-cell pair relation as
+    the k-NN graph (one salted self-join per session, Σ|cell|² work,
+    never all-pairs), reduces it to a distinct drop set (≤ |corpus|
+    rows), and finishes with one vocabulary-sized LEFT join + per-label
+    aggregate. τ sits far above the within-cell cosine p99 so the drop
+    set — and the anti-join state — stays a sliver of the corpus.
+    """
+    cells = _ivf_assign(spark, sf_dir).filter(F.col("rn") == 1)
+    dropped = (
+        _cell_pairs(spark, sf_dir)
+        .filter(F.col("cosine") >= _SEMDEDUP_TAU)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_drop", F.lit(1))
+    )
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    labeled = (
+        cells.select("vec_id")
+        .join(labels, "vec_id")
+        .join(dropped, "vec_id", "left")
+        .select("label", F.coalesce("is_drop", F.lit(0)).alias("is_drop"))
+    )
+    return (
+        labeled.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("is_drop").cast("long").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum("is_drop"))
+            .cast("long")
+            .alias("n_kept"),
+            F.expr(
+                "CAST((SUM(is_drop) * CAST(1000000 AS BIGINT)) div "
+                "COUNT(1) AS BIGINT)"
+            ).alias("drop_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
 @query(
     "embed_centroids",
     oracle=f"""
