@@ -128,6 +128,88 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+    final AS (
+        -- replaced partitions carry batch 2 (even keys, doubled price);
+        -- untouched partitions keep batch 1
+        SELECT o_orderpriority,
+               CAST(floor(o_totalprice * 200 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_orderkey % 2 = 0
+        UNION ALL
+        SELECT * FROM base
+        WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION):
+    batch 2 rewrites ONLY the partitions it contains — the idempotent
+    daily-reprocess primitive for a partitioned lake table (re-run one
+    day's pipeline without touching every other day). Spark's static
+    overwrite would truncate the whole table first; the
+    ``partitionOverwriteMode=dynamic`` writer option scopes the delete
+    to the partitions present in the incoming DataFrame, verified here
+    by the read-back state: the two touched priority partitions hold
+    batch 2 (even keys, doubled price), the other three still hold
+    batch 1.
+
+    Scale shape: both writes are shuffle-free fan-outs into partition
+    directories; the overwrite's commit replaces directories atomically
+    per partition, never rewrites untouched data. Read-back prunes
+    nothing here (the report spans all partitions) but any
+    priority-filtered consumer would scan only its directories. Price
+    arithmetic is exact integer cents on both engines.
+    """
+    st = BasicStorage()
+    target = _scratch("dynover") + "/t"
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    orders = load_table(spark, sf_dir, "orders")
+    st.write(
+        orders.select(
+            "o_orderkey", cents.alias("cents"), "o_orderpriority"
+        ),
+        target, "parquet", "overwrite",
+        partition_fields="o_orderpriority",
+    )
+    batch2 = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_orderkey") % 2 == 0)
+    ).select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 200 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "o_orderpriority",
+    )
+    st.write(
+        batch2, target, "parquet", "overwrite",
+        partition_fields="o_orderpriority",
+        options={"partitionOverwriteMode": "dynamic"},
+    )
+    return (
+        st.read(target, "parquet")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "stream_passthrough",
     oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
 )

@@ -322,6 +322,73 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               {_lang_hits_sql('en')} AS hits_en,
+               {_lang_hits_sql('de')} AS hits_de,
+               {_lang_hits_sql('es')} AS hits_es,
+               {_lang_hits_sql('fr')} AS hits_fr,
+               {_lang_hits_sql('zh')} AS hits_zh
+        FROM toks),
+    pred AS (
+        SELECT lang AS labeled_lang,
+               CASE greatest(hits_en, hits_de, hits_es, hits_fr, hits_zh)
+                    WHEN hits_en THEN 'en' WHEN hits_de THEN 'de'
+                    WHEN hits_es THEN 'es' WHEN hits_fr THEN 'fr'
+                    ELSE 'zh' END AS predicted_lang
+        FROM scored),
+    cm AS (
+        SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+        FROM pred GROUP BY 1, 2)
+    SELECT labeled_lang, predicted_lang,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST((n * 1000000)
+                // SUM(n) OVER (PARTITION BY labeled_lang) AS BIGINT)
+               AS share_ppm,
+           labeled_lang = predicted_lang AS is_correct
+    FROM cm ORDER BY labeled_lang, predicted_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID calibration: the confusion matrix of the stopword
+    heuristic (:func:`text_language_id`) against the corpus' labeled
+    ``lang`` column, with per-label row shares in exact integer ppm —
+    the measurement loop every approximate classifier in this library
+    ships with (cf. ``dedup_banding_recall_eval``,
+    ``simsearch_recall_eval``): before the heuristic gates a 100 TB
+    crawl by language, this report says per language how often it
+    agrees with trusted labels and WHERE the mass goes when it doesn't.
+
+    Scale shape: the per-doc scoring is the same single narrow pass as
+    ``text_language_id`` (token-array intersects against five broadcast
+    stopword literals — no shuffle); the confusion matrix is a
+    map-side-combined aggregate to ≤ |langs|² rows, and the row
+    normalization windows over THAT aggregate, never the corpus.
+    """
+    pred = text_language_id(spark, sf_dir).select(
+        "labeled_lang", "predicted_lang"
+    )
+    cm = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cm.select(
+        "labeled_lang",
+        "predicted_lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST((n * CAST(1000000 AS BIGINT)) div "
+            "(SUM(n) OVER (PARTITION BY labeled_lang)) AS BIGINT)"
+        ).alias("share_ppm"),
+        (F.col("labeled_lang") == F.col("predicted_lang")).alias(
+            "is_correct"
+        ),
+    ).orderBy("labeled_lang", "predicted_lang")
+
+
+@query(
     "text_fingerprint",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),

@@ -538,6 +538,87 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_session_duration_histogram",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                         > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE ts IS NOT NULL),
+    labeled AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                   AS session_seq
+        FROM ordered),
+    sessions AS (
+        SELECT user_id, session_seq,
+               (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                   AS duration_s,
+               COUNT(*) AS n_events
+        FROM labeled GROUP BY user_id, session_seq)
+    SELECT CAST(CASE WHEN duration_s = 0 THEN 0
+                     ELSE length(bin(duration_s)) END AS INTEGER)
+               AS duration_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MIN(duration_s) AS BIGINT) AS min_duration_s,
+           CAST(MAX(duration_s) AS BIGINT) AS max_duration_s,
+           CAST(SUM(n_events) // COUNT(*) AS BIGINT) AS avg_events
+    FROM sessions GROUP BY 1 ORDER BY 1
+    """,
+)
+def window_session_duration_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-length census over the sessionized event stream: power-
+    of-two duration buckets (integer bit-lengths of whole seconds — the
+    module's no-libm histogram convention) with per-bucket session
+    counts, duration extremes, and mean events per session — the report
+    that sizes streaming session-window state and flags bot behavior
+    (mass in the top buckets = never-idle clients that watermark-gapped
+    sessions would hold open).
+
+    Composes :func:`window_sessionize` as a plain function: the same
+    single user-keyed sort/exchange labels events, one map-side-combined
+    aggregate collapses them to (user, session) rows — strictly smaller
+    than events — and the histogram is a second tiny aggregate over ≤ 64
+    buckets. Single-event sessions land in bucket 0 (duration 0).
+    """
+    labeled = window_sessionize(spark, sf_dir)
+    sessions = labeled.groupBy("user_id", "session_seq").agg(
+        F.expr(
+            "(unix_micros(MAX(ts)) - unix_micros(MIN(ts))) div 1000000"
+        )
+        .cast("long")
+        .alias("duration_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bits = (
+        F.when(F.col("duration_s") == 0, F.lit(0))
+        .otherwise(F.length(F.conv(F.col("duration_s").cast("string"), 10, 2)))
+        .cast("int")
+    )
+    return (
+        sessions.select(bits.alias("duration_bits"), "duration_s", "n_events")
+        .groupBy("duration_bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.min("duration_s").cast("long").alias("min_duration_s"),
+            F.max("duration_s").cast("long").alias("max_duration_s"),
+            F.expr("CAST(SUM(n_events) div COUNT(1) AS BIGINT)").alias(
+                "avg_events"
+            ),
+        )
+        .orderBy("duration_bits")
+    )
+
+
+@query(
     "window_percent_rank_cume",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_returnflag,
