@@ -711,3 +711,118 @@ def multimodal_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "caption_tokens", "path", "n_bytes",
         (F.col("n_bytes") <= _MAX_DECODE_BYTES).alias("decode_eligible"),
     )
+
+
+# WebDataset-style shard byte budget. Tiny here so every SF yields a
+# multi-shard plan; a real export picks O(GB) shards.
+_SHARD_BYTES = 2 * 1024 * 1024
+_SHARD_CHUNK = 128  # prefix-sum cell width (same role as _PACK_CHUNK)
+
+
+@query(
+    "multimodal_shard_manifest",
+    oracle="""
+    WITH blobs AS (
+        SELECT filename AS path, CAST(size AS BIGINT) AS n_bytes,
+               ROW_NUMBER() OVER (ORDER BY filename) - 1 AS blob_idx,
+               COUNT(*) OVER () AS n_blobs
+        FROM read_blob('{sf_dir}/*.parquet')),
+    caps AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+'))
+                    AS INTEGER) AS caption_tokens
+        FROM documents WHERE doc_id < 500 AND text IS NOT NULL
+                         AND trim(text) <> ''),
+    pairs AS (
+        SELECT c.doc_id, c.lang,
+               b.n_bytes + c.caption_tokens AS sample_bytes
+        FROM caps c JOIN blobs b ON c.doc_id % b.n_blobs = b.blob_idx),
+    runs AS (
+        SELECT doc_id, lang, sample_bytes,
+               SUM(sample_bytes) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM pairs),
+    assigned AS (
+        SELECT lang, doc_id, sample_bytes,
+               (cum - sample_bytes) // 2097152 AS shard_id
+        FROM runs)
+    SELECT lang, CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(sample_bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc_id
+    FROM assigned GROUP BY lang, shard_id ORDER BY lang, shard_id
+    """,
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard plan for the image-text pairs: samples are
+    laid out in deterministic (lang, doc_id) order and cut into ~2 MiB
+    tar shards by CUMULATIVE byte size (blob bytes + caption tokens as
+    the caption-byte proxy) — the manifest a downstream writer consumes
+    to emit one tar per row group, and the layout that makes multimodal
+    training IO sequential instead of per-sample random reads.
+
+    Shard assignment is exclusive-prefix-sum div budget — the same
+    concat-then-chunk rule as ``pack_sequences``, and the same TWO-LEVEL
+    prefix sum at scale: local running sums inside (lang, doc_id div
+    128) cells, per-lang offsets windowed over the tiny cell aggregate
+    and broadcast back, so no task ever sorts a whole language's
+    manifest. The pair relation itself is the zero-content-byte join of
+    ``multimodal_pair_manifest`` (blob index is metadata, broadcast).
+    Per-shard output rows carry the doc_id span, so the tar writer for
+    any shard range-prunes its slice of the manifest.
+    """
+    from pyspark.sql import Window
+
+    pairs = multimodal_pair_manifest(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        (F.col("n_bytes") + F.col("caption_tokens")).alias("sample_bytes"),
+    )
+    chunked = pairs.withColumn("chunk", F.expr(f"doc_id div {_SHARD_CHUNK}"))
+    local_w = (
+        Window.partitionBy("lang", "chunk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_start = (
+        F.sum("sample_bytes").over(local_w) - F.col("sample_bytes")
+    ).alias("local_start")
+    offsets_w = (
+        Window.partitionBy("lang")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        chunked.groupBy("lang", "chunk")
+        .agg(F.sum("sample_bytes").alias("cell_sum"))
+        .select(
+            "lang",
+            "chunk",
+            F.coalesce(F.sum("cell_sum").over(offsets_w), F.lit(0)).alias(
+                "chunk_offset"
+            ),
+        )
+    )
+    start = F.col("local_start") + F.col("chunk_offset")
+    return (
+        chunked.select("doc_id", "lang", "sample_bytes", "chunk", local_start)
+        .join(F.broadcast(offsets), ["lang", "chunk"])
+        .select(
+            "lang",
+            "doc_id",
+            "sample_bytes",
+            F.expr(
+                f"CAST((local_start + chunk_offset) div {_SHARD_BYTES} "
+                "AS BIGINT)"
+            ).alias("shard_id"),
+        )
+        .groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum("sample_bytes").cast("long").alias("total_bytes"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+            F.max("doc_id").cast("long").alias("last_doc_id"),
+        )
+        .orderBy("lang", "shard_id")
+    )

@@ -538,6 +538,108 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_anomaly_zscore",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type = 'purchase'),
+    framed AS (
+        SELECT user_id, event_id, ts, vu,
+               COUNT(*) OVER w AS n,
+               SUM(CAST(vu AS HUGEINT)) OVER w AS s,
+               SUM(CAST(vu AS HUGEINT) * vu) OVER w AS q
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, ts, vu AS value_units,
+           CAST(n AS BIGINT) AS n_prior
+    FROM framed
+    WHERE n >= 4
+      AND (n * vu - s) * (n * vu - s) > 9 * n * (n * q - s * s)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over each user's purchase values:
+    an event is anomalous when it deviates from its own trailing-window
+    baseline by more than 3 sigma — the ops/fraud screen shape, written
+    WITHOUT float mean/std: with S = Σv and Q = Σv² over the previous
+    ≤ 8 quantized values, ``|x − μ| > 3σ`` is algebraically
+    ``(n·x − S)² > 9·(n·Q − S²)`` — integer arithmetic end to end, so
+    both engines flag bit-identical rows (a float rolling std drifts
+    with summation order; cf. the same moments trick in
+    ``agg_regression_moments``). Windows shorter than 4 prior events
+    abstain.
+
+    Scale shape: ONE window pass — the three frame aggregates share the
+    user-keyed sort/exchange, state per row is the ≤ 8-row frame, and
+    the filter evaluates in whole-stage codegen after the window. v² at
+    1e6 quantization needs ~2·(20+20) bits and n·Q·9 stays < 2^96:
+    DECIMAL(38,0) headroom on the Spark side, HUGEINT on DuckDB.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("vu"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-8, -1)
+    )
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "vu",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("vu").cast("decimal(38,0)")).over(w).alias("s"),
+        F.sum(
+            (F.col("vu").cast("decimal(38,0)") * F.col("vu")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .over(w)
+        .alias("q"),
+    )
+    return (
+        framed.filter(
+            (F.col("n") >= 4)
+            & (
+                F.expr(
+                    "(n * CAST(vu AS DECIMAL(38,0)) - s) * "
+                    "(n * CAST(vu AS DECIMAL(38,0)) - s)"
+                )
+                > F.expr("9 * n * (n * q - s * s)")
+            )
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("vu").alias("value_units"),
+            F.col("n").cast("long").alias("n_prior"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
     "window_session_duration_histogram",
     oracle=f"""
     WITH ordered AS (
