@@ -409,6 +409,103 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# As-of staleness tolerance (pandas merge_asof's ``tolerance``): 7 days.
+_ASOF_TOL_US = 7 * 86_400 * 1_000_000
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH latest_per_day AS (
+        SELECT o_custkey, o_orderdate, o_orderkey
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                           ORDER BY o_orderkey DESC) AS rn
+              FROM orders) t
+        WHERE rn = 1),
+    matched AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey, o.o_orderdate
+        FROM events e
+        ASOF LEFT JOIN latest_per_day o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch_us(ts) - epoch_us(o_orderdate) <= {_ASOF_TOL_US}
+                THEN o_orderkey END AS asof_orderkey,
+           CASE WHEN epoch_us(ts) - epoch_us(o_orderdate) <= {_ASOF_TOL_US}
+                THEN (epoch_us(ts) - epoch_us(o_orderdate)) // 1000000
+                END AS asof_age_s
+    FROM matched
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (pandas ``merge_asof``'s
+    ``tolerance=``, kdb's windowed wj): each event picks the most recent
+    same-user order, but a match older than 7 days is treated as no
+    match — the feature-freshness contract of an online feature store
+    (a stale feature row is worse than a null).
+
+    Same union-and-carry-forward shape as :func:`join_asof` (one
+    user-keyed window, no |events_u| × |orders_u| blowup for hot users)
+    with the matched ORDER TIMESTAMP carried alongside the payload; the
+    tolerance is then one codegen'd age predicate that nulls out stale
+    carries. Age arithmetic is exact integer microseconds on both
+    engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("uid"), F.col("ts").alias("t")
+    )
+    w_dedup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("uid"),
+            F.col("o_orderdate").alias("t"),
+            "o_orderkey",
+        )
+    )
+    unioned = od.select(
+        "uid", "t", "o_orderkey",
+        F.col("t").alias("ot"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_event"),
+    ).unionByName(
+        ev.select(
+            "uid",
+            "t",
+            F.lit(None).cast("long").alias("o_orderkey"),
+            F.lit(None).cast("timestamp").alias("ot"),
+            "event_id",
+            F.lit(1).alias("is_event"),
+        )
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        unioned.withColumn(
+            "asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+        )
+        .withColumn("asof_t", F.last("ot", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+    )
+    age_us = F.unix_micros("t") - F.unix_micros("asof_t")
+    fresh = age_us <= F.lit(_ASOF_TOL_US)
+    return carried.select(
+        "event_id",
+        F.col("uid").alias("user_id"),
+        F.col("t").alias("ts"),
+        F.when(fresh, F.col("asof_orderkey")).alias("asof_orderkey"),
+        F.when(fresh, F.expr("(unix_micros(t) - unix_micros(asof_t)) div "
+                             "1000000")).alias("asof_age_s"),
+    )
+
+
 _SALT_N = 8
 
 
