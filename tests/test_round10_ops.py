@@ -6,6 +6,8 @@ sampled/blocked paths the hash compare can't see."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from jorvik_spark.queries.registry import hash_bucket
@@ -109,6 +111,120 @@ def test_passjoin_blocking_is_complete(spark):
             if 1 <= d <= 3:
                 truth[(a, b)] = (d, counts[a] * counts[b])
     assert got == truth
+
+
+def _seg_bounds(lp: int, j: int) -> tuple[int, int]:
+    """Python mirror of joins._seg_len/_seg_start (1-based start)."""
+    q, r = divmod(lp, 4)
+    length = q + (1 if j > 4 - r else 0)
+    start = (j - 1) * q + max(0, (j - 1) - (4 - r)) + 1
+    return start, length
+
+
+def _index_keys(name: str) -> set:
+    l = len(name)
+    out = set()
+    for j in range(1, 5):
+        start, ln = _seg_bounds(l, j)
+        out.add((l, j, name[start - 1 : start - 1 + ln]))
+    return out
+
+
+def _probe_keys(name: str) -> set:
+    l = len(name)
+    out = set()
+    for lp in range(max(4, l - 3), l + 4):
+        for j in range(1, 5):
+            start, ln = _seg_bounds(lp, j)
+            for p in range(max(1, start - 3), min(l - ln + 1, start + 3) + 1):
+                out.add((lp, j, name[p - 1 : p - 1 + ln]))
+    return out
+
+
+def _edit_distance(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    base=st.text(alphabet="abc", min_size=4, max_size=16),
+    edits=st.lists(
+        st.tuples(
+            st.sampled_from(["sub", "ins", "del"]),
+            st.integers(min_value=0, max_value=15),
+            st.sampled_from("abc"),
+        ),
+        min_size=0,
+        max_size=3,
+    ),
+)
+def test_passjoin_pigeonhole_property(base, edits):
+    """The pigeonhole guarantee at EVERY length pair the fixture
+    vocabulary doesn't cover (lengths 4..16+, all l mod 4 classes, all
+    edit scripts up to 3 ops): a derived string within edit distance 3
+    must share a blocking key with the base — probe(b) ∩ index(a) ≠ ∅
+    in at least one direction. Pure-Python mirror of the exact segment
+    formulas the Spark and DuckDB sides both evaluate."""
+    other = base
+    for op, pos, ch in edits:
+        if not other:
+            break
+        p = pos % len(other)
+        if op == "sub":
+            other = other[:p] + ch + other[p + 1 :]
+        elif op == "ins":
+            other = other[:p] + ch + other[p:]
+        elif len(other) > 1:
+            other = other[:p] + other[p + 1 :]
+    if len(other) < 4 or other == base:
+        return
+    d = _edit_distance(base, other)
+    assert d <= 3  # ≤3 ops can only produce distance ≤3
+    hit = (_probe_keys(other) & _index_keys(base)) or (
+        _probe_keys(base) & _index_keys(other)
+    )
+    assert hit, f"pigeonhole miss: {base!r} ~ {other!r} (d={d})"
+
+
+def test_passjoin_complete_on_synthetic_vocabulary(spark, tmp_path):
+    """End-to-end Spark completeness on an adversarial vocabulary the
+    fixtures lack: lengths spanning 4..13 (every l mod 4 class),
+    prefix/suffix edits, and equal-length substitution clusters."""
+    names = [
+        "abcd", "abce", "xbcd",              # l=4 (l%4=0), subs
+        "abcde", "abcdf", "bbcde",           # l=5
+        "abcdef", "abcdeg",                  # l=6
+        "abcdefg", "abcdefgh", "abcdefghi",  # growing lengths 7-9
+        "abcdefghij", "abcdefghijk",         # 10-11
+        "zbcdefghijk", "abcdefghijkmm",      # 12-13 + dist-2 tail
+        "qrstuvwx", "qrstuvwxy",             # unrelated cluster
+    ]
+    rows = [(i, n, i % 5) for i, n in enumerate(names * 3)]
+    spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_size long"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    from jorvik_spark.queries.joins import join_fuzzy_name_passjoin
+
+    got = {
+        (r["name_a"], r["name_b"]): r["distance"]
+        for r in join_fuzzy_name_passjoin(spark, str(tmp_path)).collect()
+    }
+    uniq = sorted(set(names))
+    truth = {}
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1 :]:
+            d = _edit_distance(a, b)
+            if 1 <= d <= 3:
+                truth[(a, b)] = d
+    assert got == truth
+    assert len(truth) >= 10  # the vocabulary actually exercises matches
 
 
 def test_spearman_sampled_is_exact_statistic_over_subset(spark):
