@@ -39,8 +39,15 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 #   * Still excluded: text_bpe_train (the one remaining rows-only query
 #     — iterative BPE merge table, no ANSI-SQL twin, r8 driver row on
 #     file, brute-force-Python-verified in tests/test_llm_ops.py).
-#   * Round-11 rotation note: after this round every query has a driver
-#     row; rotate by oldest-evidence (the r7-prefix scan/expr/join/agg
+#   * Round-11 rotation note: front-load the 12 operators NEW in round
+#     10 (join_fuzzy_name_passjoin, join_asof_tolerance,
+#     agg_markov_transitions, graph_triangle_count, simsearch_knn_graph,
+#     embed_semdedup_prune, sink_dynamic_partition_overwrite,
+#     text_langid_confusion, window_anomaly_zscore,
+#     window_session_duration_histogram, multimodal_shard_manifest,
+#     sample_balanced_classes — all hash-mode, parity-green at
+#     sf0.001/0.01/0.1, registered outside the prefix this round), then
+#     rotate by oldest evidence (the r7-prefix scan/expr/join/agg
 #     basics — scan_parquet_roundtrip, scan_orc_roundtrip, project_*,
 #     filter_*, expr_*, join_inner..join_asof, agg_min_max_dates,
 #     agg_distinct, agg_rollup, agg_cube, ... — then the r8 cohort).
