@@ -128,6 +128,23 @@ BENCH_R9_QUERIES = {
     "r9_tfidf": "text_tfidf_topterms",
 }
 
+# Round-10 additions, report-only this round (first measurements here,
+# pinned into a gate_r10 next round — the standard cohort lifecycle).
+# One representative per new shape family: the degree-ordered wedge
+# join, the within-cell pair memo consumers, the PassJoin blocker, the
+# tolerance as-of carry-forward, the Markov/anomaly event windows, and
+# the shard-plan prefix sum.
+BENCH_R10_QUERIES = {
+    "r10_triangle": "graph_triangle_count",
+    "r10_knn": "simsearch_knn_graph",
+    "r10_semdedup": "embed_semdedup_prune",
+    "r10_passjoin": "join_fuzzy_name_passjoin",
+    "r10_asof_tol": "join_asof_tolerance",
+    "r10_markov": "agg_markov_transitions",
+    "r10_zscore": "window_anomaly_zscore",
+    "r10_shards": "multimodal_shard_manifest",
+}
+
 # Round-8 sf0.1 medians (BENCH_r08.json) — the r8-cohort regression
 # reference, same limit and adjudication mechanism as the §2C gate.
 GATE_R8_REF = {
@@ -206,6 +223,7 @@ def main() -> None:
     times_2c = {lb: time_query(qn) for lb, qn in BENCH_2C_QUERIES.items()}
     times_r8 = {lb: time_query(qn) for lb, qn in BENCH_R8_QUERIES.items()}
     times_r9 = {lb: time_query(qn) for lb, qn in BENCH_R9_QUERIES.items()}
+    times_r10 = {lb: time_query(qn) for lb, qn in BENCH_R10_QUERIES.items()}
 
     def gate(times_g: dict, ref: dict, ref_round: int, label: str) -> dict:
         """Regression gate vs a prior round's sf0.1 medians: within
@@ -264,6 +282,7 @@ def main() -> None:
                 "queries_2c": times_2c,
                 "queries_r8": times_r8,
                 "queries_r9": times_r9,
+                "queries_r10": times_r10,
                 "gate_2c": gate_2c,
                 "gate_r8": gate_r8,
                 "gate_r9": gate_r9,
