@@ -282,22 +282,33 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair against the oriented edge relation. No cartesian anywhere; the
     final report is a single row.
     """
-    ls = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
-        .distinct()
+    # Edge build: per-order supplier SETS, then a narrow combination
+    # expansion — one groupBy shuffle on the order key instead of a
+    # fact-relation self-join (the self-join shuffled ~1 GB and took
+    # ~13 s of the 10x stress wall; the set form collapses each order
+    # to one ≤fanout-sized array row before any pair exists). The
+    # expansion is bounded by C(per-order fanout, 2).
+    ls = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
     )
-    a, b = ls.alias("a"), ls.alias("b")
     edges = memo_df(
         f"cosupply_edges:{sf_dir}",
         spark,
         lambda: (
-            a.join(
-                b,
-                (F.col("a.ok") == F.col("b.ok"))
-                & (F.col("a.s") < F.col("b.s")),
+            ls.groupBy("ok")
+            .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+            .filter(F.size("ss") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(sequence(1, size(ss) - 1), "
+                        "i -> transform(sequence(i + 1, size(ss)), "
+                        "j -> named_struct('u', element_at(ss, i), "
+                        "'v', element_at(ss, j)))))"
+                    )
+                ).alias("e")
             )
-            .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+            .select("e.u", "e.v")
             .distinct()
         ),
     )
@@ -312,20 +323,29 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = (
-        edges.join(F.broadcast(da), "u")
-        .join(F.broadcast(db), "v")
-        .select(
-            F.when(smaller_first, F.col("u")).otherwise(F.col("v")).alias(
-                "src"
-            ),
-            F.when(smaller_first, F.col("v")).otherwise(F.col("u")).alias(
-                "dst"
-            ),
-            F.when(smaller_first, F.col("dv")).otherwise(F.col("du")).alias(
-                "dst_d"
-            ),
-        )
+    # memoized: THREE consumers (both wedge sides + the closure probe)
+    # would otherwise each recompute the orientation join — and through
+    # it the per-order pair explosion behind the edge list (measured
+    # 36 s → ~6 s at the 10x stress scale).
+    oriented = memo_df(
+        f"cosupply_oriented:{sf_dir}",
+        spark,
+        lambda: (
+            edges.join(F.broadcast(da), "u")
+            .join(F.broadcast(db), "v")
+            .select(
+                F.when(smaller_first, F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("src"),
+                F.when(smaller_first, F.col("v"))
+                .otherwise(F.col("u"))
+                .alias("dst"),
+                F.when(smaller_first, F.col("dv"))
+                .otherwise(F.col("du"))
+                .alias("dst_d"),
+            )
+        ),
+        cut_lineage=True,
     )
     # wedge pairs ordered by the SAME (degree, id) total order as the
     # orientation — the closing edge is then guaranteed oriented v->w
