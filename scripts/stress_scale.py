@@ -152,6 +152,23 @@ EXTRA_TARGETS = [
     "corpus_chunk_dedup_rate",
     "sample_domain_topk_cap",
     "graph_pagerank_unrolled",
+    # Round-10 additions: the degree-ordered wedge join (out-degree
+    # O(sqrt E) is the claim to verify under 10x facts), the within-cell
+    # pair memo behind the k-NN graph + SemDeDup, the PassJoin segment
+    # blocker, the carry-forward as-of with tolerance, the Markov window
+    # (runs against the user-0 hot key), and the prefix-sum shard plan.
+    "graph_triangle_count",
+    "simsearch_knn_graph",
+    "embed_semdedup_prune",
+    "join_fuzzy_name_passjoin",
+    "join_asof_tolerance",
+    "agg_markov_transitions",
+    "window_anomaly_zscore",
+    "window_session_duration_histogram",
+    "multimodal_shard_manifest",
+    "sample_balanced_classes",
+    "text_langid_confusion",
+    "sink_dynamic_partition_overwrite",
 ]
 
 
