@@ -123,6 +123,12 @@ DOC_QUERIES = [
     # produce fingerprint-equal chunks across sources, and null/empty
     # docs contribute zero chunks to their source's denominator.
     "corpus_chunk_dedup_rate",
+    # Round-10 additions: the confusion matrix must bucket null/empty
+    # docs under the zero-hit tiebreak language identically, and the
+    # class balancer's n_min floor comes from the SMALLEST dirty class
+    # (1 doc) — every class keeps exactly one row, md5 pick agreeing.
+    "text_langid_confusion",
+    "sample_balanced_classes",
 ]
 
 
@@ -271,6 +277,16 @@ EVENT_QUERIES = [
     # the drain-into-quiet-hour plateau case (base > base + max_r) and
     # the (t, delta, event_id) tie order must agree exactly.
     "window_peak_concurrency",
+    # Round-10 additions. Markov: a transition FROM a null-TYPE event is
+    # dropped on both engines (lag() yields NULL — indistinguishable from
+    # a first event by design), while a transition TO it groups under the
+    # NULL to_type key; null-ts rows can't be sequenced at all. Z-score:
+    # the null-value purchase is screened before the frame, so it
+    # neither flags nor biases later moments. Session census: user 7's
+    # same-instant burst is a duration-0 session in bucket 0.
+    "agg_markov_transitions",
+    "window_anomaly_zscore",
+    "window_session_duration_histogram",
 ]
 
 
