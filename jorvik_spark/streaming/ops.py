@@ -506,6 +506,124 @@ def running_user_totals_fixedpoint(
     )
 
 
+def running_anomaly_zscore(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Online 3-sigma anomaly flags — the LIVE twin of the batch query
+    ``window_anomaly_zscore`` (queries/windows.py): per key, each event
+    is tested against the trailing ≤ 8 previously-seen quantized values
+    via the exact integer identity ``(n·x − S)² > 9·(n·Q − S²)``, and
+    flagged rows are emitted as they are detected. State per key is the
+    ring of ≤ 8 micro-unit longs — bounded, tiny, replayable.
+
+    Equivalence contract: with per-key IN-ORDER event-time delivery
+    (rows sorted by (ts, event_id) within each micro-batch — this
+    function sorts them — and batches arriving in time order, the usual
+    landing-zone discipline), the emitted flags equal the batch query's
+    rows exactly; tests pin that across a multi-file replay. Out-of-
+    order arrivals would need a watermark-buffered sort upstream — the
+    documented trade of an ONLINE detector.
+
+    Batch inputs take the window-frame form (one user-keyed window, same
+    expressions as the registered query).
+    """
+    filtered = df.filter(
+        F.col("ts").isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        key_col,
+        "event_id",
+        "ts",
+        F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("vu"),
+    )
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy("ts", "event_id")
+            .rowsBetween(-8, -1)
+        )
+        framed = filtered.select(
+            key_col,
+            "event_id",
+            "vu",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum(F.col("vu").cast("decimal(38,0)")).over(w).alias("s"),
+            F.sum(
+                (F.col("vu").cast("decimal(38,0)") * F.col("vu")).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .over(w)
+            .alias("q"),
+        )
+        return framed.filter(
+            (F.col("n") >= 4)
+            & (
+                F.expr(
+                    "(n * CAST(vu AS DECIMAL(38,0)) - s) * "
+                    "(n * CAST(vu AS DECIMAL(38,0)) - s)"
+                )
+                > F.expr("9 * n * (n * q - s * s)")
+            )
+        ).select(
+            key_col,
+            "event_id",
+            F.col("vu").alias("value_units"),
+            F.col("n").cast("long").alias("n_prior"),
+        )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ring: list[int] = list(state.get[0]) if state.exists else []
+        out_ids: list[int] = []
+        out_vals: list[int] = []
+        out_n: list[int] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for _, row in rows.iterrows():
+            x = int(row["vu"])
+            n = len(ring)
+            if n >= 4:
+                s = sum(ring)
+                qq = sum(v * v for v in ring)
+                if (n * x - s) ** 2 > 9 * (n * qq - s * s):
+                    out_ids.append(int(row["event_id"]))
+                    out_vals.append(x)
+                    out_n.append(n)
+            ring.append(x)
+            if len(ring) > 8:
+                ring.pop(0)
+        state.update((ring,))
+        yield pd.DataFrame(
+            {
+                key_col: pd.array([key[0]] * len(out_ids), dtype="Int64"),
+                "event_id": pd.array(out_ids, dtype="Int64"),
+                "value_units": pd.array(out_vals, dtype="Int64"),
+                "n_prior": pd.array(out_n, dtype="Int64"),
+            }
+        )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return filtered.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, event_id long, value_units long, "
+            "n_prior long"
+        ),
+        stateStructType="vals array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 class _ActivityProcessor(StatefulProcessor):
     """Per-key activity state for :func:`user_activity_summary`.
 

@@ -275,3 +275,73 @@ def test_spearman_sampled_is_exact_statistic_over_subset(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_anomaly_zscore_stream_equals_batch(spark, tmp_path):
+    """The online detector must flag EXACTLY the batch window query's
+    rows under in-order delivery — across a two-file replay so the ≤8
+    ring state actually persists through a micro-batch boundary, with a
+    null-value row screened identically on both paths."""
+    import datetime
+
+    from jorvik_spark.streaming.ops import running_anomaly_zscore
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    # user 1: steady 10.0 baseline, then a 500.0 spike (flag) and a
+    # return to baseline; user 2: too few events to ever flag; one
+    # null value mid-stream that must not perturb the ring.
+    # the second spike sits 9 baseline events after the first, so the
+    # 500.0 has aged out of the ≤8 ring by the time 480.0 is tested
+    vals1 = [10.0, 10.2, 9.9, 10.1, 10.0, 500.0, 10.05, 9.95, 10.0,
+             10.1, 9.9, 10.0, 10.05, 10.1, 9.95, 480.0]
+    rows = [
+        (100 + i, base + datetime.timedelta(minutes=i), 1, "purchase", v, None)
+        for i, v in enumerate(vals1)
+    ]
+    rows.insert(5, (200, base + datetime.timedelta(minutes=4, seconds=30),
+                    1, "purchase", None, None))
+    rows += [
+        (300 + i, base + datetime.timedelta(minutes=i), 2, "purchase",
+         float(i), None)
+        for i in range(3)
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    # two files, split at the time midpoint, named so listing order ==
+    # time order; maxFilesPerTrigger=1 forces the state to cross a
+    # micro-batch boundary
+    cut = base + datetime.timedelta(minutes=5)
+    df.filter(F.col("ts") < cut).coalesce(1).write.parquet(f"{src}/p=a")
+    df.filter(F.col("ts") >= cut).coalesce(1).write.parquet(f"{src}/p=b")
+
+    batch = sorted(
+        tuple(r)
+        for r in running_anomaly_zscore(
+            spark.read.parquet(f"{src}/p=a", f"{src}/p=b")
+        ).collect()
+    )
+    assert len(batch) >= 2  # both spikes flag in the batch form
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p=*")
+    )
+    out = running_anomaly_zscore(stream)
+    dst, cp = str(tmp_path / "dst"), str(tmp_path / "cp")
+    q = (
+        out.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(dst)
+        )
+        .option("checkpointLocation", cp)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    live = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert live == batch
