@@ -559,28 +559,24 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n AS BIGINT) AS n_prior
     FROM framed
     WHERE n >= 4
-      AND (n * vu - s) * (n * vu - s) > 9 * n * (n * q - s * s)
+      AND (n * vu - s) * (n * vu - s) > 9 * (n * q - s * s)
     ORDER BY user_id, event_id
     """,
 )
 def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly flags over each user's purchase values:
     an event is anomalous when it deviates from its own trailing-window
-    baseline by more than 3 sigma — the ops/fraud screen shape, written
-    WITHOUT float mean/std: with S = Σv and Q = Σv² over the previous
-    ≤ 8 quantized values, ``|x − μ| > 3σ`` is algebraically
-    ``(n·x − S)² > 9·(n·Q − S²)`` — integer arithmetic end to end, so
-    both engines flag bit-identical rows (a float rolling std drifts
-    with summation order; cf. the same moments trick in
-    ``agg_regression_moments``). Windows shorter than 4 prior events
-    abstain.
-
-    Scale shape: ONE window pass — the three frame aggregates share the
-    user-keyed sort/exchange, state per row is the ≤ 8-row frame, and
-    the filter evaluates in whole-stage codegen after the window. v² at
-    1e6 quantization needs ~2·(20+20) bits and n·Q·9 stays < 2^96:
-    DECIMAL(38,0) headroom on the Spark side, HUGEINT on DuckDB.
+    baseline by more than 3σ — the ops/fraud screen shape, written
+    WITHOUT float mean/std. The predicate (and the full derivation,
+    window shape, and overflow analysis) lives in ONE place —
+    :func:`jorvik_spark.streaming.ops.anomaly_zscore_flags` — shared
+    with the live stateful twin ``running_anomaly_zscore`` so the
+    batch and streaming formulas cannot drift (round-10 review caught
+    exactly such a drift: an extra ·n factor that silently raised the
+    batch threshold to 3·√n·σ).
     """
+    from jorvik_spark.streaming.ops import anomaly_zscore_flags
+
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(
@@ -597,46 +593,7 @@ def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vu"),
         )
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-8, -1)
-    )
-    framed = ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        "vu",
-        F.count(F.lit(1)).over(w).alias("n"),
-        F.sum(F.col("vu").cast("decimal(38,0)")).over(w).alias("s"),
-        F.sum(
-            (F.col("vu").cast("decimal(38,0)") * F.col("vu")).cast(
-                "decimal(38,0)"
-            )
-        )
-        .over(w)
-        .alias("q"),
-    )
-    return (
-        framed.filter(
-            (F.col("n") >= 4)
-            & (
-                F.expr(
-                    "(n * CAST(vu AS DECIMAL(38,0)) - s) * "
-                    "(n * CAST(vu AS DECIMAL(38,0)) - s)"
-                )
-                > F.expr("9 * n * (n * q - s * s)")
-            )
-        )
-        .select(
-            "user_id",
-            "event_id",
-            "ts",
-            F.col("vu").alias("value_units"),
-            F.col("n").cast("long").alias("n_prior"),
-        )
-        .orderBy("user_id", "event_id")
-    )
+    return anomaly_zscore_flags(ev, "user_id").orderBy("user_id", "event_id")
 
 
 @query(

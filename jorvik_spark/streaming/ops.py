@@ -506,28 +506,91 @@ def running_user_totals_fixedpoint(
     )
 
 
+def anomaly_zscore_flags(filtered: DataFrame, key_col: str) -> DataFrame:
+    """THE batch 3σ predicate — single implementation shared by the
+    registered query ``window_anomaly_zscore`` and the batch branch of
+    :func:`running_anomaly_zscore`, so the formula cannot drift between
+    them (it did once: an extra ·n factor made the batch threshold
+    3·√n·σ — caught in round-10 review).
+
+    Input: (key_col, event_id, ts, vu) with nulls pre-screened. Per key,
+    an event flags when it deviates from its trailing ≤ 8-value baseline
+    by more than 3σ: with S = Σv, Q = Σv² over the frame,
+    σ² = (n·Q − S²)/n², so |x − S/n| > 3σ ⟺ (n·x − S)² > 9·(n·Q − S²)
+    — exact integer arithmetic end to end (a float rolling std drifts
+    with summation order). Windows shorter than 4 prior events abstain.
+
+    One window pass: the three frame aggregates share the key-ordered
+    sort/exchange; the filter evaluates in whole-stage codegen. v² at
+    1e6 quantization stays within DECIMAL(38,0) (~2^96 headroom).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("ts", "event_id")
+        .rowsBetween(-8, -1)
+    )
+    framed = filtered.select(
+        key_col,
+        "event_id",
+        "ts",
+        "vu",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("vu").cast("decimal(38,0)")).over(w).alias("s"),
+        F.sum(
+            (F.col("vu").cast("decimal(38,0)") * F.col("vu")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .over(w)
+        .alias("q"),
+    )
+    return framed.filter(
+        (F.col("n") >= 4)
+        & (
+            F.expr(
+                "(n * CAST(vu AS DECIMAL(38,0)) - s) * "
+                "(n * CAST(vu AS DECIMAL(38,0)) - s)"
+            )
+            > F.expr("9 * (n * q - s * s)")
+        )
+    ).select(
+        key_col,
+        "event_id",
+        "ts",
+        F.col("vu").alias("value_units"),
+        F.col("n").cast("long").alias("n_prior"),
+    )
+
+
 def running_anomaly_zscore(
     df: DataFrame,
     key_col: str = "user_id",
     value_col: str = "value",
 ) -> DataFrame:
-    """Online 3-sigma anomaly flags — the LIVE twin of the batch query
-    ``window_anomaly_zscore`` (queries/windows.py): per key, each event
-    is tested against the trailing ≤ 8 previously-seen quantized values
-    via the exact integer identity ``(n·x − S)² > 9·(n·Q − S²)``, and
-    flagged rows are emitted as they are detected. State per key is the
-    ring of ≤ 8 micro-unit longs — bounded, tiny, replayable.
+    """Online 3σ anomaly flags — the LIVE twin of the batch predicate
+    :func:`anomaly_zscore_flags` (registered as ``window_anomaly_zscore``
+    over purchase events): per key, each event is tested against the
+    trailing ≤ 8 previously-seen quantized values via the exact integer
+    identity ``(n·x − S)² > 9·(n·Q − S²)``, and flagged rows are emitted
+    as they are detected. State per key is the ring of ≤ 8 micro-unit
+    longs — bounded, tiny, replayable.
+
+    Scope contract: this function screens only null ts/values — the
+    CALLER pre-filters to the event population it wants monitored (the
+    registered batch query restricts to ``event_type = 'purchase'``
+    before calling the shared predicate; feed this function the same
+    filter for live-vs-batch equality, else other event types enter the
+    ring and bias the baseline).
 
     Equivalence contract: with per-key IN-ORDER event-time delivery
     (rows sorted by (ts, event_id) within each micro-batch — this
     function sorts them — and batches arriving in time order, the usual
-    landing-zone discipline), the emitted flags equal the batch query's
+    landing-zone discipline), the emitted flags equal the batch form's
     rows exactly; tests pin that across a multi-file replay. Out-of-
     order arrivals would need a watermark-buffered sort upstream — the
     documented trade of an ONLINE detector.
-
-    Batch inputs take the window-frame form (one user-keyed window, same
-    expressions as the registered query).
     """
     filtered = df.filter(
         F.col("ts").isNotNull() & F.col(value_col).isNotNull()
@@ -540,42 +603,7 @@ def running_anomaly_zscore(
         .alias("vu"),
     )
     if not df.isStreaming:
-        from pyspark.sql import Window
-
-        w = (
-            Window.partitionBy(key_col)
-            .orderBy("ts", "event_id")
-            .rowsBetween(-8, -1)
-        )
-        framed = filtered.select(
-            key_col,
-            "event_id",
-            "vu",
-            F.count(F.lit(1)).over(w).alias("n"),
-            F.sum(F.col("vu").cast("decimal(38,0)")).over(w).alias("s"),
-            F.sum(
-                (F.col("vu").cast("decimal(38,0)") * F.col("vu")).cast(
-                    "decimal(38,0)"
-                )
-            )
-            .over(w)
-            .alias("q"),
-        )
-        return framed.filter(
-            (F.col("n") >= 4)
-            & (
-                F.expr(
-                    "(n * CAST(vu AS DECIMAL(38,0)) - s) * "
-                    "(n * CAST(vu AS DECIMAL(38,0)) - s)"
-                )
-                > F.expr("9 * n * (n * q - s * s)")
-            )
-        ).select(
-            key_col,
-            "event_id",
-            F.col("vu").alias("value_units"),
-            F.col("n").cast("long").alias("n_prior"),
-        )
+        return anomaly_zscore_flags(filtered, key_col).drop("ts")
 
     def update(
         key: tuple,
