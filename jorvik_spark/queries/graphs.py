@@ -331,8 +331,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cosupply_oriented:{sf_dir}",
         spark,
         lambda: (
-            edges.join(F.broadcast(da), "u")
-            .join(F.broadcast(db), "v")
+            # No forced broadcast: the degree relation is |V|-sized
+            # (grows with the supplier dimension), so the join strategy
+            # is left to the optimizer/AQE — broadcast while |V| fits,
+            # shuffle-hash beyond the autoBroadcast ceiling at 100 TB.
+            edges.join(da, "u")
+            .join(db, "v")
             .select(
                 F.when(smaller_first, F.col("u"))
                 .otherwise(F.col("v"))

@@ -145,7 +145,6 @@ EXTRA_TARGETS = [
     "text_tfidf_topterms",
     "simsearch_rerank_twophase",
     "simsearch_hard_negatives",
-    "join_fuzzy_name_passjoin",
     "corpus_quality_rank_correlation",
     "agg_countmin_sketch",
     "agg_heavy_hitters",
@@ -342,7 +341,9 @@ def main() -> None:
         elif a != "--all":
             args.append(a)
     replicas = int(args[0]) if args else 10
-    targets = TARGETS + (EXTRA_TARGETS if "--all" in sys.argv else [])
+    targets = list(
+        dict.fromkeys(TARGETS + (EXTRA_TARGETS if "--all" in sys.argv else []))
+    )
     if only is not None:
         unknown = [n for n in only if n not in QUERIES]
         if unknown:

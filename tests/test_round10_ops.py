@@ -1,7 +1,9 @@
-"""Round-10 operator tests: the sampled Spearman calibration mode and
-the banded-shingle fuzzy-name blocking upgrade. Oracle parity for the
-exact forms runs through tests/test_oracle_parity.py; these pin the
-sampled/blocked paths the hash compare can't see."""
+"""Round-10 operator tests: PassJoin pigeonhole candidate completeness
+(property-tested at edit distance <= 3), the sampled Spearman
+calibration mode, and the streaming anomaly z-score's batch/stream
+equality. Oracle parity for the exact forms runs through
+tests/test_oracle_parity.py; these pin the sampled/blocked/stateful
+paths the hash compare can't see."""
 
 from __future__ import annotations
 
