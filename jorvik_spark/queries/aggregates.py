@@ -1148,3 +1148,96 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "custkey")
     )
+
+
+# Incremental-maintenance cutoff: rows before it play the persisted
+# "state" partition, rows from it on play the newly-arrived "delta".
+_INC_CUTOFF = "1999-01-01"
+
+
+@query(
+    "agg_incremental_moments_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_state,
+           CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_delta,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::HUGEINT
+                // COUNT(*) AS BIGINT) AS mean_cents,
+           CAST((COUNT(*)::HUGEINT
+                   * SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::HUGEINT
+                 - SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::HUGEINT
+                   * SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::HUGEINT)
+                // (COUNT(*)::HUGEINT * COUNT(*)::HUGEINT) AS BIGINT)
+               AS var_cents2
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_incremental_moments_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental aggregate maintenance, value-proven: per-priority
+    mean/variance computed by MERGING two independently-aggregated
+    partial-moment states — a "persisted" partition (orders before
+    ``_INC_CUTOFF``) and a "new arrivals" delta — exactly the way a
+    100 TB rollup absorbs a day of new data without rescanning history
+    (store
+    (n, Σx, Σx²) per group, fold the delta's partials in, finalize).
+    The DuckDB oracle computes the same statistics DIRECTLY over the
+    full table, so the hash match IS the proof that merge(state, delta)
+    ≡ recompute — the algebraic property every mergeable-state design
+    (HLL rollup, quantile sketches, this) rests on.
+
+    Exactness: cent-quantized inputs, DECIMAL(38,0) moment sums (the
+    ``agg_regression_moments`` convention), integral ppm-free divisions
+    at the end. var_cents2 is the population variance numerator
+    (n·Σx² − (Σx)²) div n² — headroom analysis matches the regression
+    query: safe through ~1e12-row groups, then shard the moments.
+
+    Scale shape: one scan, one map-side-combined partial agg keyed
+    (priority, part) — 2×|priorities| rows — then a |priorities|-sized
+    merge agg. The delta side of a real deployment is the SAME partial
+    agg over only the new files (partition pruning makes that a
+    delta-sized scan), so maintenance cost is O(delta), not O(history).
+    """
+    dec = "decimal(38,0)"
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    parts = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderdate") < F.lit(_INC_CUTOFF).cast("timestamp"),
+                F.lit("state"),
+            )
+            .otherwise(F.lit("delta"))
+            .alias("part"),
+            cents.alias("cents"),
+        )
+        .groupBy("o_orderpriority", "part")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(F.col("cents").cast(dec)).alias("s"),
+            F.sum((F.col("cents") * F.col("cents")).cast(dec)).alias("q"),
+        )
+    )
+    merged = parts.groupBy("o_orderpriority").agg(
+        F.sum("n").alias("n"),
+        F.sum(F.when(F.col("part") == "state", F.col("n"))).alias("n_state"),
+        F.sum(F.when(F.col("part") == "delta", F.col("n"))).alias("n_delta"),
+        F.sum("s").alias("s"),
+        F.sum("q").alias("q"),
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_orders"),
+        F.coalesce(F.col("n_state"), F.lit(0)).cast("long").alias("n_state"),
+        F.coalesce(F.col("n_delta"), F.lit(0)).cast("long").alias("n_delta"),
+        F.expr("CAST(s div n AS BIGINT)").alias("mean_cents"),
+        F.expr("CAST((n * q - s * s) div (n * n) AS BIGINT)").alias(
+            "var_cents2"
+        ),
+    ).orderBy("o_orderpriority")

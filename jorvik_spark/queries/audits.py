@@ -23,7 +23,7 @@ violation count is zero.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jorvik_spark.tables import load_table
@@ -201,3 +201,81 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return pk.unionByName(fk_oc).unionByName(fk_lo).unionByName(rng).unionByName(nn)
+
+
+# Join keys audited by audit_join_key_skew: the three lineitem foreign
+# keys every TPC-H-shaped join shuffles on. Fixed small list — each
+# audited key is one map-combined (key → count) aggregate.
+_SKEW_KEYS = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+@query(
+    "audit_join_key_skew",
+    oracle="""
+    WITH pairs AS (
+        SELECT 'l_orderkey' AS key_name, CAST(l_orderkey AS BIGINT) AS k
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem),
+    freq AS (
+        SELECT key_name, k, COUNT(*) AS c
+        FROM pairs GROUP BY key_name, k),
+    ranked AS (
+        SELECT key_name, k, c,
+               ROW_NUMBER() OVER (PARTITION BY key_name
+                                  ORDER BY c DESC, k) AS rnk
+        FROM freq)
+    SELECT key_name,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_freq,
+           CAST((MAX(c) * COUNT(*) * 1000000) // SUM(c) AS BIGINT)
+               AS skew_x_ppm,
+           CAST((SUM(CASE WHEN rnk <= 10 THEN c ELSE 0 END) * 1000000)
+                // SUM(c) AS BIGINT) AS top10_share_ppm
+    FROM ranked GROUP BY key_name ORDER BY key_name
+    """,
+)
+def audit_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit over lineitem's three foreign keys: per key
+    column, the cardinality, hottest-key frequency, skew factor
+    (max_freq / mean_freq, in exact integer ppm — 1 000 000 = perfectly
+    uniform) and the top-10 keys' share of all rows. THE pre-flight a
+    pipeline runs before shuffling 100 TB on a key: skew_x ≳ 20× says
+    salt the join (``join_skew_salted``) or let AQE's skew-join split
+    that partition, and top10_share quantifies how concentrated the
+    remedy needs to be.
+
+    Scale shape: one unpivot (Expand — |keys|× the scan, the documented
+    exactness cost, same trade as ``audit_column_profile``), one
+    map-side-combinable (key_name, k) count, then a key_name-partitioned
+    top-k window over the ALREADY-aggregated frequency relation (≤
+    |distinct keys| rows) and a 3-row report. No collect, no floats.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    stack = ", ".join(f"'{k}', CAST({k} AS BIGINT)" for k in _SKEW_KEYS)
+    pairs = li.select(
+        F.expr(f"stack({len(_SKEW_KEYS)}, {stack}) AS (key_name, k)")
+    )
+    freq = pairs.groupBy("key_name", "k").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("key_name").orderBy(F.desc("c"), "k")
+    return (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .groupBy("key_name")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_freq"),
+            F.expr(
+                "CAST((MAX(c) * COUNT(1) * CAST(1000000 AS BIGINT))"
+                " div SUM(c) AS BIGINT)"
+            ).alias("skew_x_ppm"),
+            F.expr(
+                "CAST((SUM(CASE WHEN rnk <= 10 THEN c ELSE 0 END)"
+                " * CAST(1000000 AS BIGINT)) div SUM(c) AS BIGINT)"
+            ).alias("top10_share_ppm"),
+        )
+        .orderBy("key_name")
+    )

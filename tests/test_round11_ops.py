@@ -1,0 +1,136 @@
+"""Round-11 operator tests: the IVF cell-size seatbelt behind the
+within-cell pair relation (k-NN graph / SemDeDup), property-tested over
+arbitrary cell-size profiles and integration-tested through the real
+memo build path. Oracle parity for the round-11 query forms runs
+through tests/test_oracle_parity.py; these pin the guard behavior the
+hash compare can't see."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import shutil
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from jorvik_spark.queries.similarity import (
+    CellImbalanceError,
+    _guard_cell_sizes,
+    _max_ivf_cell,
+    simsearch_knn_graph,
+)
+from jorvik_spark.tables import default_sf_dir
+
+SF_DIR = default_sf_dir()
+
+
+def _cells_df(spark, sizes: list[int]):
+    rows = [(cell,) for cell, n in enumerate(sizes) for _ in range(n)]
+    return spark.createDataFrame(rows, "cell int")
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=6),
+    bound=st.integers(min_value=1, max_value=12),
+)
+def test_guard_raises_iff_a_cell_exceeds_bound(spark, sizes, bound):
+    # pytest.MonkeyPatch context, not the fixture: hypothesis forbids
+    # function-scoped fixtures inside @given.
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setenv("JORVIK_MAX_IVF_CELL", str(bound))
+        df = _cells_df(spark, sizes)
+        if max(sizes) > bound:
+            with pytest.raises(CellImbalanceError):
+                _guard_cell_sizes(df)
+        else:
+            _guard_cell_sizes(df)  # must not raise
+
+
+def test_guard_disabled_with_zero_bound(spark, monkeypatch):
+    monkeypatch.setenv("JORVIK_MAX_IVF_CELL", "0")
+    _guard_cell_sizes(_cells_df(spark, [1000]))  # must not raise
+    monkeypatch.delenv("JORVIK_MAX_IVF_CELL")
+    assert _max_ivf_cell() == 30_000
+
+
+def test_knn_graph_build_trips_guard_on_hot_cell(spark, tmp_path, monkeypatch):
+    """Integration: the guard fires through the REAL _cell_pairs build
+    (fresh sf_dir so the session memo can't mask it). sf0.001 has 2k
+    vectors over 16 cells, so a bound of 5 must trip."""
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", tmp_path / "embeddings.parquet")
+    monkeypatch.setenv("JORVIK_MAX_IVF_CELL", "5")
+    with pytest.raises(CellImbalanceError, match="Re-train with more centroids"):
+        simsearch_knn_graph(spark, str(tmp_path)).count()
+
+
+def test_knn_graph_passes_guard_at_default_bound(spark):
+    """The default bound is a seatbelt, not a tripwire: the standard
+    corpus builds fine, and the consumer plan stays equi-keyed (the
+    guard is a pre-flight job, not a plan node)."""
+    df = simsearch_knn_graph(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()
+    assert df.filter(F.col("rank") == 1).count() > 0
+
+
+def test_running_anomaly_zscore_survives_restart(spark, tmp_path):
+    """Kill-and-resume: the detector's per-key ring must come back from
+    the checkpointed state store, not from replayed input. The spike in
+    the post-restart file can only flag if the baseline ring built
+    BEFORE the kill survived — and the pre-kill flag must not re-emit."""
+    import datetime
+
+    from jorvik_spark.streaming.ops import running_anomaly_zscore
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    vals1 = [10.0, 10.2, 9.9, 10.1, 10.0, 500.0, 10.05, 9.95, 10.0,
+             10.1, 9.9, 10.0, 10.05, 10.1, 9.95, 480.0]
+    rows = [
+        (100 + i, base + datetime.timedelta(minutes=i), 1, "purchase", v, None)
+        for i, v in enumerate(vals1)
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    src, dst, cp = (str(tmp_path / d) for d in ("src", "dst", "cp"))
+    cut = base + datetime.timedelta(minutes=8)
+    df.filter(F.col("ts") < cut).coalesce(1).write.parquet(f"{src}/p=a")
+
+    batch_all = sorted(tuple(r) for r in running_anomaly_zscore(df).collect())
+    assert len(batch_all) == 2  # both spikes flag on the full history
+
+    def drain_once() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/p=*")
+        )
+        q = (
+            running_anomaly_zscore(stream)
+            .writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(dst)
+            )
+            .option("checkpointLocation", cp)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    drain_once()  # run 1: sees only p=a (first spike), then dies
+    first = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert [r[1] for r in first] == [105]  # the 500.0 spike's event_id
+    # the second spike + a post-kill baseline arrive while we're down
+    df.filter(F.col("ts") >= cut).coalesce(1).write.parquet(f"{src}/p=b")
+    drain_once()  # run 2: SAME checkpoint — resumes, must not re-flag
+    live = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert live == batch_all
