@@ -1407,3 +1407,102 @@ def dedup_banding_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio("n_hits", "n_candidate_pairs").alias("precision_ppm"),
         )
     )
+
+
+# Containment flag threshold (ppm of the SMALLER doc's shingle set that
+# the pair shares). Calibrated on the corpus like _SEMDEDUP_TAU: ≥0.5
+# keeps 25-35 pairs at sf0.001/0.01 — non-vacuous, selective, and the
+# interesting band symmetric Jaccard misses (a short doc quoted inside
+# a long one has Jaccard ≈ |small|/|big| but containment ≈ 1).
+_CONTAIN_MIN_PPM = 500_000
+
+
+@query(
+    "dedup_containment_ngram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    df AS (SELECT shingle FROM ex GROUP BY shingle
+           HAVING COUNT(*) <= {_MAX_SHINGLE_DF}),
+    exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN df USING (shingle)),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM exf a JOIN exf b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM exf GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST((n_common * 1000000) // sa.n AS BIGINT) AS contain_a_ppm,
+           CAST((n_common * 1000000) // sb.n AS BIGINT) AS contain_b_ppm
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE (n_common * 1000000) // least(sa.n, sb.n) >= {_CONTAIN_MIN_PPM}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: for co-shingling docs, the
+    fraction of each side's 3-gram set the pair shares — the
+    quote/subset detector symmetric Jaccard structurally misses (a doc
+    fully embedded in one 10× its size has Jaccard ≤ 0.1 but
+    containment 1.0; Broder 1997 defines both measures, public
+    literature). Pairs flag when the SMALLER side's containment ≥ 0.5;
+    a curation pass drops or down-weights the contained doc.
+
+    Composes the SAME memoized shingle inverted index as
+    ``dedup_ngram_jaccard`` (one tokenize+shingle per session) with the
+    same hot-shingle document-frequency cap — the cap bounds the
+    inverted-index self-join's per-key fanout at 100 TB and biases both
+    numerator AND denominators consistently on both engines (stopword
+    shingles carry no containment signal either). Scale shape: one
+    shingle-equi self-join (pair fanout = Σ df² over capped shingles),
+    one pair-keyed count, two |docs|-sized size joins — never all-pairs.
+    """
+    ex = _shingle_index(spark, sf_dir)
+    hot = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
+    exf = (
+        ex.join(hot, "shingle")
+        .filter(F.col("df_cnt") <= _MAX_SHINGLE_DF)
+        .select("doc_id", "shingle")
+    )
+    inter = (
+        exf.alias("a")
+        .join(
+            exf.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = exf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.expr(
+                f"(n_common * CAST(1000000 AS BIGINT))"
+                f" div least(na, nb) >= {_CONTAIN_MIN_PPM}"
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr(
+                "CAST((n_common * CAST(1000000 AS BIGINT)) div na AS BIGINT)"
+            ).alias("contain_a_ppm"),
+            F.expr(
+                "CAST((n_common * CAST(1000000 AS BIGINT)) div nb AS BIGINT)"
+            ).alias("contain_b_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

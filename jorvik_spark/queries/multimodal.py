@@ -826,3 +826,103 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "shard_id")
     )
+
+
+# Content-chunk width for the storage-dedup estimator, in HEX CHARS
+# (8192 hex chars = 4096 raw bytes). Chunking runs in the hex domain
+# because that is the one blob representation both engines slice
+# identically (DuckDB's substring is VARCHAR-only); a Spark-only
+# deployment would substring the raw binary and halve the width.
+_CHUNK_HEX = 8192
+
+
+@query(
+    "multimodal_chunk_dedup",
+    oracle=f"""
+    WITH blobs AS (
+        SELECT filename AS path, lower(hex(content)) AS h
+        FROM read_blob('{{sf_dir}}/*.parquet')
+        WHERE size <= {_MAX_DECODE_BYTES}),
+    chunks AS (
+        SELECT path,
+               md5(substring(h, CAST(i * {_CHUNK_HEX} + 1 AS BIGINT),
+                             {_CHUNK_HEX})) AS ck
+        FROM (SELECT path, h,
+                     unnest(range(0, (len(h) - 1) // {_CHUNK_HEX} + 1)) AS i
+              FROM blobs)),
+    owners AS (
+        SELECT ck, COUNT(DISTINCT path) AS n_files FROM chunks GROUP BY ck)
+    SELECT c.path,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT c.ck) AS BIGINT) AS n_unique_in_file,
+           CAST(SUM(CASE WHEN o.n_files >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_file,
+           CAST(((COUNT(*) - COUNT(DISTINCT c.ck)) * 1000000) // COUNT(*)
+                AS BIGINT) AS within_dup_ppm
+    FROM chunks c JOIN owners o ON o.ck = c.ck
+    GROUP BY c.path ORDER BY c.path
+    """,
+)
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size content-chunk dedup estimator over the binary lake:
+    every blob splits into 4 KiB chunks, and the report says — per file
+    — how many chunks repeat WITHIN the file and how many also occur in
+    OTHER files: the dedup-ratio estimate a content-addressed store
+    (or a WebDataset re-shard) computes before committing to
+    chunk-level storage (Venti/LBFS lineage; fixed-width chunking is
+    the deterministic baseline the content-defined variant is measured
+    against).
+
+    Scale shape: blobs over the module's decode byte cap are pruned at
+    the LISTING (same pushed length predicate as the decode path — the
+    hex expansion never materializes for them); chunking is a narrow
+    per-file explode (sequence + substring, codegen'd — no UDF); chunk
+    identity is an md5 over the 8 KiB hex slice, so the only shuffles
+    are the (chunk → owner count) aggregate and the per-file report
+    agg, both map-side combinable. Chunk keys distribute uniformly —
+    the dedup collisions ARE the skew, and they are the signal.
+    """
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .filter(F.col("length") <= _MAX_DECODE_BYTES)
+        .select(
+            F.regexp_replace("path", _STRIP_SCHEME, "").alias("path"),
+            F.lower(F.hex("content")).alias("h"),
+        )
+    )
+    chunks = blobs.select(
+        "path",
+        F.explode(
+            F.expr(f"sequence(0L, (length(h) - 1) div {_CHUNK_HEX})")
+        ).alias("i"),
+        "h",
+    ).select(
+        "path",
+        F.md5(
+            F.expr(
+                f"substring(h, CAST(i * {_CHUNK_HEX} + 1 AS INT),"
+                f" {_CHUNK_HEX})"
+            )
+        ).alias("ck"),
+    )
+    owners = chunks.groupBy("ck").agg(
+        F.countDistinct("path").alias("n_files")
+    )
+    return (
+        chunks.join(owners, "ck")
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("ck").cast("long").alias("n_unique_in_file"),
+            F.sum(F.when(F.col("n_files") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cross_file"),
+            F.expr(
+                "CAST(((COUNT(1) - COUNT(DISTINCT ck))"
+                " * CAST(1000000 AS BIGINT)) div COUNT(1) AS BIGINT)"
+            ).alias("within_dup_ppm"),
+        )
+        .orderBy("path")
+    )

@@ -1383,3 +1383,184 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "term", "tf", "df", "score_tfn")
         .orderBy("doc_id", "rank")
     )
+
+
+# Tokenizer-vocabulary size for the OOV-rate audit (a BPE deployment
+# would use its real merge vocab; 256 whole-token entries keep the
+# audit oracle-checkable and the broadcast trivially small).
+_VOCAB_K = 256
+
+
+@query(
+    "text_vocab_oov_rate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_SQL_TOKENS} AS t FROM documents),
+    ex AS (SELECT source, unnest(t) AS tok FROM toks),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok)
+                       AS rnk
+            FROM ex GROUP BY tok)
+        WHERE rnk <= {_VOCAB_K}),
+    flagged AS (
+        SELECT ex.source,
+               CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        FROM ex LEFT JOIN vocab v ON ex.tok = v.tok)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST((SUM(oov) * 1000000) // COUNT(*) AS BIGINT) AS oov_ppm
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus' own top-K
+    token vocabulary — the tokenizer-coverage audit a training pipeline
+    runs per data source before mixing (a source whose OOV rate is an
+    outlier either needs tokenizer retraining or is a different
+    language/domain than the vocab was fit on; cf. the fertility/
+    coverage checks in SentencePiece's public docs).
+
+    Scale shape: rides the per-session token memo (ONE tokenize pass
+    shared module-wide), one map-combined token count, a top-K window
+    over the ALREADY-aggregated (token, count) relation (WindowGroupLimit
+    caps it map-side), and the vocab — K rows — broadcasts into the
+    exploded token stream, so the OOV flag is a broadcast-hash lookup,
+    never a shuffle of the corpus. Deterministic ties: (count DESC,
+    token) total order.
+    """
+    ex = _tokenized_docs(spark, sf_dir).select(
+        "source", F.explode("t").alias("tok")
+    )
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    vocab = (
+        ex.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        ex.join(F.broadcast(vocab), "tok", "left")
+        .select(
+            "source",
+            F.when(F.col("in_vocab").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("oov"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("oov").cast("long").alias("n_oov"),
+            F.expr(
+                "CAST((SUM(oov) * CAST(1000000 AS BIGINT))"
+                " div COUNT(1) AS BIGINT)"
+            ).alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "corpus_drift_ks",
+    oracle="""
+    WITH base AS (
+        SELECT source, n_chars AS v FROM documents),
+    totals AS (
+        SELECT source, COUNT(*) AS n1 FROM base GROUP BY source),
+    grand AS (SELECT COUNT(*) AS n FROM base),
+    sv AS (SELECT source, v, COUNT(*) AS c FROM base GROUP BY source, v),
+    gv AS (SELECT v, COUNT(*) AS c FROM base GROUP BY v),
+    grid AS (
+        SELECT t.source, g.v, g.c AS gc, coalesce(sv.c, 0) AS sc
+        FROM totals t CROSS JOIN gv g
+        LEFT JOIN sv ON sv.source = t.source AND sv.v = g.v),
+    cums AS (
+        SELECT source, v,
+               SUM(sc) OVER (PARTITION BY source ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cum1,
+               SUM(gc - sc) OVER (PARTITION BY source ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum2
+        FROM grid)
+    SELECT c.source,
+           CAST(t.n1 AS BIGINT) AS n_docs,
+           CAST(MAX(abs(c.cum1 * (g.n - t.n1) - c.cum2 * t.n1))
+                * 1000000 // (t.n1 * (g.n - t.n1)) AS BIGINT) AS ks_ppm
+    FROM cums c JOIN totals t ON t.source = c.source CROSS JOIN grand g
+    GROUP BY c.source, t.n1, g.n ORDER BY c.source
+    """,
+)
+def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen: the exact two-sample Kolmogorov-
+    Smirnov statistic between each source's document-length
+    distribution and the REST of the corpus, in integer ppm — the
+    leave-one-out drift report a curation pipeline reads to catch a
+    source whose new drop suddenly skews short (truncation bug) or
+    long (boilerplate explosion). KS = sup |F1 − F2| is evaluated at
+    every observed value, which is exact: empirical CDFs only step
+    there.
+
+    Exactness: |cum1·N2 − cum2·N1| keeps both CDFs over a COMMON
+    denominator (N1·N2), so the supremum is an integer comparison and
+    the final ppm one integral division — no float CDFs. Headroom:
+    cum·N ≤ N1·N2 ≈ 6e8 at sf0.1 (·1e6 ≈ 6e14); past ~3e6 docs per
+    source lift to DECIMAL(38,0)/HUGEINT, structure unchanged.
+
+    Scale shape: two map-combined aggregates (per-(source, value) and
+    per-value), then the evaluation grid is |sources| × |distinct
+    values| — bounded by the VALUE GRID, not the corpus (doc lengths
+    collide massively; the 20×|values| grid here is ~2e4 rows from 5e4
+    docs) — cum-summed per source in one window pass over that small
+    relation. The corpus itself is scanned once and never joined
+    pairwise.
+    """
+    base = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    totals = base.groupBy("source").agg(F.count(F.lit(1)).alias("n1"))
+    grand = base.agg(F.count(F.lit(1)).alias("n"))
+    sv = base.groupBy("source", "v").agg(F.count(F.lit(1)).alias("sc"))
+    gv = base.groupBy("v").agg(F.count(F.lit(1)).alias("gc"))
+    grid = (
+        totals.crossJoin(gv)
+        .join(sv, ["source", "v"], "left")
+        .select(
+            "source",
+            "v",
+            "n1",
+            "gc",
+            F.coalesce("sc", F.lit(0)).alias("sc"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = grid.select(
+        "source",
+        "n1",
+        F.sum("sc").over(w).alias("cum1"),
+        F.sum(F.col("gc") - F.col("sc")).over(w).alias("cum2"),
+    )
+    return (
+        cums.crossJoin(F.broadcast(grand))
+        .groupBy("source", "n1", "n")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum1") * (F.col("n") - F.col("n1"))
+                    - F.col("cum2") * F.col("n1")
+                )
+            ).alias("sup")
+        )
+        .select(
+            "source",
+            F.col("n1").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(sup * CAST(1000000 AS BIGINT)"
+                " div (n1 * (n - n1)) AS BIGINT)"
+            ).alias("ks_ppm"),
+        )
+        .orderBy("source")
+    )
