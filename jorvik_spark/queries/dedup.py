@@ -184,6 +184,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(spark, sf_dir, 0.8)
 
 
+def _capped_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted index restricted to informative shingles (df ≤
+    ``_MAX_SHINGLE_DF``), pre-partitioned on shingle for the pair
+    self-joins — shared by the Jaccard and containment pair relations.
+
+    The explicit shingle partitioning matters: AQE coalesces post-shuffle
+    partitions by INPUT bytes, and the filtered index is tiny on the wire
+    (~1 MB/partition) while the self-join's OUTPUT explodes up to df²
+    rows per shingle — a 50k-doc stress run coalesced the join to 13
+    tasks of 12 s CPU each, idling 19 of 32 cores. A user-specified
+    partition count is exempt from AQE coalescing, and both self-join
+    sides inherit it (no extra exchange); measured ~30% off the query
+    wall at 10× driver scale, and the same change took the containment
+    pair stage's skew from 4.9× / 992 MB-task to the jaccard profile.
+    """
+    ex = _shingle_index(spark, sf_dir)
+    rare = (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    return ex.join(rare, "shingle").repartition(
+        spark.sparkContext.defaultParallelism * 2, "shingle"
+    )
+
+
 def _jaccard_pairs(
     spark: SparkSession, sf_dir: str, min_jaccard: float
 ) -> DataFrame:
@@ -194,24 +221,7 @@ def _jaccard_pairs(
     # document-frequency filter, both sides of the pair self-join, the
     # per-doc sizes) plus the MinHash signatures below — one shared cache
     # instead of re-tokenizing the corpus per consumer.
-    ex = _shingle_index(spark, sf_dir)
-    rare = (
-        ex.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    # Explicit shingle partitioning for the self-join below. AQE coalesces
-    # post-shuffle partitions by INPUT bytes, and the filtered index is
-    # tiny on the wire (~1 MB/partition) while the join's OUTPUT explodes
-    # up to df^2 rows per shingle — a 50k-doc stress run coalesced the
-    # join to 13 tasks of 12 s CPU each, idling 19 of 32 cores. A
-    # user-specified partition count is exempt from AQE coalescing, and
-    # both self-join sides inherit it (no extra exchange); measured ~30%
-    # off the query wall at 10x driver scale.
-    exf = ex.join(rare, "shingle").repartition(
-        spark.sparkContext.defaultParallelism * 2, "shingle"
-    )
+    exf = _capped_shingle_index(spark, sf_dir)
     # Set sizes over the SAME capped sets the intersection uses (see
     # docstring — numerator/denominator consistency).
     sizes = exf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1461,13 +1471,7 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-equi self-join (pair fanout = Σ df² over capped shingles),
     one pair-keyed count, two |docs|-sized size joins — never all-pairs.
     """
-    ex = _shingle_index(spark, sf_dir)
-    hot = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
-    exf = (
-        ex.join(hot, "shingle")
-        .filter(F.col("df_cnt") <= _MAX_SHINGLE_DF)
-        .select("doc_id", "shingle")
-    )
+    exf = _capped_shingle_index(spark, sf_dir)
     inter = (
         exf.alias("a")
         .join(

@@ -168,6 +168,21 @@ EXTRA_TARGETS = [
     "sample_balanced_classes",
     "text_langid_confusion",
     "sink_dynamic_partition_overwrite",
+    # Round-11 additions: the MAD window (same user-hot-key exposure as
+    # the z-score twin), the variable-interval union (cum-max windows on
+    # the user key), the Expand-based key-skew audit, the two-level PPS
+    # prefix sum, the partial-moments merge, the inverted-index
+    # containment join (pair fanout = capped Σ df²), the vocab broadcast
+    # OOV join, the KS value-grid window, and the hex-domain chunker.
+    "window_anomaly_mad",
+    "window_intervals_merge",
+    "audit_join_key_skew",
+    "sample_weighted_systematic",
+    "agg_incremental_moments_merge",
+    "dedup_containment_ngram",
+    "text_vocab_oov_rate",
+    "corpus_drift_ks",
+    "multimodal_chunk_dedup",
 ]
 
 

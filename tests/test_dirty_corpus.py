@@ -129,6 +129,16 @@ DOC_QUERIES = [
     # (1 doc) — every class keeps exactly one row, md5 pick agreeing.
     "text_langid_confusion",
     "sample_balanced_classes",
+    # Round-11 additions: containment pairs on the identical 5-token
+    # dup docs (containment exactly 1.0 both directions) while null/
+    # empty docs shingle to nothing; the vocab OOV rate where the whole
+    # 10-doc vocabulary fits under K (OOV must be exactly zero — both
+    # engines agreeing on the degenerate case); the KS drift where
+    # single-doc sources hit the n1 = 1 denominator path and src0's
+    # zero-length null/empty docs stack one CDF step.
+    "dedup_containment_ngram",
+    "text_vocab_oov_rate",
+    "corpus_drift_ks",
 ]
 
 
