@@ -157,6 +157,22 @@ GATE_R8_REF = {
     "r8_dedup_impact": 0.3955,
 }
 
+# Round-11 additions, report-only this round (first measurements here,
+# pinned into a gate_r11 next round). Representatives per new shape:
+# the MAD window (hot-key exposure), the inverted-index containment
+# pair join, the two-level PPS prefix sum, the KS value-grid window,
+# the Expand-based skew audit, and the variable-interval union. The
+# three sub-0.5 s narrow shapes (vocab OOV, moments merge, hex chunker)
+# ride the stress profile instead of the bench cohort.
+BENCH_R11_QUERIES = {
+    "r11_mad": "window_anomaly_mad",
+    "r11_containment": "dedup_containment_ngram",
+    "r11_pps": "sample_weighted_systematic",
+    "r11_ks": "corpus_drift_ks",
+    "r11_keyskew": "audit_join_key_skew",
+    "r11_intervals": "window_intervals_merge",
+}
+
 # Round-9 sf0.1 medians (BENCH_r09.json) — the r9-cohort regression
 # reference, pinned in round 10 after one report-only round.
 GATE_R9_REF = {
@@ -168,6 +184,24 @@ GATE_R9_REF = {
     "r9_compact": 0.7265,
     "r9_rerank": 0.3746,
     "r9_tfidf": 1.0155,
+}
+
+# Round-10 sf0.1 medians (BENCH_r10.json) — the r10-cohort regression
+# reference, pinned in round 11 after one report-only round. The r10
+# capture ran at load_avg 15.95; a quiet-load (1.66) round-11 re-run
+# reproduced every value within noise (PROFILE.md adjudication), so
+# these are honest references, with triangle's 12.3 s depending on the
+# deliberate degree-broadcast hint (see graphs.py — dropping it costs
+# 2.4×).
+GATE_R10_REF = {
+    "r10_triangle": 12.3049,
+    "r10_knn": 0.3448,
+    "r10_semdedup": 0.315,
+    "r10_passjoin": 0.3259,
+    "r10_asof_tol": 1.0819,
+    "r10_markov": 0.3642,
+    "r10_zscore": 0.3832,
+    "r10_shards": 0.581,
 }
 
 N_RUNS = 3
@@ -224,6 +258,7 @@ def main() -> None:
     times_r8 = {lb: time_query(qn) for lb, qn in BENCH_R8_QUERIES.items()}
     times_r9 = {lb: time_query(qn) for lb, qn in BENCH_R9_QUERIES.items()}
     times_r10 = {lb: time_query(qn) for lb, qn in BENCH_R10_QUERIES.items()}
+    times_r11 = {lb: time_query(qn) for lb, qn in BENCH_R11_QUERIES.items()}
 
     def gate(times_g: dict, ref: dict, ref_round: int, label: str) -> dict:
         """Regression gate vs a prior round's sf0.1 medians: within
@@ -254,6 +289,7 @@ def main() -> None:
     gate_2c = gate(times_2c, GATE_2C_REF, 7, "2C")
     gate_r8 = gate(times_r8, GATE_R8_REF, 8, "R8")
     gate_r9 = gate(times_r9, GATE_R9_REF, 9, "R9")
+    gate_r10 = gate(times_r10, GATE_R10_REF, 10, "R10")
 
     # Host-load context: a uniformly inflated run on a busy host is
     # environmental, not a regression — record the evidence to
@@ -283,9 +319,11 @@ def main() -> None:
                 "queries_r8": times_r8,
                 "queries_r9": times_r9,
                 "queries_r10": times_r10,
+                "queries_r11": times_r11,
                 "gate_2c": gate_2c,
                 "gate_r8": gate_r8,
                 "gate_r9": gate_r9,
+                "gate_r10": gate_r10,
                 "load_avg": load_avg,
                 "uptime_sec": uptime_sec,
                 "sf": sf,

@@ -331,12 +331,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cosupply_oriented:{sf_dir}",
         spark,
         lambda: (
-            # No forced broadcast: the degree relation is |V|-sized
-            # (grows with the supplier dimension), so the join strategy
-            # is left to the optimizer/AQE — broadcast while |V| fits,
-            # shuffle-hash beyond the autoBroadcast ceiling at 100 TB.
-            edges.join(da, "u")
-            .join(db, "v")
+            # Broadcast the degree relation DELIBERATELY (round-10
+            # advice asked to measure dropping it: letting the
+            # optimizer choose shuffled the |E|-sized edge relation
+            # twice and took the 10× stress wall from 12.3 s to 29.8 s
+            # — 2.4× — under load_avg 1.7, so the hint stays). Ceiling:
+            # deg is |V| rows (the supplier dimension, ~10 k·SF) — two
+            # narrow columns broadcast fine into the hundreds of
+            # millions of nodes; past the autoBroadcast budget at true
+            # web scale, drop BOTH hints and this becomes two edge-keyed
+            # shuffle joins, correct but 2-3× the wall.
+            edges.join(F.broadcast(da), "u")
+            .join(F.broadcast(db), "v")
             .select(
                 F.when(smaller_first, F.col("u"))
                 .otherwise(F.col("v"))
