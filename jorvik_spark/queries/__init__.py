@@ -29,15 +29,15 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 #     registry members with NO driver CORRECTNESS row (parity-green at
 #     sf0.001/0.01/0.1 in LOCAL_PARITY_r10.json and the judge's own
 #     run; all hash-mode).
-#   * Next, the 9 operators NEW in round 11, so they get driver rows at
-#     birth instead of inheriting next round's gap (all hash-mode,
+#   * Next, the 12 operators NEW in round 11, so they get driver rows
+#     at birth instead of inheriting next round's gap (all hash-mode,
 #     parity-tested at three scales before registration).
-#   * The remaining 29 slots rotate by OLDEST evidence: the
+#   * The remaining 26 slots rotate by OLDEST evidence: the
 #     CORRECTNESS_r07 cohort's scan/project/filter/expr/join/agg
-#     basics — the queries a new user runs first. The 20 r7 queries
-#     that don't fit (set ops, sorts, sinks, streams, the r7 text/
-#     dedup/multimodal singles) are the staged round-12 list, followed
-#     by the r8 cohort.
+#     basics — the queries a new user runs first. The 23 r7 queries
+#     that don't fit (agg_cube/grouping_sets/pivot, set ops, sorts,
+#     sinks, streams, the r7 text/dedup/multimodal singles) are the
+#     staged round-12 list, followed by the r8 cohort.
 #   * Still excluded: text_bpe_train (the one remaining rows-only query
 #     — iterative BPE merge table, no ANSI-SQL twin, r8 driver row on
 #     file, brute-force-Python-verified in tests/test_llm_ops.py).
@@ -59,7 +59,7 @@ _CHECK_PRIORITY = [
     "window_session_duration_histogram",
     "multimodal_shard_manifest",
     "sample_balanced_classes",
-    # -- new in round 11: driver rows at birth (9) --
+    # -- new in round 11: driver rows at birth (12) --
     "window_anomaly_mad",
     "window_intervals_merge",
     "audit_join_key_skew",
@@ -69,7 +69,10 @@ _CHECK_PRIORITY = [
     "text_vocab_oov_rate",
     "corpus_drift_ks",
     "multimodal_chunk_dedup",
-    # -- oldest evidence (CORRECTNESS_r07): the new-user basics (29) --
+    "join_interval_overlap",
+    "embed_matryoshka_recall",
+    "window_ohlc_bars",
+    # -- oldest evidence (CORRECTNESS_r07): the new-user basics (26) --
     "scan_parquet_roundtrip",
     "scan_orc_roundtrip",
     "scan_csv_roundtrip",
@@ -96,9 +99,6 @@ _CHECK_PRIORITY = [
     "agg_min_max_dates",
     "agg_distinct",
     "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_pivot",
 ]
 
 

@@ -2242,3 +2242,109 @@ def join_fuzzy_name_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+# Interval-overlap join geometry. Incident windows are a fixed 10
+# minutes; purchase activity spans are the event's own value in seconds
+# clamped to the same ceiling (shared with window_intervals_merge).
+# Bucket width = the max interval length on EITHER side, so every
+# interval touches at most TWO buckets and each overlapping pair
+# co-occupies at least one — the standard bounded-span interval-join
+# blocking (same family as streaming's _bucketed_interval_join).
+_IO_SPAN_US = 600_000_000
+_IO_MIN_US = 1_000_000
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH err AS (
+        SELECT user_id, event_id AS error_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS es,
+               epoch_us(CAST(ts AS TIMESTAMP)) + {_IO_SPAN_US} AS ee
+        FROM events WHERE ts IS NOT NULL AND event_type = 'error'),
+    pur AS (
+        SELECT user_id, event_id AS purchase_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ps,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 + least(greatest(CAST(floor(coalesce(value, 0) * 1000000)
+                                       AS BIGINT),
+                                  {_IO_MIN_US}), {_IO_SPAN_US}) AS pe
+        FROM events WHERE ts IS NOT NULL AND event_type = 'purchase')
+    SELECT e.user_id, e.error_id, p.purchase_id,
+           CAST(least(e.ee, p.pe) - greatest(e.es, p.ps) AS BIGINT)
+               AS overlap_us
+    FROM err e JOIN pur p
+      ON e.user_id = p.user_id AND e.es < p.pe AND p.ps < e.ee
+    ORDER BY e.user_id, error_id, purchase_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join of two span sets per user: purchases whose
+    activity span intersects an open error-incident window — "which
+    purchases happened during an outage", the ops/attribution shape
+    where BOTH sides are intervals (the as-of and lookback joins take a
+    point against an interval; this is span × span).
+
+    Scale shape: a naive overlap join is a per-user range join that
+    Catalyst can only run as per-key pair filtering — quadratic on a hot
+    user (the stress corpus gives user 0 ~30% of events). Because both
+    span lengths are bounded by ``_IO_SPAN_US``, bucketing time at that
+    width makes the join EQUI on (user, bucket): each interval touches
+    ≤ 2 buckets, overlapping pairs co-occupy at least one, and the
+    exactly-once rule (count the pair in the LATER of the two start
+    buckets — a bucket both sides provably touch: the later-starting
+    interval starts there, and the earlier one overlaps it there or
+    they would not overlap at all) replaces pair dedup with a codegen'd
+    predicate. Same geometry as streaming's ``_bucketed_interval_join``
+    (260 s → 2.1 s on the hot-key corpus); the residual overlap test
+    runs inside K-bounded (user, bucket) cells.
+    """
+    w = _IO_SPAN_US
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("es"),
+        (F.unix_micros("ts") + w).alias("ee"),
+    )
+    dur = F.expr(
+        f"least(greatest(CAST(floor(coalesce(value, 0) * 1000000) AS"
+        f" BIGINT), {_IO_MIN_US}L), {_IO_SPAN_US}L)"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("ps"),
+        (F.unix_micros("ts") + dur).alias("pe"),
+    )
+    err_b = err.withColumn(
+        "bucket",
+        F.explode(F.expr(f"sequence(es div {w}, (ee - 1) div {w})")),
+    )
+    pur_b = pur.withColumn(
+        "bucket",
+        F.explode(F.expr(f"sequence(ps div {w}, (pe - 1) div {w})")),
+    )
+    return (
+        err_b.join(pur_b, ["user_id", "bucket"])
+        .filter(
+            (F.col("es") < F.col("pe"))
+            & (F.col("ps") < F.col("ee"))
+            & (
+                F.col("bucket")
+                == F.greatest(
+                    F.expr(f"es div {w}"), F.expr(f"ps div {w}")
+                )
+            )
+        )
+        .select(
+            "user_id",
+            "error_id",
+            "purchase_id",
+            (
+                F.least("ee", "pe") - F.greatest("es", "ps")
+            ).cast("long").alias("overlap_us"),
+        )
+        .orderBy("user_id", "error_id", "purchase_id")
+    )

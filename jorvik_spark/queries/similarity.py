@@ -109,16 +109,23 @@ def _twophase_topk(
     sf_dir: str,
     k: int,
     band: tuple[float, float] | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """Shared two-phase (tree) cosine top-k over the broadcast query set:
     score, optionally band-filter (hard-negative mining), local top-k per
     (query, candidate-id chunk), tiny merge — the reduction documented on
-    :func:`simsearch_topk`; parameterized on k and the similarity band so
-    top-k search and banded pair mining share one implementation."""
-    emb = (
-        _vec_double(load_table(spark, sf_dir, "embeddings"))
-        .withColumn("n2", F.expr(_DOT.format(a="v", b="v")))
-        .filter(F.col("n2") > 0)
+    :func:`simsearch_topk`; parameterized on k, the similarity band, and
+    an optional prefix-dimension truncation (``dims`` — the Matryoshka
+    eval) so top-k search, banded pair mining, and truncated-dim search
+    share one implementation. The zero-norm exclusion applies to the
+    TRUNCATED vector when dims is set: a prefix can be all-zero even
+    when the full vector is not, and cosine is undefined for it either
+    way."""
+    emb = _vec_double(load_table(spark, sf_dir, "embeddings"))
+    if dims is not None:
+        emb = emb.withColumn("v", F.slice("v", 1, dims))
+    emb = emb.withColumn("n2", F.expr(_DOT.format(a="v", b="v"))).filter(
+        F.col("n2") > 0
     )
     queries = F.broadcast(
         emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -1724,4 +1731,97 @@ def simsearch_rerank_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wr).cast("int"))
         .filter(F.col("rank") <= _TOPK)
         .select("query_id", "candidate_id", "shortlist_rank", "cosine", "rank")
+    )
+
+
+# Matryoshka truncation width: search with only the first half of every
+# embedding (Kusupati et al., "Matryoshka Representation Learning",
+# 2022 — public literature). The eval answers "how much recall does
+# serving at half the dimensions cost?" before an index commits to it.
+_MRL_DIMS = 32
+
+
+@query(
+    "embed_matryoshka_recall",
+    oracle=f"""
+    WITH fz AS (SELECT * FROM embeddings WHERE {_SQL_POS_NORM}),
+    q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM fz WHERE vec_id < {_N_QUERIES}),
+    full_scored AS (
+        SELECT q.query_id, c.vec_id AS candidate_id,
+               round({_SQL_COS.format(a='q.qe', b='c.embedding')}, 6)
+                   AS cosine
+        FROM q JOIN fz c ON c.vec_id <> q.query_id),
+    full_top AS (
+        SELECT query_id, candidate_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, candidate_id) AS rank
+            FROM full_scored)
+        WHERE rank <= {_TOPK}),
+    tz AS (SELECT vec_id, embedding[1:{_MRL_DIMS}] AS te FROM embeddings
+           WHERE list_dot_product(CAST(embedding[1:{_MRL_DIMS}] AS DOUBLE[]),
+                 CAST(embedding[1:{_MRL_DIMS}] AS DOUBLE[])) > 0),
+    tq AS (SELECT vec_id AS query_id, te AS qe
+           FROM tz WHERE vec_id < {_N_QUERIES}),
+    trunc_scored AS (
+        SELECT tq.query_id, c.vec_id AS candidate_id,
+               round({_SQL_COS.format(a='tq.qe', b='c.te')}, 6) AS cosine
+        FROM tq JOIN tz c ON c.vec_id <> tq.query_id),
+    trunc_top AS (
+        SELECT query_id, candidate_id, 1 AS hit FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, candidate_id) AS rank
+            FROM trunc_scored)
+        WHERE rank <= {_TOPK})
+    SELECT f.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(coalesce(t.hit, 0)) AS BIGINT) AS n_hits,
+           CAST(SUM(coalesce(t.hit, 0)) * 1000000 // COUNT(*) AS BIGINT)
+               AS recall_ppm
+    FROM full_top f
+    LEFT JOIN trunc_top t
+      ON t.query_id = f.query_id AND t.candidate_id = f.candidate_id
+    GROUP BY f.query_id ORDER BY f.query_id
+    """,
+)
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval: recall@k of HALF-dimension cosine
+    search against the full-dimension ground truth, per query — the
+    measurement that prices a 2× memory/bandwidth cut (serve the first
+    ``_MRL_DIMS`` dims, re-rank later) BEFORE the index commits to it,
+    the recall_eval discipline applied to dimensional truncation instead
+    of cell probing.
+
+    Composes two runs of the SAME two-phase tree top-k (one truncated
+    via the shared ``dims`` parameter — no second implementation to
+    drift) and joins the k-sized lists per query: |queries| × k rows of
+    comparison work after the searches. The truncated pass costs ~half
+    the full pass's dot-product FLOPs on the same |q| × |corpus| stream.
+    """
+    full = simsearch_topk(spark, sf_dir).select("query_id", "candidate_id")
+    trunc = (
+        _twophase_topk(spark, sf_dir, _TOPK, dims=_MRL_DIMS)
+        .select("query_id", "candidate_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        full.join(trunc, ["query_id", "candidate_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hits",
+            F.expr("n_hits * CAST(1000000 AS BIGINT) div k")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
     )

@@ -1513,3 +1513,103 @@ def window_intervals_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# OHLC bar width: hourly bars over the purchase value stream.
+_OHLC_BUCKET_US = 3_600_000_000
+
+
+@query(
+    "window_ohlc_bars",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type = 'purchase'),
+    pos AS (
+        SELECT user_id, ts_us // {_OHLC_BUCKET_US} AS bucket, vu,
+               ROW_NUMBER() OVER w AS rn,
+               COUNT(*) OVER (PARTITION BY user_id,
+                              ts_us // {_OHLC_BUCKET_US}) AS cnt
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id, ts_us // {_OHLC_BUCKET_US}
+                     ORDER BY ts_us, event_id))
+    SELECT user_id,
+           make_timestamp(bucket * {_OHLC_BUCKET_US}) AS bar_start,
+           CAST(MAX(CASE WHEN rn = 1 THEN vu END) AS BIGINT) AS open_u,
+           CAST(MAX(vu) AS BIGINT) AS high_u,
+           CAST(MIN(vu) AS BIGINT) AS low_u,
+           CAST(MAX(CASE WHEN rn = cnt THEN vu END) AS BIGINT) AS close_u,
+           CAST(COUNT(*) AS BIGINT) AS n_trades
+    FROM pos GROUP BY user_id, bucket ORDER BY user_id, bar_start
+    """,
+)
+def window_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars per user over the purchase
+    value stream — the time-series downsampling shape behind candlestick
+    feeds, metric rollups, and feature windows ("first/last/extremes per
+    entity per bucket"). Values are exact micro-unit longs; open/close
+    come from the deterministic (ts, event_id) order, ties impossible.
+
+    Scale shape: ONE sort exchange on (user, hour-bucket) serves both
+    the row-number (open/close positions) and the bucket count; the bar
+    itself is a map-side-combinable aggregate whose output is strictly
+    |users| × |active hours| — the downsample. No first()/last() agg
+    (order-nondeterministic under merge) and no libm: positions, not
+    offsets-into-floats, pick the boundary values.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("vu"),
+        )
+        .withColumn("bucket", F.expr(f"ts_us div {_OHLC_BUCKET_US}"))
+    )
+    w = Window.partitionBy("user_id", "bucket").orderBy("ts_us", "event_id")
+    w_cnt = Window.partitionBy("user_id", "bucket")
+    pos = ev.select(
+        "user_id",
+        "bucket",
+        "vu",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("cnt"),
+    )
+    return (
+        pos.groupBy("user_id", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("vu")))
+            .cast("long")
+            .alias("open_u"),
+            F.max("vu").cast("long").alias("high_u"),
+            F.min("vu").cast("long").alias("low_u"),
+            F.max(F.when(F.col("rn") == F.col("cnt"), F.col("vu")))
+            .cast("long")
+            .alias("close_u"),
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros(
+                F.col("bucket") * _OHLC_BUCKET_US
+            ).alias("bar_start"),
+            "open_u",
+            "high_u",
+            "low_u",
+            "close_u",
+            "n_trades",
+        )
+        .orderBy("user_id", "bar_start")
+    )

@@ -756,3 +756,133 @@ def user_activity_summary(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def running_intervals_union(
+    df: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Online interval-union census — the LIVE stateful twin of the
+    batch ``window_intervals_merge`` query: per key, variable-length
+    event intervals [ts, ts + clamp(value s)] merge into islands as they
+    arrive, and every micro-batch emits the key's updated summary
+    (n_intervals, n_islands, covered_s, max_island_events) — the
+    occupancy/billing counter a live dashboard reads instead of
+    re-scanning history.
+
+    State per key is FIVE longs plus the open island's (start, max_end,
+    n_events) — constant, replayable, checkpoint-safe (the restart test
+    pattern of ``running_anomaly_zscore`` applies). Equivalence
+    contract: with per-key in-order event-time delivery, the LAST
+    emitted row per key equals the batch query's row exactly — the
+    interval clamp below and the batch query's must stay byte-identical
+    (both derive from windows._IU_MIN_US/_IU_MAX_US).
+    """
+    from jorvik_spark.queries.windows import _IU_MAX_US, _IU_MIN_US
+
+    dur = (
+        f"least(greatest(CAST(floor(coalesce(value, 0) * 1000000) AS"
+        f" BIGINT), {_IU_MIN_US}L), {_IU_MAX_US}L)"
+    )
+    filtered = df.filter(F.col("ts").isNotNull()).select(
+        key_col,
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") + F.expr(dur)).alias("end_us"),
+    )
+    if not df.isStreaming:
+        # Batch twin: delegate to the registered window formulation via
+        # the same gaps-and-islands pass (used by the equality tests).
+        from pyspark.sql import Window
+
+        order = [F.col("ts_us"), F.col("event_id")]
+        w_prev = (
+            Window.partitionBy(key_col)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_cum = (
+            Window.partitionBy(key_col)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        labeled = filtered.withColumn(
+            "new_island",
+            F.when(
+                F.max("end_us").over(w_prev) >= F.col("ts_us"), F.lit(0)
+            ).otherwise(F.lit(1)),
+        ).withColumn("island", F.sum("new_island").over(w_cum))
+        islands = labeled.groupBy(key_col, "island").agg(
+            (F.max("end_us") - F.min("ts_us")).alias("covered_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        return islands.groupBy(key_col).agg(
+            F.sum("n_events").cast("long").alias("n_intervals"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.expr("CAST(SUM(covered_us) div 1000000 AS BIGINT)").alias(
+                "covered_s"
+            ),
+            F.max("n_events").cast("long").alias("max_island_events"),
+        )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (n_iv, n_closed, cov_closed, max_ev,
+             cur_s, cur_e, cur_n) = state.get
+        else:
+            n_iv = n_closed = cov_closed = max_ev = 0
+            cur_s = cur_e = cur_n = -1
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for _, row in rows.iterrows():
+            s, e = int(row["ts_us"]), int(row["end_us"])
+            n_iv += 1
+            if cur_n < 0:
+                cur_s, cur_e, cur_n = s, e, 1
+            elif s <= cur_e:
+                cur_e = max(cur_e, e)
+                cur_n += 1
+            else:
+                n_closed += 1
+                cov_closed += cur_e - cur_s
+                max_ev = max(max_ev, cur_n)
+                cur_s, cur_e, cur_n = s, e, 1
+        state.update(
+            (n_iv, n_closed, cov_closed, max_ev, cur_s, cur_e, cur_n)
+        )
+        open_cov = (cur_e - cur_s) if cur_n > 0 else 0
+        yield pd.DataFrame(
+            {
+                key_col: pd.array([key[0]], dtype="Int64"),
+                "n_intervals": pd.array([n_iv], dtype="Int64"),
+                "n_islands": pd.array(
+                    [n_closed + (1 if cur_n > 0 else 0)], dtype="Int64"
+                ),
+                "covered_s": pd.array(
+                    [(cov_closed + open_cov) // 1_000_000], dtype="Int64"
+                ),
+                "max_island_events": pd.array(
+                    [max(max_ev, max(cur_n, 0))], dtype="Int64"
+                ),
+            }
+        )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return filtered.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, n_intervals long, n_islands long, "
+            "covered_s long, max_island_events long"
+        ),
+        stateStructType=(
+            "n_iv long, n_closed long, cov_closed long, max_ev long, "
+            "cur_s long, cur_e long, cur_n long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -183,6 +183,12 @@ EXTRA_TARGETS = [
     "text_vocab_oov_rate",
     "corpus_drift_ks",
     "multimodal_chunk_dedup",
+    # Round-11 batch 2: the bucketed span×span overlap join (user-0 hot
+    # key exposure), the truncated-dim recall eval (two |q|×|corpus|
+    # passes), and the OHLC downsample window.
+    "join_interval_overlap",
+    "embed_matryoshka_recall",
+    "window_ohlc_bars",
 ]
 
 

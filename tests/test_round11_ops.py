@@ -134,3 +134,110 @@ def test_running_anomaly_zscore_survives_restart(spark, tmp_path):
     drain_once()  # run 2: SAME checkpoint — resumes, must not re-flag
     live = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
     assert live == batch_all
+
+
+def test_running_intervals_union_matches_batch_across_restart(spark, tmp_path):
+    """The live interval-union twin must converge to the batch query's
+    per-user summary, with the open-island state surviving a kill:
+    user 1's island straddles the restart cut (the post-restart event
+    extends the pre-restart island), so the merged count is only right
+    if (cur_start, cur_max_end, n_events) came back from the
+    checkpoint."""
+    import datetime
+
+    from pyspark.sql import functions as SF
+
+    from jorvik_spark.streaming.ops import running_intervals_union
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        # user 1: three events whose 60 s-valued intervals chain into
+        # ONE island that straddles the cut at +90 s (the open island
+        # [0, 110) must merge with the post-restart event at +100 s),
+        # then a separate 5 s island half an hour later.
+        (1, base, 1, "view", 60.0, None),
+        (2, base + datetime.timedelta(seconds=50), 1, "view", 60.0, None),
+        (3, base + datetime.timedelta(seconds=100), 1, "view", 60.0, None),
+        (4, base + datetime.timedelta(minutes=30), 1, "view", 5.0, None),
+        # user 2: one event, null value (clamped to the 1 s floor).
+        (5, base + datetime.timedelta(seconds=40), 2, "view", None, None),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    src, dst, cp = (str(tmp_path / d) for d in ("src", "dst", "cp"))
+    cut = base + datetime.timedelta(seconds=90)
+    df.filter(SF.col("ts") < cut).coalesce(1).write.parquet(f"{src}/p=a")
+
+    def drain_once() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/p=*")
+        )
+        q = (
+            running_intervals_union(stream)
+            .writeStream.foreachBatch(
+                lambda b, i: b.withColumn("bid", SF.lit(i))
+                .write.mode("append")
+                .parquet(dst)
+            )
+            .option("checkpointLocation", cp)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    drain_once()
+    df.filter(SF.col("ts") >= cut).coalesce(1).write.parquet(f"{src}/p=b")
+    drain_once()  # same checkpoint: open-island state must resume
+
+    out = spark.read.parquet(dst)
+    last_bid = out.groupBy("user_id").agg(SF.max("bid").alias("bid"))
+    live = sorted(
+        tuple(r)
+        for r in out.join(last_bid, ["user_id", "bid"])
+        .drop("bid")
+        .collect()
+    )
+    batch = sorted(
+        tuple(r) for r in running_intervals_union(df).collect()
+    )
+    assert live == batch
+    as_dict = {r[0]: r[1:] for r in batch}
+    # user 1: 4 intervals, 2 islands — events 1-3 merged ACROSS the cut
+    # (0..60 ∪ 50..110 ∪ 100..160 = [0, 160)), plus the lone 5 s island:
+    # covered 160 + 5, max island 3 events.
+    assert as_dict[1] == (4, 2, 160 + 5, 3)
+    assert as_dict[2] == (1, 1, 1, 1)
+
+
+def test_intervals_union_batch_twin_equals_registered_query(spark):
+    """The live twin's batch branch and the registered
+    window_intervals_merge query must agree on the real corpus — the
+    same one-implementation discipline the anomaly twins follow."""
+    from jorvik_spark.queries.windows import window_intervals_merge
+    from jorvik_spark.streaming.ops import running_intervals_union
+    from jorvik_spark.tables import load_table
+
+    reg = {
+        r["user_id"]: (
+            r["n_intervals"], r["n_islands"],
+            r["covered_s"], r["max_island_events"],
+        )
+        for r in window_intervals_merge(spark, SF_DIR).collect()
+    }
+    twin = {
+        r["user_id"]: (
+            r["n_intervals"], r["n_islands"],
+            r["covered_s"], r["max_island_events"],
+        )
+        for r in running_intervals_union(
+            load_table(spark, SF_DIR, "events")
+        ).collect()
+    }
+    assert reg == twin and len(reg) > 0
