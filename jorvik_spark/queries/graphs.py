@@ -27,7 +27,7 @@ host-level web link graph at testdata scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jorvik_spark.tables import load_table
@@ -395,3 +395,112 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_ppm"),
         )
     )
+
+
+# Link-prediction shortlist size for the k-NN graph RA scores.
+_RA_TOP = 20
+
+
+@query(
+    "graph_knn_linkpred_ra",
+    oracle="""
+    WITH knn AS ({KNN_ORACLE}),
+    edges AS (
+        SELECT DISTINCT least(vec_id, neighbor_id) AS u,
+               greatest(vec_id, neighbor_id) AS v
+        FROM knn),
+    adj AS (SELECT u AS c, v AS n FROM edges
+            UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT c, COUNT(*) AS d FROM adj GROUP BY c),
+    cand AS (
+        SELECT a.n AS u, b.n AS v,
+               COUNT(*) AS n_common,
+               SUM(1000000 // dg.d) AS ra_ppm
+        FROM adj a JOIN adj b ON a.c = b.c AND a.n < b.n
+        JOIN deg dg ON dg.c = a.c
+        GROUP BY a.n, b.n),
+    nonedges AS (
+        SELECT cand.* FROM cand
+        LEFT JOIN edges e ON e.u = cand.u AND e.v = cand.v
+        WHERE e.u IS NULL)
+    SELECT u AS vec_a, v AS vec_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(ra_ppm AS BIGINT) AS ra_ppm,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ra_ppm DESC, u, v) AS rnk
+          FROM nonedges)
+    WHERE rnk <= {RA_TOP}
+    ORDER BY rank
+    """,
+)
+def graph_knn_linkpred_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the embedding k-NN graph: Resource
+    Allocation scores (Zhou, Lü & Zhang 2009, public literature —
+    Σ 1/deg(c) over common neighbors c, here in exact integer ppm via
+    floor division) for vector pairs that are NOT each other's
+    neighbors but share many — the graph-expansion candidates behind
+    diversified retrieval, cluster stitching, and hubness audits. The
+    co-supply graph can't host this (it is COMPLETE at the checked
+    scales — zero non-edges); the k-NN relation is sparse by
+    construction, which is exactly why link prediction on it means
+    something.
+
+    Scale shape: the common-neighbor self-join is keyed on the center
+    vertex, and every center's degree in a k-NN graph is bounded
+    (out-degree ≤ k by construction, in-degree concentrated unless the
+    space is hubby — the skew this query also surfaces), so the wedge
+    fanout is Σ deg² ≈ |V|·O(k²), linear in the corpus. One distinct
+    symmetrization, one self-join, one anti-join against the edge set,
+    and a global top-{RA_TOP} (TakeOrderedAndProject — no full sort).
+    Composes the memoized within-cell pair relation through
+    :func:`simsearch_knn_graph`; its oracle embeds the k-NN oracle
+    verbatim, so the edge semantics cannot drift between engines.
+    """
+    from jorvik_spark.queries.similarity import simsearch_knn_graph
+
+    knn = simsearch_knn_graph(spark, sf_dir)
+    edges = knn.select(
+        F.least("vec_id", "neighbor_id").alias("u"),
+        F.greatest("vec_id", "neighbor_id").alias("v"),
+    ).distinct()
+    adj = edges.select(F.col("u").alias("c"), F.col("v").alias("n")).unionAll(
+        edges.select(F.col("v").alias("c"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy("c").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("c").alias("dc"), "d"
+    )
+    a, b = adj.alias("a"), adj.alias("b")
+    cand = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n")))
+        .join(deg, F.col("dc") == F.col("a.c"))
+        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.expr("CAST(1000000 AS BIGINT) div d")).alias("ra_ppm"),
+        )
+    )
+    nonedges = cand.join(edges, ["u", "v"], "left_anti")
+    w = Window.orderBy(F.desc("ra_ppm"), "u", "v")
+    return (
+        nonedges.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RA_TOP)
+        .select(
+            F.col("u").alias("vec_a"),
+            F.col("v").alias("vec_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("ra_ppm").cast("long").alias("ra_ppm"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+# Embed the k-NN oracle verbatim (one definition of the edge semantics
+# on the SQL side too — the corpus_chunk_dedup_rate composition pattern).
+from jorvik_spark.queries.registry import ORACLES as _ORACLES_G  # noqa: E402
+
+_ORACLES_G["graph_knn_linkpred_ra"] = (
+    _ORACLES_G["graph_knn_linkpred_ra"]
+    .replace("{KNN_ORACLE}", _ORACLES_G["simsearch_knn_graph"])
+    .replace("{RA_TOP}", str(_RA_TOP))
+)

@@ -1613,3 +1613,138 @@ def window_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bar_start")
     )
+
+
+# CUSUM decision threshold, in micro-units: flag once the one-sided
+# cumulative deviation from the user's own mean exceeds h. Sized like
+# the module's other detector constants: bites on the synthetic corpus
+# at every SF without flagging every row.
+_CUSUM_H_U = 50_000_000
+
+
+@query(
+    "window_cusum_changepoints",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type = 'purchase'),
+    mu AS (
+        SELECT user_id,
+               SUM(vu) // COUNT(*) AS mu_u, COUNT(*) AS n
+        FROM ev GROUP BY user_id HAVING COUNT(*) >= 8),
+    t AS (
+        SELECT e.user_id, e.event_id, e.ts,
+               SUM(e.vu - m.mu_u) OVER w AS tail_i,
+               ROW_NUMBER() OVER w AS i
+        FROM ev e JOIN mu m USING (user_id)
+        WINDOW w AS (PARTITION BY e.user_id
+                     ORDER BY CAST(e.ts AS TIMESTAMP), e.event_id
+                     ROWS UNBOUNDED PRECEDING)),
+    s AS (
+        SELECT user_id, event_id, ts, i,
+               tail_i - least(coalesce(min(tail_i) OVER
+                   (PARTITION BY user_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0), 0) AS cusum
+        FROM t)
+    SELECT user_id, CAST(MIN(i) AS BIGINT) AS first_exceed_pos,
+           CAST(MIN_BY(event_id, i) AS BIGINT) AS first_exceed_event,
+           CAST(MAX(cusum) AS BIGINT) AS max_cusum
+    FROM s
+    WHERE cusum > {_CUSUM_H_U}
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def window_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection per user (Page 1954,
+    public literature): the cumulative upward deviation of purchase
+    values from the user's own mean, flagged at the first position the
+    statistic crosses h — the level-shift detector that catches a
+    GRADUAL drift the per-event z-score/MAD screens never see (each
+    event individually unremarkable, the run of them decisive).
+
+    The recursion S_i = max(0, S_{i-1} + (x_i − μ)) is not a window
+    expression, but its closed form is: with the prefix transform
+    t_i = Σ_{j≤i}(x_j − μ), S_i = t_i − min(0, min_{j<i} t_j) — a
+    running sum and a running minimum over ONE shared user-keyed
+    ordering, both exact integers. The report row per user is the
+    first crossing position/event and the peak statistic.
+
+    Scale shape: one map-combined per-user mean (exact floor-division
+    integer), one sort exchange shared by both window passes, one
+    final aggregate. μ is per-user — no broadcast of anything bigger
+    than the group-mean relation, which joins back user-keyed on the
+    same shuffle.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("vu"),
+        )
+    )
+    mu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr("SUM(vu) div COUNT(1)").alias("mu_u"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 8)
+        .select("user_id", "mu_u")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = ev.join(mu, "user_id").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("vu") - F.col("mu_u")).over(w).alias("tail_i"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("i"),
+    )
+    s = t.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "i",
+        (
+            F.col("tail_i")
+            - F.least(
+                F.coalesce(F.min("tail_i").over(w_prev), F.lit(0)),
+                F.lit(0),
+            )
+        ).alias("cusum"),
+    )
+    return (
+        s.filter(F.col("cusum") > _CUSUM_H_U)
+        .groupBy("user_id")
+        .agg(
+            F.min("i").cast("long").alias("first_exceed_pos"),
+            F.expr("CAST(MIN_BY(event_id, i) AS BIGINT)").alias(
+                "first_exceed_event"
+            ),
+            F.max("cusum").cast("long").alias("max_cusum"),
+        )
+        .orderBy("user_id")
+    )

@@ -189,6 +189,10 @@ EXTRA_TARGETS = [
     "join_interval_overlap",
     "embed_matryoshka_recall",
     "window_ohlc_bars",
+    # Round-11 batch 3: the CUSUM prefix-transform windows and the
+    # k-NN-graph common-neighbor self-join (fanout Σ deg², deg ≤ 2k).
+    "window_cusum_changepoints",
+    "graph_knn_linkpred_ra",
 ]
 
 
