@@ -199,11 +199,14 @@ def expr_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "expr_json_extract",
     oracle="""
-    SELECT event_id, event_type,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
-    FROM events
-    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    WITH safe AS (
+        SELECT event_id, event_type,
+               TRY_CAST(json_extract(
+                   CASE WHEN json_valid(props) THEN props END, '$.k')
+                 AS BIGINT) AS k
+        FROM events)
+    SELECT event_id, event_type, k, k % 10 AS k_mod
+    FROM safe WHERE k >= 50
     """,
 )
 def expr_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,9 +216,18 @@ def expr_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns at 100 TB never need a Python parse. For repeated multi-field
     access, ``from_json`` with a declared schema amortizes the parse once;
     single-field access like this stays with the path extractor.
+
+    Declared dirty-input semantics (pinned by test_dirty_events.py):
+    malformed JSON, a missing key, and a non-numeric value all yield
+    NULL — Spark's extractor+cast does this natively; the oracle needs
+    json_valid + TRY_CAST because DuckDB's json_extract THROWS on
+    malformed input (a 100 TB crawl will contain it, so null-and-drop
+    is the only semantics that survives contact with real props).
     """
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+    # on a non-numeric extracted value kills the job.
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return (
         ev.select(
             "event_id",

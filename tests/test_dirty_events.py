@@ -1,0 +1,132 @@
+"""Cross-engine parity on a DIRTY event stream.
+
+The documents/embeddings dirty suites exist (test_dirty_corpus.py);
+this is the same discipline for the EVENTS table, which every window/
+sessionization/anomaly operator reads: null timestamps, null values,
+tied (user, ts) pairs (the event_id tie-break must decide identically),
+negative/zero/boundary values, single-event users, an unknown
+event_type, malformed/missing-key props JSON, rows exactly on bucket
+boundaries, and file order != time order. Any ordering a query leaves
+implicit (NULL placement, tie order) diverges between Spark and DuckDB
+— these tests force every events operator to DECLARE its semantics.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pytest
+
+from jorvik_spark.queries import ORACLES, QUERIES
+from tests.oracle_utils import compare
+
+B = dt.datetime(2024, 5, 1, 9, 0, 0)
+
+
+def _r(eid, sec, user, etype, value, props=None):
+    ts = None if sec is None else B + dt.timedelta(seconds=sec)
+    return (eid, ts, user, etype, value, props)
+
+
+ROWS = [
+    # user 1: a clean purchase baseline with one TIE (two events at the
+    # same timestamp — event_id must break it identically), one null
+    # value mid-stream, one negative and one zero value, and a spike.
+    _r(1, 0, 1, "purchase", 10.0, '{"k": 1}'),
+    _r(2, 60, 1, "purchase", 10.5, '{"k": 2}'),
+    _r(3, 120, 1, "purchase", 9.5, "not json"),
+    _r(4, 120, 1, "purchase", 11.0, None),  # tie with event 3
+    _r(5, 180, 1, "purchase", None, '{"other": 9}'),
+    _r(6, 240, 1, "purchase", -5.0, '{"k": -3}'),
+    _r(7, 300, 1, "purchase", 0.0, "{}"),
+    _r(8, 360, 1, "purchase", 10.2, '{"k": 4}'),
+    _r(9, 420, 1, "purchase", 9.9, '{"k": 5}'),
+    _r(10, 480, 1, "purchase", 5000.0, '{"k": 6}'),  # spike
+    # user 1 also has error/view/click traffic, incl. an error whose
+    # 10-minute window spans several purchases (interval overlap) and a
+    # view exactly ON the hour-bucket boundary.
+    _r(11, 30, 1, "error", 1.0, None),
+    _r(12, 3600, 1, "view", 2.0, '{"k": 7}'),
+    _r(13, 3601, 1, "click", 3.0, None),
+    # user 2: single event, null value (1 s interval clamp floor).
+    _r(14, 90, 2, "view", None, None),
+    # user 3: null-ts rows — excluded by ts-filtering operators; any
+    # operator that keeps them must ORDER them identically (the suite
+    # exists to catch exactly that).
+    _r(15, None, 3, "purchase", 7.0, '{"k": 8}'),
+    _r(16, None, 3, "view", 1.0, None),
+    _r(17, 600, 3, "purchase", 8.0, '{"k": 9}'),
+    # user 4: signup funnel out of file order (rows below are earlier
+    # than rows above — parquet order must not matter), with a
+    # same-second signup/view pair and an unknown event type.
+    _r(18, 1000, 4, "purchase", 42.0, '{"k": 10}'),
+    _r(19, 900, 4, "click", 1.0, None),
+    _r(20, 800, 4, "view", 1.0, None),
+    _r(21, 800, 4, "signup", 1.0, None),
+    _r(22, 700, 4, "weird", 123.456, '{"k": "str"}'),
+    # user 5: two events 31 minutes apart (session-gap edge: exactly
+    # past the 30-minute sessionizer gap → two sessions).
+    _r(23, 0, 5, "view", 1.5, None),
+    _r(24, 1860, 5, "view", 2.5, None),
+]
+
+EVENT_QUERIES = [
+    "window_rank_per_user",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_moving_avg",
+    "window_sessionize",
+    "window_session_duration_histogram",
+    "window_anomaly_zscore",
+    "window_anomaly_mad",
+    "window_intervals_merge",
+    "window_ohlc_bars",
+    "window_cusum_changepoints",
+    "window_time_weighted_avg",
+    "window_peak_concurrency",
+    "window_resample_ffill",
+    "agg_markov_transitions",
+    "agg_funnel_steps",
+    "agg_retention_cohort",
+    "join_interval_overlap",
+    "expr_json_extract",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dirty_events")
+    pd.DataFrame(
+        ROWS,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).astype({"ts": "datetime64[us]"}).to_parquet(
+        str(d / "events.parquet")
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def dirty_events_con(dirty_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,"
+        " user_id, event_type, value, props FROM "
+        f"read_parquet('{dirty_events_dir}/events.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_dirty_events_parity(spark, dirty_events_dir, dirty_events_con, name):
+    compare(
+        QUERIES[name](spark, dirty_events_dir),
+        dirty_events_con,
+        ORACLES[name],
+        name,
+    )
