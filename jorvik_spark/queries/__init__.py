@@ -29,13 +29,13 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 #     registry members with NO driver CORRECTNESS row (parity-green at
 #     sf0.001/0.01/0.1 in LOCAL_PARITY_r10.json and the judge's own
 #     run; all hash-mode).
-#   * Next, the 14 operators NEW in round 11, so they get driver rows
+#   * Next, the 15 operators NEW in round 11, so they get driver rows
 #     at birth instead of inheriting next round's gap (all hash-mode,
 #     parity-tested at three scales before registration).
-#   * The remaining 24 slots rotate by OLDEST evidence: the
-#     CORRECTNESS_r07 cohort's scan/project/filter/expr/join/agg
-#     basics — the queries a new user runs first. The 25 r7 queries
-#     that don't fit (agg_distinct/rollup/cube/grouping_sets/pivot,
+#   * The remaining 23 slots rotate by OLDEST evidence: the
+#     CORRECTNESS_r07 cohort's scan/project/filter/expr/join basics —
+#     the queries a new user runs first. The 26 r7 queries that don't
+#     fit (agg_min_max_dates/distinct/rollup/cube/grouping_sets/pivot,
 #     set ops, sorts, sinks, streams, the r7 text/dedup/multimodal
 #     singles) are the staged round-12 list, followed by the r8 cohort.
 #   * Still excluded: text_bpe_train (the one remaining rows-only query
@@ -74,7 +74,8 @@ _CHECK_PRIORITY = [
     "window_ohlc_bars",
     "window_cusum_changepoints",
     "graph_knn_linkpred_ra",
-    # -- oldest evidence (CORRECTNESS_r07): the new-user basics (24) --
+    "sink_layout_skipping_eval",
+    # -- oldest evidence (CORRECTNESS_r07): the new-user basics (23) --
     "scan_parquet_roundtrip",
     "scan_orc_roundtrip",
     "scan_csv_roundtrip",
@@ -98,7 +99,6 @@ _CHECK_PRIORITY = [
     "join_range",
     "join_asof",
     "join_skew_salted",
-    "agg_min_max_dates",
 ]
 
 

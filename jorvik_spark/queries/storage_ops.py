@@ -1158,3 +1158,185 @@ def catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.name == name for t in spark.catalog.listTables()
     ), f"{name} missing from catalog after saveAsTable"
     return spark.table(name)
+
+
+# Skipping-eval geometry: every layout is bucketed 16 ways (matching
+# _Z_BUCKETS so the zorder comparison is apples-to-apples) and probed
+# with 8 evenly-spaced point predicates per key dimension.
+_SKIP_B = 16
+_SKIP_P = 8
+
+
+@query(
+    "sink_layout_skipping_eval",
+    oracle=f"""
+    WITH mx AS (
+        SELECT MAX(l_orderkey) + 1 AS mo, MAX(l_partkey) + 1 AS mp
+        FROM lineitem),
+    keyed AS (
+        SELECT l_orderkey, l_partkey, mo, mp,
+               (l_orderkey * 65536) // mo AS x,
+               (l_partkey * 65536) // mp AS y
+        FROM lineitem CROSS JOIN mx),
+    assigned AS (
+        SELECT 'sort_orderkey' AS layout,
+               (l_orderkey * {_SKIP_B}) // mo AS bucket,
+               l_orderkey, l_partkey FROM keyed
+        UNION ALL
+        SELECT 'sort_partkey', (l_partkey * {_SKIP_B}) // mp,
+               l_orderkey, l_partkey FROM keyed
+        UNION ALL
+        SELECT 'zorder',
+               CAST(list_sum(list_transform(range(0, 16),
+                   i -> (((x >> i) & 1) << (2 * i + 1))
+                      + (((y >> i) & 1) << (2 * i)))) AS BIGINT)
+                 // {(1 << 32) // _SKIP_B},
+               l_orderkey, l_partkey FROM keyed),
+    stats AS (
+        SELECT layout, bucket,
+               MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+               MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk
+        FROM assigned GROUP BY layout, bucket),
+    probes AS (
+        SELECT 'orderkey' AS probe_dim,
+               (mo * (2 * j + 1)) // {2 * _SKIP_P} AS v
+        FROM mx CROSS JOIN (SELECT unnest(range(0, {_SKIP_P})) AS j)
+        UNION ALL
+        SELECT 'partkey', (mp * (2 * j + 1)) // {2 * _SKIP_P}
+        FROM mx CROSS JOIN (SELECT unnest(range(0, {_SKIP_P})) AS j)),
+    hits AS (
+        SELECT s.layout, p.probe_dim,
+               CASE WHEN (p.probe_dim = 'orderkey'
+                          AND p.v BETWEEN s.min_ok AND s.max_ok)
+                      OR (p.probe_dim = 'partkey'
+                          AND p.v BETWEEN s.min_pk AND s.max_pk)
+                    THEN 1 ELSE 0 END AS hit
+        FROM stats s CROSS JOIN probes p)
+    SELECT layout, probe_dim,
+           CAST(COUNT(*) / {_SKIP_P} AS BIGINT) AS n_buckets,
+           CAST(SUM(hit) AS BIGINT) AS n_scanned_bucket_probes,
+           CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS scan_ppm
+    FROM hits GROUP BY layout, probe_dim ORDER BY layout, probe_dim
+    """,
+)
+def sink_layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping effectiveness, MEASURED across three physical
+    layouts of the same table: bucket lineitem 16 ways by (a) orderkey
+    range, (b) partkey range, (c) z-order Morton range, collect each
+    bucket's min/max footer stats for BOTH keys, and probe all three
+    with the same 8 evenly-spaced point predicates per dimension. The
+    report is the fraction of bucket×probe pairs a stats-pruning scan
+    must actually read — THE number that justifies clustering choices
+    at 100 TB: a single-key sort scans ~1/16 per probe on its own key
+    but 100% on the other; z-order pays a small multiple on each key to
+    avoid the 100% stripe on either (Delta/Iceberg OPTIMIZE ZORDER's
+    pitch, made measurable; same Morton normalization as
+    ``sink_zorder_layout``).
+
+    Scale shape: one scan feeds three codegen'd bucket assignments
+    (equal-WIDTH key ranges, not ntile — no global sort anywhere), the
+    stats relation is 3×16 rows, and the probe evaluation is a tiny
+    broadcast cross product over it. On a real lake the stats relation
+    IS the table's file-footer index, so this query runs off metadata
+    alone — which is exactly how a format like Delta evaluates pruning.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    # The Morton fold is CPU-bound per row; a single-file testdata scan
+    # would run it on one task (measured: 26× stage skew at 10×). Same
+    # conditional spread as text_analysis._repartitioned_docs — shuffle
+    # only when the scan is under-split relative to the cluster (a real
+    # lake already has thousands of splits).
+    n = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < n:
+        li = li.repartition(n)
+    mx = li.agg(
+        (F.max("l_orderkey") + 1).alias("mo"),
+        (F.max("l_partkey") + 1).alias("mp"),
+    )
+    keyed = li.crossJoin(F.broadcast(mx))
+    zval = F.expr(
+        f"aggregate(sequence(0, 15), CAST(0 AS BIGINT), "
+        "(acc, i) -> acc"
+        " + shiftleft(CAST((shiftright((l_orderkey * 65536) div mo, i) & 1)"
+        " AS BIGINT), 2 * i + 1)"
+        " + shiftleft(CAST((shiftright((l_partkey * 65536) div mp, i) & 1)"
+        " AS BIGINT), 2 * i))"
+    )
+    # ONE scan, all three assignments per row, exploded to (layout,
+    # bucket) rows — a 3-leg UNION would scan three times AND skew the
+    # stage ~30× (the Morton leg's fold costs ~16 integer ops/row while
+    # the sort legs are one division; measured at 10×). float division
+    # for the z bucket is EXACT: the divisor is a power of two (2^28),
+    # so zval·2⁻²⁸ has no rounding and the long cast is a true floor —
+    # identical to the oracle's integer //.
+    zb = (zval / F.lit((1 << 32) // _SKIP_B)).cast("long")
+    assigned = keyed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("sort_orderkey").alias("layout"),
+                    F.expr(f"(l_orderkey * {_SKIP_B}) div mo").alias(
+                        "bucket"
+                    ),
+                ),
+                F.struct(
+                    F.lit("sort_partkey").alias("layout"),
+                    F.expr(f"(l_partkey * {_SKIP_B}) div mp").alias(
+                        "bucket"
+                    ),
+                ),
+                F.struct(F.lit("zorder").alias("layout"), zb.alias("bucket")),
+            )
+        ).alias("lb"),
+        "l_orderkey",
+        "l_partkey",
+    ).select("lb.layout", "lb.bucket", "l_orderkey", "l_partkey")
+    stats = assigned.groupBy("layout", "bucket").agg(
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+        F.min("l_partkey").alias("min_pk"),
+        F.max("l_partkey").alias("max_pk"),
+    )
+    js = spark.range(_SKIP_P).select(F.col("id").alias("j"))
+    probes = (
+        mx.crossJoin(js)
+        .select(
+            F.lit("orderkey").alias("probe_dim"),
+            F.expr(f"(mo * (2 * j + 1)) div {2 * _SKIP_P}").alias("v"),
+        )
+        .unionAll(
+            mx.crossJoin(js).select(
+                F.lit("partkey"),
+                F.expr(f"(mp * (2 * j + 1)) div {2 * _SKIP_P}"),
+            )
+        )
+    )
+    hit = F.when(
+        (
+            (F.col("probe_dim") == "orderkey")
+            & F.col("v").between(F.col("min_ok"), F.col("max_ok"))
+        )
+        | (
+            (F.col("probe_dim") == "partkey")
+            & F.col("v").between(F.col("min_pk"), F.col("max_pk"))
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        stats.crossJoin(F.broadcast(probes))
+        .select("layout", "probe_dim", hit.alias("hit"))
+        .groupBy("layout", "probe_dim")
+        .agg(
+            F.expr(f"CAST(COUNT(1) / {_SKIP_P} AS BIGINT)").alias(
+                "n_buckets"
+            ),
+            F.sum("hit").cast("long").alias("n_scanned_bucket_probes"),
+            F.expr(
+                "CAST(SUM(hit) * CAST(1000000 AS BIGINT)"
+                " div COUNT(1) AS BIGINT)"
+            ).alias("scan_ppm"),
+        )
+        .orderBy("layout", "probe_dim")
+    )

@@ -193,6 +193,7 @@ EXTRA_TARGETS = [
     # k-NN-graph common-neighbor self-join (fanout Σ deg², deg ≤ 2k).
     "window_cusum_changepoints",
     "graph_knn_linkpred_ra",
+    "sink_layout_skipping_eval",
 ]
 
 
@@ -391,7 +392,15 @@ def main() -> None:
             for s in stages:
                 peak_mem = max(peak_mem, int(s["peak_mem"][-1]))
                 shuffle_max = max(shuffle_max, int(s["shuffle_read"][-1]))
-                if s["tasks"] >= 8 and s["run_ms"][1] > 0:
+                # Absolute floor: a stage whose slowest task is < 500 ms
+                # cannot be a scale risk however lopsided its max/median
+                # looks (a 16-row metadata join spread over 32 tasks
+                # reports "63x skew" on 1 ms medians — noise, not signal).
+                if (
+                    s["tasks"] >= 8
+                    and s["run_ms"][1] > 0
+                    and s["run_ms"][-1] >= 500
+                ):
                     skew = s["run_ms"][-1] / s["run_ms"][1]
                     if skew > worst_skew:
                         worst_skew, worst_stage = skew, s["stage"]
