@@ -1,0 +1,93 @@
+"""Operational monitoring over an event stream: three complementary
+detectors plus the engagement/outage context, in one session.
+
+A production screen never relies on one statistic. This example
+composes the round-11 anomaly family the way an on-call dashboard
+consumes it:
+
+* ``window_anomaly_zscore``   — per-event 3σ spikes (fast, but one
+  earlier outlier inflates σ and can MASK the next);
+* ``window_anomaly_mad``      — the robust median/MAD twin (immune to
+  ≤50% baseline contamination; spikes the z-score misses);
+* ``window_cusum_changepoints`` — gradual level shifts (every event
+  individually unremarkable, the run of them decisive);
+* ``window_intervals_merge``  — activity coverage per user (the
+  never-idle bot signal: covered_s ≈ calendar span);
+* ``join_interval_overlap``   — purchases that happened inside an open
+  error-incident window (blast-radius attribution).
+
+The report reconciles the detectors: how many users each flags, the
+overlap between the instantaneous screens, and whether CUSUM found
+drifting users neither point detector flagged — the reason all three
+exist. The live halves (``running_anomaly_zscore``,
+``running_intervals_union``) emit the same flags/summaries
+incrementally; tests pin batch/stream equality and restart safety.
+
+Run ``python examples/ops_monitoring.py [sf_dir]``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import SparkSession
+
+from jorvik_spark.queries.joins import join_interval_overlap  # noqa: E402
+from jorvik_spark.queries.windows import (  # noqa: E402
+    window_anomaly_mad,
+    window_anomaly_zscore,
+    window_cusum_changepoints,
+    window_intervals_merge,
+)
+
+
+def monitor(spark: SparkSession, sf_dir: str) -> dict:
+    """Run the five screens; returns {metric: value} with the detector
+    overlap reconciliation. All five share the events scan semantics
+    (null ts/value exclusion, (ts, event_id) ordering — pinned by
+    tests/test_dirty_events.py)."""
+    z_users = {
+        r["user_id"] for r in window_anomaly_zscore(spark, sf_dir).collect()
+    }
+    mad_users = {
+        r["user_id"] for r in window_anomaly_mad(spark, sf_dir).collect()
+    }
+    cusum_users = {
+        r["user_id"]
+        for r in window_cusum_changepoints(spark, sf_dir).collect()
+    }
+    coverage = window_intervals_merge(spark, sf_dir).collect()
+    overlap_pairs = join_interval_overlap(spark, sf_dir).count()
+    return {
+        "zscore_users": len(z_users),
+        "mad_users": len(mad_users),
+        "cusum_users": len(cusum_users),
+        "point_screen_overlap": len(z_users & mad_users),
+        "mad_only_users": len(mad_users - z_users),
+        "drift_only_users": len(cusum_users - z_users - mad_users),
+        "users_with_coverage": len(coverage),
+        "max_covered_s": max((r["covered_s"] for r in coverage), default=0),
+        "purchases_in_error_windows": overlap_pairs,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .appName("ops_monitoring_example")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    report = monitor(spark, sf_dir)
+    for k, v in report.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,31 @@
+"""The ops-monitoring example end-to-end: all five screens run on one
+session and the reconciliation arithmetic is internally consistent."""
+
+from __future__ import annotations
+
+from examples.ops_monitoring import monitor
+from jorvik_spark.tables import default_sf_dir
+
+
+def test_monitor_report_complete_and_consistent(spark):
+    report = monitor(spark, default_sf_dir())
+    # set arithmetic must reconcile
+    assert report["point_screen_overlap"] <= min(
+        report["zscore_users"], report["mad_users"]
+    )
+    assert (
+        report["mad_only_users"]
+        == report["mad_users"] - report["point_screen_overlap"]
+    )
+    assert report["drift_only_users"] <= report["cusum_users"]
+    # every detector finds SOMETHING on the synthetic corpus (the
+    # screens are calibrated non-vacuous at every SF)
+    for k in (
+        "zscore_users",
+        "mad_users",
+        "cusum_users",
+        "users_with_coverage",
+        "purchases_in_error_windows",
+    ):
+        assert report[k] > 0, k
+    assert report["max_covered_s"] > 0
