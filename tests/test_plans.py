@@ -951,3 +951,42 @@ def test_pagerank_reuses_persisted_edges(spark):
     # (one Union of fwd+rev inside InMemoryRelation); rounds are joins +
     # aggregates over the cache, with no CartesianProduct anywhere.
     assert "CartesianProduct" not in tree
+
+
+def test_interval_overlap_is_bucket_equi_not_range(spark):
+    """The span×span overlap join must key on (user, bucket) — the
+    time predicates are residuals on an equi join, never a per-user
+    range-join pair filter (quadratic on a hot user)."""
+    plan = _plan(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # equi-keyed, hash family
+    # the equi key includes the time bucket, not just the user
+    assert "bucket" in plan
+
+
+def test_layout_skipping_eval_single_fact_scan(spark):
+    """Three layout assignments must ride ONE lineitem scan (struct
+    explode), not a 3-leg union that scans three times — plus the tiny
+    probe relation broadcast, never shuffled."""
+    plan = _plan(spark, "sink_layout_skipping_eval")
+    # one Generate (the struct explode) assigns all three layouts; a
+    # 3-leg Union would triple-run the Morton fold over the fact rows
+    # (the extra narrow scans in the plan are the one-column min/max
+    # passes — cheap; the FOLD is what must not replicate).
+    # formatted explain names each node twice (tree line + detail
+    # header), so ONE explode node == exactly two "Generate" mentions.
+    # (A Union DOES appear — the 16-row probe relation — which is why
+    # the pin is on the Generate count, not on Union absence.)
+    assert plan.count("Generate") == 2, plan.count("Generate")
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_windows_share_one_sort_exchange(spark):
+    """The prefix sum and the running minimum must run over the same
+    user-keyed sort — exactly one exchange on user_id for the window
+    phase (plus the mean-join shuffle), never a sort per window."""
+    plan = _plan(spark, "window_cusum_changepoints")
+    assert "CartesianProduct" not in plan
+    # prefix-sum + rn (same partition/order, differing frames) and the
+    # running-min — bounded window nodes, never a sort per statistic
+    assert plan.count("Window") <= 4
