@@ -130,3 +130,59 @@ def test_dirty_events_parity(spark, dirty_events_dir, dirty_events_con, name):
         ORACLES[name],
         name,
     )
+
+
+# --- the as-of family needs a dirty ORDERS side too -----------------
+
+ORDER_ROWS = [
+    # user 1: two orders at the SAME date (the keep-max-orderkey dedup
+    # must pick identically), one order exactly AT an event ts
+    # (inclusive <= tie), one far-future order no event can see.
+    (101, 1, "O", 100.0, B + dt.timedelta(seconds=30)),
+    (102, 1, "O", 200.0, B + dt.timedelta(seconds=30)),
+    (103, 1, "F", 300.0, B + dt.timedelta(seconds=120)),  # == events 3/4 ts
+    (104, 1, "F", 400.0, B + dt.timedelta(days=30)),
+    # user 2: a NULL orderdate (must never match any event) and a valid
+    # later order.
+    (105, 2, "O", 50.0, None),
+    (106, 2, "O", 60.0, B + dt.timedelta(seconds=60)),
+    # user 99: orders for a customer with NO events (left join: absent).
+    (107, 99, "P", 1.0, B),
+    # user 4: order BEFORE every user-4 event.
+    (108, 4, "O", 70.0, B),
+]
+
+ASOF_QUERIES = ["join_asof", "join_asof_tolerance"]
+
+
+@pytest.fixture(scope="module")
+def dirty_asof_dir(dirty_events_dir):
+    pd.DataFrame(
+        ORDER_ROWS,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate",
+        ],
+    ).assign(o_orderpriority="1-URGENT").astype(
+        {"o_orderdate": "datetime64[us]"}
+    ).to_parquet(f"{dirty_events_dir}/orders.parquet")
+    return dirty_events_dir
+
+
+@pytest.fixture(scope="module")
+def dirty_asof_con(dirty_asof_dir, dirty_events_con):
+    dirty_events_con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{dirty_asof_dir}/orders.parquet')"
+    )
+    return dirty_events_con
+
+
+@pytest.mark.parametrize("name", ASOF_QUERIES)
+def test_dirty_asof_parity(spark, dirty_asof_dir, dirty_asof_con, name):
+    compare(
+        QUERIES[name](spark, dirty_asof_dir),
+        dirty_asof_con,
+        ORACLES[name],
+        name,
+    )
