@@ -1748,3 +1748,79 @@ def window_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# Sliding rate window for the peak-rate audit (60 s, event-time).
+_RATE_WIN_US = 60_000_000
+
+
+@query(
+    "window_peak_event_rate",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events WHERE ts IS NOT NULL),
+    rated AS (
+        SELECT user_id, event_id, ts_us,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+                              RANGE BETWEEN {_RATE_WIN_US} PRECEDING
+                                        AND CURRENT ROW) AS rate
+        FROM ev),
+    peaked AS (
+        SELECT user_id, ts_us, rate,
+               MAX(rate) OVER (PARTITION BY user_id) AS max_rate
+        FROM rated)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(rate) AS BIGINT) AS peak_rate_per_min,
+           CAST(MIN(CASE WHEN rate = max_rate THEN ts_us END) AS BIGINT)
+               AS peak_at_us
+    FROM peaked GROUP BY user_id ORDER BY user_id
+    """,
+)
+def window_peak_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak sliding-window event rate per user: the maximum number of
+    events inside ANY trailing 60 s window, and when it happened — the
+    rate-limit/bot audit ("did this client ever burst past N/min?")
+    that a fixed tumbling bucket systematically underestimates when the
+    burst straddles a boundary.
+
+    The trailing count is an event-time RANGE frame over the integer
+    microsecond key — exact, tie-inclusive (events at the same ts count
+    each other), and identical on both engines; the peak timestamp is
+    the EARLIEST instant the peak rate was observed (min_by over the
+    rate==max rows), a deterministic total order.
+
+    Scale shape: one user-keyed sort exchange for the RANGE window,
+    then a map-combinable per-user aggregate — output |users| rows. A
+    hot user costs one task's sort, the same exposure every detector in
+    this module shares (salt or pre-filter known bots upstream).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_RATE_WIN_US, 0)
+    )
+    w_user = Window.partitionBy("user_id")
+    rated = ev.withColumn("rate", F.count(F.lit(1)).over(w)).withColumn(
+        "max_rate", F.max("rate").over(w_user)
+    )
+    return (
+        rated.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("rate").cast("long").alias("peak_rate_per_min"),
+            F.min(
+                F.when(F.col("rate") == F.col("max_rate"), F.col("ts_us"))
+            )
+            .cast("long")
+            .alias("peak_at_us"),
+        )
+        .orderBy("user_id")
+    )

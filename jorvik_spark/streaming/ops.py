@@ -886,3 +886,109 @@ def running_intervals_union(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_ohlc_bars(
+    df: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Online OHLC bar generator — the LIVE stateful twin of the batch
+    ``window_ohlc_bars`` query: per key, hourly open/high/low/close
+    bars over the purchase value stream, each touched bar re-emitted
+    with its updated state every micro-batch (update mode; the LAST
+    emission per (key, bar) is that bar's final truth once event time
+    moves past it).
+
+    State per key is ONE open bar (7 longs) — in-order delivery means a
+    bar can never reopen once a later bucket starts, so closed bars
+    leave state immediately: the streaming analogue of the batch
+    query's "output is strictly |users| × |active hours|" bound.
+    Equivalence contract: same as the other twins — per-key in-order
+    event-time delivery; the bucket width and micro-unit quantization
+    derive from the SAME constants as the batch query
+    (windows._OHLC_BUCKET_US), so the formulas cannot drift.
+    """
+    from jorvik_spark.queries.windows import _OHLC_BUCKET_US
+
+    filtered = df.filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("event_type") == "purchase")
+    ).select(
+        key_col,
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("vu"),
+    )
+    if not df.isStreaming:
+        from jorvik_spark.queries.windows import window_ohlc_bars  # noqa
+
+        raise ValueError(
+            "batch input: use the registered window_ohlc_bars query"
+        )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bucket, o, h, lo, c, n = state.get
+        else:
+            bucket, o, h, lo, c, n = -1, 0, 0, 0, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        touched: dict[int, tuple] = {}
+        for _, row in rows.iterrows():
+            b = int(row["ts_us"]) // _OHLC_BUCKET_US
+            x = int(row["vu"])
+            if b != bucket:
+                if bucket >= 0:
+                    touched[bucket] = (o, h, lo, c, n)
+                bucket, o, h, lo, c, n = b, x, x, x, x, 1
+            else:
+                h, lo, c, n = max(h, x), min(lo, x), x, n + 1
+        if bucket >= 0:
+            touched[bucket] = (o, h, lo, c, n)
+        state.update((bucket, o, h, lo, c, n))
+        buckets = sorted(touched)
+        yield pd.DataFrame(
+            {
+                key_col: pd.array([key[0]] * len(buckets), dtype="Int64"),
+                "bar_start_us": pd.array(
+                    [b * _OHLC_BUCKET_US for b in buckets], dtype="Int64"
+                ),
+                "open_u": pd.array(
+                    [touched[b][0] for b in buckets], dtype="Int64"
+                ),
+                "high_u": pd.array(
+                    [touched[b][1] for b in buckets], dtype="Int64"
+                ),
+                "low_u": pd.array(
+                    [touched[b][2] for b in buckets], dtype="Int64"
+                ),
+                "close_u": pd.array(
+                    [touched[b][3] for b in buckets], dtype="Int64"
+                ),
+                "n_trades": pd.array(
+                    [touched[b][4] for b in buckets], dtype="Int64"
+                ),
+            }
+        )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return filtered.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, bar_start_us long, open_u long, "
+            "high_u long, low_u long, close_u long, n_trades long"
+        ),
+        stateStructType=(
+            "bucket long, o long, h long, lo long, c long, n long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -194,6 +194,7 @@ EXTRA_TARGETS = [
     "window_cusum_changepoints",
     "graph_knn_linkpred_ra",
     "sink_layout_skipping_eval",
+    "window_peak_event_rate",
 ]
 
 

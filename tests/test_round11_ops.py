@@ -241,3 +241,101 @@ def test_intervals_union_batch_twin_equals_registered_query(spark):
         ).collect()
     }
     assert reg == twin and len(reg) > 0
+
+
+def test_running_ohlc_bars_matches_batch_across_restart(spark, tmp_path):
+    """The live bar generator must converge to the registered batch
+    query's bars, with the OPEN bar surviving a kill: user 1's hour-0
+    bar straddles the restart cut, so its final high/close are only
+    right if the open-bar state came back from the checkpoint."""
+    import datetime
+
+    from pyspark.sql import functions as SF
+
+    from jorvik_spark.queries.windows import window_ohlc_bars
+    from jorvik_spark.streaming.ops import running_ohlc_bars
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        # user 1, hour bucket A: open 10, high 30 BEFORE the cut,
+        # post-restart events push close to 5 (high must stay 30).
+        (1, base, 1, "purchase", 10.0, None),
+        (2, base + datetime.timedelta(minutes=5), 1, "purchase", 30.0, None),
+        (3, base + datetime.timedelta(minutes=40), 1, "purchase", 20.0, None),
+        (4, base + datetime.timedelta(minutes=50), 1, "purchase", 5.0, None),
+        # user 1, next hour: a second bar entirely post-restart.
+        (5, base + datetime.timedelta(minutes=70), 1, "purchase", 7.5, None),
+        # a null value and a non-purchase must be screened identically.
+        (6, base + datetime.timedelta(minutes=6), 1, "purchase", None, None),
+        (7, base + datetime.timedelta(minutes=7), 1, "view", 99.0, None),
+        # user 2: single pre-cut purchase.
+        (8, base + datetime.timedelta(minutes=1), 2, "purchase", 1.25, None),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    src, dst, cp = (str(tmp_path / d) for d in ("src", "dst", "cp"))
+    cut = base + datetime.timedelta(minutes=30)
+    df.filter(SF.col("ts") < cut).coalesce(1).write.parquet(f"{src}/p=a")
+
+    def drain_once() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/p=*")
+        )
+        q = (
+            running_ohlc_bars(stream)
+            .writeStream.foreachBatch(
+                lambda b, i: b.withColumn("bid", SF.lit(i))
+                .write.mode("append")
+                .parquet(dst)
+            )
+            .option("checkpointLocation", cp)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    drain_once()
+    df.filter(SF.col("ts") >= cut).coalesce(1).write.parquet(f"{src}/p=b")
+    drain_once()  # same checkpoint: the open bar must resume
+
+    out = spark.read.parquet(dst)
+    last = out.groupBy("user_id", "bar_start_us").agg(
+        SF.max("bid").alias("bid")
+    )
+    live = sorted(
+        tuple(r)
+        for r in out.join(last, ["user_id", "bar_start_us", "bid"])
+        .drop("bid")
+        .collect()
+    )
+    batch = sorted(
+        (
+            r["user_id"],
+            int(r["bar_start"].timestamp() * 1_000_000),
+            r["open_u"], r["high_u"], r["low_u"], r["close_u"],
+            r["n_trades"],
+        )
+        for r in window_ohlc_bars(
+            spark, _flat_events_dir(spark, df, tmp_path)
+        ).collect()
+    )
+    assert live == batch
+    bars = {(r[0], r[1]): r[2:] for r in live}
+    a_us = int(base.timestamp() * 1_000_000)
+    # the straddling bar: open 10, high 30 (pre-kill), close 5 (post)
+    assert bars[(1, a_us)] == (
+        10_000_000, 30_000_000, 5_000_000, 5_000_000, 4,
+    )
+
+
+def _flat_events_dir(spark, df, tmp_path):
+    d = str(tmp_path / "flat")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
