@@ -87,6 +87,7 @@ EVENT_QUERIES = [
     "window_time_weighted_avg",
     "window_peak_concurrency",
     "window_resample_ffill",
+    "window_peak_event_rate",
     "agg_markov_transitions",
     "agg_funnel_steps",
     "agg_retention_cohort",
