@@ -29,16 +29,16 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 #     registry members with NO driver CORRECTNESS row (parity-green at
 #     sf0.001/0.01/0.1 in LOCAL_PARITY_r10.json and the judge's own
 #     run; all hash-mode).
-#   * Next, the 16 operators NEW in round 11, so they get driver rows
+#   * Next, the 18 operators NEW in round 11, so they get driver rows
 #     at birth instead of inheriting next round's gap (all hash-mode,
 #     parity-tested at three scales before registration).
-#   * The remaining 22 slots rotate by OLDEST evidence: the
+#   * The remaining 20 slots rotate by OLDEST evidence: the
 #     CORRECTNESS_r07 cohort's scan/project/filter/expr/join basics —
-#     the queries a new user runs first. The 27 r7 queries that don't
-#     fit (join_skew_salted, agg_min_max_dates/distinct/rollup/cube/
-#     grouping_sets/pivot, set ops, sorts, sinks, streams, the r7
-#     text/dedup/multimodal singles) are the staged round-12 list,
-#     followed by the r8 cohort.
+#     the queries a new user runs first. The 29 r7 queries that don't
+#     fit (join_range, join_asof, join_skew_salted, agg_min_max_dates/
+#     distinct/rollup/cube/grouping_sets/pivot, set ops, sorts, sinks,
+#     streams, the r7 text/dedup/multimodal singles) are the staged
+#     round-12 list, followed by the r8 cohort.
 #   * Still excluded: text_bpe_train (the one remaining rows-only query
 #     — iterative BPE merge table, no ANSI-SQL twin, r8 driver row on
 #     file, brute-force-Python-verified in tests/test_llm_ops.py).
@@ -60,7 +60,7 @@ _CHECK_PRIORITY = [
     "window_session_duration_histogram",
     "multimodal_shard_manifest",
     "sample_balanced_classes",
-    # -- new in round 11: driver rows at birth (16) --
+    # -- new in round 11: driver rows at birth (18) --
     "window_anomaly_mad",
     "window_intervals_merge",
     "audit_join_key_skew",
@@ -77,7 +77,9 @@ _CHECK_PRIORITY = [
     "graph_knn_linkpred_ra",
     "sink_layout_skipping_eval",
     "window_peak_event_rate",
-    # -- oldest evidence (CORRECTNESS_r07): the new-user basics (22) --
+    "sample_group_kfold",
+    "embed_outlier_scores",
+    # -- oldest evidence (CORRECTNESS_r07): the new-user basics (20) --
     "scan_parquet_roundtrip",
     "scan_orc_roundtrip",
     "scan_csv_roundtrip",
@@ -98,8 +100,6 @@ _CHECK_PRIORITY = [
     "join_semi",
     "join_anti",
     "join_cross",
-    "join_range",
-    "join_asof",
 ]
 
 

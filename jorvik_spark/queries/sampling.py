@@ -1748,3 +1748,56 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# Group-aware cross-validation folds.
+_KFOLD_K = 5
+
+
+@query(
+    "sample_group_kfold",
+    oracle=f"""
+    WITH folds AS (
+        SELECT doc_id, source,
+               ({_sql_bucket('source', 'fold:')}) % {_KFOLD_K} AS fold
+        FROM documents)
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc_id
+    FROM folds GROUP BY fold ORDER BY fold
+    """,
+)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-integrity k-fold assignment: every document of a SOURCE
+    lands in the same fold (fold = shared hash_bucket of the source
+    key, mod K) — the leakage-safe cross-validation split for corpora
+    where near-duplicates cluster within a source (scikit-learn's
+    GroupKFold semantics, public API; a doc-level split leaks template
+    text across train/validation and inflates every metric). The
+    report is the fold manifest (sizes + source counts + id spans) a
+    training job validates before consuming.
+
+    Scale shape: one narrow map (the md5 bucket is the SAME
+    deterministic primitive every sampler shares — :func:`hash_bucket`,
+    so fold assignment can never diverge between this query, the
+    stratified splitter, and the streaming dedup history split), one
+    map-combined K-row aggregate. Assignment is reproducible across
+    runs, engines, and cluster sizes; no RNG state.
+    """
+    folds = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (_bucket(F.col("source"), "fold:") % _KFOLD_K).alias("fold"),
+    )
+    return (
+        folds.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+            F.max("doc_id").cast("long").alias("last_doc_id"),
+        )
+        .orderBy("fold")
+    )

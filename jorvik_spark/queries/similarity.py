@@ -1825,3 +1825,91 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "embed_outlier_scores",
+    oracle="""
+    WITH knn AS ({KNN_ORACLE}),
+    per_vec AS (
+        SELECT vec_id,
+               COUNT(*) AS k,
+               SUM(CAST(floor(cosine * 1000000 + 0.5) AS BIGINT)) AS s
+        FROM knn GROUP BY vec_id),
+    scored AS (
+        SELECT vec_id, k,
+               CAST((s + k * 1000000) // k - 1000000 AS BIGINT)
+                   AS mean_neighbor_cos_ppm
+        FROM per_vec)
+    SELECT CAST(CASE WHEN mean_neighbor_cos_ppm < 0 THEN -1
+                     ELSE mean_neighbor_cos_ppm // 100000 END AS BIGINT)
+               AS cos_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(mean_neighbor_cos_ppm) AS BIGINT) AS min_ppm,
+           CAST(MAX(mean_neighbor_cos_ppm) AS BIGINT) AS max_ppm
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+)
+def embed_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier census: each vector's MEAN cosine to its
+    k nearest in-cell neighbors, bucketed into deciles — the isolation
+    signal behind outlier pruning (SemDeDup's counterpart question:
+    not "who has a too-close neighbor" but "who has NO close
+    neighbors") and the hubness/density audit an ANN deployment reads
+    next to ``embed_cluster_balance``. Low-decile mass = candidate
+    noise/mislabeled vectors; a sudden shift between drops = embedding
+    model drift.
+
+    Exactness: each rounded cosine quantizes to integer micro-units
+    BEFORE summing (a float sum of even 5 doubles is order-dependent in
+    the last ulp — enough to flip an integer floor), so the per-vector
+    mean and the decile are exact on both engines.
+
+    Scale shape: rides the SAME memoized within-cell pair relation as
+    the k-NN graph and SemDeDup (marginal cost = one |V|·k-row
+    aggregate + a 12-row census); its oracle embeds the k-NN oracle
+    verbatim.
+    """
+    knn = simsearch_knn_graph(spark, sf_dir)
+    per_vec = knn.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.expr("CAST(floor(cosine * 1000000 + 0.5) AS BIGINT)")
+        ).alias("s"),
+    )
+    # FLOOR division even for negative sums: Spark's `div` truncates
+    # toward zero while DuckDB's // floors, so shift by k·1e6 first
+    # (cosine ≥ −1 ⇒ s + k·1e6 ≥ 0, where truncation == floor) and
+    # shift back — s div k alone would drift by 1 on negative outliers.
+    scored = per_vec.select(
+        "vec_id",
+        "k",
+        F.expr(
+            "CAST((s + k * CAST(1000000 AS BIGINT)) div k"
+            " - 1000000 AS BIGINT)"
+        ).alias("mean_neighbor_cos_ppm"),
+    )
+    decile = (
+        F.when(F.col("mean_neighbor_cos_ppm") < 0, F.lit(-1))
+        .otherwise(F.expr("mean_neighbor_cos_ppm div 100000"))
+        .cast("long")
+    )
+    return (
+        scored.select(decile.alias("cos_decile"), "mean_neighbor_cos_ppm")
+        .groupBy("cos_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min("mean_neighbor_cos_ppm").cast("long").alias("min_ppm"),
+            F.max("mean_neighbor_cos_ppm").cast("long").alias("max_ppm"),
+        )
+        .orderBy("cos_decile")
+    )
+
+
+# Embed the k-NN oracle verbatim (same composition pattern as the RA
+# link-prediction query in graphs.py).
+from jorvik_spark.queries.registry import ORACLES as _ORACLES_S  # noqa: E402
+
+_ORACLES_S["embed_outlier_scores"] = _ORACLES_S[
+    "embed_outlier_scores"
+].replace("{KNN_ORACLE}", _ORACLES_S["simsearch_knn_graph"])

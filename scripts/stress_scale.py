@@ -195,6 +195,8 @@ EXTRA_TARGETS = [
     "graph_knn_linkpred_ra",
     "sink_layout_skipping_eval",
     "window_peak_event_rate",
+    "sample_group_kfold",
+    "embed_outlier_scores",
 ]
 
 

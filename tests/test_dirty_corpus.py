@@ -139,6 +139,9 @@ DOC_QUERIES = [
     "dedup_containment_ngram",
     "text_vocab_oov_rate",
     "corpus_drift_ks",
+    # fold integrity on single-doc sources: every dirty source must
+    # land whole in one fold, md5 bucket agreeing across engines.
+    "sample_group_kfold",
 ]
 
 
@@ -207,6 +210,7 @@ EMB_QUERIES = [
     "simsearch_recall_eval",  # zero vector in neither truth nor ANN set
     "embed_cluster_balance",  # zero vector excluded from the index
     "simsearch_rerank_twophase",  # zero vector in neither phase
+    "embed_outlier_scores",  # zero vector has no k-NN list on either engine
 ]
 
 
