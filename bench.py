@@ -157,8 +157,8 @@ GATE_R8_REF = {
     "r8_dedup_impact": 0.3955,
 }
 
-# Round-11 additions, report-only this round (first measurements here,
-# pinned into a gate_r11 next round). Representatives per new shape:
+# Round-11 additions, gated from round 12 against their round-11
+# quiet-capture medians (the standard cohort lifecycle). Representatives per new shape:
 # the MAD window (hot-key exposure), the inverted-index containment
 # pair join, the two-level PPS prefix sum, the KS value-grid window,
 # the Expand-based skew audit, and the variable-interval union. The
@@ -171,6 +171,18 @@ BENCH_R11_QUERIES = {
     "r11_ks": "corpus_drift_ks",
     "r11_keyskew": "audit_join_key_skew",
     "r11_intervals": "window_intervals_merge",
+}
+
+# Round-11 sf0.1 medians (PROFILE.md round-11 final quiet capture,
+# load_avg 1.66) — the r11-cohort regression reference, pinned in
+# round 12 after one report-only round (standard cohort lifecycle).
+GATE_R11_REF = {
+    "r11_mad": 0.943,
+    "r11_containment": 2.680,
+    "r11_pps": 0.492,
+    "r11_ks": 0.300,
+    "r11_keyskew": 1.198,
+    "r11_intervals": 0.410,
 }
 
 # Round-9 sf0.1 medians (BENCH_r09.json) — the r9-cohort regression
@@ -290,6 +302,7 @@ def main() -> None:
     gate_r8 = gate(times_r8, GATE_R8_REF, 8, "R8")
     gate_r9 = gate(times_r9, GATE_R9_REF, 9, "R9")
     gate_r10 = gate(times_r10, GATE_R10_REF, 10, "R10")
+    gate_r11 = gate(times_r11, GATE_R11_REF, 11, "R11")
 
     # Host-load context: a uniformly inflated run on a busy host is
     # environmental, not a regression — record the evidence to
@@ -324,6 +337,7 @@ def main() -> None:
                 "gate_r8": gate_r8,
                 "gate_r9": gate_r9,
                 "gate_r10": gate_r10,
+                "gate_r11": gate_r11,
                 "load_avg": load_avg,
                 "uptime_sec": uptime_sec,
                 "sf": sf,

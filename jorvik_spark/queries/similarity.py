@@ -1877,10 +1877,12 @@ def embed_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(floor(cosine * 1000000 + 0.5) AS BIGINT)")
         ).alias("s"),
     )
-    # FLOOR division even for negative sums: Spark's `div` truncates
-    # toward zero while DuckDB's // floors, so shift by k·1e6 first
-    # (cosine ≥ −1 ⇒ s + k·1e6 ≥ 0, where truncation == floor) and
-    # shift back — s div k alone would drift by 1 on negative outliers.
+    # Shift by k·1e6 before dividing so the dividend is non-negative
+    # (cosine ≥ −1 ⇒ s + k·1e6 ≥ 0), where floor == truncate and every
+    # integer-division convention agrees. Both Spark's `div` and
+    # DuckDB 1.0's integer `//` truncate toward zero (SELECT -5//2 =
+    # -2 on both), so parity holds even unshifted; the shift is
+    # belt-and-braces against an engine/version that floors instead.
     scored = per_vec.select(
         "vec_id",
         "k",

@@ -1485,7 +1485,8 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.source,
            CAST(t.n1 AS BIGINT) AS n_docs,
            CAST(MAX(abs(c.cum1 * (g.n - t.n1) - c.cum2 * t.n1))
-                * 1000000 // (t.n1 * (g.n - t.n1)) AS BIGINT) AS ks_ppm
+                * 1000000 // nullif(t.n1 * (g.n - t.n1), 0) AS BIGINT)
+               AS ks_ppm
     FROM cums c JOIN totals t ON t.source = c.source CROSS JOIN grand g
     GROUP BY c.source, t.n1, g.n ORDER BY c.source
     """,
@@ -1557,9 +1558,13 @@ def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.col("n1").cast("long").alias("n_docs"),
+            # nullif guard: a degenerate one-source corpus makes the
+            # leave-one-out denominator zero; declare ks_ppm NULL on
+            # BOTH engines (DuckDB's // raises on 0, Spark's div does
+            # not — nullif makes the semantics explicit and identical).
             F.expr(
                 "CAST(sup * CAST(1000000 AS BIGINT)"
-                " div (n1 * (n - n1)) AS BIGINT)"
+                " div nullif(n1 * (n - n1), 0) AS BIGINT)"
             ).alias("ks_ppm"),
         )
         .orderBy("source")

@@ -924,10 +924,51 @@ def running_ohlc_bars(
         .alias("vu"),
     )
     if not df.isStreaming:
-        from jorvik_spark.queries.windows import window_ohlc_bars  # noqa
+        # Batch twin: the same one-sort-exchange formulation as the
+        # registered window_ohlc_bars query, emitted in THIS twin's
+        # schema (raw bar_start_us long, caller's key_col) — so the
+        # two 'live twin' APIs behave alike: batch input transparently
+        # delegates instead of raising (matches running_intervals_union
+        # above; used by the batch-equality tests).
+        from pyspark.sql import Window
 
-        raise ValueError(
-            "batch input: use the registered window_ohlc_bars query"
+        bucket = F.expr(f"ts_us div {_OHLC_BUCKET_US}")
+        w = Window.partitionBy(key_col, "bucket").orderBy(
+            "ts_us", "event_id"
+        )
+        pos = filtered.withColumn("bucket", bucket).select(
+            key_col,
+            "bucket",
+            "vu",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy(key_col, "bucket"))
+            .alias("cnt"),
+        )
+        return (
+            pos.groupBy(key_col, "bucket")
+            .agg(
+                F.max(F.when(F.col("rn") == 1, F.col("vu")))
+                .cast("long")
+                .alias("open_u"),
+                F.max("vu").cast("long").alias("high_u"),
+                F.min("vu").cast("long").alias("low_u"),
+                F.max(F.when(F.col("rn") == F.col("cnt"), F.col("vu")))
+                .cast("long")
+                .alias("close_u"),
+                F.count(F.lit(1)).cast("long").alias("n_trades"),
+            )
+            .select(
+                key_col,
+                (F.col("bucket") * F.lit(_OHLC_BUCKET_US))
+                .cast("long")
+                .alias("bar_start_us"),
+                "open_u",
+                "high_u",
+                "low_u",
+                "close_u",
+                "n_trades",
+            )
         )
 
     def update(

@@ -643,3 +643,33 @@ def test_curation_funnel_attrition_on_dirty_rows(spark, dirty_dir):
     assert rows["length_window"] == (6, 1)  # doc 4 ("one")
     assert rows["repetition_gate"] == (4, 2)  # docs 5, 6 (dup dup ...)
     assert rows["exact_dedup"] == (4, 0)  # the dup pair already fell
+
+
+def test_drift_ks_single_source_corpus_agrees_on_null(
+    spark, tmp_path_factory
+):
+    """Degenerate one-source corpus: the leave-one-out KS denominator
+    n1·(n−n1) is zero. Both engines must agree on a declared NULL
+    ks_ppm (nullif guard) instead of diverging NULL-row vs
+    division-by-zero error (round-11 ADVICE item)."""
+    d = tmp_path_factory.mktemp("single_source")
+    pd.DataFrame(
+        [(i, f"doc {i}", "en", "only", 10 + i) for i in range(6)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(d / "documents.parquet"))
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        compare(
+            QUERIES["corpus_drift_ks"](spark, str(d)),
+            con,
+            ORACLES["corpus_drift_ks"],
+            "corpus_drift_ks_single_source",
+        )
+        row = QUERIES["corpus_drift_ks"](spark, str(d)).collect()
+        assert len(row) == 1 and row[0]["ks_ppm"] is None
+    finally:
+        con.close()

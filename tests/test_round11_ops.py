@@ -339,3 +339,36 @@ def _flat_events_dir(spark, df, tmp_path):
     d = str(tmp_path / "flat")
     df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
     return d
+
+
+def test_running_ohlc_bars_batch_input_delegates_to_window_twin(spark):
+    """Batch input must transparently delegate (round-11 ADVICE item:
+    the two 'live twin' APIs behave alike) — the delegated plan's rows
+    must equal the registered window_ohlc_bars bars exactly, with
+    bar_start_us = epoch micros of the registered query's bar_start
+    (converted JVM-side via unix_micros, no Python tz round-trip)."""
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.streaming.ops import running_ohlc_bars
+    from jorvik_spark.tables import load_table
+
+    got = sorted(
+        tuple(r)
+        for r in running_ohlc_bars(
+            load_table(spark, SF_DIR, "events")
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["window_ohlc_bars"](spark, SF_DIR)
+        .select(
+            "user_id",
+            F.unix_micros("bar_start").alias("bar_start_us"),
+            "open_u",
+            "high_u",
+            "low_u",
+            "close_u",
+            "n_trades",
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
