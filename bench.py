@@ -173,6 +173,22 @@ BENCH_R11_QUERIES = {
     "r11_intervals": "window_intervals_merge",
 }
 
+# Round-12 additions, report-only this round (first measurements here,
+# pinned into a gate_r12 next round). Representatives per new shape:
+# the persisted-index incremental ANN screen, the bucketed nearest-
+# event join, the interpolating resampler, the 4-point nprobe recall
+# sweep, the Zipf rank census, and the label-propagation fixpoint.
+# The two narrow one-row census shapes (audit_ivf_cells,
+# agg_ab_test_readout) ride the stress profile instead.
+BENCH_R12_QUERIES = {
+    "r12_iivf": "simsearch_incremental_ivf",
+    "r12_nearest": "join_nearest_event",
+    "r12_interp": "window_resample_interpolate",
+    "r12_sweep": "simsearch_nprobe_sweep",
+    "r12_zipf": "text_zipf_rank_census",
+    "r12_cc": "graph_connected_components",
+}
+
 # Round-11 sf0.1 medians (PROFILE.md round-11 final quiet capture,
 # load_avg 1.66) — the r11-cohort regression reference, pinned in
 # round 12 after one report-only round (standard cohort lifecycle).
@@ -207,8 +223,16 @@ GATE_R9_REF = {
 # 2.4×).
 GATE_R10_REF = {
     "r10_triangle": 12.3049,
-    "r10_knn": 0.3448,
-    "r10_semdedup": 0.315,
+    # r10_knn / r10_semdedup RE-PINNED in round 12 (PROFILE.md
+    # adjudication): the shared IVF quantizer became corpus-adaptive
+    # (K = ceil(sqrt(n)); the round-11 verdict's headline item), which
+    # trades ~0.3 s of extra per-call fixed cost at the 2k-vector sf0.1
+    # scale for a 13x wall reduction at 20x (145 s -> 10.9 s) and a
+    # bounded n^1.5 instead of n^2/8 at 100 TB. The old refs (0.3448 /
+    # 0.315) measured the fixed-K=8 algorithm; these are the r12 quiet
+    # first-measurements (load < 1) of the adaptive one.
+    "r10_knn": 0.665,
+    "r10_semdedup": 0.845,
     "r10_passjoin": 0.3259,
     "r10_asof_tol": 1.0819,
     "r10_markov": 0.3642,
@@ -271,6 +295,7 @@ def main() -> None:
     times_r9 = {lb: time_query(qn) for lb, qn in BENCH_R9_QUERIES.items()}
     times_r10 = {lb: time_query(qn) for lb, qn in BENCH_R10_QUERIES.items()}
     times_r11 = {lb: time_query(qn) for lb, qn in BENCH_R11_QUERIES.items()}
+    times_r12 = {lb: time_query(qn) for lb, qn in BENCH_R12_QUERIES.items()}
 
     def gate(times_g: dict, ref: dict, ref_round: int, label: str) -> dict:
         """Regression gate vs a prior round's sf0.1 medians: within
@@ -333,6 +358,7 @@ def main() -> None:
                 "queries_r9": times_r9,
                 "queries_r10": times_r10,
                 "queries_r11": times_r11,
+                "queries_r12": times_r12,
                 "gate_2c": gate_2c,
                 "gate_r8": gate_r8,
                 "gate_r9": gate_r9,

@@ -47,7 +47,6 @@ from jorvik_spark.pipelines import ETL, FileInput, FileOutput, etl
 from jorvik_spark.queries.similarity import (
     _DOT,
     _EUCL,
-    _IVF_K,
     _IVF_NPROBE,
     _N_QUERIES,
     _PQ_DIM,
@@ -57,6 +56,7 @@ from jorvik_spark.queries.similarity import (
     _PQ_SUB,
     _RERANK_SHORTLIST,
     _TOPK,
+    ivf_k,
 )
 
 EMB_SCHEMA = StructType(
@@ -158,8 +158,10 @@ def make_silver_ann_index(lake: str) -> ETL:
     """Silver: ONE corpus pass builds all three index artifacts — the
     coarse centroid table, the per-subspace PQ codebooks, and the
     (cell, codes) index itself, partitioned by cell for probe-time
-    partition pruning. Deterministic "training" (first _IVF_K vectors
-    are the coarse centroids, first _PQ_K subvectors the codebooks)
+    partition pruning. Deterministic "training" (first ivf_k(n) vectors
+    are the coarse centroids — the engine's corpus-adaptive K, computed
+    here from the same positive-norm count — first _PQ_K subvectors the
+    codebooks)
     exactly as the engine's operators define it, so the persisted index
     answers queries identically to the in-memory quantizer."""
     bronze = FileInput(path=f"{lake}/bronze/embeddings", schema=EMB_SCHEMA)
@@ -183,7 +185,7 @@ def make_silver_ann_index(lake: str) -> ETL:
     @etl(bronze, [out_index, out_coarse, out_codebooks])
     def build_index(emb: DataFrame):
         ivf = _pos_norm(emb)
-        coarse = ivf.filter(F.col("vec_id") < _IVF_K).select(
+        coarse = ivf.filter(F.col("vec_id") < ivf_k(ivf.count())).select(
             F.col("vec_id").cast("int").alias("cell"),
             F.col("v").alias("cv"),
         )

@@ -23,83 +23,84 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 
 # The verification driver records a bounded prefix of the queries() dict
 # (observed: exactly the first 50 entries, in registration order). Dict
-# order therefore encodes *driver-check priority*. Round-11 rotation
-# (the round-10 verdict's item #1 plus the new-ops-at-birth policy):
-#   * Front-load the 12 operators that shipped in round 10 — the only
-#     registry members with NO driver CORRECTNESS row (parity-green at
-#     sf0.001/0.01/0.1 in LOCAL_PARITY_r10.json and the judge's own
-#     run; all hash-mode).
-#   * Next, the 18 operators NEW in round 11, so they get driver rows
-#     at birth instead of inheriting next round's gap (all hash-mode,
-#     parity-tested at three scales before registration).
-#   * The remaining 20 slots rotate by OLDEST evidence: the
-#     CORRECTNESS_r07 cohort's scan/project/filter/expr/join basics —
-#     the queries a new user runs first. The 29 r7 queries that don't
-#     fit (join_range, join_asof, join_skew_salted, agg_min_max_dates/
-#     distinct/rollup/cube/grouping_sets/pivot, set ops, sorts, sinks,
-#     streams, the r7 text/dedup/multimodal singles) are the staged
-#     round-12 list, followed by the r8 cohort.
+# order therefore encodes *driver-check priority*. Round-12 rotation
+# (the round-11 verdict's item #2 plus the new-ops-at-birth policy):
+#   * Front-load the 8 operators NEW in round 12, so they get driver
+#     rows at birth (all hash-mode, parity-tested at sf0.001/0.01
+#     before registration; simsearch_incremental_ivf and
+#     audit_ivf_cells also cover the round's adaptive-K quantizer
+#     change through the driver).
+#   * Next, the 29 remaining CORRECTNESS_r07-evidence queries — the
+#     staged list the round-11 comment promised — clearing r7 as the
+#     oldest evidence round entirely.
+#   * The remaining 13 slots start the r8 cohort, oldest evidence
+#     next: the dedup/ANN basics FIRST because this round's adaptive-K
+#     quantizer rewrote their shared assignment plan
+#     (dedup_embedding_cosine, simsearch_ivf/ivfpq/topk), then the
+#     text/sampling/merge staples. The rest of the r8 cohort
+#     (36 queries: agg_group_stats, corpus reports, decontaminate_bloom,
+#     dedup_incremental/minhash_components/passage family, embed_*,
+#     exports, multimodal, remaining samplers, simsearch_range,
+#     sink_zorder, stream_stream_join, remaining text ops) is the
+#     staged round-13 list.
 #   * Still excluded: text_bpe_train (the one remaining rows-only query
 #     — iterative BPE merge table, no ANSI-SQL twin, r8 driver row on
 #     file, brute-force-Python-verified in tests/test_llm_ops.py).
-#   * TPC-H evidence (verdict item #6) is already complete: every
-#     Q1-Q22 shape carries an r8/r9/r10 driver row (checked against the
-#     union of CORRECTNESS_r01..r10 keys).
 # tests/test_registry_order.py pins list(queries())[:50] == this list.
 _CHECK_PRIORITY = [
-    # -- new in round 10: first driver check (12) --
-    "join_fuzzy_name_passjoin",
-    "join_asof_tolerance",
-    "agg_markov_transitions",
-    "graph_triangle_count",
-    "simsearch_knn_graph",
-    "embed_semdedup_prune",
-    "sink_dynamic_partition_overwrite",
-    "text_langid_confusion",
-    "window_anomaly_zscore",
-    "window_session_duration_histogram",
-    "multimodal_shard_manifest",
-    "sample_balanced_classes",
-    # -- new in round 11: driver rows at birth (18) --
-    "window_anomaly_mad",
-    "window_intervals_merge",
-    "audit_join_key_skew",
-    "sample_weighted_systematic",
-    "agg_incremental_moments_merge",
-    "dedup_containment_ngram",
-    "text_vocab_oov_rate",
-    "corpus_drift_ks",
-    "multimodal_chunk_dedup",
-    "join_interval_overlap",
-    "embed_matryoshka_recall",
-    "window_ohlc_bars",
-    "window_cusum_changepoints",
-    "graph_knn_linkpred_ra",
-    "sink_layout_skipping_eval",
-    "window_peak_event_rate",
-    "sample_group_kfold",
-    "embed_outlier_scores",
-    # -- oldest evidence (CORRECTNESS_r07): the new-user basics (20) --
-    "scan_parquet_roundtrip",
-    "scan_orc_roundtrip",
-    "scan_csv_roundtrip",
-    "scan_json_roundtrip",
-    "project_select",
-    "project_rename",
-    "filter_predicate",
-    "filter_isin",
-    "expr_arith_cast",
-    "expr_case_when",
-    "expr_date_parts",
-    "expr_string_funcs",
-    "expr_json_extract",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
+    # -- new in round 12: driver rows at birth (8) --
+    "simsearch_incremental_ivf",
+    "audit_ivf_cells",
+    "agg_ab_test_readout",
+    "window_resample_interpolate",
+    "join_nearest_event",
+    "graph_connected_components",
+    "simsearch_nprobe_sweep",
+    "text_zipf_rank_census",
+    # -- oldest evidence (CORRECTNESS_r07): the staged 29 --
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_min_max_dates",
+    "agg_pivot",
+    "agg_rollup",
+    "dedup_cross_source",
+    "join_asof",
+    "join_range",
+    "join_skew_salted",
+    "merge_schema_evolution",
+    "multimodal_binary_scan",
+    "set_except",
+    "set_intersect",
+    "set_union_by_name",
+    "simsearch_lsh_det",
+    "sink_bucketed_join",
+    "sink_partitioned_write",
+    "sort_multi",
+    "sort_topk",
+    "stream_dedup_watermark",
+    "stream_foreachbatch_merge",
+    "stream_passthrough",
+    "stream_sliding_agg",
+    "text_ngram_counts",
+    "text_scrub_pii",
+    "window_lag_lead",
+    "window_ntile",
+    "window_running_sum",
+    # -- oldest evidence (CORRECTNESS_r08), adaptive-K consumers first (13) --
+    "dedup_embedding_cosine",
+    "simsearch_ivf",
+    "simsearch_ivfpq",
+    "simsearch_topk",
+    "dedup_exact",
+    "dedup_minhash_banded",
+    "dedup_ngram_jaccard",
+    "text_token_stats",
+    "text_quality_score",
+    "sample_stratified_split",
+    "merge_upsert",
+    "pack_sequences",
+    "decontaminate_overlap",
 ]
 
 

@@ -21,10 +21,12 @@ from jorvik_spark.tables import load_table
 from jorvik_spark.queries.registry import (
     davg,
     dsum,
+    hash_bucket,
     memo_df,
     query,
     sql_davg,
     sql_dsum,
+    sql_hash_bucket,
 )
 
 _SEGMENT_HI = 300_000.0
@@ -1241,3 +1243,142 @@ def agg_incremental_moments_merge(
             "var_cents2"
         ),
     ).orderBy("o_orderpriority")
+
+
+# --- round 12: deterministic experiment readout --------------------------
+
+# Experiment readout: deterministic 50/50 user split (md5 hash-mod —
+# registry.hash_bucket, the same primitive every sampler uses), exposure
+# = any view, conversion = any purchase. The chi-squared statistic is
+# computed in DOUBLE from exact integer counts: IEEE basic ops (*, -, /)
+# are correctly rounded, so the identical formula on identical integers
+# is bit-identical across engines.
+_AB_SALT = "abtest"
+
+
+@query(
+    "agg_ab_test_readout",
+    oracle=f"""
+    WITH users AS (
+        SELECT user_id,
+               CAST({sql_hash_bucket('user_id', _AB_SALT)} % 2 AS INTEGER)
+                   AS variant,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS exposed,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id),
+    arms AS (
+        SELECT variant,
+               SUM(exposed) AS n_exposed,
+               SUM(CASE WHEN exposed = 1 AND converted = 1 THEN 1 ELSE 0
+                   END) AS n_converted
+        FROM users GROUP BY variant),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN variant = 0 THEN n_exposed END) AS na,
+            MAX(CASE WHEN variant = 0 THEN n_converted END) AS ca,
+            MAX(CASE WHEN variant = 1 THEN n_exposed END) AS nb,
+            MAX(CASE WHEN variant = 1 THEN n_converted END) AS cb
+        FROM arms)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           CAST(ca * 1000000 // nullif(na, 0) AS BIGINT) AS cvr_a_ppm,
+           CAST(cb * 1000000 // nullif(nb, 0) AS BIGINT) AS cvr_b_ppm,
+           CAST(ca * 1000000 // nullif(na, 0)
+                - cb * 1000000 // nullif(nb, 0) AS BIGINT) AS lift_ppm,
+           round(
+               (CAST(na + nb AS DOUBLE)
+                * CAST(ca * (nb - cb) - cb * (na - ca) AS DOUBLE)
+                * CAST(ca * (nb - cb) - cb * (na - ca) AS DOUBLE))
+               / nullif(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                        * CAST(ca + cb AS DOUBLE)
+                        * CAST(na + nb - ca - cb AS DOUBLE), 0.0),
+               6) AS chi2
+    FROM wide
+    """,
+)
+def agg_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over the event stream: users split 50/50
+    by deterministic hash (reproducible assignment — the md5 bucket
+    every sampler shares, so a rerun can never reshuffle arms), exposure
+    = any view event, conversion = exposed AND purchased. Emits the 2x2
+    table, per-arm conversion in exact integer ppm, the integer lift,
+    and the Pearson chi-squared statistic.
+
+    chi2 is the one DOUBLE in the repo's report surface: every input is
+    an exact integer and the formula is a fixed dag of IEEE-correctly-
+    rounded *, -, / ops written identically in both engines, so the
+    rounded value cannot drift. (The integer columns alone decide
+    parity; chi2 rides along for the analyst.)
+
+    Scale shape: one user-keyed map-combined aggregate over a single
+    scan (the same shuffle any per-user profile pays), then a 2-row arm
+    aggregate and a 1-row pivot. Nothing after the first agg scales
+    with events.
+    """
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("exposed"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+        .select(
+            (hash_bucket(F.col("user_id"), _AB_SALT) % 2)
+            .cast("int")
+            .alias("variant"),
+            "exposed",
+            "converted",
+        )
+    )
+    arms = users.groupBy("variant").agg(
+        F.sum("exposed").alias("n_exposed"),
+        F.sum(
+            F.when(
+                (F.col("exposed") == 1) & (F.col("converted") == 1), 1
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_exposed"))).alias("na"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_exposed"))).alias("nb"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("cb"),
+    )
+    # nullif guards: a degenerate corpus (an empty arm, zero or total
+    # conversion) nulls the affected ratio on BOTH engines instead of
+    # dividing by zero (the corpus_drift_ks discipline).
+    return wide.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("ca").cast("long").alias("conv_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("cb").cast("long").alias("conv_b"),
+        F.expr(
+            "CAST(ca * CAST(1000000 AS BIGINT) div nullif(na, 0)"
+            " AS BIGINT)"
+        ).alias("cvr_a_ppm"),
+        F.expr(
+            "CAST(cb * CAST(1000000 AS BIGINT) div nullif(nb, 0)"
+            " AS BIGINT)"
+        ).alias("cvr_b_ppm"),
+        F.expr(
+            "CAST(ca * CAST(1000000 AS BIGINT) div nullif(na, 0)"
+            " - cb * CAST(1000000 AS BIGINT) div nullif(nb, 0) AS BIGINT)"
+        ).alias("lift_ppm"),
+        F.round(
+            F.expr(
+                "(CAST(na + nb AS DOUBLE)"
+                " * CAST(ca * (nb - cb) - cb * (na - ca) AS DOUBLE)"
+                " * CAST(ca * (nb - cb) - cb * (na - ca) AS DOUBLE))"
+                " / nullif(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+                "          * CAST(ca + cb AS DOUBLE)"
+                "          * CAST(na + nb - ca - cb AS DOUBLE), 0.0D)"
+            ),
+            6,
+        ).alias("chi2"),
+    )

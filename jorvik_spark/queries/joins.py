@@ -2348,3 +2348,89 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "error_id", "purchase_id")
     )
+
+
+# --- round 12: nearest-event join ---------------------------------------
+
+_NEAREST_TOL_US = 3_600_000_000  # ±1 hour candidate tolerance
+
+
+@query(
+    "join_nearest_event",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS pt
+        FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'),
+    e AS (
+        SELECT user_id, event_id AS error_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS et
+        FROM events WHERE ts IS NOT NULL AND event_type = 'error'),
+    cand AS (
+        SELECT p.purchase_id, p.user_id, e.error_id,
+               e.et - p.pt AS gap_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.purchase_id
+                   ORDER BY abs(e.et - p.pt), e.et, e.error_id) AS rn
+        FROM p JOIN e ON e.user_id = p.user_id
+                     AND abs(e.et - p.pt) <= {_NEAREST_TOL_US})
+    SELECT purchase_id, user_id, error_id, CAST(gap_us AS BIGINT) AS gap_us
+    FROM cand WHERE rn = 1 ORDER BY purchase_id
+    """,
+)
+def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join: for every purchase, the user's CLOSEST error
+    event within ±1 hour, either direction — the bidirectional sibling
+    of the as-of join ("what error was nearest to this checkout"), the
+    shape behind incident attribution and sensor alignment. Ties break
+    (|gap|, error ts, error id) — total and engine-identical.
+
+    Scale shape: the candidate join is TIME-BUCKETED, never a raw
+    per-user pair product (the round-9 hot-key lesson — one bot user
+    holding 30% of events makes a user-keyed nearest join quadratic):
+    errors land in their own hour bucket, each purchase probes its
+    bucket ±1, so a candidate pair meets exactly once (in the error's
+    bucket) and the join key (user, bucket) splits any hot user across
+    time. The per-purchase top-1 is a rank window WindowGroupLimit caps
+    map-side; candidate fanout per purchase is bounded by the user's
+    error rate inside ±1 h, not their history.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("pt"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("et"),
+        F.expr(f"unix_micros(ts) div {_NEAREST_TOL_US}").alias("bucket"),
+    )
+    probes = p.select(
+        "user_id",
+        "purchase_id",
+        "pt",
+        F.explode(
+            F.expr(
+                f"sequence(pt div {_NEAREST_TOL_US} - 1,"
+                f" pt div {_NEAREST_TOL_US} + 1)"
+            )
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.abs(F.col("et") - F.col("pt")), "et", "error_id"
+    )
+    return (
+        probes.join(e, ["user_id", "bucket"])
+        .filter(F.abs(F.col("et") - F.col("pt")) <= _NEAREST_TOL_US)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "error_id",
+            (F.col("et") - F.col("pt")).cast("long").alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )

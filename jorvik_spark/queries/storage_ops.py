@@ -764,6 +764,11 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(compacted)
 
 
+# (session, sf_dir) the four SQL views currently point at — the same
+# session-identity discipline memo_df uses.
+_SQL_VIEWS_REGISTERED: list = [None, None]
+
+
 @query(
     "sql_api_revenue_report",
     oracle="""
@@ -793,9 +798,14 @@ def sql_api_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Views are session-scoped and name-spaced per invocation is
     unnecessary: createOrReplaceTempView is idempotent and every
     registration points at the same immutable files for a given sf_dir
-    within a run. Catalyst treats the view text exactly like the
-    DataFrame lineage — same pushdown, same broadcast of nation/customer,
-    same partial aggregation; `.explain` shows no seam.
+    within a run — so registration is SKIPPED when this session's views
+    already point at this sf_dir (measured: re-registering the four
+    views cost ~0.3 s of driver-side analysis per call, half the
+    query's wall — the round-11 "r9_sql drift"; the catalog is state,
+    treat it like state). A different sf_dir re-registers. Catalyst
+    treats the view text exactly like the DataFrame lineage — same
+    pushdown, same broadcast of nation/customer, same partial
+    aggregation; `.explain` shows no seam.
 
     The SQL pre-aggregates revenue per order before the dimension joins
     (the oracle states the naive COUNT(DISTINCT)-over-line-level spec):
@@ -805,8 +815,14 @@ def sql_api_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     with bit-identical results, and at 100 TB the difference is a
     |lineitem|-sized distinct state vs an |orders|-sized rollup.
     """
-    for t in ("lineitem", "orders", "customer", "nation"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    if not (
+        _SQL_VIEWS_REGISTERED[0] is spark
+        and _SQL_VIEWS_REGISTERED[1] == sf_dir
+    ):
+        for t in ("lineitem", "orders", "customer", "nation"):
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        _SQL_VIEWS_REGISTERED[0] = spark
+        _SQL_VIEWS_REGISTERED[1] = sf_dir
     return spark.sql(
         """
         WITH per_order AS (

@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jorvik_spark.tables import load_table
-from jorvik_spark.queries.registry import memo_df, query
+from jorvik_spark.queries.registry import (
+    guarded_global_window,
+    memo_df,
+    query,
+)
 
 # Spark-side tokens expression (array<string>). NULL text tokenizes to an
 # EMPTY array (not NULL): a null document behaves as an empty one, so every
@@ -1436,7 +1440,18 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         ex.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rnk", F.row_number().over(w))
+        # guarded: the top-K ranking is single-task over the AGGREGATED
+        # (token, count) relation — vocabulary-sized by construction;
+        # the row-bound assert enforces that loudly (no WindowGroupLimit
+        # fires on this shape, so the plan alone does not bound it).
+        .withColumn(
+            "rnk",
+            guarded_global_window(
+                F.row_number().over(w),
+                [F.desc("cnt"), "tok"],
+                "text_vocab_oov_rate.vocab",
+            ),
+        )
         .filter(F.col("rnk") <= _VOCAB_K)
         .select("tok", F.lit(1).alias("in_vocab"))
     )
@@ -1568,4 +1583,79 @@ def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_ppm"),
         )
         .orderBy("source")
+    )
+
+
+
+
+# --- round 12: Zipf rank-octave census ------------------------------------
+
+
+@query(
+    "text_zipf_rank_census",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents),
+    cnts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS n FROM cnts),
+    ranked AS (
+        SELECT tok, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+        FROM cnts)
+    SELECT CAST(length(bin(rnk)) AS INTEGER) AS rank_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(MIN(rnk) AS BIGINT) AS min_rank,
+           CAST(MAX(rnk) AS BIGINT) AS max_rank,
+           CAST(SUM(cnt) AS BIGINT) AS occurrences,
+           CAST(SUM(cnt) * 1000000 // MAX(tot.n) AS BIGINT) AS share_ppm
+    FROM ranked, tot
+    GROUP BY rank_bits ORDER BY rank_bits
+    """,
+)
+def text_zipf_rank_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-octave census of the vocabulary: tokens bucketed by the
+    BIT LENGTH of their frequency rank (rank octaves 1, 2-3, 4-7,
+    8-15, ...), each bucket reporting its token count and its share of
+    all token occurrences — the vocabulary-health audit behind tokenizer
+    and data-mix decisions. Under a Zipf law (frequency ∝ 1/rank) each
+    rank octave contributes roughly EQUAL mass, so a healthy crawl shows
+    a flat share_ppm column; a head-heavy column means boilerplate
+    domination, a tail-heavy one OCR noise / vocabulary explosion.
+    Buckets are integer bit-lengths (no libm log2 — the
+    multimodal_size_histogram / graph_degree_distribution convention).
+
+    Scale shape: one map-combined token count, ONE guarded single-task
+    ranking over the aggregated vocabulary relation (the corpus is
+    never sorted), then a bit-length bucket aggregate over the same
+    relation. The grand total rides a 1-row cross join.
+    """
+    toks = _tokenized_docs(spark, sf_dir).select(F.explode("t").alias("tok"))
+    cnts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    ranked = cnts.withColumn(
+        "rnk",
+        guarded_global_window(
+            F.row_number().over(w),
+            [F.desc("cnt"), "tok"],
+            "text_zipf_rank_census.vocab",
+        ),
+    )
+    tot = cnts.agg(F.sum("cnt").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.length(F.conv(F.col("rnk").cast("string"), 10, 2))
+            .cast("int")
+            .alias("rank_bits")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.min("rnk").cast("long").alias("min_rank"),
+            F.max("rnk").cast("long").alias("max_rank"),
+            F.sum("cnt").cast("long").alias("occurrences"),
+            F.expr(
+                "CAST(SUM(cnt) * CAST(1000000 AS BIGINT) div MAX(n)"
+                " AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("rank_bits")
     )

@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jorvik_spark.tables import load_table
-from jorvik_spark.queries.registry import dsum, query, sql_dsum
+from jorvik_spark.queries.registry import (
+    dsum,
+    guarded_global_window,
+    query,
+    sql_dsum,
+)
 
 _DEC = "decimal(25,6)"
 
@@ -485,8 +490,15 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy("cents", "o_custkey")
+    # guarded: this window is single-task by design over the customer
+    # spend AGGREGATE; the row-bound assert makes that contract loud
+    # (registry.guarded_global_window — round-11 verdict watch item).
     return spend.select(
-        "o_custkey", "cents", F.ntile(4).over(w).alias("quartile")
+        "o_custkey",
+        "cents",
+        guarded_global_window(
+            F.ntile(4).over(w), ["cents", "o_custkey"], "window_ntile"
+        ).alias("quartile"),
     )
 
 
@@ -1265,7 +1277,13 @@ def window_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_bucket.withColumn(
-            "base", F.coalesce(F.sum("net").over(w_buckets), F.lit(0))
+            "base",
+            # guarded single-task prefix sum over the |buckets| relation
+            guarded_global_window(
+                F.coalesce(F.sum("net").over(w_buckets), F.lit(0)),
+                ["bucket"],
+                "window_peak_concurrency.buckets",
+            ),
         )
         .select(
             F.timestamp_micros(
@@ -1824,3 +1842,134 @@ def window_peak_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+
+# --- round 12: resample with linear interpolation ------------------------
+
+
+@query(
+    "window_resample_interpolate",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS vu,
+               COUNT(*) AS n
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id < 40
+        GROUP BY 1, 2),
+    spans AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx
+              FROM hourly GROUP BY user_id),
+    grid AS (
+        SELECT s.user_id, unnest(generate_series(s.mn, s.mx,
+                                 INTERVAL 1 HOUR)) AS h
+        FROM spans s),
+    j AS (
+        SELECT g.user_id, g.h,
+               epoch_us(g.h) // 3600000000 AS hu, hy.vu, hy.n
+        FROM grid g LEFT JOIN hourly hy
+          ON hy.user_id = g.user_id AND hy.h = g.h),
+    nbrs AS (
+        SELECT user_id, h, hu, vu, n,
+               LAST_VALUE(vu IGNORE NULLS) OVER w_prev AS pv,
+               LAST_VALUE(CASE WHEN vu IS NOT NULL THEN hu END
+                          IGNORE NULLS) OVER w_prev AS ph,
+               FIRST_VALUE(vu IGNORE NULLS) OVER w_next AS nv,
+               FIRST_VALUE(CASE WHEN vu IS NOT NULL THEN hu END
+                           IGNORE NULLS) OVER w_next AS nh
+        FROM j
+        WINDOW w_prev AS (PARTITION BY user_id ORDER BY hu
+                          ROWS UNBOUNDED PRECEDING),
+               w_next AS (PARTITION BY user_id ORDER BY hu
+                          ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING))
+    SELECT user_id, h AS hour_start,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           CAST(CASE WHEN vu IS NOT NULL THEN vu
+                     ELSE pv + ((nv - pv) * (hu - ph)) // (nh - ph)
+                END AS BIGINT) AS interp_vu,
+           (vu IS NOT NULL) AS observed
+    FROM nbrs ORDER BY user_id, hour_start
+    """,
+)
+def window_resample_interpolate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly resample with LINEAR INTERPOLATION across gaps — the
+    sibling of ``window_resample_ffill`` for quantities where carrying
+    the last observation lies (rates, gauges, sensor readings): an
+    absent hour gets the value lerped between its nearest observed
+    neighbors, exact integer micro-units with a single integral
+    division per gap row (both engines truncate identically, and the
+    grid spans min..max observed hours so every gap has both
+    neighbors).
+
+    Scale shape: identical to the ffill query — one user-keyed hourly
+    aggregate, a per-user-bounded grid explode, and ONE sort exchange
+    serving both neighbor windows (the running last and the following
+    first share the (user, hour) ordering; frames differ, Spark folds
+    them into two frame passes of the same WindowExec group).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .filter(F.col("user_id") < 40)
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+        ).alias("vu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    # lerp coordinates are integer HOUR indices, not microseconds: the
+    # numerator (value-delta x position-delta) must stay within int64
+    # (micro-values ~1e10 x microsecond gaps ~1e11 would overflow).
+    j = grid.join(hourly, ["user_id", "h"], "left").withColumn(
+        "hu", F.expr("unix_micros(h) div 3600000000")
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hu")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hu")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hu = F.when(F.col("vu").isNotNull(), F.col("hu"))
+    nbrs = j.select(
+        "user_id",
+        "h",
+        "hu",
+        "vu",
+        "n",
+        F.last("vu", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_hu, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("vu", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_hu, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    return nbrs.select(
+        "user_id",
+        F.col("h").alias("hour_start"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("vu").isNotNull(), F.col("vu"))
+        .otherwise(
+            F.expr("pv + ((nv - pv) * (hu - ph)) div (nh - ph)")
+        )
+        .cast("long")
+        .alias("interp_vu"),
+        F.col("vu").isNotNull().alias("observed"),
+    ).orderBy("user_id", "hour_start")

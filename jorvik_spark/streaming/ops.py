@@ -1033,3 +1033,160 @@ def running_ohlc_bars(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CUSUM_BASELINE_N = 8  # in-control training events per key
+
+
+def running_cusum_changepoints(
+    df: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Online one-sided CUSUM change-point detector — the LIVE stateful
+    sibling of the batch ``window_cusum_changepoints`` query, completing
+    the anomaly family's twin coverage (z-score, MAD, OHLC, intervals
+    all have one). Per key: the first _CUSUM_BASELINE_N purchase values
+    freeze the in-control mean μ (Page's CUSUM monitors against a KNOWN
+    in-control level — the deployment form; the batch query's
+    whole-history mean is unknowable mid-stream, the one semantic
+    difference, documented here), then every later event advances
+    S = max(0, S + (x − μ)) and the key's running report
+    (first_exceed_pos/event once S > h, max_cusum) re-emits per batch —
+    the LAST emission is that key's truth.
+
+    State per key is eight longs + the ≤ 8-value baseline ring — bounded,
+    replayable, checkpoint-safe. The batch branch below computes the
+    IDENTICAL frozen-baseline semantics declaratively (prefix-sum minus
+    running-min closed form over the monitored suffix), so batch input
+    delegates instead of raising and the equality tests compare the two
+    forms row for row. Positions count MONITORED events (1 = the first
+    event after the baseline window).
+    """
+    from jorvik_spark.queries.windows import _CUSUM_H_U
+    from pyspark.sql import Window
+
+    filtered = df.filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("event_type") == "purchase")
+    ).select(
+        key_col,
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("vu"),
+    )
+    if not df.isStreaming:
+        order_w = Window.partitionBy(key_col).orderBy("ts_us", "event_id")
+        pos = filtered.withColumn("j", F.row_number().over(order_w))
+        base = (
+            pos.filter(F.col("j") <= _CUSUM_BASELINE_N)
+            .groupBy(key_col)
+            .agg(
+                F.expr("SUM(vu) div COUNT(1)").alias("mu_u"),
+                F.count(F.lit(1)).alias("nb"),
+            )
+            .filter(F.col("nb") == _CUSUM_BASELINE_N)
+            .select(key_col, "mu_u")
+        )
+        mon = (
+            pos.filter(F.col("j") > _CUSUM_BASELINE_N)
+            .join(base, key_col)
+            .withColumn("i", F.col("j") - F.lit(_CUSUM_BASELINE_N))
+        )
+        w_cum = (
+            Window.partitionBy(key_col)
+            .orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_prev = (
+            Window.partitionBy(key_col)
+            .orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        t = mon.withColumn(
+            "tail_i", F.sum(F.col("vu") - F.col("mu_u")).over(w_cum)
+        )
+        s = t.withColumn(
+            "cusum",
+            F.col("tail_i")
+            - F.least(
+                F.coalesce(F.min("tail_i").over(w_prev), F.lit(0)),
+                F.lit(0),
+            ),
+        )
+        return (
+            s.filter(F.col("cusum") > _CUSUM_H_U)
+            .groupBy(key_col)
+            .agg(
+                F.min("i").cast("long").alias("first_exceed_pos"),
+                F.expr("CAST(MIN_BY(event_id, i) AS BIGINT)").alias(
+                    "first_exceed_event"
+                ),
+                F.max("cusum").cast("long").alias("max_cusum"),
+            )
+        )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ring, mu, s_cur, s_max, pos, f_pos, f_ev = state.get
+            ring = list(ring)
+        else:
+            ring, mu, s_cur, s_max, pos, f_pos, f_ev = [], 0, 0, 0, 0, -1, -1
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for _, row in rows.iterrows():
+            x = int(row["vu"])
+            if len(ring) < _CUSUM_BASELINE_N:
+                ring.append(x)
+                if len(ring) == _CUSUM_BASELINE_N:
+                    # Python // floors; Spark div truncates — baseline
+                    # sums of non-negative micro-units keep them equal.
+                    mu = sum(ring) // _CUSUM_BASELINE_N
+                continue
+            pos += 1
+            s_cur = max(0, s_cur + (x - mu))
+            if s_cur > s_max:
+                s_max = s_cur
+            if f_pos < 0 and s_cur > _CUSUM_H_U:
+                f_pos, f_ev = pos, int(row["event_id"])
+        state.update((ring, mu, s_cur, s_max, pos, f_pos, f_ev))
+        if f_pos >= 0:
+            yield pd.DataFrame(
+                {
+                    key_col: pd.array([key[0]], dtype="Int64"),
+                    "first_exceed_pos": pd.array([f_pos], dtype="Int64"),
+                    "first_exceed_event": pd.array([f_ev], dtype="Int64"),
+                    "max_cusum": pd.array([s_max], dtype="Int64"),
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    key_col: pd.array([], dtype="Int64"),
+                    "first_exceed_pos": pd.array([], dtype="Int64"),
+                    "first_exceed_event": pd.array([], dtype="Int64"),
+                    "max_cusum": pd.array([], dtype="Int64"),
+                }
+            )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return filtered.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, first_exceed_pos long, "
+            "first_exceed_event long, max_cusum long"
+        ),
+        stateStructType=(
+            "ring array<long>, mu long, s_cur long, s_max long, "
+            "pos long, f_pos long, f_ev long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -309,3 +309,171 @@ def incremental_dedup_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_ivf_sink(
+    df: DataFrame,
+    index_path: str,
+    centroids_path: str,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously ingest embedding vectors, maintaining a persisted
+    IVF index and keeping only near-dup-novel vectors: the live form of
+    the ``simsearch_incremental_ivf`` query (same quantizer, probe and
+    cosine screen), and the ANN counterpart of ``incremental_dedup_sink``
+    — round-11 verdict item #7.
+
+    First batch with no centroid table TRAINS the quantizer (K =
+    ivf_k(n) of the batch's positive-norm vectors, centroids = the K
+    smallest vec_ids — the same deterministic scheme as the engine
+    quantizer) and persists it; every later batch reads the FROZEN
+    centroids, because moving centroids would invalidate every cell
+    assignment already persisted. Re-train by rebuilding the index
+    offline, the standard IVF operational contract.
+
+    Novelty rule (deterministic): a vector is dropped iff a probed-cell
+    member with cosine ≥ the screen threshold exists (a) in the
+    persisted index — including the vector itself at cosine 1.0, which
+    is what makes a replayed completed batch converge instead of
+    re-appending — or (b) among smaller-vec_id vectors of the same
+    batch sharing a probed cell (greedy within-batch pass, same
+    keep-smallest rule as the corpus queries). The query twin models
+    only screen (a) on a static split, so the sink's drops are a
+    superset — the same documented relationship as the dedup sink.
+
+    The index holds EVERY vector's home-cell row (dropped vectors
+    included — a chain A~B~C where A≁C must keep screening C after B
+    was dropped), keyed by vec_id so a re-send appends ZERO rows, and
+    is written partitioned by cell: each batch's probe join prunes to
+    nprobe/K of the index files at the scan. Crash semantics: index
+    append commits before the accepted-vector append — a failure
+    between them loses that batch's novel vectors (at-most-once), never
+    duplicates them; on a transactional format make the two appends one
+    commit.
+
+    Scale shape per batch: one batch-sized map pass against the
+    broadcast centroid row (shared :func:`_rank_cells`), one cell-equi
+    join against the cell-partitioned index (batch-sized left, probed
+    cells only on the right), one within-batch cell self-join bounded
+    by the batch's own cell occupancy.
+    """
+    if not checkpoint:
+        raise ValueError("incremental_ivf_sink requires a checkpoint.")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # Lazy import: queries.* must stay importable without streaming.
+        from jorvik_spark.queries.similarity import (
+            _DOT,
+            _IIVF_MATCH,
+            _IVF_NPROBE,
+            _rank_cells,
+            _vec_double,
+            ivf_k,
+        )
+        from jorvik_spark.storage import BasicStorage
+
+        spark = batch_df.sparkSession
+        emb = (
+            _vec_double(batch_df)
+            .withColumn("n2", F.expr(_DOT.format(a="v", b="v")))
+            .filter(F.col("n2") > 0)
+        )
+        storage = BasicStorage()
+        cent_schema = "cent_id long, cv array<double>"
+        if storage.exists(centroids_path):
+            cents = spark.read.schema(cent_schema).parquet(centroids_path)
+        else:
+            k = ivf_k(emb.count())
+            cents = (
+                emb.orderBy("vec_id")
+                .limit(k)
+                .select(
+                    F.col("vec_id").alias("cent_id"),
+                    F.col("v").alias("cv"),
+                )
+            )
+            cents.write.parquet(centroids_path)
+            cents = spark.read.schema(cent_schema).parquet(centroids_path)
+        assigned = _rank_cells(emb, cents, _IVF_NPROBE).persist()
+        try:
+            home = assigned.filter(F.col("rn") == 1).select(
+                "vec_id", "v", "n2", F.col("cent_id").alias("cell")
+            )
+            probes = assigned.select(
+                "vec_id", "v", "n2", F.col("cent_id").alias("cell")
+            )
+            index_schema = (
+                "vec_id long, cell long, v array<double>, n2 double"
+            )
+            have_index = storage.exists(index_path)
+            dot = F.expr(_DOT.format(a="v", b="hv"))
+            cosine = F.round(dot / (F.sqrt("n2") * F.sqrt("hn2")), 6)
+            dup_vs_index = None
+            index = None
+            if have_index:
+                index = (
+                    spark.read.schema(index_schema)
+                    .parquet(index_path)
+                    .select(
+                        F.col("vec_id").alias("hist_id"),
+                        F.col("cell"),
+                        F.col("v").alias("hv"),
+                        F.col("n2").alias("hn2"),
+                    )
+                )
+                dup_vs_index = (
+                    probes.join(index, "cell")
+                    .filter(cosine >= _IIVF_MATCH)
+                    .select("vec_id")
+                )
+            dup_in_batch = (
+                probes.join(
+                    home.select(
+                        F.col("vec_id").alias("hist_id"),
+                        "cell",
+                        F.col("v").alias("hv"),
+                        F.col("n2").alias("hn2"),
+                    ),
+                    "cell",
+                )
+                .filter(
+                    (F.col("hist_id") < F.col("vec_id"))
+                    & (cosine >= _IIVF_MATCH)
+                )
+                .select("vec_id")
+            )
+            dups = (
+                dup_in_batch.unionByName(dup_vs_index)
+                if dup_vs_index is not None
+                else dup_in_batch
+            ).distinct()
+            novel = batch_df.join(dups, "vec_id", "left_anti")
+            new_rows = home.select(
+                "vec_id", "cell", F.col("v"), F.col("n2")
+            )
+            if have_index:
+                new_rows = new_rows.join(
+                    spark.read.schema(index_schema)
+                    .parquet(index_path)
+                    .select("vec_id"),
+                    "vec_id",
+                    "left_anti",
+                )
+            # index FIRST, accepted vectors second — see crash semantics.
+            new_rows.write.mode("append").partitionBy("cell").parquet(
+                index_path
+            )
+            novel.write.mode("append").parquet(out_path)
+        finally:
+            assigned.unpersist()
+
+    writer = df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -139,6 +139,9 @@ DOC_QUERIES = [
     "dedup_containment_ngram",
     "text_vocab_oov_rate",
     "corpus_drift_ks",
+    # round 12: the rank-octave census on a 10-doc vocabulary (every
+    # token in octaves 1-4; null/empty docs contribute zero tokens)
+    "text_zipf_rank_census",
     # fold integrity on single-doc sources: every dirty source must
     # land whole in one fold, md5 bucket agreeing across engines.
     "sample_group_kfold",
@@ -211,6 +214,13 @@ EMB_QUERIES = [
     "embed_cluster_balance",  # zero vector excluded from the index
     "simsearch_rerank_twophase",  # zero vector in neither phase
     "embed_outlier_scores",  # zero vector has no k-NN list on either engine
+    # round 12: history split/frozen quantizer on a corpus with a zero
+    # vector (excluded from both history and incoming) and an exact dup
+    # (cosine 1.0 must match deterministically); the census and sweep
+    # must agree on the tiny-K floor path (12 pos-norm vectors, K = 8).
+    "simsearch_incremental_ivf",
+    "audit_ivf_cells",
+    "simsearch_nprobe_sweep",
 ]
 
 

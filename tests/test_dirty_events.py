@@ -91,6 +91,14 @@ EVENT_QUERIES = [
     "agg_markov_transitions",
     "agg_funnel_steps",
     "agg_retention_cohort",
+    # round 12: the nearest-event join must break the (|gap|, ts, id)
+    # tie identically on the same-second purchase/error pairs; the
+    # interpolating resampler spans the null-value rows (excluded) and
+    # single-hour users (grid = 1 row, observed); the A/B readout
+    # hash-splits users with null-ts rows still counted (no ts filter).
+    "join_nearest_event",
+    "window_resample_interpolate",
+    "agg_ab_test_readout",
     "join_interval_overlap",
     "expr_json_extract",
     "stream_tumbling_agg",

@@ -990,3 +990,74 @@ def test_cusum_windows_share_one_sort_exchange(spark):
     # prefix-sum + rn (same partition/order, differing frames) and the
     # running-min — bounded window nodes, never a sort per statistic
     assert plan.count("Window") <= 4
+
+
+# --- round 12 operators -------------------------------------------------
+
+
+def test_resample_interpolate_shares_one_window_exec(spark):
+    # the running-last and following-first neighbor windows have the
+    # same (user, hour) spec — Spark must fold all four columns into
+    # ONE WindowExec (frames differ, the sort does not)
+    plan = _plan(spark, "window_resample_interpolate")
+    tree = plan.split("\n\n")[0]
+    assert tree.count(" Window (") == 1
+    assert "EqualTo(event_type" not in plan  # all types contribute
+    assert "IsNotNull(ts)" in plan
+
+
+def test_nearest_event_join_is_bucketed_and_rank_limited(spark):
+    # candidate pairs meet on (user, hour-bucket) — never a per-user
+    # cartesian — and the per-purchase top-1 gets WindowGroupLimit
+    plan = _plan(spark, "join_nearest_event")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert tree.count("WindowGroupLimit") == 2  # Partial + Final
+
+
+def test_zipf_census_never_sorts_the_corpus(spark):
+    # one map-combined vocab count, ONE guarded single-task ranking of
+    # the aggregated vocabulary, no joins beyond the 1-row total
+    plan = _plan(spark, "text_zipf_rank_census")
+    tree = plan.split("\n\n")[0]
+    assert tree.count(" Window (") == 1
+    assert "SortMergeJoin" not in tree
+
+
+def test_nprobe_sweep_rank_is_map_side_capped(spark):
+    # one candidate relation serves all sweep points; the per-(np,
+    # query) top-k gets WindowGroupLimit, and nothing is a cartesian
+    plan = _plan(spark, "simsearch_nprobe_sweep")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("WindowGroupLimit") == 2
+    assert "CartesianProduct" not in tree
+
+
+def test_ab_readout_is_pure_aggregation(spark):
+    # one user-keyed agg, one 2-row arm agg, one 1-row pivot — no joins
+    plan = _plan(spark, "agg_ab_test_readout")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert tree.count("Exchange") <= 3
+
+
+def test_incremental_ivf_trains_centroids_with_topk(spark):
+    # the K-smallest-history-ids centroid pick must be a
+    # TakeOrderedAndProject (per-partition top-K + merge), never a
+    # global Sort of the history corpus
+    plan = _plan(spark, "simsearch_incremental_ivf")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "CartesianProduct" not in tree
+    # per-incoming best match is rank-limited map-side
+    assert tree.count("WindowGroupLimit") == 2
+
+
+def test_ivf_census_and_components_are_join_free(spark):
+    # both read a memoized relation and aggregate it — the final plan
+    # must be joins-free (the heavy lifting happened once, in the memo)
+    for name in ["audit_ivf_cells", "graph_connected_components"]:
+        tree = _plan(spark, name).split("\n\n")[0]
+        assert "Join" not in tree, name
+        assert tree.count("Exchange") <= 2, name

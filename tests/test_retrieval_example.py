@@ -56,9 +56,13 @@ def test_index_artifacts_shape(spark, lake):
     assert index.filter(
         (F.col("code") < 0) | (F.col("code") >= pipe._PQ_K)
     ).count() == 0
-    # the cell partitioning actually materialized (probe-time pruning)
+    # the cell partitioning actually materialized (probe-time pruning),
+    # with the corpus-adaptive centroid count (K = ivf_k(n_pos_norm))
+    n_pos = pipe._pos_norm(
+        spark.read.parquet(f"{lake}/bronze/embeddings")
+    ).count()
     cells = spark.read.parquet(f"{lake}/silver/coarse_centroids")
-    assert cells.count() == pipe._IVF_K
+    assert cells.count() == pipe.ivf_k(n_pos)
 
 
 def test_served_topk_equals_engine_query(spark, lake):
