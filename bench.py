@@ -187,6 +187,9 @@ BENCH_R12_QUERIES = {
     "r12_sweep": "simsearch_nprobe_sweep",
     "r12_zipf": "text_zipf_rank_census",
     "r12_cc": "graph_connected_components",
+    # wave 2: the incidence self-join and the lateness running-max.
+    "r12_overlap": "corpus_source_overlap",
+    "r12_lateness": "audit_event_lateness",
 }
 
 # Round-11 sf0.1 medians (PROFILE.md round-11 final quiet capture,

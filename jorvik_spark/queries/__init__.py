@@ -33,12 +33,14 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 #   * Next, the 29 remaining CORRECTNESS_r07-evidence queries — the
 #     staged list the round-11 comment promised — clearing r7 as the
 #     oldest evidence round entirely.
-#   * The remaining 13 slots start the r8 cohort, oldest evidence
+#   * The remaining slots start the r8 cohort, oldest evidence
 #     next: the dedup/ANN basics FIRST because this round's adaptive-K
 #     quantizer rewrote their shared assignment plan
 #     (dedup_embedding_cosine, simsearch_ivf/ivfpq/topk), then the
-#     text/sampling/merge staples. The rest of the r8 cohort
-#     (36 queries: agg_group_stats, corpus reports, decontaminate_bloom,
+#     basics. The rest of the r8 cohort
+#     (40 queries incl. text_quality_score, sample_stratified_split,
+#     merge_upsert, pack_sequences, decontaminate_overlap displaced by
+#     wave 2; plus agg_group_stats, corpus reports, decontaminate_bloom,
 #     dedup_incremental/minhash_components/passage family, embed_*,
 #     exports, multimodal, remaining samplers, simsearch_range,
 #     sink_zorder, stream_stream_join, remaining text ops) is the
@@ -57,6 +59,11 @@ _CHECK_PRIORITY = [
     "graph_connected_components",
     "simsearch_nprobe_sweep",
     "text_zipf_rank_census",
+    # -- new in round 12, wave 2: driver rows at birth (4) --
+    "corpus_source_overlap",
+    "audit_event_lateness",
+    "sample_token_budget",
+    "window_flatline_runs",
     # -- oldest evidence (CORRECTNESS_r07): the staged 29 --
     "agg_cube",
     "agg_distinct",
@@ -97,10 +104,6 @@ _CHECK_PRIORITY = [
     "dedup_ngram_jaccard",
     "text_token_stats",
     "text_quality_score",
-    "sample_stratified_split",
-    "merge_upsert",
-    "pack_sequences",
-    "decontaminate_overlap",
 ]
 
 

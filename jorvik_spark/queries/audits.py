@@ -279,3 +279,73 @@ def audit_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_name")
     )
+
+
+# --- round 12 wave 2: event-time lateness census -------------------------
+
+
+@query(
+    "audit_event_lateness",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        FROM events WHERE ts IS NOT NULL),
+    late AS (
+        SELECT user_id,
+               (MAX(t) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) - t)
+               // 1000000 AS late_s
+        FROM ev)
+    SELECT CAST(CASE WHEN late_s = 0 THEN 0
+                     ELSE length(bin(late_s)) END AS INTEGER)
+               AS lateness_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(late_s) AS BIGINT) AS max_lateness_s,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM late GROUP BY lateness_bits ORDER BY lateness_bits
+    """,
+)
+def audit_event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness census: how LATE events arrive relative to the
+    newest event time already seen on their key's stream (arrival order
+    = event_id, the ingest sequence number) — THE number that sizes
+    every streaming watermark in this engine (a watermark shorter than
+    the observed lateness tail silently drops those events; one longer
+    than needed holds state hostage). Bucketed by bit-length octaves of
+    lateness seconds, bucket 0 = in-order.
+
+    Scale shape: one user-keyed sort exchange (the same shuffle any
+    sessionization pays) carrying a running-MAX frame, then a
+    map-combined census to ≤ ~40 octave rows. The distinct-user count
+    per bucket rides the same aggregate.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("t"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = ev.withColumn("mx", F.max("t").over(w)).withColumn(
+        "late_s", F.expr("CAST((mx - t) div 1000000 AS BIGINT)")
+    )
+    bits = (
+        F.when(F.col("late_s") == 0, F.lit(0))
+        .otherwise(
+            F.length(F.conv(F.col("late_s").cast("string"), 10, 2))
+        )
+        .cast("int")
+    )
+    return (
+        late.groupBy(bits.alias("lateness_bits"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("late_s").cast("long").alias("max_lateness_s"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("lateness_bits")
+    )

@@ -1806,3 +1806,78 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# --- round 12 wave 2: per-source token-budget fill ------------------------
+
+_TB_BUDGET = 2_000  # token budget per source
+
+
+@query(
+    "sample_token_budget",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, len({_SQL_TOKENS}) AS n_tokens
+        FROM documents),
+    pri AS (
+        SELECT *, md5('tb' || CAST(doc_id AS VARCHAR)) AS pri
+        FROM toks),
+    cum AS (
+        SELECT *,
+               coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY pri, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cum_before
+        FROM pri),
+    sel AS (SELECT * FROM cum WHERE cum_before < {_TB_BUDGET})
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_selected,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_selected,
+           CAST(SUM(n_tokens) * 1000000 // {_TB_BUDGET} AS BIGINT)
+               AS budget_fill_ppm
+    FROM sel GROUP BY source ORDER BY source
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget fill: select documents (in a
+    deterministic md5 priority order — the reproducible shuffle every
+    sampler shares) until each source's cumulative token count reaches
+    the budget, overflow-inclusive (the doc that crosses the line is
+    kept — the classic fill-until-overflow cut, so every source with
+    any tokens fills its budget). This is the TOKEN-denominated quota
+    the mixture configs of LLM data recipes are written in — documents
+    are the wrong unit when doc lengths differ 100× across sources
+    (``corpus_mixture_epochs`` weights sources; this op CUTS them).
+
+    Scale shape: token counts ride the shared tokenizer memo; the
+    cumulative cut is one per-source window over (priority, doc) —
+    bounded by the largest source, the same documented trade as
+    ``sample_reservoir_per_source`` / ``corpus_source_gini`` — and the
+    report is |sources| rows from a map-combined aggregate.
+    """
+    toks = _tokenized_docs(spark, sf_dir).select(
+        "doc_id", "source", F.size("t").alias("n_tokens")
+    )
+    pri = toks.withColumn(
+        "pri", F.md5(F.concat(F.lit("tb"), F.col("doc_id").cast("string")))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sel = pri.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).filter(F.col("cum_before") < _TB_BUDGET)
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_selected"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_selected"),
+            F.expr(
+                f"CAST(SUM(n_tokens) * CAST(1000000 AS BIGINT)"
+                f" div {_TB_BUDGET} AS BIGINT)"
+            ).alias("budget_fill_ppm"),
+        )
+        .orderBy("source")
+    )

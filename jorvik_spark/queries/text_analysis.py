@@ -1659,3 +1659,94 @@ def text_zipf_rank_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank_bits")
     )
+
+
+# --- round 12 wave 2: inter-source vocabulary overlap matrix -------------
+
+
+@query(
+    "corpus_source_overlap",
+    oracle=f"""
+    WITH st AS (
+        SELECT DISTINCT source, unnest({_SQL_TOKENS}) AS tok
+        FROM documents),
+    sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_common
+        FROM st a JOIN st b
+          ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT i.source_a, i.source_b,
+           CAST(sa.n AS BIGINT) AS n_vocab_a,
+           CAST(sb.n AS BIGINT) AS n_vocab_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common * 1000000
+                // (sa.n + sb.n - i.n_common) AS BIGINT) AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source vocabulary-overlap matrix: exact token-set Jaccard
+    for every source pair — the redundancy census a data-mixing decision
+    reads BEFORE weighting sources (two crawls with jaccard ≈ 1 are the
+    same corpus twice; upweighting both double-counts it). Pairs with
+    zero shared vocabulary are absent (inner join), which is itself the
+    signal.
+
+    Scale shape: ONE distinct pass collapses the corpus to the
+    (source, token) incidence relation — |vocab| × |sources| at worst,
+    never corpus-sized — and the intersection self-join is token-equi
+    with per-token fanout bounded by |sources|² (a token in every
+    source meets C(S,2) pairs), so total join work ≤ |vocab|·S²
+    regardless of corpus size. Union sizes come via two broadcast-sized
+    joins on the |sources| relation; Jaccard is exact integer ppm by
+    inclusion-exclusion.
+    """
+    st = (
+        _tokenized_docs(spark, sf_dir)
+        .select("source", F.explode("t").alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.alias("a")
+    b = st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("n").alias("n_vocab_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("n").alias("n_vocab_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_vocab_a").cast("long"),
+            F.col("n_vocab_b").cast("long"),
+            F.col("n_common").cast("long"),
+            F.expr(
+                "CAST(n_common * CAST(1000000 AS BIGINT)"
+                " div (n_vocab_a + n_vocab_b - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1973,3 +1973,86 @@ def window_resample_interpolate(
         .alias("interp_vu"),
         F.col("vu").isNotNull().alias("observed"),
     ).orderBy("user_id", "hour_start")
+
+
+# --- round 12 wave 2: flatline (stuck-value) run detector -----------------
+
+_FLATLINE_MIN_RUN = 3
+
+
+@query(
+    "window_flatline_runs",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type = 'purchase'),
+    pos AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id) AS i,
+               ROW_NUMBER() OVER (PARTITION BY user_id, vu
+                                  ORDER BY t, event_id) AS j
+        FROM ev),
+    runs AS (
+        SELECT user_id, vu, i - j AS grp, COUNT(*) AS run_len
+        FROM pos GROUP BY user_id, vu, i - j),
+    flat AS (SELECT * FROM runs WHERE run_len >= {_FLATLINE_MIN_RUN})
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_flatline_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           CAST(SUM(run_len) AS BIGINT) AS n_flatlined_events
+    FROM flat GROUP BY user_id ORDER BY user_id
+    """,
+)
+def window_flatline_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatline detector: runs of ≥ {_FLATLINE_MIN_RUN} CONSECUTIVE
+    IDENTICAL purchase values per user — the stuck-sensor / replayed-
+    client / cached-response signal the z-score, MAD and CUSUM screens
+    are structurally blind to (a frozen value has zero deviation — it
+    looks maximally HEALTHY to a deviation test). Classic gaps-and-
+    islands on value equality: position-in-stream minus
+    position-in-value-group is constant exactly along a run.
+
+    Scale shape: both row_numbers ride ONE user-keyed sort exchange
+    (same partition key, the (user, vu) ranking is a sub-ordering of
+    the (user) one — Spark plans one Exchange and two Window passes);
+    runs collapse in a map-combined aggregate and only offending users
+    survive. No self-joins, no per-event state beyond the sort.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("vu"),
+        )
+    )
+    wi = Window.partitionBy("user_id").orderBy("t", "event_id")
+    wj = Window.partitionBy("user_id", "vu").orderBy("t", "event_id")
+    runs = (
+        ev.withColumn("grp", F.row_number().over(wi) - F.row_number().over(wj))
+        .groupBy("user_id", "vu", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .filter(F.col("run_len") >= _FLATLINE_MIN_RUN)
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_flatline_runs"),
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.sum("run_len").cast("long").alias("n_flatlined_events"),
+        )
+        .orderBy("user_id")
+    )

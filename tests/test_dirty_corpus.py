@@ -142,6 +142,11 @@ DOC_QUERIES = [
     # round 12: the rank-octave census on a 10-doc vocabulary (every
     # token in octaves 1-4; null/empty docs contribute zero tokens)
     "text_zipf_rank_census",
+    # wave 2: overlap on sources holding null/empty docs (zero vocab
+    # contribution) and the cross-source exact-dup pair; the token
+    # budget where every dirty source fits inside one budget.
+    "corpus_source_overlap",
+    "sample_token_budget",
     # fold integrity on single-doc sources: every dirty source must
     # land whole in one fold, md5 bucket agreeing across engines.
     "sample_group_kfold",

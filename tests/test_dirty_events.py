@@ -99,6 +99,11 @@ EVENT_QUERIES = [
     "join_nearest_event",
     "window_resample_interpolate",
     "agg_ab_test_readout",
+    # wave 2: lateness must treat the null-ts rows as out of scope and
+    # the file-order!=time-order user 4 as LATE arrivals; the flatline
+    # detector must see the identical-value run only where values tie.
+    "audit_event_lateness",
+    "window_flatline_runs",
     "join_interval_overlap",
     "expr_json_extract",
     "stream_tumbling_agg",

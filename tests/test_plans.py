@@ -1061,3 +1061,30 @@ def test_ivf_census_and_components_are_join_free(spark):
         tree = _plan(spark, name).split("\n\n")[0]
         assert "Join" not in tree, name
         assert tree.count("Exchange") <= 2, name
+
+
+def test_source_overlap_joins_incidence_not_corpus(spark):
+    # the intersection self-join runs on the DISTINCT (source, token)
+    # incidence relation; at this scale both sides broadcast, and no
+    # cartesian/NLJ shape is ever legal
+    plan = _plan(spark, "corpus_source_overlap")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_lateness_and_budget_are_one_exchange_windows(spark):
+    # each rides ONE keyed sort exchange + a map-combined census
+    for name in ["audit_event_lateness", "sample_token_budget"]:
+        tree = _plan(spark, name).split("\n\n")[0]
+        assert tree.count(" Window (") == 1, name
+        assert "SortMergeJoin" not in tree, name
+
+
+def test_flatline_rankings_share_the_user_exchange(spark):
+    # (user) and (user, vu) row_numbers: the second is a sub-ordering
+    # of the first — one user-keyed Exchange feeds both Window passes
+    plan = _plan(spark, "window_flatline_runs")
+    tree = plan.split("\n\n")[0]
+    assert tree.count(" Window (") == 2
+    assert tree.count("Exchange") <= 2
