@@ -1190,3 +1190,128 @@ def running_cusum_changepoints(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_FLAT_MIN_RUN = 3  # must equal windows._FLATLINE_MIN_RUN (asserted below)
+
+
+def running_flatline_runs(
+    df: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Online flatline (stuck-value) detector — the LIVE stateful twin
+    of the batch ``window_flatline_runs`` query: per key, runs of
+    ≥ _FLAT_MIN_RUN consecutive identical purchase values accumulate
+    into the key's report (n_flatline_runs, longest_run,
+    n_flatlined_events), re-emitted each micro-batch for keys with at
+    least one qualifying run — the LAST emission is that key's truth.
+    A frozen value is invisible to the deviation-based live screens
+    (z-score/MAD/CUSUM twins) by construction; this is the fourth
+    member of the monitoring family.
+
+    State per key is FIVE longs (current run's value + length, closed
+    qualifying runs' count / longest / event total) — constant,
+    replayable, checkpoint-safe. The OPEN run participates in the
+    emission as soon as it qualifies (exactly the batch semantics: a
+    still-running flatline is already a flatline), then merges into the
+    closed totals only when a different value arrives, so no run is
+    double-counted. Batch input delegates to the same gaps-and-islands
+    formulation the registered query uses, in this twin's schema.
+    """
+    from pyspark.sql import Window
+
+    from jorvik_spark.queries.windows import _FLATLINE_MIN_RUN
+
+    assert _FLAT_MIN_RUN == _FLATLINE_MIN_RUN
+
+    filtered = df.filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("event_type") == "purchase")
+    ).select(
+        key_col,
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("vu"),
+    )
+    if not df.isStreaming:
+        wi = Window.partitionBy(key_col).orderBy("ts_us", "event_id")
+        wj = Window.partitionBy(key_col, "vu").orderBy("ts_us", "event_id")
+        runs = (
+            filtered.withColumn(
+                "grp", F.row_number().over(wi) - F.row_number().over(wj)
+            )
+            .groupBy(key_col, "vu", "grp")
+            .agg(F.count(F.lit(1)).alias("run_len"))
+            .filter(F.col("run_len") >= _FLAT_MIN_RUN)
+        )
+        return runs.groupBy(key_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_flatline_runs"),
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.sum("run_len").cast("long").alias("n_flatlined_events"),
+        )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_vu, cur_len, n_runs, longest, flat_ev = state.get
+        else:
+            cur_vu, cur_len, n_runs, longest, flat_ev = 0, 0, 0, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for _, row in rows.iterrows():
+            x = int(row["vu"])
+            if cur_len > 0 and x == cur_vu:
+                cur_len += 1
+            else:
+                if cur_len >= _FLAT_MIN_RUN:
+                    n_runs += 1
+                    longest = max(longest, cur_len)
+                    flat_ev += cur_len
+                cur_vu, cur_len = x, 1
+        state.update((cur_vu, cur_len, n_runs, longest, flat_ev))
+        # open run folds into the emission once it qualifies (batch
+        # semantics) without touching the closed-run state
+        o_runs, o_long, o_ev = n_runs, longest, flat_ev
+        if cur_len >= _FLAT_MIN_RUN:
+            o_runs += 1
+            o_long = max(o_long, cur_len)
+            o_ev += cur_len
+        if o_runs > 0:
+            yield pd.DataFrame(
+                {
+                    key_col: pd.array([key[0]], dtype="Int64"),
+                    "n_flatline_runs": pd.array([o_runs], dtype="Int64"),
+                    "longest_run": pd.array([o_long], dtype="Int64"),
+                    "n_flatlined_events": pd.array([o_ev], dtype="Int64"),
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    key_col: pd.array([], dtype="Int64"),
+                    "n_flatline_runs": pd.array([], dtype="Int64"),
+                    "longest_run": pd.array([], dtype="Int64"),
+                    "n_flatlined_events": pd.array([], dtype="Int64"),
+                }
+            )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return filtered.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, n_flatline_runs long, "
+            "longest_run long, n_flatlined_events long"
+        ),
+        stateStructType=(
+            "cur_vu long, cur_len long, n_runs long, longest long, "
+            "flat_ev long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -493,3 +493,125 @@ def test_incremental_ivf_sink_agrees_with_batch_query(spark, tmp_path):
     # sink-kept => query-novel
     assert all(verdicts[vid] for vid in kept)
     assert kept  # the screen didn't degenerate to drop-everything
+
+
+def test_running_flatline_matches_batch_across_restart(spark, tmp_path):
+    """The live flatline detector must converge to its batch branch,
+    with an OPEN run straddling the restart cut: user 1's stuck value
+    starts pre-cut (2 events — not yet qualifying) and completes
+    post-restart, so the report is right only if (cur_vu, cur_len)
+    came back from the checkpoint."""
+    import datetime
+
+    from jorvik_spark.streaming.ops import running_flatline_runs
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    rows = []
+    eid = 0
+    # user 1: healthy values, then a stuck 7.5 spanning the cut
+    for i, v in enumerate([10.0, 11.0, 7.5, 7.5]):
+        eid += 1
+        rows.append(
+            (eid, base + datetime.timedelta(minutes=i), 1, "purchase",
+             v, None)
+        )
+    for i, v in enumerate([7.5, 7.5, 12.0, 9.0, 9.0]):
+        eid += 1
+        rows.append(
+            (eid, base + datetime.timedelta(minutes=30 + i), 1,
+             "purchase", v, None)
+        )
+    # user 2: alternating values — never flatlines, never emitted
+    for i, v in enumerate([1.0, 2.0, 1.0, 2.0, 1.0]):
+        eid += 1
+        rows.append(
+            (eid, base + datetime.timedelta(minutes=i), 2, "purchase",
+             v, None)
+        )
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    src, dst, cp = (str(tmp_path / d) for d in ("src", "dst", "cp"))
+    cut = base + datetime.timedelta(minutes=10)
+    df.filter(F.col("ts") < cut).coalesce(1).write.parquet(f"{src}/p=a")
+
+    def drain_once() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/p=*")
+        )
+        q = (
+            running_flatline_runs(stream)
+            .writeStream.foreachBatch(
+                lambda b, i: b.withColumn("bid", F.lit(i))
+                .write.mode("append")
+                .parquet(dst)
+            )
+            .option("checkpointLocation", cp)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    drain_once()
+    df.filter(F.col("ts") >= cut).coalesce(1).write.parquet(f"{src}/p=b")
+    drain_once()
+
+    out = spark.read.parquet(dst)
+    last = out.groupBy("user_id").agg(F.max("bid").alias("bid"))
+    live = sorted(
+        tuple(r)
+        for r in out.join(last, ["user_id", "bid"]).drop("bid").collect()
+    )
+    batch = sorted(
+        tuple(r) for r in running_flatline_runs(df).collect()
+    )
+    assert live == batch
+    by_user = {r[0]: r[1:] for r in live}
+    # the 4-long stuck 7.5 run spans the cut; user 2 never appears
+    assert by_user[1] == (1, 4, 4) and 2 not in by_user
+
+
+def test_running_flatline_batch_matches_registered_query(spark, tmp_path):
+    """Batch delegation equals the registered window_flatline_runs rows
+    exactly. sf0.001's random values have no natural length-3 repeats,
+    so the corpus is the real events UNION a seeded stuck user."""
+    import datetime
+
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.streaming.ops import running_flatline_runs
+    from jorvik_spark.tables import load_table
+
+    base = datetime.datetime(2024, 6, 1)
+    stuck = spark.createDataFrame(
+        [
+            (10_000_000 + i, base + datetime.timedelta(minutes=i),
+             99_999, "purchase", 3.25 if i < 5 else 4.0, None)
+            for i in range(8)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "seeded")
+    load_table(spark, SF_DIR, "events").unionByName(stuck).coalesce(
+        2
+    ).write.parquet(f"{d}/events.parquet")
+
+    got = sorted(
+        tuple(r)
+        for r in running_flatline_runs(
+            spark.read.parquet(f"{d}/events.parquet")
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["window_flatline_runs"](spark, d).collect()
+    )
+    assert got == want and len(got) > 0
+    # the seeded user has TWO qualifying runs: 5 x 3.25 and 3 x 4.0
+    assert dict((r[0], r[1:]) for r in got)[99_999] == (2, 5, 8)
