@@ -11,6 +11,9 @@ consumes it:
   ≤50% baseline contamination; spikes the z-score misses);
 * ``window_cusum_changepoints`` — gradual level shifts (every event
   individually unremarkable, the run of them decisive);
+* ``window_flatline_runs``   — stuck values (a frozen reading has
+  ZERO deviation: it looks maximally healthy to every deviation
+  screen above — only an equality-run detector sees it);
 * ``window_intervals_merge``  — activity coverage per user (the
   never-idle bot signal: covered_s ≈ calendar span);
 * ``join_interval_overlap``   — purchases that happened inside an open
@@ -20,7 +23,8 @@ The report reconciles the detectors: how many users each flags, the
 overlap between the instantaneous screens, and whether CUSUM found
 drifting users neither point detector flagged — the reason all three
 exist. The live halves (``running_anomaly_zscore``,
-``running_intervals_union``) emit the same flags/summaries
+``running_intervals_union``, ``running_cusum_changepoints``,
+``running_flatline_runs``) emit the same flags/summaries
 incrementally; tests pin batch/stream equality and restart safety.
 
 Run ``python examples/ops_monitoring.py [sf_dir]``.
@@ -42,12 +46,13 @@ from jorvik_spark.queries.windows import (  # noqa: E402
     window_anomaly_mad,
     window_anomaly_zscore,
     window_cusum_changepoints,
+    window_flatline_runs,
     window_intervals_merge,
 )
 
 
 def monitor(spark: SparkSession, sf_dir: str) -> dict:
-    """Run the five screens; returns {metric: value} with the detector
+    """Run the six screens; returns {metric: value} with the detector
     overlap reconciliation. All five share the events scan semantics
     (null ts/value exclusion, (ts, event_id) ordering — pinned by
     tests/test_dirty_events.py)."""
@@ -61,6 +66,9 @@ def monitor(spark: SparkSession, sf_dir: str) -> dict:
         r["user_id"]
         for r in window_cusum_changepoints(spark, sf_dir).collect()
     }
+    flat_users = {
+        r["user_id"] for r in window_flatline_runs(spark, sf_dir).collect()
+    }
     coverage = window_intervals_merge(spark, sf_dir).collect()
     overlap_pairs = join_interval_overlap(spark, sf_dir).count()
     return {
@@ -70,6 +78,10 @@ def monitor(spark: SparkSession, sf_dir: str) -> dict:
         "point_screen_overlap": len(z_users & mad_users),
         "mad_only_users": len(mad_users - z_users),
         "drift_only_users": len(cusum_users - z_users - mad_users),
+        "flatline_users": len(flat_users),
+        "flatline_invisible_to_deviation_screens": len(
+            flat_users - z_users - mad_users
+        ),
         "users_with_coverage": len(coverage),
         "max_covered_s": max((r["covered_s"] for r in coverage), default=0),
         "purchases_in_error_windows": overlap_pairs,

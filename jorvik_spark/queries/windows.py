@@ -2056,3 +2056,90 @@ def window_flatline_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "window_value_run_census",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL),
+    pos AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY t, event_id) AS i,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type, vu
+                                  ORDER BY t, event_id) AS j
+        FROM ev),
+    runs AS (
+        SELECT user_id, event_type, vu, i - j AS grp,
+               COUNT(*) AS run_len
+        FROM pos GROUP BY user_id, event_type, vu, i - j)
+    SELECT CAST(run_len AS BIGINT) AS run_len,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(COUNT(DISTINCT (user_id, event_type)) AS BIGINT)
+               AS n_streams,
+           CAST(SUM(run_len) AS BIGINT) AS n_events
+    FROM runs GROUP BY run_len ORDER BY run_len
+    """,
+)
+def window_value_run_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-repetition census: the full run-length distribution of
+    consecutive identical ``value`` readings per (user, event_type)
+    stream — the calibration companion to :func:`window_flatline_runs`.
+    The offender screen above answers "who is stuck" (honest empty set
+    on a healthy corpus: this synthesizer's continuous values never
+    repeat 3× in a row at natural SF — see tests/test_round12_ops.py);
+    THIS census answers "what does healthy look like": on clean data
+    the mass sits at run_len=1, and any tail at ≥2 quantifies sensor
+    stickiness / client replay before it crosses the alarm threshold.
+    Non-vacuous at every SF, which also gives the shared
+    gaps-and-islands core a value-rich driver hash row.
+
+    Scale shape: identical to the flatline screen — both row_numbers
+    ride ONE (user, event_type)-keyed sort exchange, runs collapse in a
+    map-combined aggregate, and the census output is bounded by the
+    longest run (a handful of rows at any corpus size).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("vu"),
+        )
+    )
+    wi = Window.partitionBy("user_id", "event_type").orderBy("t", "event_id")
+    wj = Window.partitionBy("user_id", "event_type", "vu").orderBy(
+        "t", "event_id"
+    )
+    runs = (
+        ev.withColumn("grp", F.row_number().over(wi) - F.row_number().over(wj))
+        .groupBy("user_id", "event_type", "vu", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("run_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.countDistinct("user_id", "event_type")
+            .cast("long")
+            .alias("n_streams"),
+            F.sum("run_len").cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("run_len").cast("long").alias("run_len"),
+            "n_runs",
+            "n_streams",
+            "n_events",
+        )
+        .orderBy("run_len")
+    )

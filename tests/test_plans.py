@@ -1088,3 +1088,15 @@ def test_flatline_rankings_share_the_user_exchange(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count(" Window (") == 2
     assert tree.count("Exchange") <= 2
+
+
+def test_value_run_census_collapses_runs_map_side(spark):
+    # same shared-exchange property as the flatline screen, PLUS: the
+    # run-collapse groupBy keys are a superset of the window partition
+    # keys, so Spark reuses the (user, event_type) exchange and the
+    # runs relation never reshuffles. Total exchanges = window sort +
+    # census distinct-agg + final orderBy.
+    plan = _plan(spark, "window_value_run_census")
+    tree = plan.split("\n\n")[0]
+    assert tree.count(" Window (") == 2
+    assert tree.count("Exchange") <= 3

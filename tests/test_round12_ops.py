@@ -615,3 +615,73 @@ def test_running_flatline_batch_matches_registered_query(spark, tmp_path):
     assert got == want and len(got) > 0
     # the seeded user has TWO qualifying runs: 5 x 3.25 and 3 x 4.0
     assert dict((r[0], r[1:]) for r in got)[99_999] == (2, 5, 8)
+
+
+def test_value_run_census_reconciles_with_corpus(spark):
+    """The run-length census is non-vacuous at EVERY SF (run_len=1 mass
+    always exists — the property the flatline offender screen honestly
+    lacks on this synthesizer's continuous values) and its totals must
+    reconcile exactly with the event corpus it censuses."""
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.tables import load_table
+
+    rows = {
+        r["run_len"]: r
+        for r in QUERIES["window_value_run_census"](spark, SF_DIR).collect()
+    }
+    assert 1 in rows and rows[1]["n_runs"] > 0
+    # every censused event is in exactly one run
+    n_events_total = sum(r["n_events"] for r in rows.values())
+    corpus = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .count()
+    )
+    assert n_events_total == corpus
+    # per length-L run accounting: n_events == L * n_runs, and a run
+    # belongs to one stream so n_streams <= n_runs
+    for L, r in rows.items():
+        assert r["n_events"] == L * r["n_runs"]
+        assert 0 < r["n_streams"] <= r["n_runs"]
+    # healthy corpus: the mass sits at run_len=1
+    assert rows[1]["n_runs"] == max(r["n_runs"] for r in rows.values())
+
+
+def test_value_run_census_counts_seeded_runs(spark, tmp_path):
+    """Seeding one stuck stream moves the census by EXACTLY the seeded
+    run-length histogram (5x3.25 then 3x4.0 in one purchase stream)."""
+    import datetime
+
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.tables import load_table
+
+    base = datetime.datetime(2024, 6, 1)
+    stuck = spark.createDataFrame(
+        [
+            (10_000_000 + i, base + datetime.timedelta(minutes=i),
+             99_999, "purchase", 3.25 if i < 5 else 4.0, None)
+            for i in range(8)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "seeded")
+    load_table(spark, SF_DIR, "events").unionByName(stuck).coalesce(
+        2
+    ).write.parquet(f"{d}/events.parquet")
+
+    before = {
+        r["run_len"]: (r["n_runs"], r["n_events"])
+        for r in QUERIES["window_value_run_census"](spark, SF_DIR).collect()
+    }
+    after = {
+        r["run_len"]: (r["n_runs"], r["n_events"])
+        for r in QUERIES["window_value_run_census"](spark, d).collect()
+    }
+    assert after[5] == (before.get(5, (0, 0))[0] + 1,
+                        before.get(5, (0, 0))[1] + 5)
+    assert after[3] == (before.get(3, (0, 0))[0] + 1,
+                        before.get(3, (0, 0))[1] + 3)
+    for L, (n_runs, n_events) in before.items():
+        if L not in (3, 5):
+            assert after[L] == (n_runs, n_events)
