@@ -38,9 +38,10 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 #     quantizer rewrote their shared assignment plan
 #     (dedup_embedding_cosine, simsearch_ivf/ivfpq/topk), then the
 #     basics. The rest of the r8 cohort
-#     (41 queries incl. text_quality_score — displaced by the wave-2
+#     (42 queries incl. text_quality_score — displaced by the wave-2
 #     value-run census, which took a birth slot because its sibling
-#     flatline screen is honestly EMPTY at natural SF — plus
+#     flatline screen is honestly EMPTY at natural SF — and
+#     text_token_stats, displaced by the wave-3 PK census; plus
 #     sample_stratified_split,
 #     merge_upsert, pack_sequences, decontaminate_overlap displaced by
 #     wave 2; plus agg_group_stats, corpus reports, decontaminate_bloom,
@@ -62,12 +63,13 @@ _CHECK_PRIORITY = [
     "graph_connected_components",
     "simsearch_nprobe_sweep",
     "text_zipf_rank_census",
-    # -- new in round 12, wave 2: driver rows at birth (5) --
+    # -- new in round 12, waves 2-3: driver rows at birth (6) --
     "corpus_source_overlap",
     "audit_event_lateness",
     "sample_token_budget",
     "window_flatline_runs",
     "window_value_run_census",
+    "audit_primary_keys",
     # -- oldest evidence (CORRECTNESS_r07): the staged 29 --
     "agg_cube",
     "agg_distinct",
@@ -106,7 +108,6 @@ _CHECK_PRIORITY = [
     "dedup_exact",
     "dedup_minhash_banded",
     "dedup_ngram_jaccard",
-    "text_token_stats",
 ]
 
 

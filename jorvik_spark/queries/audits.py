@@ -349,3 +349,82 @@ def audit_event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lateness_bits")
     )
+
+
+# --- round 12 wave 3: lake-wide primary-key census ------------------------
+
+# Declared primary key per lake table. A fixed catalog-sized list — the
+# audit scans each table ONCE reading only its key columns.
+_TABLE_KEYS: list[tuple[str, list[str]]] = [
+    ("customer", ["c_custkey"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+    ("events", ["event_id"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("nation", ["n_nationkey"]),
+    ("orders", ["o_orderkey"]),
+    ("part", ["p_partkey"]),
+    ("region", ["r_regionkey"]),
+    ("supplier", ["s_suppkey"]),
+]
+
+
+def _pk_oracle() -> str:
+    parts = []
+    for t, keys in _TABLE_KEYS:
+        nn = " AND ".join(f"{k} IS NOT NULL" for k in keys)
+        tup = keys[0] if len(keys) == 1 else "(" + ", ".join(keys) + ")"
+        parts.append(f"""
+    SELECT '{t}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER ({nn}) AS BIGINT) AS n_keys,
+           CAST(COUNT(DISTINCT {tup}) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) FILTER ({nn})
+                - COUNT(DISTINCT {tup}) AS BIGINT) AS n_dup_rows
+    FROM {t}""")
+    return "\n    UNION ALL".join(parts) + "\n    ORDER BY table_name"
+
+
+@query("audit_primary_keys", oracle=_pk_oracle())
+def audit_primary_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-wide primary-key census: for every table, total rows,
+    rows with a fully non-null key, exact distinct keys, and duplicate
+    excess (``n_keys - n_distinct``) — the publish-gate companion to
+    :func:`audit_referential_integrity`, which asserts ONE table's PK;
+    this one sweeps the whole lake so an ingestion bug that duplicated
+    any table (a retried write, a replayed stream) surfaces no matter
+    where it landed. Composite keys supported (lineitem's
+    (l_orderkey, l_linenumber)).
+
+    Scale shape: one map-combined exact-distinct aggregate per table,
+    scanning ONLY the key columns (column pruning — verify ReadSchema
+    in the plan); the 10 single-row branches union into the report.
+    No joins and no groupBy materialization of any key space: the
+    distinct count is Spark's standard two-phase partial aggregate, so
+    per-task state is bounded by per-partition distinct keys at any
+    corpus size. Null-key rows are counted out of ``n_keys`` on both
+    engines by declared semantics (Spark's countDistinct skips
+    any-null tuples; the oracle FILTERs the same predicate).
+    """
+    out: DataFrame | None = None
+    for t, keys in _TABLE_KEYS:
+        df = load_table(spark, sf_dir, t)
+        nn = F.lit(True)
+        for k in keys:
+            nn = nn & F.col(k).isNotNull()
+        row = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(F.when(nn, 1)).cast("long").alias("n_keys"),
+            F.countDistinct(*keys).cast("long").alias("n_distinct"),
+        ).select(
+            F.lit(t).alias("table_name"),
+            "n_rows",
+            "n_keys",
+            "n_distinct",
+            (F.col("n_keys") - F.col("n_distinct"))
+            .cast("long")
+            .alias("n_dup_rows"),
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out.orderBy("table_name")

@@ -685,3 +685,73 @@ def test_value_run_census_counts_seeded_runs(spark, tmp_path):
     for L, (n_runs, n_events) in before.items():
         if L not in (3, 5):
             assert after[L] == (n_runs, n_events)
+
+
+def test_primary_key_census_reconciles_and_prunes(spark):
+    """The lake-wide PK census: row totals must equal the real table
+    counts, dup arithmetic must reconcile, and — the 100 TB property —
+    every branch's parquet scan must read ONLY its key columns."""
+    import contextlib
+    import io
+
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.queries.audits import _TABLE_KEYS
+    from jorvik_spark.tables import load_table
+
+    df = QUERIES["audit_primary_keys"](spark, SF_DIR)
+    rows = {r["table_name"]: r for r in df.collect()}
+    assert set(rows) == {t for t, _ in _TABLE_KEYS}
+    for t in ("customer", "events"):
+        assert rows[t]["n_rows"] == load_table(spark, SF_DIR, t).count()
+    for r in rows.values():
+        assert r["n_dup_rows"] == r["n_keys"] - r["n_distinct"]
+        assert 0 <= r["n_keys"] <= r["n_rows"]
+    # the synthesizer's lineitem (l_orderkey, l_linenumber) is NOT
+    # unique — the census must catch it (non-vacuous duplicate count)
+    assert rows["lineitem"]["n_dup_rows"] > 0
+    assert rows["orders"]["n_dup_rows"] == 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ReadSchema: struct<c_custkey:bigint>" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>" in plan
+    assert "Join" not in plan
+
+
+def test_primary_key_census_counts_seeded_duplicates(spark, tmp_path):
+    """Duplicating 7 orders rows (and null-keying one) must move the
+    census by exactly those deltas, in the orders row only."""
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.tables import load_table
+
+    src = load_table(spark, SF_DIR, "orders")
+    dupes = src.limit(7)
+    nulled = src.limit(1).withColumn(
+        "o_orderkey", F.lit(None).cast("long")
+    )
+    d = str(tmp_path / "lake")
+    for t in ("customer", "documents", "embeddings", "events", "lineitem",
+              "nation", "part", "region", "supplier"):
+        load_table(spark, SF_DIR, t).write.parquet(f"{d}/{t}.parquet")
+    src.unionByName(dupes).unionByName(nulled).coalesce(2).write.parquet(
+        f"{d}/orders.parquet"
+    )
+
+    before = {
+        r["table_name"]: r
+        for r in QUERIES["audit_primary_keys"](spark, SF_DIR).collect()
+    }
+    after = {
+        r["table_name"]: r
+        for r in QUERIES["audit_primary_keys"](spark, d).collect()
+    }
+    b, a = before["orders"], after["orders"]
+    assert a["n_rows"] == b["n_rows"] + 8
+    assert a["n_keys"] == b["n_keys"] + 7      # the null-key row drops out
+    assert a["n_distinct"] == b["n_distinct"]  # dupes add no new keys
+    assert a["n_dup_rows"] == b["n_dup_rows"] + 7
+    for t in before:
+        if t != "orders":
+            assert tuple(after[t]) == tuple(before[t]), t
