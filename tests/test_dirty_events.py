@@ -104,6 +104,10 @@ EVENT_QUERIES = [
     # detector must see the identical-value run only where values tie.
     "audit_event_lateness",
     "window_flatline_runs",
+    # wave 3: the run census must exclude null-ts/null-value rows and
+    # count every surviving event into exactly one run per
+    # (user, event_type) stream — all length 1 on this fixture.
+    "window_value_run_census",
     "join_interval_overlap",
     "expr_json_extract",
     "stream_tumbling_agg",
