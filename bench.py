@@ -190,6 +190,10 @@ BENCH_R12_QUERIES = {
     # wave 2: the incidence self-join and the lateness running-max.
     "r12_overlap": "corpus_source_overlap",
     "r12_lateness": "audit_event_lateness",
+    # wave 3: the run-collapse census (shares flatline's exchange
+    # shape) and the 10-table key-pruned distinct-scan audit.
+    "r12_runcensus": "window_value_run_census",
+    "r12_pkaudit": "audit_primary_keys",
 }
 
 # Round-11 sf0.1 medians (PROFILE.md round-11 final quiet capture,
