@@ -374,13 +374,19 @@ def _pk_oracle() -> str:
     for t, keys in _TABLE_KEYS:
         nn = " AND ".join(f"{k} IS NOT NULL" for k in keys)
         tup = keys[0] if len(keys) == 1 else "(" + ", ".join(keys) + ")"
+        # FILTER the distinct count too: DuckDB's COUNT(DISTINCT (a,b))
+        # counts a partially-null row-value as distinct, while Spark's
+        # countDistinct skips any-null tuples — declare the shared
+        # semantics (distinct among fully-non-null keys) explicitly.
         parts.append(f"""
     SELECT '{t}' AS table_name,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(*) FILTER ({nn}) AS BIGINT) AS n_keys,
-           CAST(COUNT(DISTINCT {tup}) AS BIGINT) AS n_distinct,
+           CAST(COUNT(DISTINCT {tup}) FILTER ({nn}) AS BIGINT)
+               AS n_distinct,
            CAST(COUNT(*) FILTER ({nn})
-                - COUNT(DISTINCT {tup}) AS BIGINT) AS n_dup_rows
+                - COUNT(DISTINCT {tup}) FILTER ({nn})
+                AS BIGINT) AS n_dup_rows
     FROM {t}""")
     return "\n    UNION ALL".join(parts) + "\n    ORDER BY table_name"
 

@@ -2066,7 +2066,8 @@ def window_flatline_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
                epoch_us(CAST(ts AS TIMESTAMP)) AS t,
                CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
         FROM events
-        WHERE ts IS NOT NULL AND value IS NOT NULL),
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND user_id IS NOT NULL AND event_type IS NOT NULL),
     pos AS (
         SELECT *,
                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
@@ -2106,7 +2107,16 @@ def window_value_run_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        # null stream identity is declared out of scope on BOTH engines
+        # (a reading without a (user, type) stream can't join a run;
+        # also keeps countDistinct's any-null-tuple skip vs DuckDB's
+        # row-value distinct from ever diverging)
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
         .select(
             "user_id",
             "event_type",

@@ -634,7 +634,12 @@ def test_value_run_census_reconciles_with_corpus(spark):
     n_events_total = sum(r["n_events"] for r in rows.values())
     corpus = (
         load_table(spark, SF_DIR, "events")
-        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
         .count()
     )
     assert n_events_total == corpus
@@ -755,3 +760,57 @@ def test_primary_key_census_counts_seeded_duplicates(spark, tmp_path):
     for t in before:
         if t != "orders":
             assert tuple(after[t]) == tuple(before[t]), t
+
+
+def test_primary_key_census_partial_null_composite_key_parity(
+    spark, tmp_path
+):
+    """A lineitem row with a NULL l_linenumber (half of the composite
+    key) is the exact case where Spark's countDistinct (skips any-null
+    tuples) and DuckDB's row-value COUNT(DISTINCT (a,b)) (counts them)
+    would diverge without the declared FILTER — pin the two engines
+    agree on the declared semantics: the row leaves n_keys/n_distinct
+    and lands only in n_rows."""
+    import duckdb
+
+    from jorvik_spark.queries import ORACLES, QUERIES
+    from jorvik_spark.tables import load_table
+
+    d = str(tmp_path / "lake")
+    for t in ("customer", "documents", "embeddings", "events", "nation",
+              "orders", "part", "region", "supplier"):
+        load_table(spark, SF_DIR, t).write.parquet(f"{d}/{t}.parquet")
+    li = load_table(spark, SF_DIR, "lineitem")
+    halfnull = li.limit(1).withColumn(
+        "l_linenumber", F.lit(None).cast("int")
+    )
+    li.unionByName(halfnull).coalesce(2).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+
+    got = sorted(
+        tuple(r) for r in QUERIES["audit_primary_keys"](spark, d).collect()
+    )
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            # Spark writes each table as a DIRECTORY of part files
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    want = sorted(tuple(r) for r in con.execute(
+        ORACLES["audit_primary_keys"]
+    ).fetchall())
+    assert got == want
+    li_row = dict((r[0], r[1:]) for r in got)["lineitem"]
+    base = dict(
+        (r["table_name"], r)
+        for r in QUERIES["audit_primary_keys"](spark, SF_DIR).collect()
+    )["lineitem"]
+    assert li_row == (
+        base["n_rows"] + 1,      # the half-null row is a row...
+        base["n_keys"],          # ...but not a key
+        base["n_distinct"],
+        base["n_dup_rows"],
+    )
