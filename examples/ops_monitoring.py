@@ -1,4 +1,4 @@
-"""Operational monitoring over an event stream: three complementary
+"""Operational monitoring over an event stream: four complementary
 detectors plus the engagement/outage context, in one session.
 
 A production screen never relies on one statistic. This example
@@ -21,8 +21,9 @@ consumes it:
 
 The report reconciles the detectors: how many users each flags, the
 overlap between the instantaneous screens, and whether CUSUM found
-drifting users neither point detector flagged — the reason all three
-exist. The live halves (``running_anomaly_zscore``,
+drifting users neither point detector flagged, and whether the
+flatline screen caught stuck streams every deviation test calls
+healthy — the reason all four exist. The live halves (``running_anomaly_zscore``,
 ``running_intervals_union``, ``running_cusum_changepoints``,
 ``running_flatline_runs``) emit the same flags/summaries
 incrementally; tests pin batch/stream equality and restart safety.
@@ -53,7 +54,7 @@ from jorvik_spark.queries.windows import (  # noqa: E402
 
 def monitor(spark: SparkSession, sf_dir: str) -> dict:
     """Run the six screens; returns {metric: value} with the detector
-    overlap reconciliation. All five share the events scan semantics
+    overlap reconciliation. All six share the events scan semantics
     (null ts/value exclusion, (ts, event_id) ordering — pinned by
     tests/test_dirty_events.py)."""
     z_users = {

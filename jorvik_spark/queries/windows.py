@@ -1980,6 +1980,55 @@ def window_resample_interpolate(
 _FLATLINE_MIN_RUN = 3
 
 
+def _value_runs(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_cols: list,
+    extra_filter=None,
+):
+    """Shared gaps-and-islands core for the flatline screen and the
+    run-length census: runs of consecutive identical micro-unit values
+    per stream (``stream_cols``), ordered by (ts, event_id). ONE
+    implementation so the offender screen and its calibration census
+    can never drift on quantization, tie-break, or scope; both queries'
+    oracles carry the identical predicates. Null ts/value/stream-
+    identity rows are out of scope on BOTH engines by declared
+    semantics. Both row_numbers ride ONE stream-keyed sort exchange
+    (the (stream, vu) ranking is a sub-ordering of the stream one) and
+    the run collapse groups on a SUPERSET of the partition keys, so it
+    reuses that exchange map-side (plan-pinned, tests/test_plans.py).
+    """
+    base = (
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    if extra_filter is not None:
+        base = base & extra_filter
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(base)
+        .select(
+            *stream_cols,
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("vu"),
+        )
+    )
+    wi = Window.partitionBy(*stream_cols).orderBy("t", "event_id")
+    wj = Window.partitionBy(*stream_cols, "vu").orderBy("t", "event_id")
+    return (
+        ev.withColumn(
+            "grp", F.row_number().over(wi) - F.row_number().over(wj)
+        )
+        .groupBy(*stream_cols, "vu", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+
+
 @query(
     "window_flatline_runs",
     oracle=f"""
@@ -1989,6 +2038,7 @@ _FLATLINE_MIN_RUN = 3
                CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
         FROM events
         WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND user_id IS NOT NULL
           AND event_type = 'purchase'),
     pos AS (
         SELECT *,
@@ -2017,36 +2067,17 @@ def window_flatline_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands on value equality: position-in-stream minus
     position-in-value-group is constant exactly along a run.
 
-    Scale shape: both row_numbers ride ONE user-keyed sort exchange
-    (same partition key, the (user, vu) ranking is a sub-ordering of
-    the (user) one — Spark plans one Exchange and two Window passes);
-    runs collapse in a map-combined aggregate and only offending users
-    survive. No self-joins, no per-event state beyond the sort.
+    Scale shape: see :func:`_value_runs` (the shared core — one
+    stream-keyed exchange, map-side run collapse); only offending
+    users survive the run-length filter. Null users are out of scope
+    on both engines, matching the census's declared semantics.
     """
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(
-            F.col("ts").isNotNull()
-            & F.col("value").isNotNull()
-            & (F.col("event_type") == "purchase")
-        )
-        .select(
-            "user_id",
-            "event_id",
-            F.unix_micros("ts").alias("t"),
-            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
-            .cast("long")
-            .alias("vu"),
-        )
-    )
-    wi = Window.partitionBy("user_id").orderBy("t", "event_id")
-    wj = Window.partitionBy("user_id", "vu").orderBy("t", "event_id")
-    runs = (
-        ev.withColumn("grp", F.row_number().over(wi) - F.row_number().over(wj))
-        .groupBy("user_id", "vu", "grp")
-        .agg(F.count(F.lit(1)).alias("run_len"))
-        .filter(F.col("run_len") >= _FLATLINE_MIN_RUN)
-    )
+    runs = _value_runs(
+        spark,
+        sf_dir,
+        ["user_id"],
+        extra_filter=F.col("event_type") == "purchase",
+    ).filter(F.col("run_len") >= _FLATLINE_MIN_RUN)
     return (
         runs.groupBy("user_id")
         .agg(
@@ -2100,42 +2131,14 @@ def window_value_run_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     Non-vacuous at every SF, which also gives the shared
     gaps-and-islands core a value-rich driver hash row.
 
-    Scale shape: identical to the flatline screen — both row_numbers
-    ride ONE (user, event_type)-keyed sort exchange, runs collapse in a
-    map-combined aggregate, and the census output is bounded by the
-    longest run (a handful of rows at any corpus size).
+    Scale shape: see :func:`_value_runs` (the shared core — one
+    stream-keyed exchange, map-side run collapse); the census output
+    is bounded by the longest run (a handful of rows at any corpus
+    size). Null stream identity is out of scope on both engines (also
+    keeps Spark countDistinct's any-null-tuple skip vs DuckDB's
+    row-value distinct from ever diverging).
     """
-    ev = (
-        load_table(spark, sf_dir, "events")
-        # null stream identity is declared out of scope on BOTH engines
-        # (a reading without a (user, type) stream can't join a run;
-        # also keeps countDistinct's any-null-tuple skip vs DuckDB's
-        # row-value distinct from ever diverging)
-        .filter(
-            F.col("ts").isNotNull()
-            & F.col("value").isNotNull()
-            & F.col("user_id").isNotNull()
-            & F.col("event_type").isNotNull()
-        )
-        .select(
-            "user_id",
-            "event_type",
-            "event_id",
-            F.unix_micros("ts").alias("t"),
-            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
-            .cast("long")
-            .alias("vu"),
-        )
-    )
-    wi = Window.partitionBy("user_id", "event_type").orderBy("t", "event_id")
-    wj = Window.partitionBy("user_id", "event_type", "vu").orderBy(
-        "t", "event_id"
-    )
-    runs = (
-        ev.withColumn("grp", F.row_number().over(wi) - F.row_number().over(wj))
-        .groupBy("user_id", "event_type", "vu", "grp")
-        .agg(F.count(F.lit(1)).alias("run_len"))
-    )
+    runs = _value_runs(spark, sf_dir, ["user_id", "event_type"])
     return (
         runs.groupBy("run_len")
         .agg(

@@ -1227,6 +1227,9 @@ def running_flatline_runs(
     filtered = df.filter(
         F.col("ts").isNotNull()
         & F.col("value").isNotNull()
+        # null stream identity out of scope — mirrors the registered
+        # batch query's declared semantics (and the run census's)
+        & F.col(key_col).isNotNull()
         & (F.col("event_type") == "purchase")
     ).select(
         key_col,
