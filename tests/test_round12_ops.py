@@ -814,3 +814,62 @@ def test_primary_key_census_partial_null_composite_key_parity(
         base["n_distinct"],
         base["n_dup_rows"],
     )
+
+
+def test_flatline_and_census_agree_on_null_user_corpus(spark, tmp_path):
+    """The review scenario that motivated the shared core: a ≥3-run of
+    identical purchase values under user_id NULL. Declared semantics —
+    null stream identity out of scope — must hold on BOTH engines for
+    BOTH operators (no offender row, no censused run), and the live
+    twin's batch branch must agree with the registered query."""
+    import datetime
+
+    import duckdb
+
+    from jorvik_spark.queries import ORACLES, QUERIES
+    from jorvik_spark.streaming.ops import running_flatline_runs
+    from jorvik_spark.tables import load_table
+
+    base = datetime.datetime(2024, 6, 1)
+    anon = spark.createDataFrame(
+        [
+            (20_000_000 + i, base + datetime.timedelta(minutes=i),
+             None, "purchase", 7.75, None)
+            for i in range(5)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "anon")
+    load_table(spark, SF_DIR, "events").unionByName(anon).coalesce(
+        2
+    ).write.parquet(f"{d}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    for name in ("window_flatline_runs", "window_value_run_census"):
+        got = sorted(tuple(r) for r in QUERIES[name](spark, d).collect())
+        want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+        assert got == want, name
+        # the null-user run is out of scope: no None keys, no 5-run
+        assert not any(r[0] is None for r in got), name
+    census = {
+        r["run_len"]
+        for r in QUERIES["window_value_run_census"](spark, d).collect()
+    }
+    assert 5 not in census
+    # live twin (batch branch) agrees with the registered query
+    twin = sorted(
+        tuple(r)
+        for r in running_flatline_runs(
+            spark.read.parquet(f"{d}/events.parquet")
+        ).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in QUERIES["window_flatline_runs"](spark, d).collect()
+    )
+    assert twin == batch
