@@ -48,7 +48,9 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 #     dedup_incremental/minhash_components/passage family, embed_*,
 #     exports, multimodal, remaining samplers, simsearch_range,
 #     sink_zorder, stream_stream_join, remaining text ops) is the
-#     staged round-13 list.
+#     staged round-13 list — led by window_gap_census, the one r12
+#     operator registered after the prefix froze (LOCAL_PARITY-
+#     evidenced at birth, no driver row yet).
 #   * Still excluded: text_bpe_train (the one remaining rows-only query
 #     — iterative BPE merge table, no ANSI-SQL twin, r8 driver row on
 #     file, brute-force-Python-verified in tests/test_llm_ops.py).

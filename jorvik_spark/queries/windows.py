@@ -2156,3 +2156,76 @@ def window_value_run_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("run_len")
     )
+
+
+# --- round 12 wave 3: inter-event gap census -------------------------------
+
+
+@query(
+    "window_gap_census",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    gaps AS (
+        SELECT user_id,
+               (t - lag(t) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id))
+               // 1000000 AS gap_s
+        FROM ev),
+    g AS (SELECT * FROM gaps WHERE gap_s IS NOT NULL)
+    SELECT CAST(CASE WHEN gap_s = 0 THEN 0
+                     ELSE length(bin(gap_s)) END AS INTEGER) AS gap_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM g GROUP BY gap_bits ORDER BY gap_bits
+    """,
+)
+def window_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap census: the octave (bit-length) distribution of
+    event-time spacing within each user's stream — the calibration
+    evidence behind every inactivity threshold in the engine. The
+    sessionizer family hard-codes a 30-minute gap
+    (:data:`_SESSION_GAP_US`); THIS census shows where that cut lands
+    in the real spacing distribution (1,800 s falls inside octave 11,
+    1,024–2,047 s — a valley there means the threshold is stable, mass
+    there means sessions are threshold-sensitive). Complements
+    ``audit_event_lateness`` (arrival order vs stream spacing) and
+    ``window_session_duration_histogram`` (the OUTPUT of the cut vs
+    its input). Null ts / null user rows are out of scope on both
+    engines; the first event of a stream has no gap.
+
+    Scale shape: one user-keyed sort exchange feeds the lag; the
+    octave collapse is a map-combined aggregate over ≤ ~40 octave
+    groups, so the census output is constant-size at any corpus. The
+    ``div``/``//`` pair truncates identically on both engines
+    (non-negative gaps by construction — the lag is ordered on t).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("t"))
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = (
+        ev.withColumn("prev", F.lag("t").over(w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn("gap_s", F.expr("(t - prev) div 1000000"))
+    )
+    bits = (
+        F.when(F.col("gap_s") == 0, F.lit(0))
+        .otherwise(F.length(F.conv(F.col("gap_s").cast("string"), 10, 2)))
+        .cast("int")
+    )
+    return (
+        gaps.groupBy(bits.alias("gap_bits"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+        .orderBy("gap_bits")
+    )

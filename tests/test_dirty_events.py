@@ -106,8 +106,11 @@ EVENT_QUERIES = [
     "window_flatline_runs",
     # wave 3: the run census must exclude null-ts/null-value rows and
     # count every surviving event into exactly one run per
-    # (user, event_type) stream — all length 1 on this fixture.
+    # (user, event_type) stream — all length 1 on this fixture; the gap
+    # census must break the same-timestamp ties by event_id on both
+    # engines (a tie is a 0-second gap in octave 0).
     "window_value_run_census",
+    "window_gap_census",
     "join_interval_overlap",
     "expr_json_extract",
     "stream_tumbling_agg",

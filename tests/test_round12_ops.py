@@ -873,3 +873,26 @@ def test_flatline_and_census_agree_on_null_user_corpus(spark, tmp_path):
         for r in QUERIES["window_flatline_runs"](spark, d).collect()
     )
     assert twin == batch
+
+
+def test_gap_census_reconciles_with_streams(spark):
+    """Every event after its stream's first contributes exactly one gap:
+    total gaps == (events with non-null ts and user) - (active users).
+    Octave accounting must hold (max_gap_s inside each octave's range)
+    and the census is non-vacuous at every SF."""
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.tables import load_table
+
+    rows = QUERIES["window_gap_census"](spark, SF_DIR).collect()
+    assert rows, "census must be non-vacuous"
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_gaps"] for r in rows) == n_events - n_users
+    for r in rows:
+        b = r["gap_bits"]
+        lo, hi = (0, 0) if b == 0 else (2 ** (b - 1), 2**b - 1)
+        assert lo <= r["max_gap_s"] <= hi, r
+        assert 0 < r["n_users"] <= r["n_gaps"]
