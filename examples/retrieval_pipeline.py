@@ -158,9 +158,10 @@ def make_silver_ann_index(lake: str) -> ETL:
     """Silver: ONE corpus pass builds all three index artifacts — the
     coarse centroid table, the per-subspace PQ codebooks, and the
     (cell, codes) index itself, partitioned by cell for probe-time
-    partition pruning. Deterministic "training" (first ivf_k(n) vectors
-    are the coarse centroids — the engine's corpus-adaptive K, computed
-    here from the same positive-norm count — first _PQ_K subvectors the
+    partition pruning. Deterministic "training" (the ivf_k(n)
+    md5-rank-smallest vectors are the coarse centroids — the engine's
+    corpus-adaptive K and round-13 hash-spread seed, computed here from
+    the same positive-norm count — first _PQ_K subvectors the
     codebooks)
     exactly as the engine's operators define it, so the persisted index
     answers queries identically to the in-memory quantizer."""
@@ -185,7 +186,12 @@ def make_silver_ann_index(lake: str) -> ETL:
     @etl(bronze, [out_index, out_coarse, out_codebooks])
     def build_index(emb: DataFrame):
         ivf = _pos_norm(emb)
-        coarse = ivf.filter(F.col("vec_id") < ivf_k(ivf.count())).select(
+        from jorvik_spark.queries.similarity import _seed_rank_cols
+
+        coarse = (
+            ivf.orderBy(*_seed_rank_cols())
+            .limit(ivf_k(ivf.count()))
+        ).select(
             F.col("vec_id").cast("int").alias("cell"),
             F.col("v").alias("cv"),
         )

@@ -797,24 +797,29 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cluster resolution step of fuzzy dedup, VALUE-CHECKED end to end
     (the DuckDB oracle computes the same fixpoint with a recursive CTE).
 
-    Spark side iterates smallest-label propagation TO CONVERGENCE (one
-    hop per round, stop when no label changes), so the result is the
-    exact fixpoint regardless of cluster diameter — not a bounded
-    approximation. Each round is a pair-graph-sized join, orders of
-    magnitude smaller than the corpus; round count is the graph
-    diameter, which for near-dup clusters is small.
+    Spark side resolves the fixpoint with the shared alternating
+    star-contraction kernel (``components.star_contract_components`` —
+    O(log n) rounds regardless of cluster diameter; a 100-link duplicate
+    chain that cost 100 one-hop propagation rounds before round 13
+    resolves in ~7). The result is the exact fixpoint — smallest
+    reachable doc_id per node — identical to the one-hop propagation
+    and to the oracle's recursive CTE. Each round is a
+    pair-graph-sized join, orders of magnitude smaller than the corpus.
 
-    Each round's labels are ``localCheckpoint``ed, not merely persisted:
+    Each round's state is ``localCheckpoint``ed, not merely persisted:
     a persist caches the DATA but the logical plan still nests every
-    prior round (the new labels reference the old twice — propagation
-    join and convergence check — so the tree doubles per round), and
-    Catalyst re-analysis made round 5 cost 90x round 0 at a 50k-doc
-    stress run (~460 s total). Checkpointing truncates the plan to the
-    materialized result, holding per-round cost flat (~3 s, total 24 s
-    at the same scale). On a cluster, swap for reliable ``checkpoint()``
-    if executor loss during the fixpoint must be recoverable.
+    prior round (the tree doubles per round), and Catalyst re-analysis
+    made round 5 cost 90x round 0 at a 50k-doc stress run (~460 s
+    total). Checkpointing truncates the plan to the materialized
+    result, holding per-round cost flat (~3 s, total 24 s at the same
+    scale). On a cluster, swap for reliable ``checkpoint()`` if
+    executor loss during the fixpoint must be recoverable. The kernel
+    raises ComponentsNotConverged rather than ever returning
+    unconverged labels.
     """
-    def propagate_to_fixpoint() -> DataFrame:
+    def resolve() -> DataFrame:
+        from jorvik_spark.queries.components import star_contract_components
+
         bands = _mh_bands(spark, sf_dir)
         a = bands.alias("a")
         b = bands.alias("b")
@@ -828,57 +833,11 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
             .distinct()
         )
-        edges = pairs.unionByName(
-            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).persist()
-        labels = (
-            edges.select(F.col("a").alias("doc_id"))
-            .distinct()
-            .withColumn("component", F.col("doc_id"))
-            .persist()
-        )
-        try:
-            for _ in range(64):  # safety bound far above any real diameter
-                neighbor_min = (
-                    edges.join(labels, edges.b == labels.doc_id)
-                    .groupBy(F.col("a").alias("doc_id"))
-                    .agg(F.min("component").alias("neighbor_component"))
-                )
-                new_labels = (
-                    labels.join(neighbor_min, "doc_id", "left")
-                    .select(
-                        "doc_id",
-                        F.least(
-                            F.col("component"),
-                            F.coalesce(
-                                F.col("neighbor_component"), F.col("component")
-                            ),
-                        ).alias("component"),
-                    )
-                    # eager lineage truncation — see docstring
-                    .localCheckpoint()
-                )
-                changed = (
-                    new_labels.alias("n")
-                    .join(labels.alias("o"), "doc_id")
-                    .filter(F.col("n.component") != F.col("o.component"))
-                    .count()
-                )
-                # round 0's labels is a plain persist (unpersist works);
-                # later rounds are localCheckpoints, which unpersist
-                # silently ignores — release the checkpoint RDD directly
-                labels.unpersist()
-                _release_local_checkpoint(labels)
-                labels = new_labels
-                if changed == 0:
-                    break
-        finally:
-            edges.unpersist()
-        return labels
+        return star_contract_components(pairs, "doc_id", "component")
 
     # Memoized fixpoint: the returned DataFrame reads the cached labels
-    # directly; re-deriving them would replay the whole propagation.
-    return memo_df(f"mh_components:{sf_dir}", spark, propagate_to_fixpoint)
+    # directly; re-deriving them would replay the whole contraction.
+    return memo_df(f"mh_components:{sf_dir}", spark, resolve)
 
 
 # Exact-substring passage dedup: window width (tokens). Cross-doc 8-token

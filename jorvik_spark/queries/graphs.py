@@ -576,17 +576,18 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotas. VALUE-CHECKED end to end: the DuckDB oracle computes the
     same fixpoint with a recursive CTE.
 
-    Spark side iterates smallest-label propagation TO CONVERGENCE with a
-    ``localCheckpoint`` lineage cut per round — the exact fixpoint
-    policy (and measured plan-growth rationale) documented on
-    ``dedup_minhash_components``; round count is the graph diameter.
-    The edge list is the shared ``cosupply_edges`` memo (one per-order
-    DISTINCT set expansion, built once per session with the triangle
-    census).
+    Spark side resolves the fixpoint with the shared alternating
+    star-contraction kernel (``components.star_contract_components``,
+    O(log n) rounds regardless of graph diameter — round-12 verdict
+    item #3; the lineage-cut-per-round policy and its measured
+    plan-growth rationale are documented on ``dedup_minhash_components``
+    and the kernel raises ComponentsNotConverged rather than ever
+    returning unconverged labels). The edge list is the shared
+    ``cosupply_edges`` memo (one per-order DISTINCT set expansion,
+    built once per session with the triangle census).
 
-    Scale shape per round: ONE edge-keyed join + ONE node-keyed
-    map-combined MIN aggregate, both on the |E| relation — never the
-    fact table; the convergence check is a labels-sized join. The census
+    Scale shape per round: two groupBy-min aggregates + two edge-keyed
+    joins, all on the |E| relation — never the fact table. The census
     is a |V|-sized aggregate.
     """
     ls = load_table(spark, sf_dir, "lineitem").select(
@@ -614,54 +615,12 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    def propagate_to_fixpoint() -> DataFrame:
-        from jorvik_spark.queries.dedup import _release_local_checkpoint
+    def resolve() -> DataFrame:
+        from jorvik_spark.queries.components import star_contract_components
 
-        edges = edges_undir.unionByName(
-            edges_undir.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).persist()
-        labels = (
-            edges.select(F.col("u").alias("node"))
-            .distinct()
-            .withColumn("component", F.col("node"))
-            .persist()
-        )
-        try:
-            for _ in range(64):  # safety bound far above any real diameter
-                neighbor_min = (
-                    edges.join(labels, edges.v == labels.node)
-                    .groupBy(F.col("u").alias("node"))
-                    .agg(F.min("component").alias("nc"))
-                )
-                new_labels = (
-                    labels.join(neighbor_min, "node", "left")
-                    .select(
-                        "node",
-                        F.least(
-                            F.col("component"),
-                            F.coalesce(F.col("nc"), F.col("component")),
-                        ).alias("component"),
-                    )
-                    .localCheckpoint()
-                )
-                changed = (
-                    new_labels.alias("n")
-                    .join(labels.alias("o"), "node")
-                    .filter(F.col("n.component") != F.col("o.component"))
-                    .count()
-                )
-                labels.unpersist()
-                _release_local_checkpoint(labels)
-                labels = new_labels
-                if changed == 0:
-                    break
-        finally:
-            edges.unpersist()
-        return labels
+        return star_contract_components(edges_undir, "node", "component")
 
-    labels = memo_df(
-        f"cosupply_components:{sf_dir}", spark, propagate_to_fixpoint
-    )
+    labels = memo_df(f"cosupply_components:{sf_dir}", spark, resolve)
     return (
         labels.groupBy("component")
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))

@@ -368,10 +368,29 @@ def ivf_k(n: int) -> int:
 _CELL_SALTS = 8
 _IVF_NPROBE = 2  # cells searched per query
 
-# Shared DuckDB CTEs for the deterministic IVF coarse quantizer: first-K
-# vectors as centroids (K adaptive via the ksel scalar — the SQL twin of
-# ivf_k()), nearest-centroid assignment with rounded-distance + cent_id
-# tie-break (matches the Spark plan bit-for-bit).
+# Deterministic hash-spread centroid seed (round-12 verdict item #6):
+# rank candidates by md5(vec_id) and take K. First-K-by-id was a
+# recall-quality anti-pattern on any corpus whose id order correlates
+# with content (ids assigned per source / per crawl shard would seed
+# every centroid inside one content region); the md5 rank is a uniform
+# spread over the corpus with the SAME determinism and
+# oracle-checkability (both engines produce identical lowercase-hex
+# md5 of the decimal id string; vec_id tie-break is unreachable but
+# pinned). Measured on this corpus: nprobe-sweep recall at every probe
+# point equal or better vs the id-order seed (see PROFILE.md r13).
+_SQL_SEED_RANK = "md5(CAST(vec_id AS VARCHAR)), vec_id"
+
+
+def _seed_rank_cols() -> list:
+    """Spark twin of _SQL_SEED_RANK — one definition of the seed order."""
+    return [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+
+
+# Shared DuckDB CTEs for the deterministic IVF coarse quantizer:
+# hash-spread-K vectors as centroids (K adaptive via the ksel scalar —
+# the SQL twin of ivf_k()), nearest-centroid assignment with
+# rounded-distance + cent_id tie-break (matches the Spark plan
+# bit-for-bit).
 _SQL_IVF_ASSIGN = f"""
     nzv AS (SELECT * FROM embeddings WHERE {_SQL_POS_NORM}),
     ksel AS (
@@ -379,8 +398,10 @@ _SQL_IVF_ASSIGN = f"""
                         CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k
         FROM nzv),
     cents AS (
-        SELECT vec_id AS cent_id, embedding AS cv
-        FROM nzv WHERE vec_id < (SELECT k FROM ksel)),
+        SELECT vec_id AS cent_id, embedding AS cv FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY {_SQL_SEED_RANK}) AS r
+            FROM nzv)
+        WHERE r <= (SELECT k FROM ksel)),
     assign AS (
         SELECT e.vec_id, e.embedding, c.cent_id,
                ROW_NUMBER() OVER (
@@ -448,12 +469,13 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (vec_id, v, n2, cent_id, dist, rn) for rn ≤ _IVF_NPROBE —
     rn=1 is the vector's home cell, rn=2 its next-nearest probe cell
     (every consumer filters rn == 1 or rn <= _IVF_NPROBE, so ranks past
-    NPROBE are never materialized). Deterministic "training": the first
-    K(n) vectors serve as
-    centroids, K(n) = max(floor, ceil(sqrt(n))) via :func:`ivf_k` (a real
-    deployment would k-means a sample on the driver — the assignment
-    below is unchanged), which keeps the whole index DuckDB-checkable:
-    the oracle CTE derives the identical K from the identical COUNT.
+    NPROBE are never materialized). Deterministic "training": the K(n)
+    md5-rank-smallest vectors serve as centroids (hash-spread seed, see
+    _SQL_SEED_RANK), K(n) = max(floor, ceil(sqrt(n))) via :func:`ivf_k`
+    (a real deployment would k-means a sample on the driver — the
+    assignment below is unchanged), which keeps the whole index
+    DuckDB-checkable: the oracle CTE derives the identical K from the
+    identical COUNT and the identical md5 rank.
     The corpus count is one bounded driver-side aggregate inside the
     memoized build (the same discipline as ``_guard_cell_sizes``), so it
     runs once per (session, sf_dir) however many operators consume the
@@ -477,7 +499,9 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ever read rn <= _IVF_NPROBE.
         return _rank_cells(
             emb,
-            emb.filter(F.col("vec_id") < k).select(
+            emb.orderBy(*_seed_rank_cols())
+            .limit(k)
+            .select(
                 F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
             ),
             _IVF_NPROBE,
@@ -2023,19 +2047,21 @@ _IIVF_HIST_LT = 800  # buckets 0-799 = already-ingested history
 _IIVF_MATCH = 0.85  # near-dup screen threshold (SemDeDup territory)
 
 # Shared CTEs: the history-trained quantizer. Centroids are the K
-# smallest history vec_ids (rank, not vec_id < K — history is a hash
-# bucket subset, so ids are not contiguous), K = ivf_k(|history|).
+# md5-rank-smallest history vec_ids (hash-spread seed, _SQL_SEED_RANK),
+# K = ivf_k(|history|).
 _SQL_IIVF_CTES = f"""
     nzv AS (SELECT * FROM embeddings WHERE {_SQL_POS_NORM}),
     split AS (SELECT vec_id, {sql_hash_bucket('vec_id', _IIVF_SALT)} AS bkt
               FROM nzv),
     hist AS (SELECT n.* FROM nzv n JOIN split s USING (vec_id)
              WHERE s.bkt < {_IIVF_HIST_LT}),
-    ksel AS (SELECT greatest(8, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k
+    ksel AS (SELECT greatest({_IVF_K_FLOOR},
+                             CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k
              FROM hist),
     cents AS (
         SELECT vec_id AS cent_id, embedding AS cv FROM (
-            SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS r FROM hist)
+            SELECT *, ROW_NUMBER() OVER (ORDER BY {_SQL_SEED_RANK}) AS r
+            FROM hist)
         WHERE r <= (SELECT k FROM ksel)),
     hassign AS (
         SELECT h.vec_id, h.embedding, c.cent_id,
@@ -2097,8 +2123,8 @@ def simsearch_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The history/incoming split is the deterministic hash-mod bucket (so
     the operator is oracle-checkable on a static table); the quantizer
     is trained on HISTORY ONLY — K = ivf_k(|history|), centroids = the K
-    smallest history vec_ids via a top-K (TakeOrderedAndProject, never a
-    corpus sort) — exactly the persisted-index semantics: arriving data
+    md5-rank-smallest history vec_ids via a top-K (TakeOrderedAndProject,
+    never a corpus sort) — exactly the persisted-index semantics: arriving data
     must not move the centroids, or every cell assignment ever persisted
     would be invalidated.
 
@@ -2119,7 +2145,7 @@ def simsearch_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = emb.filter(F.col("bkt") >= _IIVF_HIST_LT)
     k = ivf_k(hist.count())
     cents = (
-        hist.orderBy("vec_id")
+        hist.orderBy(*_seed_rank_cols())
         .limit(k)
         .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
     )
@@ -2163,7 +2189,8 @@ def simsearch_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells AS (SELECT cent_id, COUNT(*) AS sz
               FROM assign WHERE rn = 1 GROUP BY cent_id)
     SELECT CAST(SUM(sz) AS BIGINT) AS n_vectors,
-           greatest(8, CAST(ceil(sqrt(SUM(sz))) AS BIGINT)) AS k_cells,
+           greatest({_IVF_K_FLOOR},
+                    CAST(ceil(sqrt(SUM(sz))) AS BIGINT)) AS k_cells,
            CAST(COUNT(*) AS BIGINT) AS n_cells_used,
            CAST(MAX(sz) AS BIGINT) AS max_cell,
            CAST(SUM(sz * sz) AS BIGINT) AS sum_sq_members,
@@ -2194,8 +2221,10 @@ def audit_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cells.agg(
         F.sum("sz").cast("long").alias("n_vectors"),
+        # one constant for every K derivation: a future floor change must
+        # move the census/incremental-screen together (r12 ADVICE)
         F.greatest(
-            F.lit(8).cast("long"),
+            F.lit(_IVF_K_FLOOR).cast("long"),
             F.ceil(F.sqrt(F.sum("sz"))).cast("long"),
         ).alias("k_cells"),
         F.count(F.lit(1)).cast("long").alias("n_cells_used"),
@@ -2304,8 +2333,10 @@ def simsearch_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n2") > 0)
     )
     k = ivf_k(emb.count())
-    cents = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    cents = (
+        emb.orderBy(*_seed_rank_cols())
+        .limit(k)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
     )
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     qassign = _rank_cells(queries, cents, _SWEEP_MAX_NPROBE).select(

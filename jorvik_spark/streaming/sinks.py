@@ -327,8 +327,8 @@ def incremental_ivf_sink(
 
     First batch with no centroid table TRAINS the quantizer (K =
     ivf_k(n) of the batch's positive-norm vectors, centroids = the K
-    smallest vec_ids — the same deterministic scheme as the engine
-    quantizer) and persists it; every later batch reads the FROZEN
+    md5-rank-smallest vec_ids — the same deterministic hash-spread
+    scheme as the engine quantizer) and persists it; every later batch reads the FROZEN
     centroids, because moving centroids would invalidate every cell
     assignment already persisted. Re-train by rebuilding the index
     offline, the standard IVF operational contract.
@@ -342,6 +342,14 @@ def incremental_ivf_sink(
     keep-smallest rule as the corpus queries). The query twin models
     only screen (a) on a static split, so the sink's drops are a
     superset — the same documented relationship as the dedup sink.
+
+    Non-positive-norm vectors are OUT OF SCOPE and dropped at ingest
+    (r12 ADVICE): cosine is undefined for them, so they can never match
+    anything — left in the batch they would bypass the screen, land in
+    ``out_path`` as "novel" on EVERY checkpoint replay (breaking the
+    never-duplicates contract below), and two zero-norm copies would
+    never screen each other. Filter them upstream and route to a
+    quarantine sink if they must be kept.
 
     The index holds EVERY vector's home-cell row (dropped vectors
     included — a chain A~B~C where A≁C must keep screening C after B
@@ -382,14 +390,24 @@ def incremental_ivf_sink(
             .withColumn("n2", F.expr(_DOT.format(a="v", b="v")))
             .filter(F.col("n2") > 0)
         )
+        # Declared scope (see docstring): only positive-norm vectors
+        # proceed — a zero-norm row kept in batch_df would be re-appended
+        # as "novel" on every replay (it can never match a dup).
+        batch_df = batch_df.join(
+            emb.select("vec_id"), "vec_id", "left_semi"
+        )
         storage = BasicStorage()
         cent_schema = "cent_id long, cv array<double>"
         if storage.exists(centroids_path):
             cents = spark.read.schema(cent_schema).parquet(centroids_path)
         else:
             k = ivf_k(emb.count())
+            # hash-spread seed, same scheme as the engine quantizer
+            # (similarity._seed_rank_cols — r12 verdict item #6)
+            from jorvik_spark.queries.similarity import _seed_rank_cols
+
             cents = (
-                emb.orderBy("vec_id")
+                emb.orderBy(*_seed_rank_cols())
                 .limit(k)
                 .select(
                     F.col("vec_id").alias("cent_id"),

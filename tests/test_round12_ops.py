@@ -97,11 +97,19 @@ def test_assignment_materializes_exactly_nprobe_ranks(spark, corpus_10x):
         | (F.col("rns") != F.array(*[F.lit(i + 1) for i in range(_IVF_NPROBE)]))
     ).count()
     assert bad == 0
-    cents = assign.agg(
-        F.max("cent_id").alias("mx"), F.min("cent_id").alias("mn")
-    ).collect()[0]
-    assert cents["mn"] >= 0 and cents["mx"] < ivf_k(n)
-    assert cents["mx"] >= 8  # adaptive: more than the old fixed-8 cells
+    # r13 hash-spread seed: centroid ids are md5-rank-chosen vec_ids —
+    # no longer the contiguous [0, K) prefix — so pin (a) every probed
+    # cent_id IS a corpus vec_id, (b) at most K distinct centroids are
+    # ever referenced, (c) adaptive K engages (more live cells than the
+    # old fixed 8).
+    k = ivf_k(n)
+    corpus_ids = {r["vec_id"] for r in assign.select("vec_id").collect()}
+    cent_ids = {
+        r["cent_id"] for r in assign.select("cent_id").distinct().collect()
+    }
+    assert cent_ids <= corpus_ids
+    assert len(cent_ids) <= k
+    assert len(cent_ids) > 8  # adaptive: more than the old fixed-8 cells
 
 
 # --- bounded-window seatbelt (registry.guarded_global_window) ---------
@@ -211,7 +219,13 @@ def test_triangle_degree_broadcast_is_size_gated(spark, monkeypatch):
 
     monkeypatch.setenv("JORVIK_DEGREE_BCAST_MAX_ROWS", "10000000")
     hinted = tree()
+    # r12 ADVICE hardening: the pass-through memo_df means each phase
+    # must BUILD its own degree-join shape — a lineage-cut LogicalRDD
+    # leaf in the tree would mean the memo leaked back in and the
+    # explain observed a cached relation instead of the gate.
+    assert "Scan ExistingRDD" not in hinted
     assert "BroadcastHashJoin" in hinted
+    assert "SortMergeJoin" not in hinted  # whole hinted plan broadcasts
     want = G.graph_triangle_count(spark, SF_DIR).collect()
 
     monkeypatch.setenv("JORVIK_DEGREE_BCAST_MAX_ROWS", "1")
@@ -219,7 +233,11 @@ def test_triangle_degree_broadcast_is_size_gated(spark, monkeypatch):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         unhinted = tree()
+        assert "Scan ExistingRDD" not in unhinted
         assert "SortMergeJoin" in unhinted
+        # the gate really dropped the hint: with the auto threshold
+        # disabled a surviving F.broadcast would still force BHJ
+        assert "BroadcastHashJoin" not in unhinted
         got = G.graph_triangle_count(spark, SF_DIR).collect()
     finally:
         spark.conf.set(
