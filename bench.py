@@ -225,7 +225,7 @@ BENCH_R13_QUERIES = {
     "r13_rollmed": "window_rolling_median",
     "r13_bootstrap": "agg_bootstrap_ci",
     "r13_heaps": "text_heaps_law_census",
-    "r13_jsonkeys": "audit_json_key_census",
+    "r13_drawdown": "window_max_drawdown",
     "r13_purity": "embed_cluster_label_purity",
     "r13_quantruns": "window_flatline_quantized",
 }

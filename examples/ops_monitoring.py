@@ -43,6 +43,8 @@ sys.path.insert(
 from pyspark.sql import SparkSession
 
 from jorvik_spark.queries.joins import join_interval_overlap  # noqa: E402
+from jorvik_spark.streaming import suggest_watermark  # noqa: E402
+from jorvik_spark.tables import load_table  # noqa: E402
 from jorvik_spark.queries.windows import (  # noqa: E402
     window_anomaly_mad,
     window_anomaly_zscore,
@@ -72,7 +74,13 @@ def monitor(spark: SparkSession, sf_dir: str) -> dict:
     }
     coverage = window_intervals_merge(spark, sf_dir).collect()
     overlap_pairs = join_interval_overlap(spark, sf_dir).count()
+    # Watermark sizing from MEASURED lateness (the consumer of the
+    # audit_event_lateness census): the delay the live halves of these
+    # screens should pass to withWatermark / interval_join — covering
+    # 99.9% of observed out-of-orderness, octave-rounded up.
+    watermark = suggest_watermark(load_table(spark, sf_dir, "events"))
     return {
+        "suggested_watermark": watermark,
         "zscore_users": len(z_users),
         "mad_users": len(mad_users),
         "cusum_users": len(cusum_users),

@@ -1382,3 +1382,158 @@ def agg_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     )
+
+
+# --- round 13: deterministic multiplier-bootstrap CI ------------------------
+
+# Replicate count and the order-statistic CI ranks: with B = 64 sorted
+# replicate means, ranks 2 and 63 bracket the central ~95% (the exact
+# [2/65, 63/65] coverage of order statistics — deterministic, no
+# interpolation).
+_BOOT_B = 64
+_BOOT_LO_RANK = 2
+_BOOT_HI_RANK = 63
+_BOOT_SALT = "boot13"
+
+
+@query(
+    "agg_bootstrap_ci",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+          AND event_id IS NOT NULL),
+    expanded AS (
+        SELECT e.event_type, e.vu,
+               b.b,
+               CASE
+                 WHEN {sql_hash_bucket(
+                     "e.event_id || ':' || b.b", _BOOT_SALT)} < 250 THEN 0
+                 WHEN {sql_hash_bucket(
+                     "e.event_id || ':' || b.b", _BOOT_SALT)} < 750 THEN 1
+                 ELSE 2
+               END AS w
+        FROM ev e, (SELECT unnest(range(0, {_BOOT_B})) AS b) b),
+    reps AS (
+        SELECT event_type, b,
+               SUM(w * vu) // nullif(SUM(w), 0) AS rep_mean_u
+        FROM expanded GROUP BY event_type, b),
+    ranked AS (
+        SELECT event_type, rep_mean_u,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY rep_mean_u, b) AS r
+        FROM reps WHERE rep_mean_u IS NOT NULL),
+    base AS (
+        SELECT event_type, COUNT(*) AS n_rows,
+               SUM(vu) // COUNT(*) AS mean_u
+        FROM ev GROUP BY event_type)
+    SELECT base.event_type,
+           CAST(base.n_rows AS BIGINT) AS n_rows,
+           CAST(base.mean_u AS BIGINT) AS mean_u,
+           CAST(MIN(CASE WHEN r = {_BOOT_LO_RANK} THEN rep_mean_u END)
+                AS BIGINT) AS boot_lo_u,
+           CAST(MIN(CASE WHEN r = {_BOOT_HI_RANK} THEN rep_mean_u END)
+                AS BIGINT) AS boot_hi_u
+    FROM base JOIN ranked ON base.event_type = ranked.event_type
+    GROUP BY base.event_type, base.n_rows, base.mean_u
+    ORDER BY base.event_type
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multiplier-bootstrap confidence interval for the
+    mean event value per event_type — the uncertainty band an A/B
+    readout or drift monitor should quote next to its point estimate
+    (``agg_ab_test_readout`` reports a chi²; THIS reports the
+    resampling CI for a mean, the other standard tool). Classic
+    Poisson/multiplier bootstrap re-weights every row by an i.i.d.
+    mean-1 multiplier per replicate; here the multiplier is a
+    DETERMINISTIC binomial(2, 1/2) surrogate (w in {{0,1,2}} with
+    P = 1/4, 1/2, 1/4) drawn from the repo's md5 hash-bucket primitive
+    on (event_id, replicate) — so both engines materialize the exact
+    same {_BOOT_B} resamples and the whole statistic is hash-checkable
+    (the same determinism-over-RNG trade every sampler here makes).
+    CI bounds are exact order statistics of the replicate means (ranks
+    {_BOOT_LO_RANK}/{_BOOT_HI_RANK} of {_BOOT_B}, ~95% central
+    coverage) in integer micro-units — no float percentile anywhere.
+
+    Scale shape: the replicate expansion is a projected explode (rows ×
+    {_BOOT_B}) feeding straight into a map-combined partial aggregate,
+    so the shuffle carries only (event_type × B) partial rows — the
+    corpus is scanned once and never shuffled wide. The rank pass runs
+    on the (types × B)-row replicate relation. At 100 TB the explode
+    costs CPU, not exchange.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("vu"),
+        )
+    )
+    expanded = ev.select(
+        "event_type",
+        "vu",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "event_id",
+    ).withColumn(
+        "w",
+        F.when(
+            hash_bucket(
+                F.concat_ws(":", F.col("event_id"), F.col("b")),
+                _BOOT_SALT,
+            )
+            < 250,
+            F.lit(0),
+        )
+        .when(
+            hash_bucket(
+                F.concat_ws(":", F.col("event_id"), F.col("b")),
+                _BOOT_SALT,
+            )
+            < 750,
+            F.lit(1),
+        )
+        .otherwise(F.lit(2)),
+    )
+    reps = (
+        expanded.groupBy("event_type", "b")
+        .agg(
+            F.expr(
+                "CAST(SUM(w * vu) div nullif(SUM(w), 0) AS BIGINT)"
+            ).alias("rep_mean_u")
+        )
+        .filter(F.col("rep_mean_u").isNotNull())
+    )
+    wr = Window.partitionBy("event_type").orderBy("rep_mean_u", "b")
+    ranked = reps.withColumn("r", F.row_number().over(wr))
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("CAST(SUM(vu) div COUNT(*) AS BIGINT)").alias("mean_u"),
+    )
+    return (
+        base.join(ranked, "event_type")
+        .groupBy("event_type", "n_rows", "mean_u")
+        .agg(
+            F.min(
+                F.when(F.col("r") == _BOOT_LO_RANK, F.col("rep_mean_u"))
+            )
+            .cast("long")
+            .alias("boot_lo_u"),
+            F.min(
+                F.when(F.col("r") == _BOOT_HI_RANK, F.col("rep_mean_u"))
+            )
+            .cast("long")
+            .alias("boot_hi_u"),
+        )
+        .orderBy("event_type")
+    )

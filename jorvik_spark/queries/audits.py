@@ -314,6 +314,10 @@ def audit_event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the observed lateness tail silently drops those events; one longer
     than needed holds state hostage). Bucketed by bit-length octaves of
     lateness seconds, bucket 0 = in-order.
+    ``jorvik_spark.streaming.suggest_watermark`` is the consumer: it
+    reads this histogram off any DataFrame and returns the smallest
+    octave-edge delay covering a target event fraction (tests pin the
+    two against each other).
 
     Scale shape: one user-keyed sort exchange (the same shuffle any
     sessionization pays) carrying a running-MAX frame, then a

@@ -2407,3 +2407,101 @@ def simsearch_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# --- round 13: IVF-cell vs label purity census ------------------------------
+
+
+@query(
+    "embed_cluster_label_purity",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGN},
+    members AS (
+        SELECT a.cent_id AS cell, e.label
+        FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.rn = 1 AND e.label IS NOT NULL),
+    per_label AS (
+        SELECT cell, label, COUNT(*) AS n
+        FROM members GROUP BY cell, label),
+    tops AS (
+        SELECT cell, label AS top_label, n AS top_label_n
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                        ORDER BY n DESC, label) AS r
+              FROM per_label)
+        WHERE r = 1),
+    sizes AS (
+        SELECT cell, SUM(n) AS n_members,
+               COUNT(*) AS n_labels
+        FROM per_label GROUP BY cell)
+    SELECT CAST(s.cell AS BIGINT) AS cell,
+           CAST(s.n_members AS BIGINT) AS n_members,
+           CAST(s.n_labels AS BIGINT) AS n_labels,
+           CAST(t.top_label AS INTEGER) AS top_label,
+           CAST(t.top_label_n AS BIGINT) AS top_label_n,
+           CAST(t.top_label_n * 1000000 // s.n_members AS BIGINT)
+               AS purity_ppm
+    FROM sizes s JOIN tops t ON s.cell = t.cell
+    ORDER BY s.cell
+    """,
+)
+def embed_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of every IVF cell: majority label, its share, and
+    the label diversity per cell — the CONTENT-quality companion to the
+    two existing index diagnostics (``embed_cluster_balance`` grades
+    cell SIZES, ``audit_ivf_cells`` grades aggregate pair work; neither
+    can see whether a cell actually groups like with like). On a corpus
+    with meaningful labels (dedup clusters, topics, sources), low
+    purity at balanced sizes is the signature of a quantizer that
+    partitions the SPACE but not the SEMANTICS — exactly the failure
+    the round-13 hash-spread seed exists to avoid on id-ordered
+    corpora, and this census is its measuring stick.
+
+    Tie-break: equal-count labels resolve to the smaller label id on
+    both engines (the deterministic-argmax convention every census here
+    uses). Null labels are out of scope on both engines.
+
+    Scale shape: one label-count aggregate over the memoized assignment
+    (map-combined, keyed by (cell, label) — never wider than the
+    corpus), a WindowGroupLimit-able rank-1 per cell over the
+    (cells x labels)-bounded count relation, and a K-row join. Vectors
+    are never touched (the assignment memo already dropped them).
+    """
+    members = (
+        _ivf_assign(spark, sf_dir)
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id"), F.col("cent_id").alias("cell"))
+        .join(
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("label").isNotNull())
+            .select("vec_id", "label"),
+            "vec_id",
+        )
+    )
+    per_label = members.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("n"), "label")
+    tops = (
+        per_label.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "cell",
+            F.col("label").alias("top_label"),
+            F.col("n").alias("top_label_n"),
+        )
+    )
+    sizes = per_label.groupBy("cell").agg(
+        F.sum("n").alias("n_members"),
+        F.count(F.lit(1)).alias("n_labels"),
+    )
+    return sizes.join(tops, "cell").select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_labels").cast("long").alias("n_labels"),
+        F.col("top_label").cast("int").alias("top_label"),
+        F.col("top_label_n").cast("long").alias("top_label_n"),
+        F.expr(
+            "CAST(top_label_n * CAST(1000000 AS BIGINT) div n_members"
+            " AS BIGINT)"
+        ).alias("purity_ppm"),
+    ).orderBy("cell")

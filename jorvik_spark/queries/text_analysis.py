@@ -1750,3 +1750,119 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --- round 13: vocabulary-growth (Heaps' law) census ------------------------
+
+
+@query(
+    "text_heaps_law_census",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+        WHERE doc_id IS NOT NULL),
+    doc_oct AS (
+        SELECT CASE WHEN doc_id = 0 THEN 0
+                    ELSE length(bin(doc_id)) END AS j,
+               COUNT(*) AS n_docs_oct,
+               SUM(len(t)) AS n_tokens_oct
+        FROM docs GROUP BY 1),
+    tok_first AS (
+        SELECT tok, MIN(doc_id) AS fd
+        FROM (SELECT doc_id, unnest(t) AS tok FROM docs)
+        GROUP BY tok),
+    vocab_oct AS (
+        SELECT CASE WHEN fd = 0 THEN 0
+                    ELSE length(bin(fd)) END AS j,
+               COUNT(*) AS n_new_types
+        FROM tok_first GROUP BY 1),
+    merged AS (
+        SELECT d.j,
+               d.n_docs_oct,
+               d.n_tokens_oct,
+               coalesce(v.n_new_types, 0) AS n_new_types
+        FROM doc_oct d LEFT JOIN vocab_oct v ON d.j = v.j)
+    SELECT CAST(j AS INTEGER) AS octave,
+           CAST(CASE WHEN j >= 62 THEN NULL ELSE 1 << j END
+                AS BIGINT) AS prefix_bound,
+           CAST(SUM(n_docs_oct) OVER w AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens_oct) OVER w AS BIGINT) AS n_tokens,
+           CAST(SUM(n_new_types) OVER w AS BIGINT) AS vocab_size
+    FROM merged
+    WINDOW w AS (ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY octave
+    """,
+)
+def text_heaps_law_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) census: distinct-type count and
+    token count of every power-of-two ingestion prefix of the corpus
+    (docs ordered by doc_id — the id-prefix IS the ingestion order on
+    an append-only lake). Heaps' law says vocab ~ K·tokens^beta with
+    beta ~ 0.4-0.6 on natural text; the log-log slope read off adjacent
+    rows is the scaling evidence BPE vocabulary sizing and
+    dedup-benefit projections extrapolate from (a slope near 1.0 means
+    the corpus keeps minting new types — ids, hashes, boilerplate
+    noise — and tokenizer training will chase tails; a flattening
+    slope says vocabulary is saturating and more data buys coverage,
+    not types). The Zipf census ranks the vocabulary AT one corpus
+    size; this census tracks its GROWTH across sizes.
+
+    Cross-engine mechanics: each doc and each type's FIRST doc collapse
+    to their doc-id octave (bit-length — the gap-census primitive), so
+    prefix vocab/token totals are running sums over <= ~40 octave rows;
+    the cumulative window is a single-task sort over that bounded
+    relation on both engines. No checkpoint explode, no global doc
+    ranking, no second pass over the corpus.
+
+    Scale shape: one map-combined per-type MIN (vocabulary-sized, the
+    tfidf/zipf exchange family), one map-combined per-doc octave
+    aggregate, then constant-size cumulative windows. ``prefix_bound``
+    is the nominal 2^octave prefix edge (NULL past 2^61 to stay in
+    BIGINT); n_docs is the measured prefix census.
+    """
+    docs = _tokenized_docs(spark, sf_dir).filter(
+        F.col("doc_id").isNotNull()
+    )
+
+    def octave(col):
+        return (
+            F.when(col == 0, F.lit(0))
+            .otherwise(F.length(F.conv(col.cast("string"), 10, 2)))
+            .cast("int")
+        )
+
+    doc_oct = docs.groupBy(octave(F.col("doc_id")).alias("j")).agg(
+        F.count(F.lit(1)).alias("n_docs_oct"),
+        F.sum(F.size("t")).alias("n_tokens_oct"),
+    )
+    tok_first = (
+        docs.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    vocab_oct = tok_first.groupBy(octave(F.col("fd")).alias("j")).agg(
+        F.count(F.lit(1)).alias("n_new_types")
+    )
+    merged = doc_oct.join(vocab_oct, "j", "left").select(
+        "j",
+        "n_docs_oct",
+        "n_tokens_oct",
+        F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+    )
+    w = Window.orderBy("j").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return merged.select(
+        F.col("j").cast("int").alias("octave"),
+        F.when(F.col("j") >= 62, F.lit(None).cast("long"))
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .alias("prefix_bound"),
+        guarded_global_window(
+            F.sum("n_docs_oct").over(w), ["j"], "text_heaps_law_census"
+        )
+        .cast("long")
+        .alias("n_docs"),
+        F.sum("n_tokens_oct").over(w).cast("long").alias("n_tokens"),
+        F.sum("n_new_types").over(w).cast("long").alias("vocab_size"),
+    ).orderBy("octave")

@@ -1985,6 +1985,7 @@ def _value_runs(
     sf_dir: str,
     stream_cols: list,
     extra_filter=None,
+    vu_expr=None,
 ):
     """Shared gaps-and-islands core for the flatline screen and the
     run-length census: runs of consecutive identical micro-unit values
@@ -1997,6 +1998,10 @@ def _value_runs(
     (the (stream, vu) ranking is a sub-ordering of the stream one) and
     the run collapse groups on a SUPERSET of the partition keys, so it
     reuses that exchange map-side (plan-pinned, tests/test_plans.py).
+
+    ``vu_expr``: the run-equality value (default: exact micro-unit
+    value). The quantized flatline screen passes a coarser band here —
+    run semantics, scope and exchange shape are unchanged.
     """
     base = (
         F.col("ts").isNotNull()
@@ -2006,6 +2011,10 @@ def _value_runs(
     )
     if extra_filter is not None:
         base = base & extra_filter
+    if vu_expr is None:
+        vu_expr = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast(
+            "long"
+        )
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(base)
@@ -2013,9 +2022,7 @@ def _value_runs(
             *stream_cols,
             "event_id",
             F.unix_micros("ts").alias("t"),
-            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
-            .cast("long")
-            .alias("vu"),
+            vu_expr.alias("vu"),
         )
     )
     wi = Window.partitionBy(*stream_cols).orderBy("t", "event_id")
@@ -2228,4 +2235,333 @@ def window_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_s").cast("long").alias("max_gap_s"),
         )
         .orderBy("gap_bits")
+    )
+
+
+# --- round 13: smoothing / robust-stat / drawdown / quantized-run ops ------
+
+# EWMA smoothing factor alpha = 1/4 and restart horizon: the fold runs
+# over a bounded 16-event frame (15 preceding + current) and re-inits at
+# the frame head, so state per row is O(16) whatever the stream length.
+_EWMA_ALPHA = 0.25
+_EWMA_FRAME = 15  # preceding rows in the fold frame
+
+# Rolling-median frame: 8 preceding + current = 9 values.
+_ROLLMED_FRAME = 8
+
+# Quantized flatline: band width in value units. floor(value / 10) has
+# natural >=3-run offenders at EVERY SF of this corpus (measured 11 /
+# 93 / 961 runs at sf0.001/0.01/0.1), so — unlike the exact-value
+# screen, honestly empty at natural SF — this variant's driver hash row
+# always carries values through the >=MIN_RUN filter path (round-12
+# verdict item #7).
+_QUANT_BAND = 10
+
+
+@query(
+    "window_ewma_smooth",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                    AS DOUBLE) AS vu
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND user_id IS NOT NULL AND event_type = 'purchase'),
+    framed AS (
+        SELECT user_id, event_id, t,
+               list(vu) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS BETWEEN {_EWMA_FRAME} PRECEDING
+                              AND CURRENT ROW) AS lst
+        FROM ev)
+    SELECT user_id, event_id, CAST(t AS BIGINT) AS t,
+           CAST(len(lst) AS INTEGER) AS n_in_frame,
+           CAST(floor(list_reduce(lst,
+                    (acc, x) -> acc * {1 - _EWMA_ALPHA} +
+                                x * {_EWMA_ALPHA}) + 0.5)
+                AS BIGINT) AS ewma_u
+    FROM framed ORDER BY user_id, t, event_id
+    """,
+)
+def window_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's purchase
+    values — the smoothing pass ops dashboards and anomaly baselines run
+    before thresholding (the uniform ``window_moving_avg`` weights all
+    history equally; EWMA discounts it geometrically, reacting ~3x
+    faster to level shifts at the same frame length).
+
+    Engineering for CROSS-ENGINE exactness (the repo's fixed-point
+    discipline, applied to a recursive statistic): the recursion
+    y = (1-a)*y + a*x re-initializes at the head of a bounded 16-event
+    frame and folds LEFT over the frame list in (t, event_id) order on
+    BOTH engines (Spark ``F.aggregate`` over the window's
+    ``collect_list``, DuckDB ``list_reduce`` over the window ``list``)
+    — the identical sequence of double operations, so the micro-unit
+    rounding at the end can never straddle an ulp. Values enter as
+    exactly-representable micro-unit integers.
+
+    Scale shape: ONE user-keyed sort exchange; the fold is map-side over
+    a bounded 16-element array per row (state O(frame), never O(stream));
+    output is row-per-event, pipelined — no second shuffle.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .cast("double")
+            .alias("vu"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(-_EWMA_FRAME, Window.currentRow)
+    )
+    framed = ev.withColumn("lst", F.collect_list("vu").over(w))
+    ewma = F.aggregate(
+        F.slice(F.col("lst"), 2, F.size("lst") - 1),
+        F.element_at("lst", 1),
+        lambda acc, x: acc * F.lit(1 - _EWMA_ALPHA)
+        + x * F.lit(_EWMA_ALPHA),
+    )
+    # no final orderBy: the output is row-per-event (corpus-sized) and
+    # the driver compare is order-insensitive — a presentation sort here
+    # would be a full extra range exchange at 100 TB for nothing
+    return framed.select(
+        "user_id",
+        "event_id",
+        F.col("t").cast("long").alias("t"),
+        F.size("lst").cast("int").alias("n_in_frame"),
+        F.floor(ewma + F.lit(0.5)).cast("long").alias("ewma_u"),
+    )
+
+
+@query(
+    "window_rolling_median",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND user_id IS NOT NULL AND event_type = 'purchase'),
+    framed AS (
+        SELECT user_id, event_id, t,
+               list_sort(list(vu) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN {_ROLLMED_FRAME} PRECEDING
+                   AND CURRENT ROW)) AS s
+        FROM ev)
+    SELECT user_id, event_id, CAST(t AS BIGINT) AS t,
+           CAST(len(s) AS INTEGER) AS n_in_frame,
+           CAST(s[(len(s) - 1) // 2 + 1] + s[len(s) // 2 + 1]
+                AS BIGINT) AS med2_u
+    FROM framed ORDER BY user_id, t, event_id
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN of each user's last 9 purchase values — the
+    robust sibling of ``window_moving_avg``: one fat-finger order in the
+    frame moves the mean by outlier/9 but leaves the median untouched,
+    which is why rate-limiting and pricing sanity checks smooth on
+    medians. Spark has no built-in sliding percentile, so the frame
+    collapses to a bounded sorted array map-side (collect over the
+    window frame, ``array_sort``, pick the middle) — the documented
+    composition strategy for operators Catalyst lacks.
+
+    ``med2_u`` is TWICE the median in micro-units (lower + upper middle
+    element): for even frames the true median is their mean, whose .5
+    would leave integer space — doubling keeps the statistic exact on
+    both engines with zero float traffic (halve downstream if needed).
+
+    Scale shape: ONE user-keyed sort exchange (same exchange family as
+    every per-user window here); the sort-9 is O(1) per row map-side;
+    row-per-event output, pipelined.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("vu"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(-_ROLLMED_FRAME, Window.currentRow)
+    )
+    framed = ev.withColumn(
+        "s", F.array_sort(F.collect_list("vu").over(w))
+    )
+    n = F.size("s")
+    med2 = F.element_at("s", ((n - 1) / 2).cast("int") + 1) + F.element_at(
+        "s", (n / 2).cast("int") + 1
+    )
+    # no final orderBy — same rationale as window_ewma_smooth
+    return framed.select(
+        "user_id",
+        "event_id",
+        F.col("t").cast("long").alias("t"),
+        n.cast("int").alias("n_in_frame"),
+        med2.cast("long").alias("med2_u"),
+    )
+
+
+@query(
+    "window_max_drawdown",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND user_id IS NOT NULL AND event_type = 'purchase'),
+    run AS (
+        SELECT user_id, vu,
+               MAX(vu) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS peak
+        FROM ev)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(peak) AS BIGINT) AS peak_u,
+           CAST(MAX(peak - vu) AS BIGINT) AS max_drawdown_u
+    FROM run GROUP BY user_id ORDER BY user_id
+    """,
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's purchase-value series: the
+    largest drop from a running peak — the standard "how far below the
+    best level did this stream sink" statistic (portfolio risk, KPI
+    health, battery/SLA decay). CUSUM asks "did the LEVEL shift";
+    drawdown asks "how deep was the worst excursion", and a stream can
+    fail one screen while passing the other.
+
+    Scale shape: ONE user-keyed sort exchange feeds the running max; the
+    per-user collapse groups on the window's own partition key, so it
+    reuses that exchange map-side (zero extra shuffle — the
+    ``_value_runs`` plan property, plan-pinned). Exact micro-unit
+    integers end to end.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("vu"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = ev.withColumn("peak", F.max("vu").over(w))
+    return (
+        run.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("peak").cast("long").alias("peak_u"),
+            F.max(F.col("peak") - F.col("vu"))
+            .cast("long")
+            .alias("max_drawdown_u"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "window_flatline_quantized",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(floor(value / {_QUANT_BAND}) AS BIGINT) AS vq
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND user_id IS NOT NULL AND event_type IS NOT NULL),
+    pos AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY t, event_id) AS i,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type, vq
+                                  ORDER BY t, event_id) AS j
+        FROM ev),
+    runs AS (
+        SELECT user_id, event_type, vq, i - j AS grp,
+               COUNT(*) AS run_len
+        FROM pos GROUP BY user_id, event_type, vq, i - j),
+    flat AS (SELECT * FROM runs WHERE run_len >= {_FLATLINE_MIN_RUN})
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_band_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           CAST(SUM(run_len) AS BIGINT) AS n_banded_events
+    FROM flat GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def window_flatline_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-quantized flatline screen: runs of >= {_FLATLINE_MIN_RUN}
+    consecutive readings inside the SAME {_QUANT_BAND}-unit value band
+    per (user, event_type) stream — the coarse companion to
+    :func:`window_flatline_runs`. The exact-value screen catches
+    replayed/cached responses (bit-identical values); THIS screen
+    catches clipped sensors, quantized gateways and range-pinned
+    clients, whose values wiggle inside one band without ever exactly
+    repeating — invisible to exact equality. It is also the variant
+    with guaranteed non-empty evidence: band runs >= 3 exist at every
+    SF of this corpus (measured 11/93/961 at sf0.001/0.01/0.1), so the
+    driver hash row always exercises the full run-collapse + threshold
+    path that the exact screen's honest-empty row cannot (round-12
+    verdict item #7).
+
+    Scale shape: identical to the shared :func:`_value_runs` core —
+    ONE stream-keyed sort exchange, map-side run collapse (the quantizer
+    only changes the equality column); only offending streams survive.
+    """
+    runs = _value_runs(
+        spark,
+        sf_dir,
+        ["user_id", "event_type"],
+        vu_expr=F.floor(F.col("value") / _QUANT_BAND).cast("long"),
+    ).filter(F.col("run_len") >= _FLATLINE_MIN_RUN)
+    return (
+        runs.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_band_runs"),
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.sum("run_len").cast("long").alias("n_banded_events"),
+        )
+        .orderBy("user_id", "event_type")
     )

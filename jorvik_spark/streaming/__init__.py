@@ -23,6 +23,7 @@ from jorvik_spark.streaming.ops import (  # noqa: F401
     running_user_totals,
     session_agg,
     sliding_agg,
+    suggest_watermark,
     tumbling_agg,
     user_activity_summary,
     window_unique_users,
@@ -40,6 +41,7 @@ __all__ = [
     "interval_join",
     "interval_join_outer",
     "running_user_totals",
+    "suggest_watermark",
     "user_activity_summary",
     "window_unique_users",
     "foreach_batch_merge",

@@ -160,3 +160,210 @@ def test_star_contraction_empty_and_self_loop_edges(spark):
     }
     # self-loop-only node 7 is dropped with its edge (no pair membership)
     assert got == {8: 8, 9: 8}
+
+
+def test_suggest_watermark_agrees_with_lateness_census(spark):
+    """The helper must reproduce the census: smallest octave edge whose
+    cumulative event coverage clears the target (r12 verdict item #8)."""
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.streaming import suggest_watermark
+    from jorvik_spark.tables import default_sf_dir, load_table
+
+    sf = default_sf_dir()
+    hist = sorted(
+        (r["lateness_bits"], r["n_events"])
+        for r in QUERIES["audit_event_lateness"](spark, sf).collect()
+    )
+    total = sum(n for _, n in hist)
+    need = -(-total * 999_000 // 1_000_000)
+    cum, expect_bits = 0, hist[-1][0]
+    for b, n in hist:
+        cum += n
+        if cum >= need:
+            expect_bits = b
+            break
+    expected = (
+        "0 seconds" if expect_bits == 0 else f"{2 ** expect_bits - 1} seconds"
+    )
+    got = suggest_watermark(load_table(spark, sf, "events"))
+    assert got == expected
+
+
+def test_suggest_watermark_seeded_and_inorder(spark):
+    from jorvik_spark.streaming import suggest_watermark
+
+    # in-order stream -> no watermark needed
+    inorder = spark.createDataFrame(
+        [(1, i, f"2026-01-01 00:00:{i:02d}") for i in range(10)],
+        "user_id long, event_id long, ts_s string",
+    ).select("user_id", "event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    assert suggest_watermark(inorder) == "0 seconds"
+
+    # one event 100s late among 9 in-order: 99.9% target must cover it;
+    # 100s has bit_length 7 -> 127 seconds
+    rows = [(1, i, f"2026-01-01 00:10:{i:02d}") for i in range(9)]
+    rows.append((1, 9, "2026-01-01 00:08:20"))  # 100 s behind the max seen
+    late = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string"
+    ).select("user_id", "event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    assert suggest_watermark(late) == "127 seconds"
+    # a 50% target tolerates the straggler
+    assert suggest_watermark(late, coverage_ppm=500_000) == "0 seconds"
+
+
+# --- round-13 operator behavior + plan pins ---------------------------------
+
+from jorvik_spark.queries import QUERIES as _Q
+from jorvik_spark.tables import default_sf_dir as _dsf
+
+_SF = _dsf()
+
+
+def _tree(spark, name):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _Q[name](spark, _SF).explain("formatted")
+    return buf.getvalue().split("\n\n")[0]
+
+
+def test_ewma_hand_computed(spark, tmp_path):
+    # users stream 10, 20, 20, 0 -> ewma = 10, 12.5, 14.375, 10.78125
+    rows = [
+        (1, i, f"2026-01-01 00:00:0{i}", v, "purchase")
+        for i, v in enumerate([10.0, 20.0, 20.0, 0.0])
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, value double,"
+        " event_type string"
+    ).select(
+        "user_id", "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "value", "event_type", F.lit("{}").alias("props"),
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = [
+        r["ewma_u"]
+        for r in sorted(
+            _Q["window_ewma_smooth"](spark, str(tmp_path)).collect(),
+            key=lambda r: r["event_id"],
+        )
+    ]
+    assert got == [10_000_000, 12_500_000, 14_375_000, 10_781_250]
+
+
+def test_rolling_median_and_drawdown_hand_computed(spark, tmp_path):
+    vals = [10.0, 50.0, 20.0, 40.0, 5.0]
+    rows = [
+        (1, i, f"2026-01-01 00:00:0{i}", v, "purchase")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, value double,"
+        " event_type string"
+    ).select(
+        "user_id", "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "value", "event_type", F.lit("{}").alias("props"),
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    med2 = [
+        r["med2_u"]
+        for r in sorted(
+            _Q["window_rolling_median"](spark, str(tmp_path)).collect(),
+            key=lambda r: r["event_id"],
+        )
+    ]
+    # frames: [10] [10,50] [10,20,50] [10,20,40,50] [5,10,20,40,50]
+    assert med2 == [
+        20_000_000,  # 10+10
+        60_000_000,  # 10+50
+        40_000_000,  # 20+20
+        60_000_000,  # 20+40
+        40_000_000,  # 20+20
+    ]
+    [dd] = _Q["window_max_drawdown"](spark, str(tmp_path)).collect()
+    assert dd["peak_u"] == 50_000_000
+    assert dd["max_drawdown_u"] == 45_000_000  # peak 50 -> trough 5
+    assert dd["n_events"] == 5
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    rows = _Q["agg_bootstrap_ci"](spark, _SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["boot_lo_u"] <= r["boot_hi_u"]
+        # the CI must bracket the full-sample mean on any sane corpus
+        assert r["boot_lo_u"] <= r["mean_u"] <= r["boot_hi_u"]
+    again = _Q["agg_bootstrap_ci"](spark, _SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_heaps_census_monotone_and_bounded(spark):
+    rows = _Q["text_heaps_law_census"](spark, _SF).collect()
+    assert len(rows) >= 2
+    for a, b in zip(rows, rows[1:]):
+        assert b["octave"] > a["octave"]
+        assert b["n_docs"] >= a["n_docs"]
+        assert b["n_tokens"] >= a["n_tokens"]
+        assert b["vocab_size"] >= a["vocab_size"]
+        # types can never outgrow tokens
+        assert b["vocab_size"] <= b["n_tokens"]
+    # the final row covers the whole corpus
+    import duckdb
+
+    con = duckdb.connect()
+    n_docs = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{_SF}/documents.parquet')"
+        " WHERE doc_id IS NOT NULL"
+    ).fetchone()[0]
+    con.close()
+    assert rows[-1]["n_docs"] == n_docs
+
+
+def test_cluster_purity_bounds_and_membership(spark):
+    rows = _Q["embed_cluster_label_purity"](spark, _SF).collect()
+    assert len(rows) >= 8
+    for r in rows:
+        assert 0 < r["top_label_n"] <= r["n_members"]
+        assert 0 < r["purity_ppm"] <= 1_000_000
+        assert r["n_labels"] >= 1
+        # majority share consistent with the ppm projection
+        assert r["purity_ppm"] == r["top_label_n"] * 1_000_000 // r["n_members"]
+
+
+def test_quantized_flatline_nonempty_at_every_sf(spark):
+    # the operator's reason to exist: value-carrying evidence through
+    # the >= MIN_RUN filter path at NATURAL SF (r12 verdict item #7)
+    for sf in ("sf0.001", "sf0.01"):
+        rows = _Q["window_flatline_quantized"](
+            spark, f"/root/testdata/{sf}"
+        ).collect()
+        assert len(rows) > 0, sf
+        assert all(r["longest_run"] >= 3 for r in rows)
+
+
+def test_r13_window_ops_single_exchange_plans(spark):
+    # each new per-user window op rides ONE user-keyed sort exchange;
+    # the drawdown's per-user collapse reuses the window exchange
+    # drawdown's per-user collapse reuses the window exchange; its
+    # second exchange is the |users|-sized presentation sort only
+    for name, max_exchanges in [
+        ("window_ewma_smooth", 1),
+        ("window_rolling_median", 1),
+        ("window_max_drawdown", 2),
+    ]:
+        tree = _tree(spark, name)
+        # count only shuffle exchanges (ignore AQE reuse markers)
+        n_ex = tree.count(" Exchange ") + tree.count("\nExchange")
+        assert tree.count("SortMergeJoin") == 0, name
+        assert n_ex <= max_exchanges, (name, n_ex, tree)
+
+
+def test_bootstrap_explode_feeds_partial_aggregate(spark):
+    # the B-way explode must combine map-side: the shuffle carries
+    # (event_type x B) partials, never the exploded corpus
+    tree = _tree(spark, "agg_bootstrap_ci")
+    assert "Generate" in tree  # the replicate explode
+    assert "partial" in tree.lower() or "HashAggregate" in tree
+    assert "CartesianProduct" not in tree
