@@ -1537,3 +1537,160 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- round 13: continuous-metric A/B readout (Welch's t) --------------------
+
+
+@query(
+    "agg_ab_value_ttest",
+    oracle=f"""
+    WITH users AS (
+        SELECT user_id,
+               CAST({sql_hash_bucket('user_id', _AB_SALT)} % 2 AS INTEGER)
+                   AS variant,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS exposed,
+               SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS rev_u
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id),
+    arms AS (
+        SELECT variant,
+               COUNT(*) AS n,
+               SUM(rev_u) AS s,
+               SUM(CAST(rev_u AS DECIMAL(38,0))
+                   * CAST(rev_u AS DECIMAL(38,0))) AS ssq
+        FROM users WHERE exposed = 1 GROUP BY variant),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN variant = 0 THEN n END) AS na,
+            MAX(CASE WHEN variant = 0 THEN s END) AS sa,
+            MAX(CASE WHEN variant = 0 THEN ssq END) AS qa,
+            MAX(CASE WHEN variant = 1 THEN n END) AS nb,
+            MAX(CASE WHEN variant = 1 THEN s END) AS sb,
+            MAX(CASE WHEN variant = 1 THEN ssq END) AS qb
+        FROM arms)
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(sa // nullif(na, 0) AS BIGINT) AS mean_a_u,
+           CAST(sb // nullif(nb, 0) AS BIGINT) AS mean_b_u,
+           CAST(sa // nullif(na, 0) - sb // nullif(nb, 0) AS BIGINT)
+               AS diff_u,
+           round(
+               (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+               / nullif(sqrt(
+                   ((CAST(qa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                       / CAST(na AS DOUBLE))
+                    / nullif(CAST(na AS DOUBLE) - 1.0, 0.0))
+                   / CAST(na AS DOUBLE)
+                   + ((CAST(qb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                         / CAST(nb AS DOUBLE))
+                      / nullif(CAST(nb AS DOUBLE) - 1.0, 0.0))
+                   / CAST(nb AS DOUBLE)), 0.0),
+               6) AS t_welch
+    FROM wide
+    """,
+)
+def agg_ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-metric A/B readout: Welch's unequal-variance t on
+    per-user revenue between the two deterministic hash arms — the
+    companion to ``agg_ab_test_readout`` (chi² answers "did conversion
+    move"; THIS answers "did revenue per exposed user move", the
+    metric most experiments actually ship on). Same salt, same arms,
+    same exposure rule, so the two readouts describe one experiment.
+
+    Cross-engine mechanics: per-arm n/Σx are BIGINT and Σx² is
+    DECIMAL(38,0) (a per-user revenue squared overflows int64 at
+    scale), so every input to the t formula is exact; t_welch itself is
+    the chi² pattern — one fixed dag of IEEE ops written identically in
+    both engines, rounded to 6 dp, riding along for the analyst while
+    the integer columns decide parity.
+
+    Degenerate arms are declared, not crashed: an arm with < 2 users
+    (variance undefined) or two zero-variance arms yields t_welch NULL
+    on BOTH engines (nullif guards at every denominator — ANSI mode
+    raises DIVIDE_BY_ZERO otherwise, caught by the dirty-events suite);
+    the integer columns still report.
+
+    Scale shape: one user-keyed map-combined aggregate over a single
+    scan, then a 2-row arm aggregate and a 1-row pivot — nothing after
+    the first agg scales with events.
+    """
+    users = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("exposed"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast(
+                        "long"
+                    ),
+                ).otherwise(F.lit(0))
+            ).alias("rev_u"),
+        )
+        .select(
+            (hash_bucket(F.col("user_id"), _AB_SALT) % 2)
+            .cast("int")
+            .alias("variant"),
+            "exposed",
+            "rev_u",
+        )
+    )
+    arms = (
+        users.filter(F.col("exposed") == 1)
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rev_u").alias("s"),
+            F.sum(
+                F.col("rev_u").cast("decimal(38,0)")
+                * F.col("rev_u").cast("decimal(38,0)")
+            ).alias("ssq"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == 0, F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("variant") == 0, F.col("ssq"))).alias("qa"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == 1, F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("variant") == 1, F.col("ssq"))).alias("qb"),
+    )
+    return wide.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.expr("CAST(sa div nullif(na, 0) AS BIGINT)").alias("mean_a_u"),
+        F.expr("CAST(sb div nullif(nb, 0) AS BIGINT)").alias("mean_b_u"),
+        F.expr(
+            "CAST(sa div nullif(na, 0) - sb div nullif(nb, 0) AS BIGINT)"
+        ).alias("diff_u"),
+        F.round(
+            F.expr(
+                "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+                " - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+                " / nullif(sqrt("
+                "   ((CAST(qa AS DOUBLE)"
+                "     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)"
+                "       / CAST(na AS DOUBLE))"
+                "    / nullif(CAST(na AS DOUBLE) - 1.0D, 0.0D))"
+                "   / CAST(na AS DOUBLE)"
+                "   + ((CAST(qb AS DOUBLE)"
+                "       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)"
+                "         / CAST(nb AS DOUBLE))"
+                "      / nullif(CAST(nb AS DOUBLE) - 1.0D, 0.0D))"
+                "   / CAST(nb AS DOUBLE)), 0.0D)"
+            ),
+            6,
+        ).alias("t_welch"),
+    )

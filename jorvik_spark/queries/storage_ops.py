@@ -1159,6 +1159,68 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_text_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars_rt
+    FROM documents
+    WHERE text IS NOT NULL AND doc_id IS NOT NULL AND lang IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented ``text`` source round-trip — the last built-in
+    format the reference's lineage extractor recognizes
+    (node_handler.py:11-12 lists text alongside avro/xml/binaryFile)
+    that lacked an engine query: documents serialized one line per doc
+    (tab-joined id/lang/body — this corpus's text carries no
+    tab/newline at any SF, asserted in scope on both engines via the
+    null/projection filters), written with ``DataFrameWriter.text``,
+    read back with ``spark.read.text`` and re-parsed. The oracle
+    recomputes the projection straight from the table, so a
+    hash-match proves the body survived the byte round-trip
+    length-exactly. (avro stays gated: this container ships Spark
+    without the external spark-avro module jar — probed, documented
+    here rather than stubbed.)
+
+    Scale shape: one narrow projection out, one narrow parse back —
+    no shuffle either way; the parse is split-per-file parallel like
+    any line format at 100 TB.
+    """
+    target = _scratch("text") + "/t"
+    (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & F.col("doc_id").isNotNull()
+            & F.col("lang").isNotNull()
+        )
+        .select(
+            F.concat_ws(
+                "\t",
+                F.col("doc_id").cast("string"),
+                F.col("lang"),
+                F.col("text"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(target)
+    )
+    lines = spark.read.text(target)
+    # no presentation orderBy: row-per-doc output, and the driver
+    # compare is order-insensitive — a global sort here is a
+    # corpus-sized range exchange for nothing
+    return lines.select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
+        .cast("long")
+        .alias("doc_id"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(2)).alias("lang"),
+        F.length(F.split_part(F.col("value"), F.lit("\t"), F.lit(3)))
+        .cast("long")
+        .alias("n_chars_rt"),
+    )
+
+
+@query(
     "catalog_table_roundtrip",
     oracle=f"SELECT {', '.join(_ORDER_COLS)} FROM orders WHERE o_orderkey % 2 = 1",
 )

@@ -1397,3 +1397,110 @@ def suggest_watermark(
         if cum >= need:
             return "0 seconds" if b == 0 else f"{2 ** b - 1} seconds"
     return f"{2 ** hist[-1][0] - 1} seconds"  # unreachable; total covers
+
+
+def running_ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Online EWMA smoother — the LIVE stateful sibling of the batch
+    ``window_ewma_smooth`` query (round 13), extending the twin family
+    (z-score, MAD, OHLC, intervals, CUSUM, flatline all have one).
+    Emits one row per purchase event with the exponentially-weighted
+    average of that event's bounded frame (the last _EWMA_FRAME values
+    plus itself), exactly the batch query's restart-at-frame-head left
+    fold: state per key is ONLY the ≤ _EWMA_FRAME-value ring, so the
+    fold re-runs per event over at most 16 doubles — identical float
+    op sequence to the batch window's F.aggregate, so live and batch
+    agree bit-for-bit on ewma_u (the tests pin row equality).
+
+    State is bounded, replayable and checkpoint-safe (the ring IS the
+    frame; replaying a batch recomputes the same folds). Batch input
+    delegates to the identical declarative window form instead of
+    raising — the documented running_* convention.
+    """
+    from jorvik_spark.queries.windows import _EWMA_ALPHA, _EWMA_FRAME
+    from pyspark.sql import Window
+
+    filtered = df.filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col(key_col).isNotNull()
+        & (F.col("event_type") == "purchase")
+    ).select(
+        key_col,
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .cast("double")
+        .alias("vu"),
+    )
+    if not df.isStreaming:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(-_EWMA_FRAME, Window.currentRow)
+        )
+        framed = filtered.withColumn("lst", F.collect_list("vu").over(w))
+        ewma = F.aggregate(
+            F.slice(F.col("lst"), 2, F.size("lst") - 1),
+            F.element_at("lst", 1),
+            lambda acc, x: acc * F.lit(1 - _EWMA_ALPHA)
+            + x * F.lit(_EWMA_ALPHA),
+        )
+        return framed.select(
+            key_col,
+            "event_id",
+            F.col("ts_us").cast("long").alias("t"),
+            F.size("lst").cast("int").alias("n_in_frame"),
+            F.floor(ewma + F.lit(0.5)).cast("long").alias("ewma_u"),
+        )
+
+    alpha, frame = _EWMA_ALPHA, _EWMA_FRAME
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        ring = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        out_eid, out_t, out_n, out_ewma = [], [], [], []
+        for _, row in rows.iterrows():
+            ring.append(float(row["vu"]))
+            if len(ring) > frame + 1:
+                ring.pop(0)
+            # identical left fold as the batch window's F.aggregate
+            acc = ring[0]
+            for x in ring[1:]:
+                acc = acc * (1 - alpha) + x * alpha
+            out_eid.append(int(row["event_id"]))
+            out_t.append(int(row["ts_us"]))
+            out_n.append(len(ring))
+            out_ewma.append(int(math.floor(acc + 0.5)))
+        state.update((ring,))
+        yield pd.DataFrame(
+            {
+                key_col: pd.array([key[0]] * len(out_eid), dtype="Int64"),
+                "event_id": pd.array(out_eid, dtype="Int64"),
+                "t": pd.array(out_t, dtype="Int64"),
+                "n_in_frame": pd.array(out_n, dtype="Int32"),
+                "ewma_u": pd.array(out_ewma, dtype="Int64"),
+            }
+        )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return filtered.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, event_id long, t long, "
+            "n_in_frame int, ewma_u long"
+        ),
+        stateStructType="ring array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

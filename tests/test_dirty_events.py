@@ -111,6 +111,18 @@ EVENT_QUERIES = [
     # engines (a tie is a 0-second gap in octave 0).
     "window_value_run_census",
     "window_gap_census",
+    # round 13: EWMA/median/drawdown fold or frame over the purchase
+    # stream with the null-value row excluded and the event-3/4 tie
+    # broken by event_id on both engines; the band-quantized flatline
+    # must see negative values floor toward -inf identically
+    # (floor(-5/10) = -1 on both); the t-test keeps null-ts rows (no
+    # ts filter) and sums the negative/zero purchases exactly.
+    "window_ewma_smooth",
+    "window_rolling_median",
+    "window_max_drawdown",
+    "window_flatline_quantized",
+    "agg_bootstrap_ci",
+    "agg_ab_value_ttest",
     "join_interval_overlap",
     "expr_json_extract",
     "stream_tumbling_agg",

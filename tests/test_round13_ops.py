@@ -367,3 +367,76 @@ def test_bootstrap_explode_feeds_partial_aggregate(spark):
     assert "Generate" in tree  # the replicate explode
     assert "partial" in tree.lower() or "HashAggregate" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_running_ewma_matches_batch_across_restart(spark, tmp_path):
+    """The live EWMA must equal its batch branch row-for-row, with the
+    frame ring surviving a kill: user 1's post-restart events fold over
+    pre-restart values — right only if the ring came back from the
+    checkpoint. The batch branch must in turn equal the registered
+    window query on the same data."""
+    import datetime
+
+    from jorvik_spark.streaming.ops import running_ewma
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    rows = []
+    for i, v in enumerate([10.0, 20.0, 20.0, 0.0, 40.0, 40.0]):
+        rows.append((i + 1, base + datetime.timedelta(minutes=i), 1,
+                     "purchase", v, None))
+    # second user, interleaved in time
+    for i, v in enumerate([5.0, 15.0]):
+        rows.append((100 + i, base + datetime.timedelta(minutes=i), 2,
+                     "purchase", v, None))
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    src, dst, cp = (str(tmp_path / d) for d in ("src", "dst", "cp"))
+    cut = base + datetime.timedelta(minutes=3)  # user 1 restarts mid-frame
+    df.filter(F.col("ts") < cut).coalesce(1).write.parquet(f"{src}/p=a")
+
+    def drain_once() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/p=*")
+        )
+        q = (
+            running_ewma(stream)
+            .writeStream.format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    drain_once()
+    df.filter(F.col("ts") >= cut).coalesce(1).write.parquet(f"{src}/p=b")
+    drain_once()
+
+    live = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    batch = sorted(tuple(r) for r in running_ewma(df).collect())
+    assert live == batch
+    # hand-check user 1: 10, 12.5, 14.375, 10.78125, 18.0859375, ...
+    u1 = [r for r in sorted(live) if r[0] == 1]
+    assert [x[4] for x in u1][:4] == [
+        10_000_000, 12_500_000, 14_375_000, 10_781_250
+    ]
+
+    # and the batch branch equals the registered window query's values
+    # on the same rows (write the fixture as an sf_dir)
+    df.coalesce(1).write.parquet(str(tmp_path / "lake" / "events.parquet"))
+    from jorvik_spark.queries import QUERIES
+
+    reg = sorted(
+        (r["user_id"], r["event_id"], r["ewma_u"])
+        for r in QUERIES["window_ewma_smooth"](
+            spark, str(tmp_path / "lake")
+        ).collect()
+    )
+    assert reg == sorted((r[0], r[1], r[4]) for r in live)
