@@ -438,3 +438,239 @@ def audit_primary_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionByName(row)
     assert out is not None
     return out.orderBy("table_name")
+
+
+# --- round 13: Benford first-digit audit -------------------------------------
+
+# Benford expected first-significant-digit shares, pre-rounded to exact
+# integer ppm (floor(log10(1+1/d)*1e6 + 0.5)). Hardcoded as literals on
+# BOTH engines rather than computed via log10 at runtime: the nine values
+# are mathematical constants, and a libm log10 ulp difference between
+# JVMs/DuckDB could otherwise straddle the ppm rounding. They sum to
+# exactly 1_000_000.
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+assert sum(_BENFORD_PPM) == 1_000_000
+
+
+@query(
+    "audit_benford_digits",
+    oracle=f"""
+    WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+                                    AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS digit,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+        GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM obs),
+    d AS (SELECT CAST(unnest(generate_series(1, 9)) AS INTEGER) AS digit),
+    j AS (
+        SELECT d.digit,
+               CAST(coalesce(o.n, 0) AS BIGINT) AS n_obs,
+               CAST(([{', '.join(str(v) for v in _BENFORD_PPM)}])[d.digit]
+                    AS BIGINT) AS exp_ppm
+        FROM d LEFT JOIN obs o ON o.digit = d.digit)
+    SELECT j.digit,
+           j.n_obs,
+           CAST(j.n_obs * 1000000 // t.n_total AS BIGINT) AS obs_ppm,
+           j.exp_ppm,
+           CAST(floor(
+               (CAST(j.n_obs * 1000000 - t.n_total * j.exp_ppm AS DOUBLE)
+                / 1000000.0)
+               * (CAST(j.n_obs * 1000000 - t.n_total * j.exp_ppm AS DOUBLE)
+                  / 1000000.0)
+               / (CAST(t.n_total * j.exp_ppm AS DOUBLE) / 1000000.0)
+               * 1000000.0 + 0.5) AS BIGINT) AS chi2_contrib_u
+    FROM j, tot t
+    ORDER BY digit
+    """,
+)
+def audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit census of ``l_extendedprice`` against
+    Benford's law, with per-digit chi-squared contributions — the
+    classic fabricated-/corrupted-amounts screen a lake audit runs on
+    money columns (a synthesizer bug, a unit mix-up, or an injected
+    constant shows up as one digit's chi2 term dwarfing the rest;
+    TPC-H prices are NOT Benford-distributed, which the census itself
+    makes visible — the audit reports the distribution, thresholding
+    is the caller's policy).
+
+    Cross-engine mechanics: the first digit is taken from the decimal
+    string of the exact cents integer (``floor(price*100 + 0.5)``), so
+    no log10 is evaluated at runtime; expected shares are hardcoded
+    exact-ppm literals (see ``_BENFORD_PPM``); the chi2 contribution is
+    one fixed dag of IEEE double ops on exact integer inputs, quantized
+    half-up to micro-units on both engines.
+
+    Scale shape: ONE map-side-combined 9-group aggregate over the fact
+    table (the scan reads one column — verify ReadSchema); the digit
+    frame, total, and expected-share attach are single-row/9-row
+    broadcast-sized joins. Report is 9 rows at any corpus size.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & (F.col("l_extendedprice") > 0)
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    obs = (
+        li.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    exp_ppm = F.element_at(
+        F.array(*[F.lit(v).cast("long") for v in _BENFORD_PPM]), F.col("digit")
+    )
+    j = (
+        digits.join(F.broadcast(obs), "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_obs"),
+            exp_ppm.alias("exp_ppm"),
+        )
+        # single-row scalar attach (house idiom for tiny report frames)
+        .crossJoin(obs.agg(F.sum("n").cast("long").alias("n_total")))
+    )
+    dev_u = (F.col("n_obs") * 1_000_000 - F.col("n_total") * F.col("exp_ppm")).cast(
+        "double"
+    ) / 1e6
+    e_dbl = (F.col("n_total") * F.col("exp_ppm")).cast("double") / 1e6
+    return j.select(
+        "digit",
+        "n_obs",
+        F.expr("CAST(n_obs * CAST(1000000 AS BIGINT) div n_total AS BIGINT)").alias(
+            "obs_ppm"
+        ),
+        "exp_ppm",
+        F.floor(dev_u * dev_u / e_dbl * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("chi2_contrib_u"),
+    ).orderBy("digit")
+
+
+# --- round 13: candidate functional-dependency census ------------------------
+
+# Candidate FDs audited by audit_functional_dependencies: a fixed battery
+# mixing dependencies that HOLD in this lake's shape (entity names embed
+# their keys; a nation key determines its region) with ones that do NOT
+# (a nation does not determine a market segment; a source does not pin a
+# language) — so the census is non-trivial in both directions at every
+# SF. Each entry is (fd_name, table, determinant_sql, dependent_sql); the
+# SQL fragments are engine-portable (substr/CAST/column refs only) and
+# are interpolated into BOTH the Spark plan (F.expr) and the DuckDB
+# oracle, so the battery can never diverge between engines.
+_FD_CANDIDATES = [
+    ("customer_name_key", "customer", "c_name", "c_custkey"),
+    ("supplier_name_key", "supplier", "s_name", "s_suppkey"),
+    ("nation_key_region", "nation", "n_nationkey", "n_regionkey"),
+    ("customer_nation_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    ("part_brand_type", "part", "p_brand", "p_type"),
+    ("orders_cust_priority", "orders", "o_custkey", "o_orderpriority"),
+    ("documents_source_lang", "documents", "source", "lang"),
+    (
+        "lineitem_shipyear_flag",
+        "lineitem",
+        # STRING is the one cast alias both parsers accept (Spark rejects
+        # bare VARCHAR, DuckDB aliases STRING → VARCHAR); dates render
+        # 'yyyy-MM-dd' on both engines.
+        "substr(CAST(l_shipdate AS STRING), 1, 4)",
+        "l_returnflag",
+    ),
+]
+
+_SQL_FD_BRANCH = """
+    SELECT '{name}' AS fd_name,
+           '{table}' AS table_name,
+           '{det}' AS determinant,
+           '{dep}' AS dependent,
+           CAST(COUNT(*) AS BIGINT) AS n_det_values,
+           CAST(SUM(CASE WHEN dc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_keys,
+           CAST(SUM(CASE WHEN dc > 1 THEN rc ELSE 0 END) AS BIGINT)
+               AS n_violating_rows,
+           CAST(CASE WHEN SUM(CASE WHEN dc > 1 THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END AS INTEGER) AS holds
+    FROM (SELECT {det} AS k,
+                 COUNT(DISTINCT {dep}) AS dc,
+                 COUNT(*) AS rc
+          FROM {table}
+          WHERE {det} IS NOT NULL
+          GROUP BY 1)
+"""
+
+
+@query(
+    "audit_functional_dependencies",
+    oracle=(
+        "SELECT * FROM ("
+        + " UNION ALL ".join(
+            _SQL_FD_BRANCH.format(name=n, table=t, det=det, dep=dep)
+            for n, t, det, dep in _FD_CANDIDATES
+        )
+        + ") ORDER BY fd_name"
+    ),
+)
+def audit_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate functional-dependency census: for each declared
+    ``determinant → dependent`` candidate, how many determinant values
+    exist, how many map to MORE than one dependent value (FD
+    violations), and how many rows sit inside violating groups — the
+    discovery/monitoring audit behind normalization checks and silent
+    denormalization-drift alarms (a dimension attribute that used to be
+    determined by its key and suddenly is not means an upstream merge
+    bug). The battery (``_FD_CANDIDATES``) deliberately mixes FDs that
+    hold with ones that don't, so both report paths are exercised at
+    every SF.
+
+    Semantics declared identically on both engines: NULL-determinant
+    rows are out of scope (filtered), and a NULL dependent never counts
+    as a distinct value (both engines' COUNT(DISTINCT) skip NULLs) — a
+    group {NULL, 'A'} is NOT a violation.
+
+    Scale shape: one map-side-combined (determinant → distinct-dependent)
+    aggregate per candidate, scanning only the two columns involved
+    (column pruning), then a single-row rollup per candidate; the report
+    unions |battery| rows. Per-task state is bounded by per-partition
+    distinct determinants — no joins, no wide rows, nothing corpus-sized
+    ever shuffles except the keyed partial-agg exchange itself.
+    """
+    out: DataFrame | None = None
+    for name, table, det, dep in _FD_CANDIDATES:
+        g = (
+            load_table(spark, sf_dir, table)
+            .filter(F.expr(det).isNotNull())
+            .groupBy(F.expr(det).alias("k"))
+            .agg(
+                F.countDistinct(F.expr(dep)).alias("dc"),
+                F.count(F.lit(1)).alias("rc"),
+            )
+        )
+        viol = F.sum(F.when(F.col("dc") > 1, 1).otherwise(0))
+        row = g.agg(
+            F.count(F.lit(1)).cast("long").alias("n_det_values"),
+            viol.cast("long").alias("n_violating_keys"),
+            F.sum(F.when(F.col("dc") > 1, F.col("rc")).otherwise(0))
+            .cast("long")
+            .alias("n_violating_rows"),
+        ).select(
+            F.lit(name).alias("fd_name"),
+            F.lit(table).alias("table_name"),
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            "n_det_values",
+            "n_violating_keys",
+            (F.col("n_violating_keys") == 0).cast("int").alias("holds"),
+            "n_violating_rows",
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out.select(
+        "fd_name",
+        "table_name",
+        "determinant",
+        "dependent",
+        "n_det_values",
+        "n_violating_keys",
+        "n_violating_rows",
+        "holds",
+    ).orderBy("fd_name")

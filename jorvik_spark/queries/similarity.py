@@ -2505,3 +2505,127 @@ def embed_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("purity_ppm"),
     ).orderBy("cell")
+
+
+# --- round 13: angular pair census (embedding isotropy audit) ----------------
+
+# Hex-prefix length of the md5 pairing bucket: 1 hex char = 16 buckets,
+# sized so every natural test SF still pairs inside each bucket (50
+# vectors at sf0.001 → ~3 per bucket). At 100 TB lengthen the prefix —
+# each extra char multiplies bucket count by 16 and divides the
+# per-bucket sort by the same factor; the census itself stays O(n)
+# pairs regardless of the prefix (one pair per adjacent rank).
+_PAIR_BUCKET_HEX = 1
+
+
+@query(
+    "embed_angular_pair_census",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id,
+               md5(CAST(vec_id AS VARCHAR)) AS h,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000000 + 0.5) AS DOUBLE))
+                   AS q
+        FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+          AND len(embedding) > 0),
+    pos AS (
+        SELECT vec_id, h, q,
+               list_dot_product(q, q) AS n2,
+               substr(h, 1, {_PAIR_BUCKET_HEX}) AS bkt
+        FROM emb
+        WHERE list_dot_product(q, q) > 0),
+    paired AS (
+        SELECT bkt, n2, q,
+               lead(q) OVER w AS q2,
+               lead(n2) OVER w AS n2_2
+        FROM pos
+        WINDOW w AS (PARTITION BY bkt ORDER BY h, vec_id)),
+    cos AS (
+        SELECT list_dot_product(q, q2) / (sqrt(n2) * sqrt(n2_2)) AS c
+        FROM paired WHERE q2 IS NOT NULL)
+    SELECT CAST(least(greatest(CAST(floor(c * 20.0) AS INTEGER), -20), 19)
+                AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round({sql_davg('c')}, 6) AS avg_cos
+    FROM cos GROUP BY 1 ORDER BY band
+    """,
+)
+def embed_angular_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-angle census over deterministic random vector pairs —
+    the isotropy audit of an embedding space (a healthy corpus's random
+    pairs mass near cosine 0; a collapsed/anisotropic space — the
+    classic "all my embeddings look alike" failure after a bad
+    fine-tune or a dominant principal direction — masses near +1, and
+    retrieval quality dies long before any downstream eval notices).
+    Histogram of cosines in 0.05 bands over ~n/1 disjoint pairs.
+
+    Pair selection is derandomized md5 order: vectors sort by their id's
+    md5 inside ``16^{{prefix}}`` hex-prefix buckets and each row pairs
+    with its successor — a uniform-ish disjoint pairing both engines
+    derive identically, with NO quadratic relation anywhere (exactly
+    n−buckets pairs).
+
+    Cross-engine exactness by CONSTRUCTION, not ulp luck: components
+    quantize to micro-unit integers held in doubles, so every dot
+    product is a sum of integers < 2^53 — exact in ANY summation order
+    (Spark's fold and DuckDB's list_dot_product agree bit-for-bit);
+    sqrt and one division are correctly-rounded IEEE ops, so the band
+    floor is deterministic. Zero-norm vectors are excluded (module
+    contract, cosine undefined).
+
+    Scale shape: one narrow map pass quantizes and hashes; ONE keyed
+    sort exchange on the hash bucket feeds the lead(); the census is a
+    40-group map-combined aggregate. Output ≤ 40 rows at any corpus
+    size.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("vec_id").isNotNull()
+            & F.col("embedding").isNotNull()
+            & (F.size("embedding") > 0)
+        )
+        .select(
+            "vec_id",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)"
+                " AS DOUBLE))"
+            ).alias("q"),
+        )
+        .withColumn("n2", F.expr(_DOT.format(a="q", b="q")))
+        .filter(F.col("n2") > 0)
+        .withColumn("bkt", F.substring("h", 1, _PAIR_BUCKET_HEX))
+    )
+    w = Window.partitionBy("bkt").orderBy("h", "vec_id")
+    paired = (
+        emb.select(
+            "bkt",
+            "q",
+            "n2",
+            F.lead("q").over(w).alias("q2"),
+            F.lead("n2").over(w).alias("n2_2"),
+        )
+        .filter(F.col("q2").isNotNull())
+        .select(
+            (
+                F.expr(_DOT.format(a="q", b="q2"))
+                / (F.sqrt("n2") * F.sqrt("n2_2"))
+            ).alias("c")
+        )
+    )
+    band = F.least(
+        F.greatest(F.floor(F.col("c") * 20.0).cast("int"), F.lit(-20)),
+        F.lit(19),
+    )
+    return (
+        paired.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(davg("c"), 6).alias("avg_cos"),
+        )
+        .orderBy("band")
+    )

@@ -1866,3 +1866,122 @@ def text_heaps_law_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens_oct").over(w).cast("long").alias("n_tokens"),
         F.sum("n_new_types").over(w).cast("long").alias("vocab_size"),
     ).orderBy("octave")
+
+
+# --- round 13: inter-source total-variation distance -------------------------
+
+
+@query(
+    "corpus_source_tv_distance",
+    oracle=f"""
+    WITH tc AS (
+        SELECT source, tok, COUNT(*) AS c
+        FROM (SELECT source, unnest({_SQL_TOKENS}) AS tok FROM documents)
+        GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tt FROM tc GROUP BY 1),
+    common AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(abs(a.c * tb.tt - b.c * ta.tt)) AS BIGINT)
+                   AS absdiff,
+               CAST(SUM(a.c) AS BIGINT) AS s_a,
+               CAST(SUM(b.c) AS BIGINT) AS s_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common_types
+        FROM tc a
+        JOIN tc b ON a.tok = b.tok AND a.source < b.source
+        JOIN tot ta ON ta.source = a.source
+        JOIN tot tb ON tb.source = b.source
+        GROUP BY 1, 2)
+    SELECT c.source_a, c.source_b, c.n_common_types,
+           ta.tt AS n_tokens_a, tb.tt AS n_tokens_b,
+           CAST((CAST(c.absdiff AS HUGEINT)
+                 + CAST(ta.tt - c.s_a AS HUGEINT) * tb.tt
+                 + CAST(tb.tt - c.s_b AS HUGEINT) * ta.tt) * 1000000
+                // (2 * CAST(ta.tt AS HUGEINT) * tb.tt) AS BIGINT)
+               AS tv_ppm
+    FROM common c
+    JOIN tot ta ON ta.source = c.source_a
+    JOIN tot tb ON tb.source = c.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def corpus_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between every source pair's unigram
+    distributions — the distribution-shift companion to
+    ``corpus_source_overlap`` (which compares vocab SETS; TV compares
+    the probability MASS, so two sources sharing every word but using
+    them at different rates are near on Jaccard and far on TV).
+    TV = ½Σ|p−q| over the union vocabulary, the exact statistical
+    distance a mixture designer reads as "maximum probability any
+    event's rate differs between these corpora".
+
+    Entirely RATIONAL arithmetic — no logs, no doubles: with counts c
+    and totals T, |p−q| = |c₁T₂ − c₂T₁| / (T₁T₂), and the mass a pair's
+    non-shared vocabulary contributes is (T₁−S₁)/T₁ + (T₂−S₂)/T₂ where
+    S is the shared-vocab count sum — so the whole statistic reduces to
+    ONE exact integer ppm via inclusion-exclusion, cross-engine safe by
+    construction (the 128-bit ceiling: the final product 1e6·2T₁T₂
+    passes int64 at ~sf0.1 corpus sizes, so the combine runs in
+    DECIMAL(38,0)/HUGEINT on both engines).
+
+    Scale shape: the corpus collapses to the (source, token, count)
+    relation in one map-combined pass (≤ |vocab|·|sources| rows,
+    never corpus-sized); the pair intersection is the token-equi
+    self-join with per-token fanout ≤ |sources|² (the overlap op's
+    bound); totals attach by broadcast. Output is C(|sources|, 2) rows.
+    """
+    tc = (
+        _tokenized_docs(spark, sf_dir)
+        .select("source", F.explode("t").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tc.groupBy("source").agg(F.sum("c").cast("long").alias("tt"))
+    a, b = tc.alias("a"), tc.alias("b")
+    ta = F.broadcast(
+        tot.select(F.col("source").alias("source_a"), F.col("tt").alias("tt_a"))
+    )
+    tb = F.broadcast(
+        tot.select(F.col("source").alias("source_b"), F.col("tt").alias("tt_b"))
+    )
+    common = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.c").alias("ca"),
+            F.col("b.c").alias("cb"),
+        )
+        .join(ta, "source_a")
+        .join(tb, "source_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.abs(F.col("ca") * F.col("tt_b") - F.col("cb") * F.col("tt_a")))
+            .cast("long")
+            .alias("absdiff"),
+            F.sum("ca").cast("long").alias("s_a"),
+            F.sum("cb").cast("long").alias("s_b"),
+            F.count(F.lit(1)).cast("long").alias("n_common_types"),
+        )
+    )
+    return (
+        common.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common_types",
+            F.col("tt_a").alias("n_tokens_a"),
+            F.col("tt_b").alias("n_tokens_b"),
+            F.expr(
+                "CAST((CAST(absdiff AS DECIMAL(38,0))"
+                " + CAST(tt_a - s_a AS DECIMAL(19,0)) * tt_b"
+                " + CAST(tt_b - s_b AS DECIMAL(19,0)) * tt_a) * 1000000"
+                " div (2 * CAST(tt_a AS DECIMAL(19,0)) * tt_b) AS BIGINT)"
+            ).alias("tv_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -2565,3 +2565,230 @@ def window_flatline_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# --- round 13: lag-1 autocorrelation census ----------------------------------
+
+
+@query(
+    "window_autocorr_census",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL AND event_type = 'purchase'),
+    pairs AS (
+        SELECT user_id,
+               lag(vu) OVER (PARTITION BY user_id ORDER BY t, event_id) AS x,
+               vu AS y
+        FROM ev),
+    mom AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+               SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+               SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+               COUNT(DISTINCT x) AS dcx,
+               COUNT(DISTINCT y) AS dcy
+        FROM pairs WHERE x IS NOT NULL GROUP BY user_id),
+    r AS (
+        SELECT user_id, n,
+               CASE WHEN n >= 3 AND dcx > 1 AND dcy > 1 THEN
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt(
+                       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               END AS r1
+        FROM mom)
+    SELECT CAST(CASE WHEN r1 IS NULL THEN NULL
+                     ELSE least(greatest(CAST(floor(r1 * 10.0) AS INTEGER),
+                                         -10), 9) END AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_pairs
+    FROM r GROUP BY 1 ORDER BY band NULLS FIRST
+    """,
+)
+def window_autocorr_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation census over each user's purchase-value
+    series: per user, the Pearson correlation between consecutive
+    values in (ts, event_id) order, bucketed into 0.1-wide bands and
+    counted — the whole-population answer to "are purchase amounts
+    momentum-driven or mean-reverting?" that a forecasting/anomaly team
+    reads before picking a model family (bands near +1 → AR models pay
+    off; a mass at band 0 → values are i.i.d. and yesterday predicts
+    nothing; heavy negative bands → alternating/corrective behavior).
+
+    Cross-engine mechanics: consecutive pairs come from the SAME
+    lag-over-keyed-window on both engines; the five moments are exact
+    integers on exact micro-unit values (Σx/Σy BIGINT; the three
+    product sums DECIMAL(38,0) — a squared micro-value is ~2.4e17 and a
+    user's sum overflows int64 at natural data, the ttest precedent);
+    r itself is ONE fixed dag of IEEE double ops on those exact
+    integers, so its band floor can never straddle an ulp between
+    engines. Degenerate series are DECLARED, not crashed: n < 3 pairs
+    or a zero-variance side (detected exactly via COUNT(DISTINCT),
+    never via a float test) yields band NULL — the census's own
+    "not enough signal" row.
+
+    Scale shape: ONE user-keyed sort exchange feeds the lag; the moment
+    rollup groups on the SAME key (AQE reuses the partitioning — no
+    second corpus-wide shuffle); the band census is a 21-group
+    map-combined aggregate over per-user rows. Output ≤ 22 rows at any
+    corpus size; per-task state is one window frame row.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("vu"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.lag("vu").over(w).alias("x"),
+        F.col("vu").alias("y"),
+    ).filter(F.col("x").isNotNull())
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    mom = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.countDistinct("x").alias("dcx"),
+        F.countDistinct("y").alias("dcy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd2 = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r1 = F.when(
+        (F.col("n") >= 3) & (F.col("dcx") > 1) & (F.col("dcy") > 1),
+        (nd * F.col("sxy").cast("double") - sxd * syd2)
+        / F.sqrt(
+            (nd * F.col("sxx").cast("double") - sxd * sxd)
+            * (nd * F.col("syy").cast("double") - syd2 * syd2)
+        ),
+    )
+    band = F.when(
+        r1.isNotNull(),
+        F.least(
+            F.greatest(F.floor(r1 * 10.0).cast("int"), F.lit(-10)), F.lit(9)
+        ),
+    ).cast("int")
+    return (
+        mom.select(band.alias("band"), "n")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_pairs"),
+        )
+        .orderBy(F.col("band").asc_nulls_first())
+    )
+
+
+# --- round 13: diurnal (hour-of-day) load profile ----------------------------
+
+
+@query(
+    "window_diurnal_profile",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24
+                    AS INTEGER) AS hod,
+               value
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    cells AS (
+        SELECT event_type, hod,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM ev GROUP BY 1, 2),
+    tot AS (
+        SELECT event_type, SUM(n_events) AS n_type FROM cells GROUP BY 1)
+    SELECT c.event_type,
+           c.hod,
+           CAST(c.n_events AS BIGINT) AS n_events,
+           CAST(c.n_events * 1000000 // t.n_type AS BIGINT) AS share_ppm,
+           c.sum_value
+    FROM cells c JOIN tot t USING (event_type)
+    ORDER BY event_type, hod
+    """,
+)
+def window_diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load profile per event type: event counts, the
+    within-type traffic share (ppm), and the value mass landing in each
+    of the 24 diurnal buckets — the census capacity planning and
+    batch-window placement read first (run the compaction job in the
+    emptiest three hours; alert when a type's 3 a.m. share stops being
+    flat), and the seasonality baseline the anomaly detectors normalize
+    against.
+
+    The hour is pure integer arithmetic on the epoch-microsecond value
+    (``(t div 3600e6) mod 24``) — NOT a calendar ``hour()`` extraction,
+    so no session-timezone setting on either engine can shift a bucket
+    boundary; the repo's epoch_us/unix_micros equivalence carries the
+    whole contract.
+
+    Scale shape: ONE map-side-combined aggregate over the stream
+    (|types| x 24 groups); the per-type totals reduce the already-tiny
+    cell relation and attach back by broadcast. Output is |types| x 24
+    rows at any corpus size — nothing corpus-sized ever shuffles except
+    the partial-agg exchange.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            # integer `div`, NOT `/`+cast: the float quotient of a large
+            # epoch value can land an ulp under the true integer and
+            # truncate into the previous hour, diverging from the
+            # oracle's exact `//`
+            F.expr(
+                "CAST((unix_micros(ts) div CAST(3600000000 AS BIGINT)) % 24"
+                " AS INT)"
+            ).alias("hod"),
+            "value",
+        )
+    )
+    cells = ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_events").alias("n_type")
+    )
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.expr(
+                "CAST(n_events * CAST(1000000 AS BIGINT) div n_type AS BIGINT)"
+            ).alias("share_ppm"),
+            "sum_value",
+        )
+        .orderBy("event_type", "hod")
+    )

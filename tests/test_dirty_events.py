@@ -123,6 +123,14 @@ EVENT_QUERIES = [
     "window_flatline_quantized",
     "agg_bootstrap_ci",
     "agg_ab_value_ttest",
+    # round-13 wave 2: the autocorr census must declare user 1's
+    # null-value purchase out of the pair stream, break the event-3/4
+    # tie identically, and send every short/constant series to the
+    # NULL band on both engines; the diurnal profile buckets the
+    # on-the-hour view (event 12) by pure epoch integer division, so
+    # no session timezone can shift it between engines.
+    "window_autocorr_census",
+    "window_diurnal_profile",
     "join_interval_overlap",
     "expr_json_extract",
     "stream_tumbling_agg",

@@ -440,3 +440,179 @@ def test_running_ewma_matches_batch_across_restart(spark, tmp_path):
         ).collect()
     )
     assert reg == sorted((r[0], r[1], r[4]) for r in live)
+
+
+# --- round-13 wave 2: audits / censuses / distances ---------------------------
+
+
+def test_benford_constant_amount_concentrates_one_digit(spark, tmp_path):
+    """A lake whose money column is a single injected constant is the
+    exact failure Benford screens for: all observed mass lands on one
+    digit and that digit's chi2 contribution dwarfs the rest."""
+    import duckdb
+    import pandas as pd
+
+    from jorvik_spark.queries import ORACLES, QUERIES
+
+    import os
+
+    d = str(tmp_path / "benford")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame({"l_extendedprice": [500.0] * 200}).to_parquet(
+        f"{d}/lineitem.parquet"
+    )
+    rows = {
+        r["digit"]: r for r in QUERIES["audit_benford_digits"](spark, d).collect()
+    }
+    assert sorted(rows) == list(range(1, 10))
+    assert rows[5]["n_obs"] == 200 and rows[5]["obs_ppm"] == 1_000_000
+    assert all(rows[dg]["n_obs"] == 0 for dg in range(1, 10) if dg != 5)
+    assert sum(r["exp_ppm"] for r in rows.values()) == 1_000_000
+    # digit 5's deviation is (1 - p5), every other digit's is its full
+    # expected mass — the chi2 column must rank digit 1 (largest
+    # expected share among the zeros) above e.g. digit 9
+    assert rows[1]["chi2_contrib_u"] > rows[9]["chi2_contrib_u"]
+    # oracle agrees on the fixture
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    got = sorted(tuple(r) for r in QUERIES["audit_benford_digits"](spark, d).collect())
+    want = sorted(tuple(r) for r in con.execute(ORACLES["audit_benford_digits"]).fetchall())
+    assert got == want
+
+
+def test_fd_census_classifies_natural_battery(spark):
+    """On the natural testdata, exactly the key-embedding and
+    key-determined candidates hold; every violated FD reports violating
+    keys AND rows."""
+    from jorvik_spark.queries import QUERIES
+
+    rows = {
+        r["fd_name"]: r
+        for r in QUERIES["audit_functional_dependencies"](spark, _SF).collect()
+    }
+    held = {n for n, r in rows.items() if r["holds"] == 1}
+    assert held == {"customer_name_key", "supplier_name_key", "nation_key_region"}
+    for n, r in rows.items():
+        if r["holds"]:
+            assert r["n_violating_keys"] == 0 and r["n_violating_rows"] == 0
+        else:
+            assert r["n_violating_keys"] > 0
+            assert r["n_violating_rows"] >= 2 * r["n_violating_keys"]
+
+
+def test_autocorr_census_bands_are_exact_on_constructed_series(spark, tmp_path):
+    """Monotone series → r = +1 exactly (band clamps to 9); perfectly
+    alternating series → r = −1 exactly (band −10); constant and
+    too-short series are DECLARED degenerate (NULL band), never a
+    divide-by-zero."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from jorvik_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # user 1: linear ramp (6 events) → lag-1 r = 1.0
+    rows += [(100 + i, base + dt.timedelta(minutes=i), 1, "purchase", 10.0 + i, None)
+             for i in range(6)]
+    # user 2: alternation 10, 20, 10, ... (6 events) → r = −1.0
+    rows += [(200 + i, base + dt.timedelta(minutes=i), 2, "purchase",
+              10.0 if i % 2 == 0 else 20.0, None) for i in range(6)]
+    # user 3: constant → zero variance → NULL band
+    rows += [(300 + i, base + dt.timedelta(minutes=i), 3, "purchase", 5.0, None)
+             for i in range(5)]
+    # user 4: 3 events = 2 pairs < 3 → NULL band
+    rows += [(400 + i, base + dt.timedelta(minutes=i), 4, "purchase", float(i), None)
+             for i in range(3)]
+    d = str(tmp_path / "ac")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).astype({"ts": "datetime64[us]"}).to_parquet(f"{d}/events.parquet")
+    got = {
+        r["band"]: (r["n_users"], r["n_pairs"])
+        for r in QUERIES["window_autocorr_census"](spark, d).collect()
+    }
+    assert got == {9: (1, 5), -10: (1, 5), None: (2, 6)}
+
+
+def test_diurnal_profile_shares_sum_to_million(spark):
+    from jorvik_spark.queries import QUERIES
+
+    df = QUERIES["window_diurnal_profile"](spark, _SF).collect()
+    assert all(0 <= r["hod"] <= 23 for r in df)
+    by_type = {}
+    for r in df:
+        by_type.setdefault(r["event_type"], []).append(r["share_ppm"])
+    for t, shares in by_type.items():
+        # integer div truncation loses < 1 ppm per populated cell
+        assert 1_000_000 - len(shares) <= sum(shares) <= 1_000_000, t
+
+
+def test_tv_distance_identical_and_partial_sources(spark, tmp_path):
+    """Identical token streams → TV = 0; the worked 2/3 example lands
+    exactly 666666 ppm (the rational pipeline truncates, never
+    rounds); a pair with no shared vocabulary is absent by declared
+    semantics (inner join on the common relation)."""
+    import os
+
+    import pandas as pd
+
+    from jorvik_spark.queries import QUERIES
+
+    d = str(tmp_path / "tv")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a a b", "a a b", "a c c", "z z z"],
+            "lang": ["en"] * 4,
+            "source": ["srcA", "srcB", "srcD", "srcZ"],
+            "n_chars": [5, 5, 5, 5],
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+    got = {
+        (r["source_a"], r["source_b"]): r["tv_ppm"]
+        for r in QUERIES["corpus_source_tv_distance"](spark, d).collect()
+    }
+    assert got[("srcA", "srcB")] == 0
+    assert got[("srcA", "srcD")] == 666_666  # ½(1/3 + 1/3 + 2/3) = 2/3
+    assert ("srcA", "srcZ") not in got  # disjoint vocab → absent
+    assert ("srcB", "srcD") in got
+
+
+def test_angular_census_identical_vectors_and_zero_norm_scope(spark, tmp_path):
+    """All-identical vectors → every adjacent pair lands in the top
+    band with avg_cos exactly 1.0; adding a zero-norm vector must not
+    change the census (declared out of scope, not a crash)."""
+    import os
+
+    import pandas as pd
+
+    from jorvik_spark.queries import QUERIES
+
+    def write(d, with_zero):
+        os.makedirs(d, exist_ok=True)
+        vecs = [[0.25, -0.5, 0.125, 1.0]] * 40
+        ids = list(range(40))
+        if with_zero:
+            vecs.append([0.0, 0.0, 0.0, 0.0])
+            ids.append(99)
+        pd.DataFrame(
+            {"vec_id": ids, "embedding": vecs, "label": [0] * len(ids)}
+        ).to_parquet(f"{d}/embeddings.parquet")
+
+    d1, d2 = str(tmp_path / "ang1"), str(tmp_path / "ang2")
+    write(d1, with_zero=False)
+    write(d2, with_zero=True)
+    r1 = QUERIES["embed_angular_pair_census"](spark, d1).collect()
+    assert [r["band"] for r in r1] == [19]
+    assert r1[0]["avg_cos"] == 1.0
+    assert r1[0]["n_pairs"] >= 40 - 16  # n minus at most one per bucket
+    r2 = QUERIES["embed_angular_pair_census"](spark, d2).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
