@@ -674,3 +674,103 @@ def audit_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_violating_rows",
         "holds",
     ).orderBy("fd_name")
+
+
+# --- round 13: declarative value-expectation battery --------------------------
+
+# Expectations audited by audit_value_expectations — the Deequ/Great-
+# Expectations check-suite shape as ONE battery constant interpolated
+# into both engines (same discipline as _FD_CANDIDATES). Each entry is
+# (name, table, predicate_sql); a row VIOLATES when its predicate is
+# not TRUE (NULL predicate = violation — the conservative reading: an
+# unevaluable expectation is not a pass). The battery mixes
+# expectations that hold in this lake with ones that fail (account
+# balances go negative by design), so both report paths stay exercised
+# at every SF.
+_VALUE_EXPECTATIONS = [
+    (
+        "lineitem_discount_unit_interval",
+        "lineitem",
+        "l_discount >= 0 AND l_discount <= 1",
+    ),
+    ("lineitem_quantity_positive", "lineitem", "l_quantity > 0"),
+    ("orders_totalprice_positive", "orders", "o_totalprice > 0"),
+    ("customer_acctbal_nonnegative", "customer", "c_acctbal >= 0"),
+    ("supplier_acctbal_nonnegative", "supplier", "s_acctbal >= 0"),
+    ("documents_nchars_consistent", "documents", "n_chars = length(text)"),
+    ("events_value_positive_or_null", "events", "value IS NULL OR value > 0"),
+    (
+        "events_ts_not_before_epoch",
+        "events",
+        "ts IS NULL OR ts >= TIMESTAMP '2024-01-01 00:00:00'",
+    ),
+]
+
+_SQL_EXPECT_BRANCH = """
+    SELECT '{name}' AS expectation,
+           '{table}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_violations,
+           CAST(CASE WHEN SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) = 0
+                THEN 1 ELSE 0 END AS INTEGER) AS passes
+    FROM {table}
+"""
+
+
+@query(
+    "audit_value_expectations",
+    oracle=(
+        "SELECT * FROM ("
+        + " UNION ALL ".join(
+            _SQL_EXPECT_BRANCH.format(name=n, table=t, pred=p)
+            for n, t, p in _VALUE_EXPECTATIONS
+        )
+        + ") ORDER BY expectation"
+    ),
+)
+def audit_value_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative value-expectation battery: per expectation, the row
+    count, violation count, and a pass flag — the publish-gate the
+    Deequ / Great Expectations job family runs before a table is
+    promoted (range checks, derived-column consistency, time-domain
+    sanity). One battery constant (``_VALUE_EXPECTATIONS``) is
+    interpolated into BOTH the Spark plan and the DuckDB oracle, so an
+    expectation can never silently mean different things to the two
+    engines. NULL predicates count as violations by declared semantics
+    (an unevaluable check is not a pass) — expectations that tolerate
+    NULL say so in their own predicate (``value IS NULL OR ...``).
+
+    Complements the structural audits: ``audit_primary_keys`` asserts
+    identity, ``audit_referential_integrity`` asserts links,
+    ``audit_functional_dependencies`` asserts determinations — THIS
+    asserts the values themselves.
+
+    Scale shape: one narrow map-side-combined two-counter aggregate per
+    expectation, scanning only the predicate's columns (column
+    pruning); no joins, no groupBy key space, report = |battery| rows
+    at any corpus size. Expectations on the same table share a scan
+    under one pass per battery entry — at 100 TB, fold same-table
+    entries into a single multi-counter agg if the scan dominates.
+    """
+    out: DataFrame | None = None
+    for name, table, pred in _VALUE_EXPECTATIONS:
+        row = (
+            load_table(spark, sf_dir, table)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.expr(pred), 0).otherwise(1))
+                .cast("long")
+                .alias("n_violations"),
+            )
+            .select(
+                F.lit(name).alias("expectation"),
+                F.lit(table).alias("table_name"),
+                "n_rows",
+                "n_violations",
+                (F.col("n_violations") == 0).cast("int").alias("passes"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out.orderBy("expectation")

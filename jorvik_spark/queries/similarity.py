@@ -2629,3 +2629,143 @@ def embed_angular_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# --- round 13: split-half centroid drift (embedding reproducibility) ---------
+
+_SPLIT_DRIFT_SALT = "centroid_split"
+
+
+@query(
+    "embed_centroid_split_drift",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, label,
+               CAST({sql_hash_bucket('vec_id', _SPLIT_DRIFT_SALT)} % 2
+                    AS INTEGER) AS half,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))
+                   AS q
+        FROM embeddings
+        WHERE vec_id IS NOT NULL AND label IS NOT NULL
+          AND embedding IS NOT NULL AND len(embedding) > 0),
+    ex AS (
+        SELECT label, half,
+               unnest(range(len(q))) AS pos,
+               unnest(q) AS x,
+               vec_id
+        FROM emb),
+    dims AS (
+        SELECT label, pos,
+               CAST(SUM(CASE WHEN half = 0 THEN x ELSE 0 END) AS BIGINT)
+                   AS sa,
+               CAST(SUM(CASE WHEN half = 1 THEN x ELSE 0 END) AS BIGINT)
+                   AS sb
+        FROM ex GROUP BY 1, 2),
+    mom AS (
+        SELECT label,
+               SUM(CAST(sa AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0)))
+                   AS num,
+               SUM(CAST(sa AS DECIMAL(19,0)) * CAST(sa AS DECIMAL(19,0)))
+                   AS na2,
+               SUM(CAST(sb AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0)))
+                   AS nb2
+        FROM dims GROUP BY 1),
+    counts AS (
+        SELECT label,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM emb GROUP BY 1)
+    SELECT c.label AS label, c.n_a, c.n_b,
+           round(CASE WHEN m.na2 > 0 AND m.nb2 > 0 THEN
+                     CAST(m.num AS DOUBLE)
+                     / (sqrt(CAST(m.na2 AS DOUBLE))
+                        * sqrt(CAST(m.nb2 AS DOUBLE)))
+                 END, 6) AS cos_ab
+    FROM counts c JOIN mom m ON c.label = m.label
+    ORDER BY c.label
+    """,
+)
+def embed_centroid_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half centroid agreement per label: vectors hash-split into
+    two deterministic halves, and the cosine between the halves' label
+    centroids is reported — the reproducibility audit of an embedding
+    pipeline (a healthy, well-sampled label's two half-centroids agree
+    at cosine ≈ 1; a label near 0 means its centroid is sampling noise
+    and any per-label logic built on it — nearest-centroid routing,
+    centroid-seeded clustering, drift alarms — is built on sand).
+
+    Exactness by construction: the centroid cosine is computed on the
+    half's component SUMS (cos is scale-invariant, so the mean's /n
+    cancels and never has to be evaluated in floating point); sums of
+    micro-unit-quantized components are exact BIGINTs, the dim-wise
+    products accumulate in DECIMAL(38,0), and only the final three
+    exact integers pass through one sqrt+divide dag — so both engines
+    round the identical value to 6 dp. Labels with an empty or
+    zero-norm half report cos NULL (declared).
+
+    Scale shape: posexplode → ONE (label, pos)-keyed map-combined
+    aggregate (≤ |labels|×dims rows out), then a |labels|-group
+    rollup; counts ride a separate |labels|-group pass on the
+    unexploded relation. Nothing corpus-sized shuffles; the report is
+    |labels| rows at any corpus size.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("vec_id").isNotNull()
+            & F.col("label").isNotNull()
+            & F.col("embedding").isNotNull()
+            & (F.size("embedding") > 0)
+        )
+        .select(
+            "vec_id",
+            "label",
+            (hash_bucket(F.col("vec_id"), _SPLIT_DRIFT_SALT) % 2)
+            .cast("int")
+            .alias("half"),
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)"
+                " AS BIGINT))"
+            ).alias("q"),
+        )
+    )
+    ex = emb.select(
+        "label", "half", F.posexplode("q").alias("pos", "x")
+    )
+    dims = ex.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("half") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+    )
+    sad = F.col("sa").cast("decimal(19,0)")
+    sbd = F.col("sb").cast("decimal(19,0)")
+    mom = dims.groupBy("label").agg(
+        F.sum(sad * sbd).alias("num"),
+        F.sum(sad * sad).alias("na2"),
+        F.sum(sbd * sbd).alias("nb2"),
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    cos = F.when(
+        (F.col("na2") > 0) & (F.col("nb2") > 0),
+        F.col("num").cast("double")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+    )
+    return (
+        counts.join(mom, "label")
+        .select("label", "n_a", "n_b", F.round(cos, 6).alias("cos_ab"))
+        .orderBy("label")
+    )

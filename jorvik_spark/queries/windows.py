@@ -2792,3 +2792,120 @@ def window_diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hod")
     )
+
+
+# --- round 13: diurnal-seasonal residual census -------------------------------
+
+
+@query(
+    "window_seasonal_residual_census",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24
+                    AS INTEGER) AS hod,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          AND value IS NOT NULL),
+    cells AS (
+        SELECT event_type, hod,
+               COUNT(*) AS n,
+               CAST(SUM(vu) AS BIGINT) AS s,
+               SUM(CAST(vu AS DECIMAL(19,0)) * CAST(vu AS DECIMAL(19,0)))
+                   AS q,
+               COUNT(DISTINCT vu) AS dc
+        FROM ev GROUP BY 1, 2),
+    z AS (
+        SELECT e.event_type,
+               CASE WHEN c.n >= 2 AND c.dc > 1 THEN
+                   (CAST(e.vu AS DOUBLE) - CAST(c.s AS DOUBLE)
+                        / CAST(c.n AS DOUBLE))
+                   / sqrt((CAST(c.q AS DOUBLE)
+                           - CAST(c.s AS DOUBLE) * CAST(c.s AS DOUBLE)
+                             / CAST(c.n AS DOUBLE))
+                          / (CAST(c.n AS DOUBLE) - 1.0))
+               END AS zv
+        FROM ev e JOIN cells c
+          ON e.event_type = c.event_type AND e.hod = c.hod)
+    SELECT event_type,
+           CAST(CASE WHEN zv IS NULL THEN NULL
+                ELSE least(greatest(CAST(floor(zv) AS INTEGER), -10), 9)
+                END AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM z GROUP BY 1, 2 ORDER BY event_type, band NULLS FIRST
+    """,
+)
+def window_seasonal_residual_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonally-adjusted anomaly census: each event's value is
+    standardized against ITS OWN (event_type, hour-of-day) cell — the
+    diurnal baseline ``window_diurnal_profile`` reports — and the
+    z-scores are banded and counted per type. This is the detector the
+    plain ``window_anomaly_zscore`` family can't be: a value that is
+    normal at the daily peak is an anomaly at 4 a.m., and vice versa —
+    deseasonalizing first is how an ops screen avoids paging on every
+    lunch-hour surge. The NULL band counts events in degenerate cells
+    (< 2 events or zero variance — declared, not crashed).
+
+    Cross-engine mechanics: cell moments are exact integers on exact
+    micro-unit values (Σx BIGINT, Σx² DECIMAL(38,0) — the ttest/
+    autocorr precedent); zero variance is detected by COUNT(DISTINCT),
+    never a float test; z is one fixed dag of IEEE double ops on those
+    exact integers, so the band floor is bit-deterministic on both
+    engines (sample sd, n−1).
+
+    Scale shape: TWO map-side-combined passes over the stream — one
+    builds the ≤ |types|×24-row cell-moment relation, one standardizes
+    with that relation broadcast back (never a corpus-sized shuffle);
+    the census is a ≤ |types|×22-group aggregate. The two passes are
+    inherent (the baseline must exist before residuals can), exactly
+    the shape a 100 TB deployment wants: cells are kilobytes at any
+    corpus size.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "CAST((unix_micros(ts) div CAST(3600000000 AS BIGINT)) % 24"
+                " AS INT)"
+            ).alias("hod"),
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("vu"),
+        )
+    )
+    vd = F.col("vu").cast("decimal(19,0)")
+    cells = ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vu").cast("long").alias("s"),
+        F.sum(vd * vd).alias("q"),
+        F.countDistinct("vu").alias("dc"),
+    )
+    joined = ev.join(F.broadcast(cells), ["event_type", "hod"])
+    nd = F.col("n").cast("double")
+    sd_num = F.col("q").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / nd
+    zv = F.when(
+        (F.col("n") >= 2) & (F.col("dc") > 1),
+        (F.col("vu").cast("double") - F.col("s").cast("double") / nd)
+        / F.sqrt(sd_num / (nd - F.lit(1.0))),
+    )
+    band = F.when(
+        zv.isNotNull(),
+        F.least(F.greatest(F.floor(zv).cast("int"), F.lit(-10)), F.lit(9)),
+    ).cast("int")
+    return (
+        joined.select("event_type", band.alias("band"))
+        .groupBy("event_type", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy("event_type", F.col("band").asc_nulls_first())
+    )

@@ -226,6 +226,11 @@ EMB_QUERIES = [
     "simsearch_incremental_ivf",
     "audit_ivf_cells",
     "simsearch_nprobe_sweep",
+    # round-13 wave 2/3: the angular pair census and the split-half
+    # centroid drift must both exclude the zero vector (cosine
+    # undefined) and band/round identically on the exact-dup pair.
+    "embed_angular_pair_census",
+    "embed_centroid_split_drift",
 ]
 
 

@@ -131,6 +131,10 @@ EVENT_QUERIES = [
     # no session timezone can shift it between engines.
     "window_autocorr_census",
     "window_diurnal_profile",
+    # wave 3: the seasonal residual census must declare every
+    # degenerate (type, hour) cell (n < 2 or zero variance) into the
+    # NULL band identically, with null-value/null-ts rows out of scope.
+    "window_seasonal_residual_census",
     "join_interval_overlap",
     "expr_json_extract",
     "stream_tumbling_agg",
