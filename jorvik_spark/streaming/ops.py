@@ -1504,3 +1504,169 @@ def running_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# Split base for carrying >int64 exact integer sums through the Arrow
+# state schema as (hi, lo) long pairs: v == hi * 2**60 + lo, 0 <= lo <
+# 2**60 (Python divmod semantics make this exact for negatives too).
+# Bounds: |v| < 2**123 — far past the DECIMAL(38,0) ceiling the batch
+# twin's product sums live under.
+_HILO_BASE = 1 << 60
+
+
+def running_autocorr(
+    df: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Online lag-1 autocorrelation — the LIVE stateful sibling of the
+    per-user moment stage inside the batch ``window_autocorr_census``
+    query (round 13), extending the twin family (z-score, MAD, OHLC,
+    intervals, CUSUM, flatline, EWMA all have one). Per key, every
+    micro-batch re-emits (n_pairs, r_u): the Pearson correlation of
+    consecutive purchase values so far, as a micro-unit long — the
+    signal a live model-router reads to decide whether a user's stream
+    has become momentum-driven (r → +1) or mean-reverting (r → −1).
+
+    EXACT integer state, not float state: the five moments accumulate
+    as Python arbitrary-precision integers and persist through the
+    Arrow state schema as (hi, lo) long pairs split at 2^60 (the three
+    product sums overflow int64 at natural data — the batch twin holds
+    them in DECIMAL(38,0)); zero-variance sides are detected by
+    any-value-differs flags against the first/second values (exactly
+    COUNT(DISTINCT)>1 on a stream, O(1) state), never a float test.
+    r_u itself is the batch twin's identical fixed dag — exact ints →
+    IEEE doubles → one multiply/subtract/sqrt/divide chain →
+    floor(r*1e6+0.5) — so live and batch agree bit-for-bit and the
+    restart test pins row equality. Degenerate series (< 3 pairs or a
+    zero-variance side) report r_u NULL, the census's declared
+    semantics.
+
+    State per key is 16 longs — bounded, replayable, checkpoint-safe.
+    Batch input delegates to the identical declarative form (the
+    documented running_* convention).
+    """
+    filtered = df.filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col(key_col).isNotNull()
+        & (F.col("event_type") == "purchase")
+    ).select(
+        key_col,
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("vu"),
+    )
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy("ts_us", "event_id")
+        pairs = filtered.select(
+            key_col,
+            F.lag("vu").over(w).alias("x"),
+            F.col("vu").alias("y"),
+        ).filter(F.col("x").isNotNull())
+        xd = F.col("x").cast("decimal(19,0)")
+        yd = F.col("y").cast("decimal(19,0)")
+        mom = pairs.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(xd * yd).alias("sxy"),
+            F.sum(xd * xd).alias("sxx"),
+            F.sum(yd * yd).alias("syy"),
+            F.countDistinct("x").alias("dcx"),
+            F.countDistinct("y").alias("dcy"),
+        )
+        nd = F.col("n").cast("double")
+        sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+        r1 = F.when(
+            (F.col("n") >= 3) & (F.col("dcx") > 1) & (F.col("dcy") > 1),
+            (nd * F.col("sxy").cast("double") - sxd * syd)
+            / F.sqrt(
+                (nd * F.col("sxx").cast("double") - sxd * sxd)
+                * (nd * F.col("syy").cast("double") - syd * syd)
+            ),
+        )
+        return mom.select(
+            key_col,
+            F.col("n").cast("long").alias("n_pairs"),
+            F.floor(r1 * 1_000_000 + F.lit(0.5)).cast("long").alias("r_u"),
+        )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        if state.exists:
+            (nv, prev, v0, v1, dx, dy, sx, sy,
+             sxy_hi, sxy_lo, sxx_hi, sxx_lo, syy_hi, syy_lo) = state.get
+            sxy = sxy_hi * _HILO_BASE + sxy_lo
+            sxx = sxx_hi * _HILO_BASE + sxx_lo
+            syy = syy_hi * _HILO_BASE + syy_lo
+        else:
+            nv, prev, v0, v1, dx, dy = 0, 0, 0, 0, 0, 0
+            sx = sy = sxy = sxx = syy = 0
+        for pdf in pdfs:
+            rows = pdf.sort_values(["ts_us", "event_id"])
+            for vu in rows["vu"].astype("int64"):
+                cur = int(vu)
+                if nv == 0:
+                    v0 = cur
+                elif nv == 1:
+                    v1 = cur
+                if nv >= 1:
+                    # pair (prev -> cur): x-series gains prev, y gains cur
+                    if prev != v0:
+                        dx = 1
+                    if nv >= 2 and cur != v1:
+                        dy = 1
+                    sx += prev
+                    sy += cur
+                    sxy += prev * cur
+                    sxx += prev * prev
+                    syy += cur * cur
+                prev = cur
+                nv += 1
+        sxy_hi, sxy_lo = divmod(sxy, _HILO_BASE)
+        sxx_hi, sxx_lo = divmod(sxx, _HILO_BASE)
+        syy_hi, syy_lo = divmod(syy, _HILO_BASE)
+        state.update(
+            (nv, prev, v0, v1, dx, dy, sx, sy,
+             sxy_hi, sxy_lo, sxx_hi, sxx_lo, syy_hi, syy_lo)
+        )
+        n = nv - 1
+        r_u = None
+        if n >= 3 and dx and dy:
+            # the batch twin's EXACT dag: ints -> IEEE doubles -> one
+            # multiply/subtract/sqrt/divide chain -> half-up micro floor
+            num = float(n) * float(sxy) - float(sx) * float(sy)
+            den = math.sqrt(
+                (float(n) * float(sxx) - float(sx) * float(sx))
+                * (float(n) * float(syy) - float(sy) * float(sy))
+            )
+            r_u = int(math.floor(num / den * 1_000_000 + 0.5))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_pairs": pd.array([n], dtype="Int64"),
+                "r_u": pd.array([r_u], dtype="Int64"),
+            }
+        )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return filtered.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} {key_type}, n_pairs long, r_u long",
+        stateStructType=(
+            "nv long, prev long, v0 long, v1 long, dx long, dy long,"
+            " sx long, sy long, sxy_hi long, sxy_lo long,"
+            " sxx_hi long, sxx_lo long, syy_hi long, syy_lo long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

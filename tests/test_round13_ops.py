@@ -726,3 +726,129 @@ def test_centroid_split_drift_is_one_for_duplicated_labels(spark, tmp_path):
     assert got[0]["n_a"] > 0 and got[0]["n_b"] > 0
     assert got[1]["cos_ab"] is None
     assert (got[1]["n_a"], got[1]["n_b"]) in {(1, 0), (0, 1)}
+
+
+def test_running_autocorr_matches_batch_across_restart(spark, tmp_path):
+    """The live lag-1 autocorrelation must converge to its batch branch
+    with the exact integer moments surviving a kill: user 1's series
+    alternates before the cut and keeps alternating after it, so the
+    final r ≈ −1 is right only if (Σx, Σxy, …) came back exactly from
+    the checkpoint; user 2 is constant (NULL r on both forms); user 3
+    is too short. The hi/lo state split is exercised with values big
+    enough that Σx² crosses micro-unit 1e17 territory."""
+    import datetime
+
+    from jorvik_spark.streaming.ops import running_autocorr
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    rows, eid = [], 0
+    # user 1: big alternating values (Σx² per pair ~ 2.4e17 — the
+    # decimal/hi-lo path is load-bearing), 10 events spanning the cut
+    for i in range(10):
+        eid += 1
+        rows.append(
+            (eid, base + datetime.timedelta(minutes=i), 1, "purchase",
+             490000.0 if i % 2 == 0 else 12345.67, None)
+        )
+    # user 2: constant values → zero variance → NULL r
+    for i in range(6):
+        eid += 1
+        rows.append(
+            (eid, base + datetime.timedelta(minutes=i), 2, "purchase",
+             77.7, None)
+        )
+    # user 3: 3 events = 2 pairs → NULL r (n < 3)
+    for i in range(3):
+        eid += 1
+        rows.append(
+            (eid, base + datetime.timedelta(minutes=i), 3, "purchase",
+             float(i * i), None)
+        )
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    src, dst, cp = (str(tmp_path / d) for d in ("src", "dst", "cp"))
+    cut = base + datetime.timedelta(minutes=4, seconds=30)
+    df.filter(F.col("ts") < cut).coalesce(1).write.parquet(f"{src}/p=a")
+
+    def drain_once() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/p=*")
+        )
+        q = (
+            running_autocorr(stream)
+            .writeStream.foreachBatch(
+                lambda b, i: b.withColumn("bid", F.lit(i))
+                .write.mode("append")
+                .parquet(dst)
+            )
+            .option("checkpointLocation", cp)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    drain_once()
+    df.filter(F.col("ts") >= cut).coalesce(1).write.parquet(f"{src}/p=b")
+    drain_once()
+
+    out = spark.read.parquet(dst)
+    last = out.groupBy("user_id").agg(F.max("bid").alias("bid"))
+    live = sorted(
+        tuple(r)
+        for r in out.join(last, ["user_id"])
+        .filter(out["bid"] == last["bid"])
+        .select("user_id", "n_pairs", "r_u")
+        .collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in running_autocorr(df).select("user_id", "n_pairs", "r_u").collect()
+    )
+    assert live == batch
+    got = {u: (n, r) for u, n, r in live}
+    assert got[1][0] == 9 and got[1][1] is not None
+    assert got[1][1] < -900_000  # strong anticorrelation, micro units
+    assert got[2] == (5, None)  # constant → declared degenerate
+    assert got[3] == (2, None)  # too short
+
+
+def test_running_autocorr_batch_agrees_with_census_moments(spark):
+    """The twin's batch branch must reproduce the registered census:
+    banding the per-user r_u values yields exactly
+    window_autocorr_census's (band, n_users, n_pairs) rows."""
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.streaming.ops import running_autocorr
+    from jorvik_spark.tables import load_table
+
+    per_user = running_autocorr(load_table(spark, _SF, "events"))
+    band = F.when(
+        F.col("r_u").isNotNull(),
+        F.least(
+            F.greatest(
+                F.floor(F.col("r_u") / F.lit(100_000.0)).cast("int"),
+                F.lit(-10),
+            ),
+            F.lit(9),
+        ),
+    ).cast("int")
+    derived = sorted(
+        tuple(r)
+        for r in per_user.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_pairs").cast("long").alias("n_pairs"),
+        )
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["window_autocorr_census"](spark, _SF).collect()
+    )
+    assert derived == want
