@@ -2593,12 +2593,12 @@ def window_flatline_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
                SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
                SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
-               COUNT(DISTINCT x) AS dcx,
-               COUNT(DISTINCT y) AS dcy
+               CAST(MIN(x) <> MAX(x) AS INTEGER) AS dcx,
+               CAST(MIN(y) <> MAX(y) AS INTEGER) AS dcy
         FROM pairs WHERE x IS NOT NULL GROUP BY user_id),
     r AS (
         SELECT user_id, n,
-               CASE WHEN n >= 3 AND dcx > 1 AND dcy > 1 THEN
+               CASE WHEN n >= 3 AND dcx = 1 AND dcy = 1 THEN
                    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                    / sqrt(
@@ -2634,8 +2634,9 @@ def window_autocorr_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     r itself is ONE fixed dag of IEEE double ops on those exact
     integers, so its band floor can never straddle an ulp between
     engines. Degenerate series are DECLARED, not crashed: n < 3 pairs
-    or a zero-variance side (detected exactly via COUNT(DISTINCT),
-    never via a float test) yields band NULL — the census's own
+    or a zero-variance side (detected exactly via MIN≠MAX on the
+    integer series — equivalent to COUNT(DISTINCT)>1 but planning as a
+    plain aggregate instead of an Expand) yields band NULL — the census's own
     "not enough signal" row.
 
     Scale shape: ONE user-keyed sort exchange feeds the lag; the moment
@@ -2676,13 +2677,18 @@ def window_autocorr_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(xd * yd).alias("sxy"),
         F.sum(xd * xd).alias("sxx"),
         F.sum(yd * yd).alias("syy"),
-        F.countDistinct("x").alias("dcx"),
-        F.countDistinct("y").alias("dcy"),
+        # zero-variance guard as min!=max, NOT COUNT(DISTINCT): a
+        # multi-distinct agg plans through Expand (x3 row multiply) and
+        # re-shuffles the corpus on (user, x, y, gid) AFTER the window
+        # exchange — min/max keep the rollup a plain agg that reuses
+        # the window's user_id partitioning (plan-pinned in tests)
+        (F.min("x") != F.max("x")).cast("int").alias("dcx"),
+        (F.min("y") != F.max("y")).cast("int").alias("dcy"),
     )
     nd = F.col("n").cast("double")
     sxd, syd2 = F.col("sx").cast("double"), F.col("sy").cast("double")
     r1 = F.when(
-        (F.col("n") >= 3) & (F.col("dcx") > 1) & (F.col("dcy") > 1),
+        (F.col("n") >= 3) & (F.col("dcx") == 1) & (F.col("dcy") == 1),
         (nd * F.col("sxy").cast("double") - sxd * syd2)
         / F.sqrt(
             (nd * F.col("sxx").cast("double") - sxd * sxd)
@@ -2814,11 +2820,11 @@ def window_diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(vu) AS BIGINT) AS s,
                SUM(CAST(vu AS DECIMAL(19,0)) * CAST(vu AS DECIMAL(19,0)))
                    AS q,
-               COUNT(DISTINCT vu) AS dc
+               CAST(MIN(vu) <> MAX(vu) AS INTEGER) AS dc
         FROM ev GROUP BY 1, 2),
     z AS (
         SELECT e.event_type,
-               CASE WHEN c.n >= 2 AND c.dc > 1 THEN
+               CASE WHEN c.n >= 2 AND c.dc = 1 THEN
                    (CAST(e.vu AS DOUBLE) - CAST(c.s AS DOUBLE)
                         / CAST(c.n AS DOUBLE))
                    / sqrt((CAST(c.q AS DOUBLE)
@@ -2851,8 +2857,9 @@ def window_seasonal_residual_census(
 
     Cross-engine mechanics: cell moments are exact integers on exact
     micro-unit values (Σx BIGINT, Σx² DECIMAL(38,0) — the ttest/
-    autocorr precedent); zero variance is detected by COUNT(DISTINCT),
-    never a float test; z is one fixed dag of IEEE double ops on those
+    autocorr precedent); zero variance is detected by MIN≠MAX on the exact
+    integers (≡ COUNT(DISTINCT)>1, without the Expand plan); z is one
+    fixed dag of IEEE double ops on those
     exact integers, so the band floor is bit-deterministic on both
     engines (sample sd, n−1).
 
@@ -2887,7 +2894,9 @@ def window_seasonal_residual_census(
         F.count(F.lit(1)).alias("n"),
         F.sum("vu").cast("long").alias("s"),
         F.sum(vd * vd).alias("q"),
-        F.countDistinct("vu").alias("dc"),
+        # min!=max, not COUNT(DISTINCT): same Expand-avoidance as the
+        # autocorr census — keeps the cell build ONE map-combined pass
+        (F.min("vu") != F.max("vu")).cast("int").alias("dc"),
     )
     joined = ev.join(F.broadcast(cells), ["event_type", "hod"])
     nd = F.col("n").cast("double")
@@ -2895,7 +2904,7 @@ def window_seasonal_residual_census(
         "s"
     ).cast("double") / nd
     zv = F.when(
-        (F.col("n") >= 2) & (F.col("dc") > 1),
+        (F.col("n") >= 2) & (F.col("dc") == 1),
         (F.col("vu").cast("double") - F.col("s").cast("double") / nd)
         / F.sqrt(sd_num / (nd - F.lit(1.0))),
     )

@@ -1533,7 +1533,7 @@ def running_autocorr(
     product sums overflow int64 at natural data — the batch twin holds
     them in DECIMAL(38,0)); zero-variance sides are detected by
     any-value-differs flags against the first/second values (exactly
-    COUNT(DISTINCT)>1 on a stream, O(1) state), never a float test.
+    the batch twin's MIN≠MAX guard, O(1) state), never a float test.
     r_u itself is the batch twin's identical fixed dag — exact ints →
     IEEE doubles → one multiply/subtract/sqrt/divide chain →
     floor(r*1e6+0.5) — so live and batch agree bit-for-bit and the
@@ -1576,13 +1576,15 @@ def running_autocorr(
             F.sum(xd * yd).alias("sxy"),
             F.sum(xd * xd).alias("sxx"),
             F.sum(yd * yd).alias("syy"),
-            F.countDistinct("x").alias("dcx"),
-            F.countDistinct("y").alias("dcy"),
+            # min!=max, not COUNT(DISTINCT) — the census's
+            # Expand-avoidance (see window_autocorr_census)
+            (F.min("x") != F.max("x")).cast("int").alias("dcx"),
+            (F.min("y") != F.max("y")).cast("int").alias("dcy"),
         )
         nd = F.col("n").cast("double")
         sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
         r1 = F.when(
-            (F.col("n") >= 3) & (F.col("dcx") > 1) & (F.col("dcy") > 1),
+            (F.col("n") >= 3) & (F.col("dcx") == 1) & (F.col("dcy") == 1),
             (nd * F.col("sxy").cast("double") - sxd * syd)
             / F.sqrt(
                 (nd * F.col("sxx").cast("double") - sxd * sxd)

@@ -852,3 +852,19 @@ def test_running_autocorr_batch_agrees_with_census_moments(spark):
         for r in QUERIES["window_autocorr_census"](spark, _SF).collect()
     )
     assert derived == want
+
+
+def test_autocorr_and_seasonal_plans_have_no_expand_reshuffle(spark):
+    """The zero-variance guards must plan as plain aggregates: a
+    COUNT(DISTINCT) guard would add an Expand (x3 row multiply) and a
+    corpus-sized re-shuffle AFTER the window/cell exchange. Pin the
+    shape: no Expand node, and the autocorr moment rollup reuses the
+    window's user_id partitioning (exactly one corpus-keyed exchange;
+    the other exchanges move only census-sized rows)."""
+    ac = _tree(spark, "window_autocorr_census")
+    assert "Expand" not in ac
+    # window exchange + 21-group census exchange + final sort = 3
+    assert ac.count("Exchange") <= 3, ac
+    se = _tree(spark, "window_seasonal_residual_census")
+    assert "Expand" not in se
+    assert "BroadcastExchange" in se or "broadcast" in se.lower(), se
