@@ -463,26 +463,26 @@ assert sum(_BENFORD_PPM) == 1_000_000
         FROM lineitem
         WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
         GROUP BY 1),
-    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM obs),
     d AS (SELECT CAST(unnest(generate_series(1, 9)) AS INTEGER) AS digit),
     j AS (
         SELECT d.digit,
+               CAST(SUM(coalesce(o.n, 0)) OVER () AS BIGINT) AS n_total,
                CAST(coalesce(o.n, 0) AS BIGINT) AS n_obs,
                CAST(([{', '.join(str(v) for v in _BENFORD_PPM)}])[d.digit]
                     AS BIGINT) AS exp_ppm
         FROM d LEFT JOIN obs o ON o.digit = d.digit)
     SELECT j.digit,
            j.n_obs,
-           CAST(j.n_obs * 1000000 // t.n_total AS BIGINT) AS obs_ppm,
+           CAST(j.n_obs * 1000000 // j.n_total AS BIGINT) AS obs_ppm,
            j.exp_ppm,
            CAST(floor(
-               (CAST(j.n_obs * 1000000 - t.n_total * j.exp_ppm AS DOUBLE)
+               (CAST(j.n_obs * 1000000 - j.n_total * j.exp_ppm AS DOUBLE)
                 / 1000000.0)
-               * (CAST(j.n_obs * 1000000 - t.n_total * j.exp_ppm AS DOUBLE)
+               * (CAST(j.n_obs * 1000000 - j.n_total * j.exp_ppm AS DOUBLE)
                   / 1000000.0)
-               / (CAST(t.n_total * j.exp_ppm AS DOUBLE) / 1000000.0)
+               / (CAST(j.n_total * j.exp_ppm AS DOUBLE) / 1000000.0)
                * 1000000.0 + 0.5) AS BIGINT) AS chi2_contrib_u
-    FROM j, tot t
+    FROM j
     ORDER BY digit
     """,
 )
@@ -528,8 +528,16 @@ def audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_obs"),
             exp_ppm.alias("exp_ppm"),
         )
-        # single-row scalar attach (house idiom for tiny report frames)
-        .crossJoin(obs.agg(F.sum("n").cast("long").alias("n_total")))
+        # the grand total comes from an unpartitioned window over the
+        # REPORT frame — provably 9 rows by construction (the digit
+        # frame bounds it), so this is not a global-window hazard, and
+        # it saves the second fact-table scan a scalar crossJoin of
+        # obs.agg() would cost (obs is not persisted; Spark would
+        # recompute it from the scan)
+        .withColumn(
+            "n_total",
+            F.sum("n_obs").over(Window.partitionBy()).cast("long"),
+        )
     )
     dev_u = (F.col("n_obs") * 1_000_000 - F.col("n_total") * F.col("exp_ppm")).cast(
         "double"
