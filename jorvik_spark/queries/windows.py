@@ -2918,3 +2918,115 @@ def window_seasonal_residual_census(
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
         .orderBy("event_type", F.col("band").asc_nulls_first())
     )
+
+
+# --- round 13: inter-event burstiness census ----------------------------------
+
+
+@query(
+    "window_burstiness_census",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    gaps AS (
+        SELECT user_id,
+               t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   AS g
+        FROM ev),
+    mom AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(g) AS BIGINT) AS s,
+               SUM(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
+                   AS q
+        FROM gaps WHERE g IS NOT NULL GROUP BY user_id),
+    b AS (
+        SELECT user_id, n,
+               CASE WHEN n >= 3 AND s > 0 THEN
+                   (sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                    - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                      + CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               END AS bv
+        FROM mom)
+    SELECT CAST(CASE WHEN bv IS NULL THEN NULL
+                ELSE least(greatest(CAST(floor(bv * 10.0) AS INTEGER), -10),
+                           9) END AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_gaps
+    FROM b GROUP BY 1 ORDER BY band NULLS FIRST
+    """,
+)
+def window_burstiness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness census over each user's inter-event
+    gaps: B = (σ−μ)/(σ+μ) of the gap series, banded 0.1-wide and
+    counted — the one-number behavioral fingerprint bot-detection and
+    capacity teams read (B → −1: metronomic, a scheduler or scraper;
+    B ≈ 0: Poisson arrivals, organic traffic; B → +1: heavy-tailed
+    human burst-and-silence). The analytical complement to
+    ``window_gap_census``: that reports the gap DISTRIBUTION per
+    octave, this collapses each stream's distribution to its
+    burstiness coordinate and censuses the population.
+
+    Cross-engine mechanics (the autocorr census's discipline): gaps are
+    exact epoch-microsecond differences from the SAME lag-over-window;
+    Σg is BIGINT and Σg² DECIMAL(38,0) (a month-long gap squared is
+    ~1e26); B is ONE fixed dag of IEEE ops on those exact integers
+    (population σ), so the band floor cannot straddle an ulp. Streams
+    with < 3 gaps or an all-zero gap series (σ = μ = 0, B undefined)
+    report the NULL band — declared, not crashed; an all-EQUAL positive
+    gap series is B = −1 exactly (perfectly periodic — the bot row).
+
+    Scale shape: ONE user-keyed sort exchange feeds the lag; the moment
+    rollup reuses that partitioning (plain aggregates, no Expand — the
+    MIN≠MAX lesson doesn't even arise: the σ=μ=0 guard is ``Σg > 0``,
+    already exact); the band census is a ≤ 21-group map-combined
+    aggregate. Output ≤ 22 rows at any corpus size.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("t") - F.lag("t").over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    gd = F.col("g").cast("decimal(19,0)")
+    mom = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(gd * gd).alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    sigma = F.sqrt(F.col("q").cast("double") / nd - mu * mu)
+    bv = F.when(
+        (F.col("n") >= 3) & (F.col("s") > 0), (sigma - mu) / (sigma + mu)
+    )
+    band = F.when(
+        bv.isNotNull(),
+        F.least(
+            F.greatest(F.floor(bv * 10.0).cast("int"), F.lit(-10)), F.lit(9)
+        ),
+    ).cast("int")
+    return (
+        mom.select(band.alias("band"), "n")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_gaps"),
+        )
+        .orderBy(F.col("band").asc_nulls_first())
+    )

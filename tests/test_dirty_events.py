@@ -135,6 +135,10 @@ EVENT_QUERIES = [
     # degenerate (type, hour) cell (n < 2 or zero variance) into the
     # NULL band identically, with null-value/null-ts rows out of scope.
     "window_seasonal_residual_census",
+    # the burstiness census keeps ALL event types (gap series per
+    # user), must order the event-3/4 timestamp tie by event_id and
+    # declare the 0-gap-only/short streams into the NULL band
+    "window_burstiness_census",
     "join_interval_overlap",
     "expr_json_extract",
     "stream_tumbling_agg",

@@ -868,3 +868,44 @@ def test_autocorr_and_seasonal_plans_have_no_expand_reshuffle(spark):
     se = _tree(spark, "window_seasonal_residual_census")
     assert "Expand" not in se
     assert "BroadcastExchange" in se or "broadcast" in se.lower(), se
+
+
+def test_burstiness_bands_are_exact_on_constructed_streams(spark, tmp_path):
+    """Perfectly periodic stream → B = −1 exactly (band −10); an
+    extreme burst-and-silence stream bands positive; all-tied
+    timestamps (σ = μ = 0) and short streams are the NULL band."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from jorvik_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # user 1: metronomic 60 s gaps x 6 → σ=0, μ>0 → B = −1 → band −10
+    rows += [(i, base + dt.timedelta(minutes=i), 1, "view", 1.0, None)
+             for i in range(6)]
+    # user 2: four 1 s gaps then one 100000 s gap → B = 1/3 (the n=5
+    # ceiling: σ/μ ≤ √(n−1), so B ≤ (√4−1)/(√4+1); B→1 needs long
+    # streams) → band 3
+    secs = [0, 1, 2, 3, 4, 100004]
+    rows += [(100 + i, base + dt.timedelta(seconds=s), 2, "view", 1.0, None)
+             for i, s in enumerate(secs)]
+    # user 3: all events at the SAME timestamp → all gaps 0 → NULL band
+    rows += [(200 + i, base, 3, "view", 1.0, None) for i in range(5)]
+    # user 4: 2 events = 1 gap < 3 → NULL band
+    rows += [(300 + i, base + dt.timedelta(minutes=i), 4, "view", 1.0, None)
+             for i in range(2)]
+    d = str(tmp_path / "burst")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).astype({"ts": "datetime64[us]"}).to_parquet(f"{d}/events.parquet")
+    got = {
+        r["band"]: (r["n_users"], r["n_gaps"])
+        for r in QUERIES["window_burstiness_census"](spark, d).collect()
+    }
+    assert got[-10] == (1, 5)  # periodic user 1
+    assert got[None] == (2, 5)  # users 3 (4 zero gaps) and 4 (1 gap)
+    assert got[3] == (1, 5)  # bursty user 2 at the n=5 ceiling
