@@ -43,14 +43,15 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 #   * Still excluded: text_bpe_train (the one remaining rows-only query
 #     — iterative BPE merge table, no ANSI-SQL twin, r8 driver row on
 #     file, brute-force-Python-verified in tests/test_llm_ops.py).
-#   * Staged round-14 list: the twelve queries registered after this
+#   * Staged round-14 list: the fourteen queries registered after this
 #     round's prefix froze — agg_ab_value_ttest, scan_text_roundtrip,
 #     the wave-2 six (audit_benford_digits,
 #     audit_functional_dependencies, window_autocorr_census,
 #     window_diurnal_profile, corpus_source_tv_distance,
 #     embed_angular_pair_census), then the wave-3 four
 #     (audit_value_expectations, window_seasonal_residual_census,
-#     embed_centroid_split_drift, window_burstiness_census) — FIRST
+#     embed_centroid_split_drift, window_burstiness_census), then
+#     agg_conversion_lag_census and join_attribution_last_touch — FIRST
 #     (LOCAL_PARITY + manual
 #     sf0.001/0.01 parity evidence at birth, no driver rows yet; the
 #     gap_census pattern), then the remaining r9 cohort (49 queries,

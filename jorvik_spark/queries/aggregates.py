@@ -1694,3 +1694,83 @@ def agg_ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_welch"),
     )
+
+
+# --- round 13: view-to-purchase conversion-lag census ------------------------
+
+
+@query(
+    "agg_conversion_lag_census",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                   THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fv,
+               MIN(CASE WHEN event_type = 'purchase'
+                   THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fp
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id),
+    lags AS (
+        SELECT user_id, (fp - fv) // 1000000 AS lag_s
+        FROM firsts WHERE fv IS NOT NULL AND fp IS NOT NULL)
+    SELECT CAST(CASE WHEN lag_s < 0 THEN -1
+                     WHEN lag_s = 0 THEN 0
+                     ELSE length(bin(lag_s)) END AS INTEGER) AS lag_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
+           CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
+    FROM lags GROUP BY 1 ORDER BY lag_bits
+    """,
+)
+def agg_conversion_lag_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert census: per user, the lag from FIRST view to
+    FIRST purchase, bucketed into power-of-two second octaves — the
+    funnel-velocity read product teams size retargeting windows and
+    attribution lookbacks with (`agg_funnel_steps` says HOW MANY users
+    convert; this says HOW FAST — a mass in octave ≤6 (≈1 min) is
+    in-session conversion, octaves ≥17 (> 1 day) need a re-engagement
+    channel, and the −1 band is the purchase-before-first-view
+    population, usually a tracking bug worth alarming on).
+
+    Octave bounds ride along (min/max per band) exactly like
+    ``window_gap_census`` — the census stays constant-size at any
+    corpus. Users lacking either event are out of scope (inner
+    semantics via non-null filter on both firsts, declared identically
+    on both engines).
+
+    Scale shape: ONE map-side-combined conditional-MIN aggregate per
+    user (no window, no join — first-touch needs no ordering pass),
+    then a ≤ ~40-group octave census. Nothing corpus-sized shuffles
+    except the user-keyed partial-agg exchange.
+    """
+    firsts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+            ).alias("fv"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+            ).alias("fp"),
+        )
+        .filter(F.col("fv").isNotNull() & F.col("fp").isNotNull())
+        .withColumn("lag_s", F.expr("(fp - fv) div 1000000"))
+    )
+    bits = (
+        F.when(F.col("lag_s") < 0, F.lit(-1))
+        .when(F.col("lag_s") == 0, F.lit(0))
+        .otherwise(F.length(F.conv(F.col("lag_s").cast("string"), 10, 2)))
+        .cast("int")
+    )
+    return (
+        firsts.groupBy(bits.alias("lag_bits"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("lag_s").cast("long").alias("min_lag_s"),
+            F.max("lag_s").cast("long").alias("max_lag_s"),
+        )
+        .orderBy("lag_bits")
+    )

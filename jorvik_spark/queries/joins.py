@@ -2434,3 +2434,115 @@ def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# --- round 13: last-touch marketing attribution ------------------------------
+
+_ATTRIB_WINDOW_S = 3600  # lookback from purchase to its last touch
+
+
+@query(
+    "join_attribution_last_touch",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    tagged AS (
+        SELECT user_id, event_id, event_type, value, t,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                          THEN t END IGNORE NULLS)
+                   OVER w AS touch_t,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                          THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    purchases AS (
+        SELECT CASE WHEN touch_t IS NOT NULL
+                    AND t - touch_t <= CAST({_ATTRIB_WINDOW_S} AS BIGINT) * 1000000
+               THEN touch_type ELSE 'none' END AS attributed_to,
+               value
+        FROM tagged WHERE event_type = 'purchase')
+    SELECT attributed_to,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {{sql_dsum}} AS sum_value
+    FROM purchases GROUP BY attributed_to ORDER BY attributed_to
+    """.replace("{sql_dsum}", "SUM(CAST(floor((coalesce(value, 0)) * 1000000"
+                              " + 0.5) AS BIGINT)) / 1000000.0"),
+)
+def join_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent view or click within a 1-hour lookback (or
+    'none' — the direct/dark-traffic bucket), and the census reports
+    purchase counts and revenue mass per channel — the default
+    attribution model every growth dashboard starts from, here as ONE
+    window pass instead of the naive per-purchase as-of join back onto
+    the touch stream.
+
+    Declared semantics, identical on both engines: the candidate touch
+    must strictly PRECEDE the purchase in (t, event_id) order (frame
+    ends at 1 PRECEDING — a same-timestamp touch attributes only if
+    its event_id is lower, the repo's standard tie-break); NULL
+    purchase values count the purchase and contribute 0 revenue
+    (coalesce inside the quantized sum — nothing silently drops);
+    users' streams are independent (keyed window).
+
+    Scale shape: ONE user-keyed sort exchange carries the whole model —
+    the carry-forward last_value(IGNORE NULLS) folds both the touch
+    time and type into the same WindowExec, the purchase filter
+    pipelines, and the census is a 3-group map-combined aggregate. An
+    as-of-join formulation would shuffle the touch relation a second
+    time; this never re-shuffles anything corpus-sized.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("t"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    tagged = ev.select(
+        "event_type",
+        "value",
+        "t",
+        F.last(F.when(is_touch, F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("touch_t"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    attributed = tagged.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_t").isNotNull()
+            & (
+                F.col("t") - F.col("touch_t")
+                <= _ATTRIB_WINDOW_S * 1_000_000
+            ),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("attributed_to"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+    )
+    return (
+        attributed.groupBy("attributed_to")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("attributed_to")
+    )

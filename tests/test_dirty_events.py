@@ -139,6 +139,11 @@ EVENT_QUERIES = [
     # user), must order the event-3/4 timestamp tie by event_id and
     # declare the 0-gap-only/short streams into the NULL band
     "window_burstiness_census",
+    # final wave: first-touch mins ignore null-ts rows; the attribution
+    # window must break the event-3/4 same-ts tie by event_id (strict
+    # precede) and credit null-value purchases with zero revenue
+    "agg_conversion_lag_census",
+    "join_attribution_last_touch",
     "join_interval_overlap",
     "expr_json_extract",
     "stream_tumbling_agg",

@@ -909,3 +909,81 @@ def test_burstiness_bands_are_exact_on_constructed_streams(spark, tmp_path):
     assert got[-10] == (1, 5)  # periodic user 1
     assert got[None] == (2, 5)  # users 3 (4 zero gaps) and 4 (1 gap)
     assert got[3] == (1, 5)  # bursty user 2 at the n=5 ceiling
+
+
+def test_conversion_lag_census_bands(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from jorvik_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        # user 1: view then purchase 90 s later -> lag 90 -> 7 bits
+        (1, base, 1, "view", 1.0, None),
+        (2, base + dt.timedelta(seconds=90), 1, "purchase", 5.0, None),
+        # user 2: purchase BEFORE first view -> band -1 (tracking bug)
+        (3, base, 2, "purchase", 5.0, None),
+        (4, base + dt.timedelta(seconds=60), 2, "view", 1.0, None),
+        # user 3: same-timestamp view+purchase -> lag 0 -> band 0
+        (5, base, 3, "view", 1.0, None),
+        (6, base, 3, "purchase", 5.0, None),
+        # user 4: view only -> out of scope
+        (7, base, 4, "view", 1.0, None),
+    ]
+    d = str(tmp_path / "lag")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).astype({"ts": "datetime64[us]"}).to_parquet(f"{d}/events.parquet")
+    got = {
+        r["lag_bits"]: (r["n_users"], r["min_lag_s"], r["max_lag_s"])
+        for r in QUERIES["agg_conversion_lag_census"](spark, d).collect()
+    }
+    assert got == {-1: (1, -60, -60), 0: (1, 0, 0), 7: (1, 90, 90)}
+
+
+def test_attribution_last_touch_semantics(spark, tmp_path):
+    """Last preceding touch wins; the 1 h lookback expires; a
+    same-timestamp touch attributes only when its event_id is lower
+    (the strict-precede tie-break); null purchase values count with
+    zero revenue."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from jorvik_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        # u1: view then click then purchase -> click (LAST touch wins)
+        (1, base, 1, "view", 1.0, None),
+        (2, base + dt.timedelta(seconds=5), 1, "click", 1.0, None),
+        (3, base + dt.timedelta(seconds=10), 1, "purchase", 10.0, None),
+        # u2: view 2 h before purchase -> lookback expired -> none
+        (4, base, 2, "view", 1.0, None),
+        (5, base + dt.timedelta(hours=2), 2, "purchase", 20.0, None),
+        # u3: same-ts click (LOWER id) + purchase -> attributes
+        (6, base, 3, "click", 1.0, None),
+        (7, base, 3, "purchase", None, None),  # null value -> 0 revenue
+        # u4: same-ts click with HIGHER id -> does NOT precede -> none
+        (9, base, 4, "click", 1.0, None),
+        (8, base, 4, "purchase", 40.0, None),
+        # u5: no touches at all -> none
+        (10, base, 5, "purchase", 50.0, None),
+    ]
+    d = str(tmp_path / "attr")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).astype({"ts": "datetime64[us]"}).to_parquet(f"{d}/events.parquet")
+    got = {
+        r["attributed_to"]: (r["n_purchases"], r["sum_value"])
+        for r in QUERIES["join_attribution_last_touch"](spark, d).collect()
+    }
+    assert got["click"] == (2, 10.0)  # u1 (10.0) + u3 (null -> 0)
+    assert got["none"] == (3, 110.0)  # u2 + u4 + u5
+    assert "view" not in got
