@@ -473,15 +473,19 @@ assert sum(_BENFORD_PPM) == 1_000_000
         FROM d LEFT JOIN obs o ON o.digit = d.digit)
     SELECT j.digit,
            j.n_obs,
-           CAST(j.n_obs * 1000000 // j.n_total AS BIGINT) AS obs_ppm,
+           CASE WHEN j.n_total = 0 THEN NULL
+                ELSE CAST(j.n_obs * 1000000 // j.n_total AS BIGINT)
+           END AS obs_ppm,
            j.exp_ppm,
-           CAST(floor(
+           CASE WHEN j.n_total = 0 THEN NULL
+                ELSE CAST(floor(
                (CAST(j.n_obs * 1000000 - j.n_total * j.exp_ppm AS DOUBLE)
                 / 1000000.0)
                * (CAST(j.n_obs * 1000000 - j.n_total * j.exp_ppm AS DOUBLE)
                   / 1000000.0)
                / (CAST(j.n_total * j.exp_ppm AS DOUBLE) / 1000000.0)
-               * 1000000.0 + 0.5) AS BIGINT) AS chi2_contrib_u
+               * 1000000.0 + 0.5) AS BIGINT)
+           END AS chi2_contrib_u
     FROM j
     ORDER BY digit
     """,
@@ -543,15 +547,23 @@ def audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     ) / 1e6
     e_dbl = (F.col("n_total") * F.col("exp_ppm")).cast("double") / 1e6
+    # n_total = 0 guard (all prices NULL/non-positive): obs_ppm's int
+    # div-by-zero NULLs on both engines, but the chi2 term is 0/0 → NaN,
+    # and DuckDB's CAST(floor(NaN) AS BIGINT) raises where Spark's cast
+    # yields a value — so the degenerate report is pinned to NULL on
+    # BOTH engines explicitly.
+    empty = F.col("n_total") == 0
     return j.select(
         "digit",
         "n_obs",
-        F.expr("CAST(n_obs * CAST(1000000 AS BIGINT) div n_total AS BIGINT)").alias(
-            "obs_ppm"
-        ),
+        F.when(empty, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr("CAST(n_obs * CAST(1000000 AS BIGINT) div n_total AS BIGINT)")
+        )
+        .alias("obs_ppm"),
         "exp_ppm",
-        F.floor(dev_u * dev_u / e_dbl * 1e6 + F.lit(0.5))
-        .cast("long")
+        F.when(empty, F.lit(None).cast("long"))
+        .otherwise(F.floor(dev_u * dev_u / e_dbl * 1e6 + F.lit(0.5)).cast("long"))
         .alias("chi2_contrib_u"),
     ).orderBy("digit")
 

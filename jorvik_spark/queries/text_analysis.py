@@ -1890,18 +1890,25 @@ def text_heaps_law_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN tc b ON a.tok = b.tok AND a.source < b.source
         JOIN tot ta ON ta.source = a.source
         JOIN tot tb ON tb.source = b.source
-        GROUP BY 1, 2)
-    SELECT c.source_a, c.source_b, c.n_common_types,
-           ta.tt AS n_tokens_a, tb.tt AS n_tokens_b,
-           CAST((CAST(c.absdiff AS HUGEINT)
-                 + CAST(ta.tt - c.s_a AS HUGEINT) * tb.tt
-                 + CAST(tb.tt - c.s_b AS HUGEINT) * ta.tt) * 1000000
-                // (2 * CAST(ta.tt AS HUGEINT) * tb.tt) AS BIGINT)
-               AS tv_ppm
-    FROM common c
-    JOIN tot ta ON ta.source = c.source_a
-    JOIN tot tb ON tb.source = c.source_b
-    ORDER BY source_a, source_b
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT ta.source AS source_a, tb.source AS source_b,
+               ta.tt AS n_tokens_a, tb.tt AS n_tokens_b
+        FROM tot ta JOIN tot tb ON ta.source < tb.source)
+    SELECT p.source_a, p.source_b,
+           COALESCE(c.n_common_types, 0) AS n_common_types,
+           p.n_tokens_a, p.n_tokens_b,
+           CAST((CAST(COALESCE(c.absdiff, 0) AS HUGEINT)
+                 + CAST(p.n_tokens_a - COALESCE(c.s_a, 0) AS HUGEINT)
+                   * p.n_tokens_b
+                 + CAST(p.n_tokens_b - COALESCE(c.s_b, 0) AS HUGEINT)
+                   * p.n_tokens_a) * 1000000
+                // (2 * CAST(p.n_tokens_a AS HUGEINT) * p.n_tokens_b)
+               AS BIGINT) AS tv_ppm
+    FROM pairs p
+    LEFT JOIN common c
+      ON c.source_a = p.source_a AND c.source_b = p.source_b
+    ORDER BY p.source_a, p.source_b
     """,
 )
 def corpus_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1927,7 +1934,12 @@ def corpus_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation in one map-combined pass (≤ |vocab|·|sources| rows,
     never corpus-sized); the pair intersection is the token-equi
     self-join with per-token fanout ≤ |sources|² (the overlap op's
-    bound); totals attach by broadcast. Output is C(|sources|, 2) rows.
+    bound); totals attach by broadcast. Output is EVERY pair —
+    C(|sources|, 2) rows built from the tiny source-totals cross join
+    (|sources|² driver-side small), left-joined to the common-token
+    aggregate so a pair with a fully disjoint vocabulary still reports
+    (its TV is well-defined and maximal: tv_ppm = 1,000,000) instead
+    of silently vanishing from the very report meant to flag it.
     """
     tc = (
         _tokenized_docs(spark, sf_dir)
@@ -1967,19 +1979,30 @@ def corpus_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_common_types"),
         )
     )
+    pairs = (
+        tot.select(F.col("source").alias("source_a"), F.col("tt").alias("tt_a"))
+        .join(
+            tot.select(
+                F.col("source").alias("source_b"), F.col("tt").alias("tt_b")
+            ),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
     return (
-        common.join(ta, "source_a")
-        .join(tb, "source_b")
+        pairs.join(common, ["source_a", "source_b"], "left")
         .select(
             "source_a",
             "source_b",
-            "n_common_types",
+            F.coalesce("n_common_types", F.lit(0))
+            .cast("long")
+            .alias("n_common_types"),
             F.col("tt_a").alias("n_tokens_a"),
             F.col("tt_b").alias("n_tokens_b"),
             F.expr(
-                "CAST((CAST(absdiff AS DECIMAL(38,0))"
-                " + CAST(tt_a - s_a AS DECIMAL(19,0)) * tt_b"
-                " + CAST(tt_b - s_b AS DECIMAL(19,0)) * tt_a) * 1000000"
+                "CAST((CAST(COALESCE(absdiff, 0) AS DECIMAL(38,0))"
+                " + CAST(tt_a - COALESCE(s_a, 0) AS DECIMAL(19,0)) * tt_b"
+                " + CAST(tt_b - COALESCE(s_b, 0) AS DECIMAL(19,0)) * tt_a)"
+                " * 1000000"
                 " div (2 * CAST(tt_a AS DECIMAL(19,0)) * tt_b) AS BIGINT)"
             ).alias("tv_ppm"),
         )

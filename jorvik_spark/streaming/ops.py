@@ -1613,27 +1613,32 @@ def running_autocorr(
         else:
             nv, prev, v0, v1, dx, dy = 0, 0, 0, 0, 0, 0
             sx = sy = sxy = sxx = syy = 0
-        for pdf in pdfs:
-            rows = pdf.sort_values(["ts_us", "event_id"])
-            for vu in rows["vu"].astype("int64"):
-                cur = int(vu)
-                if nv == 0:
-                    v0 = cur
-                elif nv == 1:
-                    v1 = cur
-                if nv >= 1:
-                    # pair (prev -> cur): x-series gains prev, y gains cur
-                    if prev != v0:
-                        dx = 1
-                    if nv >= 2 and cur != v1:
-                        dy = 1
-                    sx += prev
-                    sy += cur
-                    sxy += prev * cur
-                    sxx += prev * prev
-                    syy += cur * cur
-                prev = cur
-                nv += 1
+        # Concat ALL Arrow chunks before the one global sort (the
+        # running_ewma pattern): a per-chunk sort would form pairs that
+        # straddle a chunk boundary in arrival order whenever a key's
+        # micro-batch spans multiple record batches, diverging from the
+        # batch twin's (ts_us, event_id) ordering.
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for vu in rows["vu"].astype("int64"):
+            cur = int(vu)
+            if nv == 0:
+                v0 = cur
+            elif nv == 1:
+                v1 = cur
+            if nv >= 1:
+                # pair (prev -> cur): x-series gains prev, y gains cur
+                if prev != v0:
+                    dx = 1
+                if nv >= 2 and cur != v1:
+                    dy = 1
+                sx += prev
+                sy += cur
+                sxy += prev * cur
+                sxx += prev * prev
+                syy += cur * cur
+            prev = cur
+            nv += 1
         sxy_hi, sxy_lo = divmod(sxy, _HILO_BASE)
         sxx_hi, sxx_lo = divmod(sxx, _HILO_BASE)
         syy_hi, syy_lo = divmod(syy, _HILO_BASE)
