@@ -23,95 +23,83 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 
 # The verification driver records a bounded prefix of the queries() dict
 # (observed: exactly the first 50 entries, in registration order). Dict
-# order therefore encodes *driver-check priority*. Round-13 rotation
-# (the round-12 verdict's item #1 plus the new-ops-at-birth policy):
-#   * window_gap_census FIRST — the one registry member with no driver
-#     row (registered after the r12 prefix froze; LOCAL_PARITY + judge
-#     spot-check evidence only until now).
-#   * The 7 operators NEW in round 13 next, so they get driver rows at
-#     birth (all hash-mode, parity-tested at sf0.001/0.01 before
-#     registration). window_flatline_quantized doubles as the
-#     value-carrying flatline evidence (r12 verdict item #7);
-#     embed_cluster_label_purity also exercises the round's
-#     hash-spread-seed quantizer through the driver.
-#   * Then the FULL remaining r8-evidence cohort (41 queries — the
-#     staged list from the r12 comment) — clearing r8 as the oldest
-#     evidence round entirely: after this round no registry member's
-#     newest driver row is older than round 9.
-#   * Slot 50 starts the r9 cohort in its r9-file order
-#     (join_q2_best_supplier).
-#   * Still excluded: text_bpe_train (the one remaining rows-only query
-#     — iterative BPE merge table, no ANSI-SQL twin, r8 driver row on
-#     file, brute-force-Python-verified in tests/test_llm_ops.py).
-#   * Staged round-14 list: the fourteen queries registered after this
-#     round's prefix froze — agg_ab_value_ttest, scan_text_roundtrip,
-#     the wave-2 six (audit_benford_digits,
-#     audit_functional_dependencies, window_autocorr_census,
-#     window_diurnal_profile, corpus_source_tv_distance,
-#     embed_angular_pair_census), then the wave-3 four
-#     (audit_value_expectations, window_seasonal_residual_census,
-#     embed_centroid_split_drift, window_burstiness_census), then
-#     agg_conversion_lag_census and join_attribution_last_touch — FIRST
-#     (LOCAL_PARITY + manual
-#     sf0.001/0.01 parity evidence at birth, no driver rows yet; the
-#     gap_census pattern), then the remaining r9 cohort (49 queries,
-#     CORRECTNESS_r09 order) behind round-14 newcomers.
+# order therefore encodes *driver-check priority*. Round-14 rotation
+# (the round-13 verdict's item #1):
+#   * The 14 queries registered after the r13 prefix froze FIRST — they
+#     carry LOCAL_PARITY + judge sf0.01 evidence (14/14 hash-green per
+#     VERDICT r13) but no driver row yet; this round makes the driver's
+#     signature theirs.
+#   * Then the r9-age cohort in CORRECTNESS_r09 order (the 49 members
+#     whose newest driver row is r9, minus join_q2_best_supplier which
+#     rotated through slot 50 in r13). 36 fit; the 13 leftover
+#     (udf_map_in_pandas, dedup_minhash_lsh, simsearch_lsh,
+#     agg_pricing_summary, agg_percentiles, agg_collect_set,
+#     agg_funnel_steps, agg_retention_cohort, window_rank_per_user,
+#     window_moving_avg, window_sessionize, stream_tumbling_agg,
+#     stream_session_window) lead the round-15 rotation.
+#   * Operators NEW in round 14 are staged BEHIND the r9 backlog for
+#     the r15 prefix (LOCAL_PARITY + manual sf0.001/0.01 parity at
+#     birth — the gap_census pattern): draining the two-round-old
+#     evidence cohort outranks birth rows this round because
+#     14 + 49 > 50 already.
+#   * Still excluded: text_bpe_train (rows-only by contract — iterative
+#     BPE merge table; its corpus-pass core gains a hash-mode companion
+#     this round, text_bpe_pair_counts, which DOES hold a slot via the
+#     r15 staging).
 # tests/test_registry_order.py pins list(queries())[:50] == this list.
 _CHECK_PRIORITY = [
-    # -- the one member with no driver row --
-    "window_gap_census",
-    # -- new in round 13: driver rows at birth (7) --
-    "window_ewma_smooth",
-    "window_rolling_median",
-    "window_max_drawdown",
-    "window_flatline_quantized",
-    "agg_bootstrap_ci",
-    "text_heaps_law_census",
-    "embed_cluster_label_purity",
-    # -- oldest evidence (CORRECTNESS_r08): the staged 41, clears r8 --
-    "agg_group_stats",
-    "corpus_curation_funnel",
-    "corpus_domain_mix",
-    "decontaminate_bloom",
-    "decontaminate_overlap",
-    "dedup_incremental_minhash",
-    "dedup_minhash_components",
-    "dedup_passage_spans",
-    "dedup_remove_passages",
-    "dedup_simhash",
-    "embed_centroids",
-    "embed_dim_stats",
-    "embed_pq_codes",
-    "embed_whiten",
-    "export_length_bucketed",
-    "export_shard_assign",
-    "join_q3_topk",
-    "join_q5_regional",
-    "merge_cdc_delete",
-    "merge_upsert",
-    "multimodal_audio_chunks",
-    "multimodal_feature_extract",
-    "multimodal_resize",
-    "pack_sequences",
-    "sample_domain_reweight",
-    "sample_quality_percentile",
-    "sample_stratified_split",
-    "sample_temperature",
-    "simsearch_range",
-    "sink_zorder_layout",
-    "stream_stream_join",
-    "text_bigram_lm_score",
-    "text_fingerprint",
-    "text_gopher_filter",
-    "text_language_id",
-    "text_length_histogram",
-    "text_quality_score",
-    "text_rare_token_ratio",
-    "text_repetition_ratio",
-    "text_token_bpe",
-    "text_token_stats",
-    # -- r9 cohort starts (CORRECTNESS_r09 order) --
-    "join_q2_best_supplier",
+    # -- round-13 wave: no driver rows yet (14) --
+    "agg_ab_value_ttest",
+    "scan_text_roundtrip",
+    "audit_benford_digits",
+    "audit_functional_dependencies",
+    "window_autocorr_census",
+    "window_diurnal_profile",
+    "corpus_source_tv_distance",
+    "embed_angular_pair_census",
+    "audit_value_expectations",
+    "window_seasonal_residual_census",
+    "embed_centroid_split_drift",
+    "window_burstiness_census",
+    "agg_conversion_lag_census",
+    "join_attribution_last_touch",
+    # -- r9 cohort (CORRECTNESS_r09 order), 36 of 49 fit --
+    "join_q4_priority_exists",
+    "join_q7_nation_volume",
+    "join_q8_market_share",
+    "join_q9_profit_proxy",
+    "join_q10_returned_revenue",
+    "join_q12_late_lines",
+    "join_q13_custdist",
+    "join_q14_promo_share",
+    "join_q15_top_supplier",
+    "join_q17_small_quantity",
+    "join_q18_large_orders",
+    "join_q19_brackets",
+    "join_q21_waiting_supplier",
+    "join_q22_idle_customers",
+    "join_market_basket",
+    "agg_q6_selective",
+    "agg_histogram_quantile_rollup",
+    "text_boilerplate_ngrams",
+    "text_simpson_diversity",
+    "text_lm_score_histogram",
+    "text_ngram_novelty",
+    "dedup_cluster_sizes",
+    "dedup_quality_representative",
+    "dedup_banding_recall_eval",
+    "simsearch_recall_eval",
+    "embed_cluster_balance",
+    "multimodal_dedup_binary",
+    "multimodal_size_histogram",
+    "decontaminate_ngram_fraction",
+    "corpus_mixture_epochs",
+    "corpus_source_gini",
+    "corpus_dedup_impact",
+    "sample_dedup_downweight",
+    "sample_reservoir_per_source",
+    "agg_approx_distinct",
+    "agg_hll_rollup",
 ]
 
 

@@ -1774,3 +1774,99 @@ def agg_conversion_lag_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_bits")
     )
+
+
+# --- round 14: time-windowed ordered funnel ---------------------------------
+
+# Conversion window: the whole chain must complete within 24 h of the
+# user's FIRST view (the anchor — first-touch, the conversion-lag
+# census's convention), each step strictly after the previous.
+_FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+@query(
+    "agg_funnel_windowed",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+        FROM events WHERE ts IS NOT NULL AND event_type = 'view'
+        GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2,
+               MIN(s1.t1) AS t1
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.ts IS NOT NULL AND e.event_type = 'click'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s1.t1
+          AND epoch_us(CAST(e.ts AS TIMESTAMP))
+              <= s1.t1 + {_FUNNEL_WINDOW_US}
+        GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.ts IS NOT NULL AND e.event_type = 'purchase'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s2.t2
+          AND epoch_us(CAST(e.ts AS TIMESTAMP))
+              <= s2.t1 + {_FUNNEL_WINDOW_US}
+        GROUP BY e.user_id)
+    SELECT 1 AS stage, 'view' AS step,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    ORDER BY stage
+    """,
+)
+def agg_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-WINDOWED ordered funnel (the ClickHouse ``windowFunnel``
+    shape): view → click → purchase, each step strictly after the
+    previous AND the whole chain inside 24 h of the user's FIRST view.
+    The unwindowed sibling (``agg_funnel_steps``) answers "did they
+    ever convert"; this one answers "did the SESSION convert" — the
+    number a growth team actually optimizes, since a purchase a month
+    after the view is retention, not funnel.
+
+    Anchor semantics, declared: the window opens at the user's first
+    view (first-touch — the same convention as
+    ``agg_conversion_lag_census``), not at the best-scoring view; a
+    sliding-anchor max-chain variant needs per-event state and is the
+    live-streaming territory of ``streaming/ops.py``.
+
+    Scale shape: identical to the funnel's — one filtered map-combined
+    aggregate per step plus user-keyed equi joins carrying only
+    (user, anchor, step-ts) triples; each stage's relation shrinks.
+    Timestamps compare as exact integer micros on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    t = F.unix_micros("ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(t).alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((t > F.col("t1")) & (t <= F.col("t1") + _FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min(t).alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((t > F.col("t2")) & (t <= F.col("t1") + _FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+    def stage(df: DataFrame, n: int, step: str) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        stage(s1, 1, "view")
+        .unionByName(stage(s2, 2, "click"))
+        .unionByName(stage(s3, 3, "purchase"))
+        .orderBy("stage")
+    )

@@ -794,3 +794,77 @@ def audit_value_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionByName(row)
     assert out is not None
     return out.orderBy("expectation")
+
+
+# --- round 14: key-space density census (sequence-completeness audit) -------
+
+# Census granularity: 1024-key buckets keep the report ~|keyspace|/2^10
+# rows while localizing a lost batch to a 1024-key interval.
+_KEY_DENSITY_BUCKET = 1024
+
+
+@query(
+    "audit_key_density",
+    oracle=f"""
+    WITH k AS (
+        SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS key FROM orders),
+    b AS (
+        SELECT key // {_KEY_DENSITY_BUCKET} AS bucket, key,
+               lead(key) OVER (PARTITION BY key // {_KEY_DENSITY_BUCKET}
+                               ORDER BY key) AS nxt
+        FROM k)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(MIN(key) AS BIGINT) AS kmin,
+           CAST(MAX(key) AS BIGINT) AS kmax,
+           CAST(COUNT(*) AS BIGINT) AS n_present,
+           CAST(MAX(key) - MIN(key) + 1 - COUNT(*) AS BIGINT) AS n_missing,
+           CAST(COALESCE(MAX(CASE WHEN nxt - key > 1
+                                  THEN nxt - key - 1 END), 0) AS BIGINT)
+               AS widest_gap
+    FROM b GROUP BY 1 ORDER BY bucket
+    """,
+)
+def audit_key_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-space density census — the completeness audit behind "did the
+    loader drop a batch": a sequence-assigned key column is audited in
+    1024-key buckets, each reporting its present count, missing count
+    inside the observed span, and widest internal gap. A lost ingest
+    batch shows as a bucket with n_missing ≫ 0 (or a missing bucket row
+    entirely), localized to a 1024-key interval a backfill can replay.
+    On THIS lake every key space is dense, so n_missing = 0 everywhere
+    — which is itself the checked value (the referential-integrity
+    convention) — while the census rows always carry data, unlike a
+    gap-interval list that is empty exactly when the invariant holds
+    (the round-12 flatline lesson).
+
+    Scale shape: embarrassingly parallel — one distinct pass, then
+    per-bucket lead/aggregate windows PARTITIONED BY BUCKET (bounded
+    1024-row partitions, no global sort, no seam relation, no
+    unpartitioned window anywhere). Report is |keyspace|/1024 rows.
+    """
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").cast("long").alias("key"))
+        .distinct()
+        .withColumn("bucket", F.expr(f"key div {_KEY_DENSITY_BUCKET}"))
+    )
+    w_b = Window.partitionBy("bucket").orderBy("key")
+    gap = F.col("nxt") - F.col("key") - 1
+    return (
+        keys.withColumn("nxt", F.lead("key").over(w_b))
+        .groupBy("bucket")
+        .agg(
+            F.min("key").cast("long").alias("kmin"),
+            F.max("key").cast("long").alias("kmax"),
+            F.count(F.lit(1)).cast("long").alias("n_present"),
+            (F.max("key") - F.min("key") + 1 - F.count(F.lit(1)))
+            .cast("long")
+            .alias("n_missing"),
+            F.coalesce(
+                F.max(F.when(gap > 0, gap)), F.lit(0)
+            )
+            .cast("long")
+            .alias("widest_gap"),
+        )
+        .orderBy("bucket")
+    )

@@ -2391,9 +2391,14 @@ def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors land in their own hour bucket, each purchase probes its
     bucket ±1, so a candidate pair meets exactly once (in the error's
     bucket) and the join key (user, bucket) splits any hot user across
-    time. The per-purchase top-1 is a rank window WindowGroupLimit caps
-    map-side; candidate fanout per purchase is bounded by the user's
-    error rate inside ±1 h, not their history.
+    time. The per-purchase top-1 is a lexicographic ``min(struct(...))``
+    aggregate, NOT a rank window (round-14 rewrite, measured ~20%
+    faster deep-warm): the partial aggregation combines candidates
+    map-side inside the join's own partitions — no per-partition sort,
+    and the purchase-keyed exchange moves one pre-reduced row per
+    (purchase, join-partition) instead of every candidate. Candidate
+    fanout per purchase stays bounded by the user's error rate inside
+    ±1 h, not their history.
     """
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     p = ev.filter(F.col("event_type") == "purchase").select(
@@ -2418,19 +2423,26 @@ def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    w = Window.partitionBy("purchase_id").orderBy(
-        F.abs(F.col("et") - F.col("pt")), "et", "error_id"
-    )
     return (
         probes.join(e, ["user_id", "bucket"])
         .filter(F.abs(F.col("et") - F.col("pt")) <= _NEAREST_TOL_US)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("purchase_id", "user_id", "pt")
+        .agg(
+            # lexicographic struct min == the oracle's ROW_NUMBER order
+            # (|gap|, error ts, error id) — total and engine-identical
+            F.min(
+                F.struct(
+                    F.abs(F.col("et") - F.col("pt")).alias("adist"),
+                    F.col("et").alias("et"),
+                    F.col("error_id").alias("error_id"),
+                )
+            ).alias("b")
+        )
         .select(
             "purchase_id",
             "user_id",
-            "error_id",
-            (F.col("et") - F.col("pt")).cast("long").alias("gap_us"),
+            F.col("b.error_id").alias("error_id"),
+            (F.col("b.et") - F.col("pt")).cast("long").alias("gap_us"),
         )
         .orderBy("purchase_id")
     )

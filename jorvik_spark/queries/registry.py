@@ -191,6 +191,21 @@ def memo_df(
     return df
 
 
+def clear_memos() -> None:
+    """Release every memoized DataFrame (cold-start measurement hook).
+
+    The §2C operators memoize corpus-derived intermediates (tokenized
+    docs, shingle index, IVF quantizer) per session by design, so the
+    warm bench regime times only their marginal cost. bench.py's cold
+    pass calls this before each shape to time the one-time build stage
+    too — a regression there is otherwise invisible to every gate
+    (round-13 verdict item #4).
+    """
+    while _MEMO:
+        _, entry = _MEMO.popitem()
+        _drop_memo_entry(entry)
+
+
 # Row bound for UNPARTITIONED window sites (Window.orderBy with no
 # partitionBy): those windows run in one task by construction, which is
 # a deliberate, documented trade-off everywhere the repo uses one — the

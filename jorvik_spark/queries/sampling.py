@@ -1881,3 +1881,92 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- round 14: LM-familiarity importance sampling ---------------------------
+
+# Linear keep-rate band in permille: the least corpus-typical documents
+# keep 250‰, the most typical 1000‰ — downweighting (never zeroing) the
+# high-perplexity tail, the CCNet-style soft quality mix.
+_LMIMP_FLOOR_PM = 250
+_LMIMP_SPAN_PM = 750
+
+
+@query(
+    "sample_lm_importance",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(t[1:len(t) - 1]) AS w1,
+                  unnest(t[2:len(t)]) AS w2
+           FROM toks WHERE len(t) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(n12) AS n1 FROM c12 GROUP BY w1),
+    ppm AS (SELECT w1, w2, (n12 * 1000000) // n1 AS ppm
+            FROM c12 JOIN c1 USING (w1)),
+    scored AS (SELECT bg.doc_id,
+                      CAST(SUM(p.ppm) // COUNT(*) AS BIGINT) AS fam
+               FROM bg JOIN ppm p USING (w1, w2) GROUP BY bg.doc_id),
+    ext AS (SELECT MIN(fam) AS fmin, MAX(fam) AS fmax FROM scored),
+    r AS (SELECT s.doc_id, s.fam,
+                 {_LMIMP_FLOOR_PM} + {_LMIMP_SPAN_PM} * (s.fam - e.fmin)
+                     // (e.fmax - e.fmin + 1) AS rate_pm
+          FROM scored s CROSS JOIN ext e)
+    SELECT doc_id, fam AS familiarity_ppm,
+           CAST(rate_pm AS BIGINT) AS keep_rate_permille
+    FROM r
+    WHERE {{bucket}} < rate_pm
+    ORDER BY doc_id
+    """.replace("{bucket}", _sql_bucket("doc_id", "lmimp:")),
+)
+def sample_lm_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-familiarity importance sampling: every scoreable document
+    keeps a deterministic hash-mod slot with probability LINEAR in its
+    corpus-LM familiarity — the soft CCNet-style mix that downweights
+    the high-perplexity tail to 250‰ instead of cutting it (hard
+    gates lose the rare-but-real text diversity a pretraining mix
+    wants; importance weights keep the expectation unbiased under
+    reweighting). Emits (doc_id, familiarity_ppm, keep_rate_permille)
+    for the surviving docs; only documents with ≥ 2 tokens participate
+    (they are the only ones the bigram model scores — declared scope).
+
+    Cross-engine mechanics: the familiarity score is the bigram-LM
+    integer ppm (``text_bigram_lm_score``'s exact plan, reused); the
+    keep rate is exact rational — floor-linear between the corpus min
+    and max familiarity (numerator non-negative by construction, so
+    Spark's ``div`` and DuckDB's ``//`` agree) — and admission is the
+    md5 hash-mod primitive every sampler shares.
+
+    Scale shape: the model build and scoring are the LM score's plan
+    (two map-combined aggs + one equi join); the min/max extremes are
+    a single-row broadcast cross join; admission is a narrow
+    deterministic expression — reproducible under retries and
+    repartitioning.
+    """
+    from jorvik_spark.queries.text_analysis import text_bigram_lm_score
+
+    scored = text_bigram_lm_score(spark, sf_dir).select(
+        "doc_id", F.col("familiarity_ppm").alias("fam")
+    )
+    ext = F.broadcast(
+        scored.agg(
+            F.min("fam").alias("fmin"), F.max("fam").alias("fmax")
+        )
+    )
+    rate = (
+        F.lit(_LMIMP_FLOOR_PM)
+        + F.expr(
+            f"{_LMIMP_SPAN_PM} * (fam - fmin) div (fmax - fmin + 1)"
+        )
+    ).alias("rate_pm")
+    return (
+        scored.crossJoin(ext)
+        .select("doc_id", "fam", rate)
+        .filter(_bucket(F.col("doc_id"), "lmimp:") < F.col("rate_pm"))
+        .select(
+            "doc_id",
+            F.col("fam").alias("familiarity_ppm"),
+            F.col("rate_pm").cast("long").alias("keep_rate_permille"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2769,3 +2769,69 @@ def embed_centroid_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n_a", "n_b", F.round(cos, 6).alias("cos_ab"))
         .orderBy("label")
     )
+
+
+# --- round 14: squared-norm octave census (embedding-health screen) ---------
+
+
+@query(
+    "embed_sqnorm_octave_census",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS qx
+        FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x
+              FROM embeddings)),
+    sq AS (
+        SELECT vec_id, CAST(SUM(qx * qx) AS BIGINT) AS nsq
+        FROM ex GROUP BY vec_id)
+    SELECT CAST(CASE WHEN nsq = 0 THEN 0
+                     ELSE length(bin(nsq)) END AS INTEGER) AS nsq_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(nsq) AS BIGINT) AS min_nsq,
+           CAST(MAX(nsq) AS BIGINT) AS max_nsq
+    FROM sq GROUP BY 1 ORDER BY nsq_bits
+    """,
+)
+def embed_sqnorm_octave_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Octave census of embedding squared norms — the five-minute
+    embedding-health read before any cosine machinery is trusted: a
+    healthy encoder's norms occupy a couple of adjacent octaves; a mass
+    at octave 0 is zero/dead vectors (cosine undefined — the NULLs the
+    range/topk ops guard against), a long right tail means un-normalized
+    mixing of checkpoints, and a census that MOVES between snapshots is
+    an encoder-drift alarm cheaper than any recall eval.
+
+    Cross-engine mechanics: each component is micro-quantized
+    (floor(x·1e6 + 0.5), the module's fixed-point convention) and the
+    squared norm Σqx² is summed EXACTLY in integers (qx² ≤ 1e14 at
+    |x| ≤ 10, × 64 dims ≪ int64) — no float summation-order hazard, so
+    the octave (bit length) can never straddle an engine ulp.
+
+    Scale shape: the squared norm is a NARROW integer array fold
+    (``aggregate`` over the vector — no explode, no per-vector
+    shuffle; exactness makes fold order irrelevant), so the whole
+    census is one map pass plus a ≤ ~50-group map-combined octave
+    collapse. Output is constant-size at any corpus.
+    """
+    sq = _vec_double(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.expr(
+            "aggregate(v, CAST(0 AS BIGINT), (acc, x) ->"
+            " acc + CAST(floor(x * 1000000 + 0.5) AS BIGINT)"
+            "       * CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
+        ).alias("nsq"),
+    )
+    bits = (
+        F.when(F.col("nsq") == 0, F.lit(0))
+        .otherwise(F.length(F.conv(F.col("nsq").cast("string"), 10, 2)))
+        .cast("int")
+    )
+    return (
+        sq.groupBy(bits.alias("nsq_bits"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("nsq").cast("long").alias("min_nsq"),
+            F.max("nsq").cast("long").alias("max_nsq"),
+        )
+        .orderBy("nsq_bits")
+    )

@@ -978,6 +978,67 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT tok AS word, COUNT(*) AS n
+        FROM (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents)
+        GROUP BY 1),
+    pairs AS (
+        SELECT substr(word, CAST(i AS INTEGER), 1) AS l,
+               substr(word, CAST(i AS INTEGER) + 1, 1) AS r,
+               n
+        FROM (SELECT word, n,
+                     unnest(generate_series(
+                         1, CAST(length(word) AS INTEGER) - 1)) AS i
+              FROM vocab
+              WHERE length(word) >= 2))
+    SELECT l, r, CAST(SUM(n) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY pair_count DESC, l, r
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's corpus-pass core as a hash-checkable report:
+    the weighted adjacent-symbol pair counts over the character-split
+    vocabulary BEFORE the first merge — exactly the table whose argmax
+    is ``text_bpe_train``'s round-0 merge (pinned by a test). The
+    iterative trainer itself stays rows-only (per-round argmax is not
+    single-statement SQL), but this companion gives its one-corpus-pass
+    aggregation — the only stage that actually touches corpus-scale
+    data — a full value-hash oracle.
+
+    Scale shape: identical to the trainer's round 0 — one map-side
+    combined vocabulary aggregation (distinct words + counts, never
+    corpus-sized downstream), then a bounded per-word explode of
+    len(word)−1 pairs over VOCAB rows only. Output is bounded by the
+    alphabet squared regardless of corpus size.
+    """
+    vocab = (
+        _tokenized_docs(spark, sf_dir)
+        .select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        vocab.filter(F.length("word") >= 2)
+        .select("n", F.split("word", "").alias("s"))
+        .select(
+            "n",
+            F.expr(
+                "transform(slice(s, 1, size(s) - 1), "
+                "(x, i) -> struct(x AS l, element_at(s, i + 2) AS r))"
+            ).alias("ps"),
+        )
+        .select("n", F.explode("ps").alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("n").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "l", "r")
+    )
+
+
 # Boilerplate report: per source, the TOP-K bigrams by document
 # frequency (each of them in >= _BOILER_MIN_DF docs, so tiny sources
 # cannot promote noise). Top-K, not a fixed fraction threshold: a
@@ -2007,4 +2068,179 @@ def corpus_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_ppm"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+# --- round 14: readability + gibberish quality screens ----------------------
+
+
+@query(
+    "text_readability_ari",
+    oracle=f"""
+    WITH d AS (
+        SELECT source,
+               length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS chars,
+               len({_SQL_TOKENS}) AS words,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents
+        FROM documents),
+    g AS (
+        SELECT source, chars, words,
+               LEAST(GREATEST(471 * chars * sents + 50 * words * words
+                              - 2143 * words * sents, 0)
+                     // (100 * words * sents), 20) AS grade
+        FROM d WHERE words >= 1 AND chars >= 1)
+    SELECT source, CAST(grade AS INTEGER) AS grade,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) * 1000000 // SUM(words) AS BIGINT)
+               AS chars_per_word_ppm
+    FROM g GROUP BY 1, 2 ORDER BY source, grade
+    """,
+)
+def text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index census per source: each document's
+    ARI grade — 4.71·(chars/words) + 0.5·(words/sentences) − 21.43,
+    the readability score defined entirely on counts (no syllable
+    model, which is why it is THE machine-friendly member of the
+    readability family) — clamped to grade bands [0, 20] and counted
+    per (source, band), with the corpus chars-per-word ratio riding
+    along. A curation team reads this next to the Gopher gate: a
+    source whose mass sits at band 0 or 20 is boilerplate/code/OCR
+    junk, not prose.
+
+    Cross-engine mechanics: the grade is EXACT RATIONAL arithmetic —
+    ARI·100 = (471·c·s + 50·w² − 2143·w·s)/(w·s) — with the numerator
+    clamped at 0 BEFORE the integer division (Spark's ``div`` truncates
+    toward zero, DuckDB's ``//`` floors: they agree only on
+    non-negative operands, and grade 0 is the clamp floor anyway).
+    Sentence count is GREATEST(count of [.!?]+ runs, 1) so headline-only
+    docs stay defined.
+
+    Scale shape: one narrow map pass over documents (three regex/split
+    expressions), then a map-combined aggregate over ≤ 21·|sources|
+    groups. No shuffle larger than the report.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.expr(
+                "length(regexp_replace(text, '[^A-Za-z0-9]', ''))"
+            ).alias("chars"),
+            F.expr(f"size({_TOKENS})").cast("long").alias("words"),
+            F.expr(
+                "greatest(regexp_count(text, '[.!?]+'), 1)"
+            ).cast("long").alias("sents"),
+        )
+        .filter((F.col("words") >= 1) & (F.col("chars") >= 1))
+    )
+    grade = F.expr(
+        "least(greatest(471 * chars * sents + 50 * words * words"
+        " - 2143 * words * sents, CAST(0 AS BIGINT))"
+        " div (100 * words * sents), CAST(20 AS BIGINT))"
+    ).cast("int")
+    return (
+        d.groupBy("source", grade.alias("grade"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(SUM(chars) * CAST(1000000 AS BIGINT)"
+                " div SUM(words) AS BIGINT)"
+            ).alias("chars_per_word_ppm"),
+        )
+        .orderBy("source", "grade")
+    )
+
+
+# Gibberish screen thresholds: a consonant run of >= 8 letters or a
+# symbol ratio >= 30% flags OCR junk / binary-as-text / markup debris.
+_GIB_MAX_RUN = 8
+_GIB_SYMBOL_PPM = 300_000
+
+
+@query(
+    "text_gibberish_score",
+    oracle=f"""
+    WITH d AS (
+        SELECT source,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[A-Za-z0-9 \t\n\r]', '', 'g'))
+                   AS symbols,
+               COALESCE(list_max(list_transform(
+                   regexp_extract_all(lower(text),
+                                      '[bcdfghjklmnpqrstvwxyz]+'),
+                   x -> length(x))), 0) AS max_run
+        FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+    g AS (
+        SELECT source, max_run,
+               symbols * 1000000 // n_chars AS sym_ppm
+        FROM d)
+    SELECT source,
+           CAST(LEAST(sym_ppm // 100000, 9) AS INTEGER) AS sym_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN max_run >= {_GIB_MAX_RUN}
+                         OR sym_ppm >= {_GIB_SYMBOL_PPM}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_gibberish,
+           CAST(MAX(max_run) AS BIGINT) AS max_consonant_run
+    FROM g GROUP BY 1, 2 ORDER BY source, sym_decile
+    """,
+)
+def text_gibberish_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR-junk / mojibake screen per source: each document's symbol
+    ratio (non-alphanumeric, non-whitespace characters over all
+    characters) and longest consonant run, collapsed to a per-(source,
+    symbol-decile) census with a flagged count — consonant runs ≥ 8 or
+    symbol mass ≥ 30% are the classic signatures of OCR garbage,
+    binary-pasted-as-text, and markup debris that survives
+    length/stopword gates because it is long and "wordy".
+
+    Cross-engine mechanics: pure integer counting — two regex strips
+    and a run extraction, ratios as exact ppm integer division on
+    non-negative operands. The flag thresholds are census columns, not
+    filters, so the report carries the full distribution (the Benford
+    convention: thresholding is the caller's policy).
+
+    Scale shape: one narrow map pass (regexes per doc), then a
+    map-combined ≤ 10·|sources|-group aggregate. No joins, no windows.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= 1))
+        .select(
+            "source",
+            F.length("text").cast("long").alias("n_chars"),
+            F.expr(
+                "length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', ''))"
+            )
+            .cast("long")
+            .alias("symbols"),
+            F.coalesce(
+                F.expr(
+                    "array_max(transform(regexp_extract_all(lower(text),"
+                    " '[bcdfghjklmnpqrstvwxyz]+', 0), x -> length(x)))"
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("max_run"),
+        )
+        .withColumn(
+            "sym_ppm",
+            F.expr("symbols * CAST(1000000 AS BIGINT) div n_chars"),
+        )
+    )
+    flagged = (
+        (F.col("max_run") >= _GIB_MAX_RUN)
+        | (F.col("sym_ppm") >= _GIB_SYMBOL_PPM)
+    ).cast("int")
+    decile = F.expr(
+        "CAST(least(sym_ppm div 100000, CAST(9 AS BIGINT)) AS INT)"
+    )
+    return (
+        d.groupBy("source", decile.alias("sym_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(flagged).cast("long").alias("n_gibberish"),
+            F.max("max_run").cast("long").alias("max_consonant_run"),
+        )
+        .orderBy("source", "sym_decile")
     )

@@ -3030,3 +3030,141 @@ def window_burstiness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("band").asc_nulls_first())
     )
+
+
+# --- round 14: Pettitt rank-based change-point per user stream --------------
+
+
+@query(
+    "window_pettitt_changepoint",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+          AND event_type = 'purchase'),
+    r AS (
+        SELECT user_id, t, event_id,
+               rank() OVER (PARTITION BY user_id ORDER BY vu)
+                   + COUNT(*) OVER (PARTITION BY user_id)
+                   + 1
+                   - rank() OVER (PARTITION BY user_id ORDER BY vu DESC)
+                   AS r2,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id) AS idx,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM ev),
+    u AS (
+        SELECT user_id, n, idx, t,
+               SUM(r2) OVER (PARTITION BY user_id ORDER BY idx)
+                   - idx * (n + 1) AS u2
+        FROM r),
+    best AS (
+        SELECT user_id, n, idx, t, abs(u2) AS k2,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY abs(u2) DESC, idx) AS rn
+        FROM u WHERE idx < n AND n >= 3)
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(idx AS BIGINT) AS t_star,
+           CAST(t AS BIGINT) AS ts_us_star,
+           CAST(k2 AS BIGINT) AS k2
+    FROM best WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def window_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based change-point per user purchase stream: the
+    split index t* maximizing |U_t|, where U_t is the Mann-Whitney
+    statistic between the first t and remaining n−t values — the
+    nonparametric "did this series shift level, and when" screen that
+    needs no distributional assumption and shrugs off outliers (the
+    parametric CUSUM sibling is ``window_cusum_changepoints``).
+
+    Cross-engine mechanics: everything is INTEGER. Doubled midranks
+    (so ties stay integral) come from ranks over both sort directions
+    — r2 = rank_asc + n + 1 − rank_desc = 2·midrank — never a
+    (user, value) tie-count window that would add a second exchange.
+    Since Pettitt's U_t = 2·Σ_{i≤t} midrank_i − t(n+1), the integral
+    fold Σ_{i≤t} r2_i − t(n+1) IS U_t exactly (no half-units survive),
+    and k2 = max|U_t| is the plain Pettitt K (|U| ≤ n²/2, so int64
+    holds to ~4e9 events per user). Significance thresholding is the
+    caller's policy (the Benford convention): the census reports
+    (n, t*, K) and the p-approximation's exp/log stays out of the
+    hash contract.
+
+    Scale shape: ONE user-keyed exchange serves all four windows (two
+    value-sorts for the ranks, the time-sort for the index and the
+    cumulative fold — Spark re-sorts within partitions, no second
+    shuffle); the per-user argmax is the lexicographic min(struct)
+    reduction (the nearest-event pattern), partially combined map-side.
+    Output is one row per qualifying user.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("vu"),
+        )
+    )
+    w_asc = Window.partitionBy("user_id").orderBy(F.col("vu").asc())
+    w_desc = Window.partitionBy("user_id").orderBy(F.col("vu").desc())
+    w_time = Window.partitionBy("user_id").orderBy("t", "event_id")
+    w_all = Window.partitionBy("user_id")
+    r = ev.select(
+        "user_id",
+        "t",
+        (
+            F.rank().over(w_asc).cast("long")
+            + F.count(F.lit(1)).over(w_all)
+            + F.lit(1)
+            - F.rank().over(w_desc)
+        ).alias("r2"),
+        F.row_number().over(w_time).cast("long").alias("idx"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    w_idx = (
+        Window.partitionBy("user_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = r.select(
+        "user_id",
+        "n",
+        "idx",
+        "t",
+        (
+            F.sum("r2").over(w_idx) - F.col("idx") * (F.col("n") + 1)
+        ).alias("u2"),
+    ).filter((F.col("idx") < F.col("n")) & (F.col("n") >= 3))
+    return (
+        u.groupBy("user_id", "n")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.abs(F.col("u2"))).alias("nk"),
+                    F.col("idx").alias("t_star"),
+                    F.col("t").alias("ts_us_star"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.col("b.t_star").alias("t_star"),
+            F.col("b.ts_us_star").alias("ts_us_star"),
+            (-F.col("b.nk")).cast("long").alias("k2"),
+        )
+        .orderBy("user_id")
+    )

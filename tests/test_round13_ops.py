@@ -582,8 +582,12 @@ def test_tv_distance_identical_and_partial_sources(spark, tmp_path):
     }
     assert got[("srcA", "srcB")] == 0
     assert got[("srcA", "srcD")] == 666_666  # ½(1/3 + 1/3 + 2/3) = 2/3
-    assert ("srcA", "srcZ") not in got  # disjoint vocab → absent
+    # round-14 advice fix: disjoint vocab is PRESENT with the maximal
+    # TV (1,000,000 ppm) — it used to vanish from the very report
+    # meant to flag it
+    assert got[("srcA", "srcZ")] == 1_000_000
     assert ("srcB", "srcD") in got
+    assert len(got) == 6  # every C(4,2) pair reports
 
 
 def test_angular_census_identical_vectors_and_zero_norm_scope(spark, tmp_path):

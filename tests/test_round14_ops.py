@@ -155,3 +155,281 @@ def test_benford_digits_empty_input_yields_null_report(spark, tmp_path):
         assert chi2 is None
         assert exp_ppm > 0
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bpe_pair_counts_argmax_is_trainer_round0(spark):
+    """The hash-checkable companion must agree with the rows-only
+    trainer where they overlap: the top row of text_bpe_pair_counts
+    (count DESC, then l/r lexicographic — the trainer's tie-break) IS
+    the trainer's round-0 merge."""
+    from jorvik_spark.queries import QUERIES
+
+    top = QUERIES["text_bpe_pair_counts"](spark, _SF).limit(1).collect()[0]
+    r0 = (
+        QUERIES["text_bpe_train"](spark, _SF)
+        .filter(F.col("round") == 0)
+        .collect()[0]
+    )
+    assert (r0["left"], r0["right"], r0["pair_count"]) == (
+        top["l"],
+        top["r"],
+        top["pair_count"],
+    )
+
+
+def test_pettitt_locates_a_known_level_shift(spark, tmp_path):
+    """A series that jumps 10 → 1000 at index 6 must report t_star = 6
+    with the maximal rank statistic; a constant series reports K = 0;
+    a 2-event series is excluded (n < 3)."""
+    from jorvik_spark.queries import QUERIES
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    rows, eid = [], 0
+    for i in range(12):
+        eid += 1
+        rows.append(
+            (eid, base + datetime.timedelta(minutes=i), 1, "purchase",
+             10.0 if i < 6 else 1000.0, None)
+        )
+    for i in range(5):
+        eid += 1
+        rows.append(
+            (eid, base + datetime.timedelta(minutes=i), 2, "purchase",
+             7.5, None)
+        )
+    for i in range(2):
+        eid += 1
+        rows.append(
+            (eid, base + datetime.timedelta(minutes=i), 3, "purchase",
+             float(i), None)
+        )
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "pettitt")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, schema).write.parquet(f"{d}/events.parquet")
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["window_pettitt_changepoint"](spark, d).collect()
+    }
+    assert set(got) == {1, 2}  # user 3 excluded (n < 3)
+    # U_t for the 6/6 split of a clean shift: max at t = 6 with
+    # K = 6 * 6 = 36 (all 36 cross pairs discordant)
+    assert got[1]["t_star"] == 6
+    assert got[1]["k2"] == 36
+    assert got[1]["n_events"] == 12
+    assert got[2]["k2"] == 0  # constant series: every rank tied
+
+
+def test_key_density_census_localizes_lost_batch(spark, tmp_path):
+    """A keyspace with a hole must report the missing count and widest
+    gap in exactly the bucket holding the hole; dense buckets report
+    n_missing = 0; an entirely-lost bucket is absent from the census
+    (the bucket-id discontinuity the reader checks)."""
+    from jorvik_spark.queries import QUERIES
+
+    B = 1024
+    keys = (
+        list(range(0, 100))  # bucket 0 head
+        + list(range(500, 600))  # bucket 0 tail: hole 100..499 inside
+        + list(range(B, 2 * B))  # bucket 1 fully dense
+        + list(range(3 * B, 3 * B + 10))  # bucket 3; bucket 2 lost
+    )
+    d = str(tmp_path / "density")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame({"o_orderkey": keys}).to_parquet(f"{d}/orders.parquet")
+    got = {
+        r["bucket"]: r for r in QUERIES["audit_key_density"](spark, d).collect()
+    }
+    assert set(got) == {0, 1, 3}  # bucket 2 lost entirely -> absent row
+    assert got[0]["n_missing"] == 400 and got[0]["widest_gap"] == 400
+    assert got[1]["n_missing"] == 0 and got[1]["widest_gap"] == 0
+    assert got[3]["n_present"] == 10 and got[3]["n_missing"] == 0
+
+
+def test_sqnorm_census_flags_zero_vectors(spark, tmp_path):
+    from jorvik_spark.queries import QUERIES
+
+    d = str(tmp_path / "sqn")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [[0.0, 0.0], [1.0, 0.0], [3.0, 4.0]],
+            "label": [0, 0, 0],
+        }
+    ).to_parquet(f"{d}/embeddings.parquet")
+    got = {
+        r["nsq_bits"]: r
+        for r in QUERIES["embed_sqnorm_octave_census"](spark, d).collect()
+    }
+    assert got[0]["n_vecs"] == 1 and got[0]["min_nsq"] == 0
+    # |.|^2 of [1,0] = 1e12 micro^2 -> bits 40; [3,4] -> 25e12 -> bits 45
+    assert got[40]["min_nsq"] == 10**12
+    assert got[45]["min_nsq"] == 25 * 10**12
+
+
+def test_readability_grade_formula(spark, tmp_path):
+    """Hand-checked ARI: 'The cat sat on the mat.' has 17 chars,
+    6 words, 1 sentence -> ARI = 4.71*(17/6) + 0.5*6 - 21.43 = -5.08
+    -> clamps to grade 0."""
+    from jorvik_spark.queries import QUERIES
+
+    d = str(tmp_path / "ari")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "source": ["a", "a"],
+            "lang": ["en", "en"],
+            "text": [
+                "The cat sat on the mat.",
+                # long words, one sentence: high chars/word pushes high
+                "extraordinarily incomprehensible characterization "
+                "internationalization.",
+            ],
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+    rows = QUERIES["text_readability_ari"](spark, d).collect()
+    grades = sorted(r["grade"] for r in rows)
+    assert grades[0] == 0  # the clamped simple sentence
+    assert grades[-1] == 20  # the clamped jargon string
+
+
+def test_gibberish_screen_flags_consonant_runs(spark, tmp_path):
+    from jorvik_spark.queries import QUERIES
+
+    d = str(tmp_path / "gib")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "source": ["a", "a"],
+            "lang": ["en", "en"],
+            "text": [
+                "a perfectly ordinary sentence with small words",
+                "xkcdqwrtzpsdfghjklm ##$$%%&&@@!! ~~~||",
+            ],
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+    rows = QUERIES["text_gibberish_score"](spark, d).collect()
+    total_flagged = sum(r["n_gibberish"] for r in rows)
+    assert total_flagged == 1
+    assert max(r["max_consonant_run"] for r in rows) >= 19
+
+
+def test_funnel_windowed_excludes_late_conversions(spark, tmp_path):
+    """User 1 converts inside 24 h (counted at every stage); user 2's
+    purchase lands after the window (counted through click only);
+    user 3 clicks before any view (never past stage 1)."""
+    from jorvik_spark.queries import QUERIES
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    H = datetime.timedelta(hours=1)
+    rows = [
+        (1, base, 1, "view", 1.0, None),
+        (2, base + H, 1, "click", 1.0, None),
+        (3, base + 2 * H, 1, "purchase", 5.0, None),
+        (4, base, 2, "view", 1.0, None),
+        (5, base + H, 2, "click", 1.0, None),
+        (6, base + 30 * H, 2, "purchase", 5.0, None),  # past 24 h
+        (7, base, 3, "click", 1.0, None),
+        (8, base + H, 3, "view", 1.0, None),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "funnelw")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, schema).write.parquet(f"{d}/events.parquet")
+    got = {
+        r["stage"]: r["n_users"]
+        for r in QUERIES["agg_funnel_windowed"](spark, d).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_kcore_census_is_monotone_and_typed(spark):
+    from jorvik_spark.queries import QUERIES
+
+    rows = QUERIES["graph_kcore_peel3"](spark, _SF).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["node_type"], {})[r["round"]] = r["n_nodes"]
+    assert set(by_type) == {"customer", "supplier"}
+    for counts in by_type.values():
+        seq = [counts.get(i, 0) for i in range(4)]
+        assert all(a >= b for a, b in zip(seq, seq[1:]))  # peeling shrinks
+
+
+def test_lm_importance_rates_are_banded_and_deterministic(spark):
+    from jorvik_spark.queries import QUERIES
+
+    a = QUERIES["sample_lm_importance"](spark, _SF).collect()
+    b = QUERIES["sample_lm_importance"](spark, _SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 0
+    for r in a:
+        assert 250 <= r["keep_rate_permille"] <= 1000
+
+
+def test_suggest_watermark_parameterizes_live_dedup_sink(spark, tmp_path):
+    """r13 verdict item #7: the measured-lateness watermark suggestion
+    must actually DRIVE a live sink. An out-of-order replayed stream is
+    deduped by dedup_within_watermark using suggest_watermark's output;
+    the drained result must equal the batch distinct, and the suggested
+    horizon must cover the stream's real max lateness (octave edge ≥
+    observed, the never-under contract)."""
+    import re
+
+    from jorvik_spark.streaming.ops import (
+        dedup_within_watermark,
+        suggest_watermark,
+    )
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    S = datetime.timedelta(seconds=1)
+    # arrival order = event_id; event 4 arrives 90 s late, event 7 40 s
+    # late -> max lateness 90 s -> smallest covering octave edge 128 s
+    rows = [
+        (1, base + 0 * S, 1, "view", 1.0, None),
+        (2, base + 10 * S, 1, "view", 1.0, None),
+        (3, base + 100 * S, 1, "click", 1.0, None),
+        (4, base + 10 * S, 1, "view", 1.0, None),  # 90 s late
+        (5, base + 120 * S, 1, "purchase", 9.0, None),
+        (6, base + 130 * S, 2, "view", 1.0, None),
+        (7, base + 90 * S, 2, "view", 1.0, None),  # 40 s late
+        (8, base + 140 * S, 2, "click", 1.0, None),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+
+    suggestion = suggest_watermark(df)
+    secs = int(re.match(r"(\d+) seconds", suggestion).group(1))
+    assert secs >= 90  # never under the observed tail
+    assert secs == 127  # the 7-bit octave edge just above it
+
+    # replay: every event twice across two files (at-least-once source)
+    src, dst, cp = (str(tmp_path / d) for d in ("src", "dst", "cp"))
+    df.coalesce(1).write.parquet(f"{src}/p=a")
+    df.coalesce(1).write.parquet(f"{src}/p=b")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p=*")
+    )
+    q = (
+        dedup_within_watermark(stream, delay=suggestion)
+        .writeStream.format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    live = sorted(r["event_id"] for r in spark.read.parquet(dst).collect())
+    assert live == [r[0] for r in rows]  # each replayed event exactly once
