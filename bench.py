@@ -41,6 +41,11 @@ intermediates (tokenized docs, shingle index) per session by design, so
 after the warm-up the measured time is the operator's marginal cost over
 a hot corpus cache — the steady-state regime a pipeline runs in. The
 headline six build everything fresh per run (no memoized stages).
+Since round 14 the JSON also carries "queries_2c_cold" (report-only):
+each §2C shape run ONCE from a cleared memo state, so a regression in
+the one-time build stages (tokenizer materialization, shingle index,
+IVF quantizer) is visible round-over-round instead of hiding behind the
+warm gate (r13 verdict item #4; cold/warm ratios in PROFILE.md).
 """
 
 from __future__ import annotations

@@ -21,6 +21,7 @@ from jorvik_spark.tables import load_table
 from jorvik_spark.queries.registry import (
     davg,
     dsum,
+    guarded_global_window,
     hash_bucket,
     memo_df,
     query,
@@ -1870,3 +1871,148 @@ def agg_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(s3, 3, "purchase"))
         .orderBy("stage")
     )
+
+
+# --- round 14: discrete-time conversion hazard table (with censoring) -------
+
+
+@query(
+    "agg_conversion_hazard",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    t0 AS (SELECT user_id, MIN(t) AS t0 FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+    conv AS (SELECT e.user_id, MIN(e.t) AS tp
+             FROM ev e JOIN t0 ON e.user_id = t0.user_id
+             WHERE e.event_type = 'purchase' AND e.t > t0.t0 GROUP BY 1),
+    lastseen AS (SELECT e.user_id, MAX(e.t) AS tl
+                 FROM ev e JOIN t0 ON e.user_id = t0.user_id GROUP BY 1),
+    per AS (
+        SELECT t0.user_id,
+               CASE WHEN c.tp IS NOT NULL THEN 1 ELSE 0 END AS converted,
+               CASE WHEN c.tp IS NOT NULL THEN (c.tp - t0.t0) // 1000000
+                    ELSE (l.tl - t0.t0) // 1000000 END AS dur_s
+        FROM t0 JOIN lastseen l ON t0.user_id = l.user_id
+        LEFT JOIN conv c ON t0.user_id = c.user_id),
+    o AS (SELECT converted,
+                 CASE WHEN dur_s = 0 THEN 0
+                      ELSE length(bin(dur_s)) END AS oct
+          FROM per),
+    g AS (SELECT oct, CAST(SUM(converted) AS BIGINT) AS d,
+                 CAST(SUM(1 - converted) AS BIGINT) AS c
+          FROM o GROUP BY 1),
+    cum AS (
+        SELECT oct, d, c,
+               (SELECT SUM(d + c) FROM g)
+                   - COALESCE(SUM(d + c) OVER (
+                         ORDER BY oct
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS at_risk
+        FROM g)
+    SELECT CAST(oct AS INTEGER) AS octave,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           d AS n_converted,
+           c AS n_censored,
+           CAST(d * 1000000 // at_risk AS BIGINT) AS hazard_ppm
+    FROM cum ORDER BY octave
+    """,
+)
+def agg_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time conversion hazard table WITH censoring — the
+    survival-analysis read the raw lag census cannot give: per
+    duration octave since a user's first view, how many users were
+    still at risk at the interval's start, how many converted in it,
+    how many were last seen in it without converting (right-censored),
+    and the hazard d/n_at_risk in exact ppm. Unlike
+    ``agg_conversion_lag_census`` (converters only), the at-risk
+    denominator counts the users who NEVER purchase — dropping them
+    overstates late-interval conversion the way every naive funnel
+    does; the Kaplan-Meier survival curve is the running product of
+    (1 − hazard), left to the caller (a product of many ratios has no
+    exact cross-engine form — the census publishes its exact integer
+    inputs instead).
+
+    Anchoring and scope, declared: cohort = users with ≥ 1 view;
+    clock starts at the FIRST view (first-touch, the lag census's
+    convention); conversion = first purchase strictly after it;
+    censor time = last event of any type (≥ anchor by construction).
+    Octaves are integer bit-lengths of whole seconds.
+
+    Scale shape: three filtered user-keyed aggregates + two equi
+    joins carrying one row per cohort user, a ≤ ~40-group octave
+    collapse, and the at-risk cumulative sum over those octave rows
+    (bounded — the guarded single-task window). Output is ≤ ~40 rows
+    at any corpus size.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+    )
+    t0 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t0"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .filter(F.col("t") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tp"))
+    )
+    lastseen = ev.join(t0, "user_id").groupBy("user_id").agg(
+        F.max("t").alias("tl")
+    )
+    per = (
+        t0.join(lastseen, "user_id")
+        .join(conv, "user_id", "left")
+        .select(
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("converted"),
+            F.expr(
+                "CASE WHEN tp IS NOT NULL THEN (tp - t0) div 1000000"
+                " ELSE (tl - t0) div 1000000 END"
+            ).alias("dur_s"),
+        )
+    )
+    oct_col = (
+        F.when(F.col("dur_s") == 0, F.lit(0))
+        .otherwise(F.length(F.conv(F.col("dur_s").cast("string"), 10, 2)))
+        .cast("int")
+    )
+    g = per.groupBy(oct_col.alias("oct")).agg(
+        F.sum("converted").cast("long").alias("d"),
+        F.sum(1 - F.col("converted")).cast("long").alias("c"),
+    )
+    w_prev = (
+        Window.orderBy("oct")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy()
+    cum = g.select(
+        "oct",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(
+                guarded_global_window(
+                    F.sum(F.col("d") + F.col("c")).over(w_prev),
+                    ["oct"],
+                    "agg_conversion_hazard",
+                ),
+                F.lit(0),
+            )
+        ).alias("at_risk"),
+    )
+    return cum.select(
+        F.col("oct").alias("octave"),
+        F.col("at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").alias("n_converted"),
+        F.col("c").alias("n_censored"),
+        F.expr("CAST(d * CAST(1000000 AS BIGINT) div at_risk AS BIGINT)").alias(
+            "hazard_ppm"
+        ),
+    ).orderBy("octave")

@@ -2835,3 +2835,105 @@ def embed_sqnorm_octave_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nsq_bits")
     )
+
+
+# --- round 14: binarized (sign-bit) Hamming top-k ----------------------------
+
+_HAMMING_TOP_K = 5
+
+
+@query(
+    "simsearch_hamming_topk",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id,
+               unnest(range(len(embedding))) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings),
+    packed AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN pos < 32 AND x > 0
+                        THEN CAST(1 AS BIGINT) << CAST(31 - pos AS INTEGER)
+                        ELSE 0 END) AS BIGINT) AS w1,
+               CAST(SUM(CASE WHEN pos >= 32 AND pos < 64 AND x > 0
+                        THEN CAST(1 AS BIGINT) << CAST(63 - pos AS INTEGER)
+                        ELSE 0 END) AS BIGINT) AS w2
+        FROM ex GROUP BY vec_id),
+    q AS (SELECT vec_id AS query_id, w1 AS q1, w2 AS q2
+          FROM packed WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, p.vec_id AS candidate_id,
+               CAST(bit_count(xor(p.w1, q.q1))
+                    + bit_count(xor(p.w2, q.q2)) AS BIGINT) AS hamming,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY bit_count(xor(p.w1, q.q1))
+                            + bit_count(xor(p.w2, q.q2)),
+                            p.vec_id) AS rnk
+        FROM packed p CROSS JOIN q
+        WHERE p.vec_id <> q.query_id)
+    SELECT query_id, candidate_id, hamming, CAST(rnk AS INTEGER) AS rnk
+    FROM scored WHERE rnk <= {_HAMMING_TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def simsearch_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) embedding search: each vector compresses to a
+    64-bit sign pattern (bit i = 1 iff component i > 0, first 64 dims —
+    the matryoshka prefix convention), and top-k neighbors rank by
+    Hamming distance — the 32×-compression retrieval family (binary
+    passage retrieval / BinaryVectorSearch) that serves as the cheap
+    first stage ahead of an exact float rerank
+    (``simsearch_rerank_twophase``'s shortlist pattern on 1/32 the
+    bytes and XOR+popcount instead of FMA).
+
+    Cross-engine mechanics: packing is POSITIONAL (transform index →
+    fixed bit weight), not a running fold, so short/dirty vectors get
+    identical words on both engines; distance is integer
+    bit_count(xor) on the two 32-bit halves — no overflow anywhere
+    (a full 64-bit single-word pack would need the sign bit and
+    DuckDB's checked BIGINT arithmetic raises where Spark wraps).
+    Ties break (hamming, candidate_id) — total order, deterministic
+    top-k cut. Zero/dead vectors pack to word 0 and participate
+    (Hamming needs no norm — documented difference from the cosine
+    ops' positive-norm scope).
+
+    Scale shape: packing is one NARROW map pass (two bounded
+    transform+aggregate folds, no explode, no shuffle); the
+    ``_N_QUERIES``-row query side broadcasts; the per-query top-k is
+    rank-filtered (WindowGroupLimit caps it map-side). At corpus
+    scale the packed relation is 16 bytes/vector — the binarized
+    index a 100 TB embedding store actually ships to its first-stage
+    searchers.
+    """
+    def pack(lo: int) -> str:
+        return (
+            f"aggregate(transform(slice(v, {lo + 1}, 32),"
+            f" (x, i) -> IF(x > CAST(0 AS DOUBLE),"
+            f" shiftleft(CAST(1 AS BIGINT), 31 - i), CAST(0 AS BIGINT))),"
+            " CAST(0 AS BIGINT), (a, b) -> a + b)"
+        )
+
+    packed = _vec_double(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.expr(pack(0)).alias("w1"),
+        F.expr(pack(32)).alias("w2"),
+    )
+    q = F.broadcast(
+        packed.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("w1").alias("q1"),
+            F.col("w2").alias("q2"),
+        )
+    )
+    dist = F.expr("bit_count(w1 ^ q1) + bit_count(w2 ^ q2)")
+    w = Window.partitionBy("query_id").orderBy("hamming", "candidate_id")
+    return (
+        packed.select(F.col("vec_id").alias("candidate_id"), "w1", "w2")
+        .join(q, F.col("candidate_id") != F.col("query_id"))
+        .withColumn("hamming", dist.cast("long"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HAMMING_TOP_K)
+        .select("query_id", "candidate_id", "hamming", F.col("rnk").cast("int"))
+        .orderBy("query_id", "rnk")
+    )

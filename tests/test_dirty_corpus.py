@@ -245,6 +245,10 @@ EMB_QUERIES = [
     # round 14: the squared-norm census KEEPS the zero vector — it is
     # exactly the octave-0 dead-vector row the screen exists to expose.
     "embed_sqnorm_octave_census",
+    # Hamming top-k also keeps the zero vector (packs to word 0 —
+    # Hamming needs no norm); positional packing must produce
+    # identical words for short/odd-dimension dirty vectors.
+    "simsearch_hamming_topk",
 ]
 
 

@@ -156,6 +156,10 @@ EVENT_QUERIES = [
     # funnel anchors at the first view with null-ts rows out of scope.
     "window_pettitt_changepoint",
     "agg_funnel_windowed",
+    # the hazard table's cohort/anchor/censor scopes must all ignore
+    # null-ts rows, and the at-risk arithmetic must agree exactly on
+    # the tiny dirty cohort.
+    "agg_conversion_hazard",
 ]
 
 

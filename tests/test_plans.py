@@ -1152,3 +1152,23 @@ def test_funnel_windowed_pushes_step_filters(spark):
     assert "EqualTo(event_type,click)" in plan
     assert "EqualTo(event_type,purchase)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hamming_topk_packs_narrow_and_broadcasts_queries(spark):
+    # packing is a narrow fold (no Generate/explode); the tiny query
+    # side broadcasts; the per-query top-k is rank-limited map-side
+    plan = _plan(spark, "simsearch_hamming_topk")
+    tree = plan.split("\n\n")[0]
+    assert "Generate" not in tree
+    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree
+    assert "CartesianProduct" not in tree
+    assert "WindowGroupLimit" in tree
+
+
+def test_conversion_hazard_carries_one_row_per_user(spark):
+    # three user-keyed aggregates + two equi joins; the only
+    # unpartitioned window runs over the <= ~40 octave rows (guarded)
+    plan = _plan(spark, "agg_conversion_hazard")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree

@@ -433,3 +433,67 @@ def test_suggest_watermark_parameterizes_live_dedup_sink(spark, tmp_path):
         q.stop()
     live = sorted(r["event_id"] for r in spark.read.parquet(dst).collect())
     assert live == [r[0] for r in rows]  # each replayed event exactly once
+
+
+def test_hamming_topk_identical_and_flipped_vectors(spark, tmp_path):
+    """An identical-sign copy of the query ranks first at distance 0;
+    a fully sign-flipped copy ranks last at distance = n_dims; the
+    zero vector participates (packs to word 0)."""
+    from jorvik_spark.queries import QUERIES
+
+    d = str(tmp_path / "ham")
+    os.makedirs(d, exist_ok=True)
+    base = [1.0, -1.0] * 16  # 32 dims
+    flipped = [-x for x in base]
+    half = base[:16] + flipped[16:]
+    pd.DataFrame(
+        {
+            "vec_id": [0, 10, 11, 12],
+            "embedding": [base, list(base), flipped, half],
+            "label": [0, 0, 0, 0],
+        }
+    ).to_parquet(f"{d}/embeddings.parquet")
+    rows = {
+        r["candidate_id"]: r
+        for r in QUERIES["simsearch_hamming_topk"](spark, d).collect()
+        if r["query_id"] == 0
+    }
+    assert rows[10]["hamming"] == 0 and rows[10]["rnk"] == 1
+    assert rows[12]["hamming"] == 16
+    assert rows[11]["hamming"] == 32  # every sign differs
+
+
+def test_conversion_hazard_at_risk_and_censoring(spark, tmp_path):
+    """Hand funnel: user A converts at 10 s (octave 4), B converts at
+    100 s (octave 7), C is last seen 50 s after the view without
+    converting (censored, octave 6), D has no view (out of cohort).
+    At-risk sets must shrink top-down and the final octave's hazard is
+    exactly 1e6."""
+    from jorvik_spark.queries import QUERIES
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    S = datetime.timedelta(seconds=1)
+    rows = [
+        (1, base, 1, "view", 1.0, None),
+        (2, base + 10 * S, 1, "purchase", 5.0, None),
+        (3, base, 2, "view", 1.0, None),
+        (4, base + 100 * S, 2, "purchase", 5.0, None),
+        (5, base, 3, "view", 1.0, None),
+        (6, base + 50 * S, 3, "click", 1.0, None),
+        (7, base, 4, "click", 1.0, None),  # no view: out of cohort
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "hazard")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, schema).write.parquet(f"{d}/events.parquet")
+    got = {
+        r["octave"]: r
+        for r in QUERIES["agg_conversion_hazard"](spark, d).collect()
+    }
+    assert set(got) == {4, 6, 7}
+    assert got[4]["n_at_risk"] == 3 and got[4]["n_converted"] == 1
+    assert got[4]["hazard_ppm"] == 333_333
+    assert got[6]["n_at_risk"] == 2 and got[6]["n_censored"] == 1
+    assert got[6]["hazard_ppm"] == 0
+    assert got[7]["n_at_risk"] == 1 and got[7]["hazard_ppm"] == 1_000_000
