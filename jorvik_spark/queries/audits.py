@@ -868,3 +868,108 @@ def audit_key_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- round 14: order-total reconciliation census -----------------------------
+
+
+@query(
+    "audit_order_total_reconciliation",
+    oracle="""
+    WITH rec AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rc
+        FROM lineitem GROUP BY 1),
+    j AS (
+        SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS tc,
+               r.rc
+        FROM orders o LEFT JOIN rec r ON o.o_orderkey = r.l_orderkey
+        WHERE o.o_totalprice IS NOT NULL AND o.o_totalprice > 0),
+    d AS (
+        SELECT CASE WHEN rc IS NULL THEN -1
+                    WHEN abs(rc - tc) = 0 THEN 0
+                    ELSE length(bin(abs(rc - tc) * 1000000 // tc))
+               END AS band,
+               CASE WHEN rc IS NULL THEN NULL
+                    ELSE abs(rc - tc) * 1000000 // tc END AS dev_ppm
+        FROM j)
+    SELECT CAST(band AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(dev_ppm) AS BIGINT) AS min_dev_ppm,
+           CAST(MAX(dev_ppm) AS BIGINT) AS max_dev_ppm
+    FROM d GROUP BY 1 ORDER BY band
+    """,
+)
+def audit_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-vs-rollup reconciliation census: every order's stored total
+    against the total RECOMPUTED from its line items
+    (Σ extendedprice·(1−discount)·(1+tax)), reported as a deviation-ppm
+    octave census — the cross-table consistency audit behind "can I
+    trust the denormalized column", with band −1 counting orders that
+    have NO line items at all (a different defect class than a drifted
+    total). On THIS lake the synthetic generator does NOT maintain the
+    TPC-H invariant (deviations span 63 ppm to 5.9e8 ppm, median
+    ~0.06%, plus 257 line-less orders at sf0.01) — so the census
+    carries real distribution mass at every natural SF, and the audit
+    reports it rather than thresholding (the Benford convention).
+
+    Cross-engine mechanics: both sides quantize to exact CENTS via one
+    fixed IEEE dag per row (floor(x·100 + 0.5) — the Benford digit
+    convention); the per-order sum and the deviation ppm are exact
+    integer arithmetic on non-negative operands throughout.
+
+    Scale shape: one map-side-combined lineitem aggregate keyed on
+    l_orderkey, one equi join to orders on the SAME key (co-partitioned
+    at scale; AQE picks broadcast below threshold), then a ≤ ~35-group
+    census collapse. Output is constant-size at any corpus.
+    """
+    rec = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lc"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("lc").cast("long").alias("rc"))
+    )
+    j = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0))
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("tc"),
+        )
+        .join(rec, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    )
+    dev = F.expr("abs(rc - tc) * CAST(1000000 AS BIGINT) div tc")
+    band = (
+        F.when(F.col("rc").isNull(), F.lit(-1))
+        .when(F.expr("abs(rc - tc)") == 0, F.lit(0))
+        .otherwise(F.length(F.conv(dev.cast("string"), 10, 2)))
+        .cast("int")
+    )
+    dev_ppm = F.when(F.col("rc").isNull(), F.lit(None).cast("long")).otherwise(
+        dev.cast("long")
+    )
+    return (
+        j.select(band.alias("band"), dev_ppm.alias("dev_ppm"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("dev_ppm").cast("long").alias("min_dev_ppm"),
+            F.max("dev_ppm").cast("long").alias("max_dev_ppm"),
+        )
+        .orderBy("band")
+    )

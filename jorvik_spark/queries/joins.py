@@ -2558,3 +2558,123 @@ def join_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("attributed_to")
     )
+
+
+# --- round 14: linear multi-touch attribution --------------------------------
+
+
+@query(
+    "join_attribution_linear",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    p AS (SELECT user_id, event_id AS purchase_id, t AS tp,
+                 CAST(floor(coalesce(value, 0) * 1000000 + 0.5) AS BIGINT)
+                     AS vu
+          FROM ev WHERE event_type = 'purchase'),
+    tc AS (SELECT user_id, event_type AS channel, t AS tt
+           FROM ev WHERE event_type IN ('view', 'click')),
+    pc AS (
+        SELECT p.purchase_id, p.vu, tc.channel, COUNT(*) AS nc
+        FROM p JOIN tc ON tc.user_id = p.user_id
+                      AND tc.tt < p.tp
+                      AND p.tp - tc.tt
+                          <= CAST({_ATTRIB_WINDOW_S} AS BIGINT) * 1000000
+        GROUP BY 1, 2, 3),
+    kk AS (SELECT purchase_id, vu, channel, nc,
+                  SUM(nc) OVER (PARTITION BY purchase_id) AS k
+           FROM pc),
+    credits AS (
+        SELECT channel, vu * nc // k AS cu FROM kk
+        UNION ALL
+        SELECT 'none', vu FROM p
+        WHERE NOT EXISTS (SELECT 1 FROM pc
+                          WHERE pc.purchase_id = p.purchase_id))
+    SELECT channel AS attributed_to,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cu) AS HUGEINT) / 1000000.0 AS credit_value
+    FROM credits GROUP BY 1 ORDER BY attributed_to
+    """,
+)
+def join_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: every purchase's revenue splits
+    EQUALLY across all views/clicks inside its 1-hour lookback (or
+    lands whole in the 'none' direct-traffic bucket) — the fractional
+    complement of ``join_attribution_last_touch``, and the comparison a
+    marketing team runs to see how much credit last-touch steals from
+    upper-funnel views. Per channel: how many purchases credited it at
+    all, and the exact credited revenue mass.
+
+    Cross-engine mechanics: per (purchase, channel) the credit is
+    vu·n_channel div k in exact integer micro-units (k = total touches
+    in the window), so the per-purchase truncation is < k micro-units
+    and identical on both engines; the channel totals sum the exact
+    integers (DECIMAL(38,0)/HUGEINT) and unscale once. Strict-precede
+    (touch < purchase) breaks same-timestamp ties exactly as the
+    last-touch form.
+
+    Scale shape: unlike last-touch (one carry-forward WindowExec),
+    linear needs the per-purchase touch SET — the candidate join is
+    hour-BUCKETED exactly like ``join_nearest_event`` (each purchase
+    probes its bucket ±1; a candidate pair meets once, in the touch's
+    bucket; the (user, bucket) key splits hot users across time), the
+    per-purchase channel rollup is a map-combined aggregate, and k
+    comes from a window over the ≤|channels| aggregated rows per
+    purchase — never over raw touches. The 'none' bucket is a LEFT
+    ANTI join on purchase_id.
+    """
+    W_US = _ATTRIB_WINDOW_S * 1_000_000
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("tp"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("vu"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("tt"),
+        F.expr(f"unix_micros(ts) div {W_US}").alias("bucket"),
+    )
+    probes = p.select(
+        "user_id",
+        "purchase_id",
+        "tp",
+        "vu",
+        F.explode(
+            F.expr(f"sequence(tp div {W_US} - 1, tp div {W_US})")
+        ).alias("bucket"),
+    )
+    pc = (
+        probes.join(t, ["user_id", "bucket"])
+        .filter((F.col("tt") < F.col("tp")) & (F.col("tp") - F.col("tt") <= W_US))
+        .groupBy("purchase_id", "vu", "channel")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    w_k = Window.partitionBy("purchase_id")
+    credited = pc.withColumn("k", F.sum("nc").over(w_k)).select(
+        "channel",
+        F.expr("vu * nc div k").alias("cu"),
+    )
+    none = (
+        p.join(pc.select("purchase_id").distinct(), "purchase_id", "left_anti")
+        .select(F.lit("none").alias("channel"), F.col("vu").alias("cu"))
+    )
+    return (
+        credited.unionByName(none)
+        .groupBy(F.col("channel").alias("attributed_to"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            (F.sum(F.col("cu").cast("decimal(38,0)")) / F.lit(1_000_000.0))
+            .cast("double")
+            .alias("credit_value"),
+        )
+        .orderBy("attributed_to")
+    )

@@ -160,6 +160,11 @@ EVENT_QUERIES = [
     # null-ts rows, and the at-risk arithmetic must agree exactly on
     # the tiny dirty cohort.
     "agg_conversion_hazard",
+    # linear attribution: the event-3/4 same-ts tie is strict-precede
+    # (a touch AT the purchase instant never credits), null-value
+    # purchases credit zero mass, and the exact vu*nc div k split must
+    # agree on the dirty window's tiny k values.
+    "join_attribution_linear",
 ]
 
 

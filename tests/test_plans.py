@@ -1172,3 +1172,21 @@ def test_conversion_hazard_carries_one_row_per_user(spark):
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_reconciliation_joins_on_the_order_key(spark):
+    # one map-combined lineitem agg + one equi join on the order key —
+    # co-partitionable at scale, no nested loop anywhere
+    plan = _plan(spark, "audit_order_total_reconciliation")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_linear_attribution_is_bucketed_not_per_user(spark):
+    # candidates meet on (user, hour-bucket) like the nearest join; the
+    # k window runs over aggregated per-purchase channel rows only
+    plan = _plan(spark, "join_attribution_linear")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree

@@ -497,3 +497,73 @@ def test_conversion_hazard_at_risk_and_censoring(spark, tmp_path):
     assert got[6]["n_at_risk"] == 2 and got[6]["n_censored"] == 1
     assert got[6]["hazard_ppm"] == 0
     assert got[7]["n_at_risk"] == 1 and got[7]["hazard_ppm"] == 1_000_000
+
+
+def test_reconciliation_bands_exact_drift_and_missing_lines(spark, tmp_path):
+    """Exact recomputation lands in band 0; a known 1% drift lands in
+    its ppm octave; an order with no line items lands in band −1 with
+    NULL deviations."""
+    from jorvik_spark.queries import QUERIES
+
+    d = str(tmp_path / "recon")
+    os.makedirs(d, exist_ok=True)
+    # order 1: one line of 100.00 with 0 discount/tax -> exact match
+    # order 2: stored total 1% above the recomputed 200.00
+    # order 3: no lines at all
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [1, 1, 1],
+            "o_totalprice": [100.0, 202.0, 50.0],
+        }
+    ).to_parquet(f"{d}/orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 2],
+            "l_extendedprice": [100.0, 200.0],
+            "l_discount": [0.0, 0.0],
+            "l_tax": [0.0, 0.0],
+        }
+    ).to_parquet(f"{d}/lineitem.parquet")
+    got = {
+        r["band"]: r
+        for r in QUERIES["audit_order_total_reconciliation"](spark, d).collect()
+    }
+    assert got[0]["n_orders"] == 1 and got[0]["min_dev_ppm"] == 0
+    assert got[-1]["n_orders"] == 1 and got[-1]["min_dev_ppm"] is None
+    # |20200 - 20000| * 1e6 // 20200 = 9900 ppm -> 14 bits
+    assert got[14]["min_dev_ppm"] == 9900
+
+
+def test_linear_attribution_splits_credit_exactly(spark, tmp_path):
+    """A purchase with 2 views + 1 click in the hour splits its 9.0
+    revenue as view 2/3, click 1/3 (exact micro-unit division); a
+    touchless purchase credits 'none' in full; a touch outside the
+    window does not count."""
+    from jorvik_spark.queries import QUERIES
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    M = datetime.timedelta(minutes=1)
+    rows = [
+        (1, base + 0 * M, 1, "view", 1.0, None),
+        (2, base + 5 * M, 1, "view", 1.0, None),
+        (3, base + 10 * M, 1, "click", 1.0, None),
+        (4, base + 20 * M, 1, "purchase", 9.0, None),
+        (5, base, 2, "purchase", 4.0, None),  # no touches at all
+        (6, base, 3, "view", 1.0, None),
+        (7, base + 120 * M, 3, "purchase", 7.0, None),  # view too old
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "linattr")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, schema).write.parquet(f"{d}/events.parquet")
+    got = {
+        r["attributed_to"]: r
+        for r in QUERIES["join_attribution_linear"](spark, d).collect()
+    }
+    assert set(got) == {"view", "click", "none"}
+    assert got["view"]["credit_value"] == 6.0  # 9e6 * 2 div 3 = 6e6
+    assert got["click"]["credit_value"] == 3.0
+    assert got["none"]["credit_value"] == 11.0  # 4.0 + 7.0
+    assert got["none"]["n_purchases"] == 2
