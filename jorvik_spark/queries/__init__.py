@@ -38,10 +38,18 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 #     window_moving_avg, window_sessionize, stream_tumbling_agg,
 #     stream_session_window) lead the round-15 rotation.
 #   * Operators NEW in round 14 are staged BEHIND the r9 backlog for
-#     the r15 prefix (LOCAL_PARITY + manual sf0.001/0.01 parity at
-#     birth — the gap_census pattern): draining the two-round-old
-#     evidence cohort outranks birth rows this round because
-#     14 + 49 > 50 already.
+#     the r15 prefix (LOCAL_PARITY_r14 at sf0.01 AND the sf0.1 sweep
+#     both hash-green at birth): draining the two-round-old evidence
+#     cohort outranks birth rows this round because 14 + 49 > 50.
+#     Staged round-15 list: the 13 r9-age leftovers above FIRST, then
+#     the 14 round-14 newcomers — text_bpe_pair_counts,
+#     window_pettitt_changepoint, audit_key_density,
+#     embed_sqnorm_octave_census, text_readability_ari,
+#     text_gibberish_score, agg_funnel_windowed, graph_kcore_peel3,
+#     sample_lm_importance, simsearch_hamming_topk,
+#     agg_conversion_hazard, audit_order_total_reconciliation,
+#     join_attribution_linear, window_holt_smooth — then the r10
+#     cohort in CORRECTNESS_r10 order (13 + 14 + 23 = 50).
 #   * Still excluded: text_bpe_train (rows-only by contract — iterative
 #     BPE merge table; its corpus-pass core gains a hash-mode companion
 #     this round, text_bpe_pair_counts, which DOES hold a slot via the

@@ -3168,3 +3168,139 @@ def window_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- round 14: Holt double-exponential (level + trend) smoothing ------------
+
+# Binary-fraction smoothing constants (exactly representable doubles —
+# the EWMA discipline extended to a 2-component state) and the same
+# bounded re-init frame as the EWMA.
+_HOLT_ALPHA = 0.25
+_HOLT_BETA = 0.125
+_HOLT_FRAME = 15  # preceding rows in the fold frame
+
+
+@query(
+    "window_holt_smooth",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                    AS DOUBLE) AS vu
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND user_id IS NOT NULL AND event_type = 'purchase'),
+    framed AS (
+        SELECT user_id, event_id, t,
+               list(vu) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS BETWEEN {_HOLT_FRAME} PRECEDING
+                              AND CURRENT ROW) AS lst
+        FROM ev),
+    folded AS (
+        SELECT user_id, event_id, t, len(lst) AS n_in_frame,
+               list_reduce(
+                   list_transform(lst, x -> [x, CAST(0 AS DOUBLE)]),
+                   (acc, x) -> [
+                       CAST({_HOLT_ALPHA} AS DOUBLE) * x[1]
+                           + CAST({1 - _HOLT_ALPHA} AS DOUBLE)
+                             * (acc[1] + acc[2]),
+                       CAST({_HOLT_BETA} AS DOUBLE)
+                           * (CAST({_HOLT_ALPHA} AS DOUBLE) * x[1]
+                              + CAST({1 - _HOLT_ALPHA} AS DOUBLE)
+                                * (acc[1] + acc[2]) - acc[1])
+                           + CAST({1 - _HOLT_BETA} AS DOUBLE) * acc[2]
+                   ]) AS st
+        FROM framed)
+    SELECT user_id, event_id, CAST(t AS BIGINT) AS t,
+           CAST(n_in_frame AS INTEGER) AS n_in_frame,
+           CAST(floor(st[1] + 0.5) AS BIGINT) AS level_u,
+           CAST(floor(st[2] + 0.5) AS BIGINT) AS trend_u,
+           CAST(floor(st[1] + st[2] + 0.5) AS BIGINT) AS forecast_u
+    FROM folded ORDER BY user_id, t, event_id
+    """,
+)
+def window_holt_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of each user's purchase
+    values: level AND trend state per event, plus the one-step-ahead
+    forecast (level + trend) — the next rung above the EWMA for ops
+    baselines (an EWMA permanently lags a ramping series; Holt's trend
+    component absorbs the ramp, so the forecast column is the number an
+    alerting threshold should actually compare against).
+
+    Cross-engine exactness, the EWMA discipline extended to a
+    2-component state: the recursion re-initializes at the head of a
+    bounded 16-event frame (level = first value, trend = 0) and folds
+    LEFT over the frame in (t, event_id) order on BOTH engines — Spark
+    ``F.aggregate`` with a 2-element ARRAY accumulator, DuckDB
+    ``list_reduce`` over a list-transformed list. The accumulator is a
+    LIST, not a struct, deliberately: DuckDB assigns a struct
+    literal's fields SEQUENTIALLY into the lambda accumulator, so a
+    trend field referencing ``acc.l`` reads the already-updated level
+    (measured: the struct form diverges from the reference fold at the
+    third element; the list form is bit-identical). Explicit DOUBLE
+    casts everywhere — DuckDB parses bare numeric literals as DECIMAL.
+    α = 1/4 and β = 1/8 are exactly-representable binary fractions, so
+    both engines execute the identical IEEE double sequence and the
+    micro-unit floors can never straddle an ulp.
+
+    Scale shape: identical to the EWMA — one user-keyed sort exchange,
+    a bounded 16-element fold per row (state O(frame)), row-per-event
+    pipelined output, no second shuffle and no presentation sort.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .cast("double")
+            .alias("vu"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(-_HOLT_FRAME, Window.currentRow)
+    )
+    framed = ev.withColumn("lst", F.collect_list("vu").over(w))
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+
+    def _step(acc, x):
+        # acc[1] = level, acc[2] = trend (1-based element_at); the
+        # trend expression re-derives the new level inline so neither
+        # engine's evaluation order can alias old/new state
+        lvl = F.element_at(acc, 1)
+        trd = F.element_at(acc, 2)
+        new_l = x * F.lit(a) + (lvl + trd) * F.lit(1 - a)
+        new_b = (new_l - lvl) * F.lit(b) + trd * F.lit(1 - b)
+        return F.array(new_l, new_b)
+
+    st = F.aggregate(
+        F.slice(F.col("lst"), 2, F.size("lst") - 1),
+        F.array(F.element_at("lst", 1), F.lit(0.0)),
+        _step,
+    )
+    return framed.withColumn("st", st).select(
+        "user_id",
+        "event_id",
+        F.col("t").cast("long").alias("t"),
+        F.size("lst").cast("int").alias("n_in_frame"),
+        F.floor(F.element_at("st", 1) + F.lit(0.5))
+        .cast("long")
+        .alias("level_u"),
+        F.floor(F.element_at("st", 2) + F.lit(0.5))
+        .cast("long")
+        .alias("trend_u"),
+        F.floor(F.element_at("st", 1) + F.element_at("st", 2) + F.lit(0.5))
+        .cast("long")
+        .alias("forecast_u"),
+    )

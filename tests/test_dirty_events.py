@@ -165,6 +165,11 @@ EVENT_QUERIES = [
     # purchases credit zero mass, and the exact vu*nc div k split must
     # agree on the dirty window's tiny k values.
     "join_attribution_linear",
+    # Holt: the 2-component fold re-inits on the dirty stream's short
+    # frames (single-purchase users = level only, trend 0) and must
+    # break the event-3/4 same-ts tie identically inside the frame
+    # list; null-value purchases stay out of scope like the EWMA.
+    "window_holt_smooth",
 ]
 
 

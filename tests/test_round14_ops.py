@@ -567,3 +567,41 @@ def test_linear_attribution_splits_credit_exactly(spark, tmp_path):
     assert got["click"]["credit_value"] == 3.0
     assert got["none"]["credit_value"] == 11.0  # 4.0 + 7.0
     assert got["none"]["n_purchases"] == 2
+
+
+def test_holt_tracks_a_linear_ramp(spark, tmp_path):
+    """On a clean linear ramp the Holt forecast converges onto the next
+    value (trend component absorbs the slope) while its trend state
+    approaches the true step — the property that distinguishes it from
+    the permanently-lagging EWMA."""
+    from jorvik_spark.queries import QUERIES
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (i + 1, base + datetime.timedelta(minutes=i), 1, "purchase",
+         100.0 + 10.0 * i, None)
+        for i in range(16)
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "holt")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, schema).write.parquet(f"{d}/events.parquet")
+    out = {
+        r["event_id"]: r
+        for r in QUERIES["window_holt_smooth"](spark, d).collect()
+    }
+    last = out[16]
+    assert last["n_in_frame"] == 16
+    # true next value is 100 + 10*16 = 260 -> 260e6 micro; the ramp's
+    # step is 10e6. Holt converges toward both; EWMA's level alone
+    # would sit several steps behind.
+    assert last["trend_u"] > 7_000_000
+    assert abs(last["forecast_u"] - 260_000_000) < 10_000_000  # within 1 step
+    ewma = {
+        r["event_id"]: r
+        for r in QUERIES["window_ewma_smooth"](spark, d).collect()
+    }
+    assert abs(last["forecast_u"] - 260_000_000) < abs(
+        ewma[16]["ewma_u"] - 260_000_000
+    )
