@@ -57,7 +57,9 @@ from jorvik_spark.queries.windows import (  # noqa: E402
     window_cusum_changepoints,
     window_diurnal_profile,
     window_flatline_runs,
+    window_holt_smooth,
     window_intervals_merge,
+    window_pettitt_changepoint,
     window_seasonal_residual_census,
 )
 
@@ -101,6 +103,27 @@ def monitor(spark: SparkSession, sf_dir: str) -> dict:
         for r in residual
         if r["band"] is not None and (r["band"] >= 3 or r["band"] <= -4)
     )
+    # Round-14 layer: WHERE did a stream shift (Pettitt's nonparametric
+    # change point — CUSUM says "a drift exists", Pettitt dates it and
+    # shrugs off the outliers the z/MAD screens flag), and the
+    # forecast-miss screen (Holt's trend-aware one-step forecast vs the
+    # event that actually arrived — the alert threshold that doesn't
+    # permanently lag a ramping series the way a plain EWMA does).
+    pettitt = window_pettitt_changepoint(spark, sf_dir).collect()
+    strongest = max(pettitt, key=lambda r: (r["k2"], -r["user_id"]))
+    holt = window_holt_smooth(spark, sf_dir).collect()
+    # per user: compare each event's value to the PREVIOUS event's
+    # forecast (that is what "one-step-ahead" means operationally)
+    by_user: dict = {}
+    for r in sorted(holt, key=lambda r: (r["user_id"], r["t"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    forecast_misses = 0
+    for rows_u in by_user.values():
+        for prev, cur in zip(rows_u, rows_u[1:]):
+            f = prev["forecast_u"]
+            lvl = cur["level_u"]  # smoothed arrival, micro units
+            if f > 0 and abs(lvl - f) * 2 > f:  # >50% miss
+                forecast_misses += 1
     return {
         "suggested_watermark": watermark,
         "zscore_users": len(z_users),
@@ -118,6 +141,10 @@ def monitor(spark: SparkSession, sf_dir: str) -> dict:
         "purchases_in_error_windows": overlap_pairs,
         "quietest_cell": quietest[:2],
         "seasonal_outlier_events": seasonal_outlier_events,
+        "pettitt_users": len(pettitt),
+        "strongest_shift_user": int(strongest["user_id"]),
+        "strongest_shift_k": int(strongest["k2"]),
+        "forecast_misses_gt50pct": forecast_misses,
     }
 
 

@@ -1677,3 +1677,130 @@ def running_autocorr(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_holt(
+    df: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Online Holt level+trend smoother — the LIVE stateful sibling of
+    the batch ``window_holt_smooth`` query (round 14), following the
+    ``running_ewma`` pattern exactly: state per key is ONLY the
+    bounded ≤ _HOLT_FRAME+1-value ring (the ring IS the frame), each
+    event re-runs the identical left fold over at most 16 doubles with
+    the 2-element list accumulator, so live and batch agree
+    bit-for-bit on level_u/trend_u/forecast_u (tests pin row equality
+    across a kill-and-resume). Batch input delegates to the identical
+    declarative window form instead of raising — the documented
+    running_* convention.
+    """
+    from pyspark.sql import Window
+
+    from jorvik_spark.queries.windows import _HOLT_ALPHA, _HOLT_BETA, _HOLT_FRAME
+
+    filtered = df.filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col(key_col).isNotNull()
+        & (F.col("event_type") == "purchase")
+    ).select(
+        key_col,
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .cast("double")
+        .alias("vu"),
+    )
+    if not df.isStreaming:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(-_HOLT_FRAME, Window.currentRow)
+        )
+        framed = filtered.withColumn("lst", F.collect_list("vu").over(w))
+        a, b = _HOLT_ALPHA, _HOLT_BETA
+
+        def _step(acc, x):
+            lvl = F.element_at(acc, 1)
+            trd = F.element_at(acc, 2)
+            new_l = x * F.lit(a) + (lvl + trd) * F.lit(1 - a)
+            new_b = (new_l - lvl) * F.lit(b) + trd * F.lit(1 - b)
+            return F.array(new_l, new_b)
+
+        st = F.aggregate(
+            F.slice(F.col("lst"), 2, F.size("lst") - 1),
+            F.array(F.element_at("lst", 1), F.lit(0.0)),
+            _step,
+        )
+        return framed.withColumn("st", st).select(
+            key_col,
+            "event_id",
+            F.col("ts_us").cast("long").alias("t"),
+            F.size("lst").cast("int").alias("n_in_frame"),
+            F.floor(F.element_at("st", 1) + F.lit(0.5))
+            .cast("long")
+            .alias("level_u"),
+            F.floor(F.element_at("st", 2) + F.lit(0.5))
+            .cast("long")
+            .alias("trend_u"),
+            F.floor(
+                F.element_at("st", 1) + F.element_at("st", 2) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("forecast_u"),
+        )
+
+    alpha, beta, frame = _HOLT_ALPHA, _HOLT_BETA, _HOLT_FRAME
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        ring = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        out = {k: [] for k in ("eid", "t", "n", "l", "b", "f")}
+        for _, row in rows.iterrows():
+            ring.append(float(row["vu"]))
+            if len(ring) > frame + 1:
+                ring.pop(0)
+            # identical left fold as the batch window's F.aggregate
+            lvl, trd = ring[0], 0.0
+            for x in ring[1:]:
+                new_l = x * alpha + (lvl + trd) * (1 - alpha)
+                trd = (new_l - lvl) * beta + trd * (1 - beta)
+                lvl = new_l
+            out["eid"].append(int(row["event_id"]))
+            out["t"].append(int(row["ts_us"]))
+            out["n"].append(len(ring))
+            out["l"].append(int(math.floor(lvl + 0.5)))
+            out["b"].append(int(math.floor(trd + 0.5)))
+            out["f"].append(int(math.floor(lvl + trd + 0.5)))
+        state.update((ring,))
+        yield pd.DataFrame(
+            {
+                key_col: pd.array([key[0]] * len(out["eid"]), dtype="Int64"),
+                "event_id": pd.array(out["eid"], dtype="Int64"),
+                "t": pd.array(out["t"], dtype="Int64"),
+                "n_in_frame": pd.array(out["n"], dtype="Int32"),
+                "level_u": pd.array(out["l"], dtype="Int64"),
+                "trend_u": pd.array(out["b"], dtype="Int64"),
+                "forecast_u": pd.array(out["f"], dtype="Int64"),
+            }
+        )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return filtered.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, event_id long, t long, n_in_frame int,"
+            " level_u long, trend_u long, forecast_u long"
+        ),
+        stateStructType="ring array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -44,3 +44,13 @@ def test_monitor_seasonal_layer(spark):
     # deseasonalized anomaly mass exists and is a small fraction of the
     # corpus (bands are |z| >= 3-ish tails)
     assert report["seasonal_outlier_events"] >= 0
+
+
+def test_monitor_shift_and_forecast_layer(spark):
+    report = monitor(spark, default_sf_dir())
+    # Pettitt runs on every >= 3-event purchase stream and elects a
+    # strongest shift with a positive statistic on the synthetic corpus
+    assert report["pettitt_users"] > 0
+    assert report["strongest_shift_k"] > 0
+    assert report["strongest_shift_user"] >= 0
+    assert report["forecast_misses_gt50pct"] >= 0

@@ -869,3 +869,114 @@ def test_peak_concurrency_law(spark, offsets):
         for r in QUERIES["window_peak_concurrency"](spark, d).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    series=st.lists(
+        st.integers(-10_000, 10_000), min_size=3, max_size=40
+    )
+)
+def test_pettitt_matches_bruteforce_mannwhitney(spark, series):
+    """Law behind window_pettitt_changepoint: for any series, the
+    reported (t*, K) equal the brute-force Pettitt statistic
+    K = max_t |Σ_{i≤t}Σ_{j>t} sgn(x_i − x_j)| with the smallest-t
+    tie-break — doubled midranks are an implementation detail the
+    brute force never sees."""
+    import tempfile
+
+    import pandas as pd
+
+    from jorvik_spark.queries import QUERIES
+
+    d = tempfile.mkdtemp(prefix="pettitt_prop_")
+    base = 1_700_000_000_000_000  # µs epoch
+    pd.DataFrame(
+        {
+            "event_id": range(1, len(series) + 1),
+            "ts": pd.to_datetime(
+                [base + i * 60_000_000 for i in range(len(series))], unit="us"
+            ),
+            "user_id": [1] * len(series),
+            "event_type": ["purchase"] * len(series),
+            "value": [float(v) for v in series],
+            "props": [None] * len(series),
+        }
+    ).to_parquet(f"{d}/events.parquet")
+
+    n = len(series)
+    best_k, best_t = -1, None
+    for t in range(1, n):
+        u = sum(
+            (series[i] > series[j]) - (series[i] < series[j])
+            for i in range(t)
+            for j in range(t, n)
+        )
+        if abs(u) > best_k:
+            best_k, best_t = abs(u), t
+    rows = QUERIES["window_pettitt_changepoint"](spark, d).collect()
+    assert len(rows) == 1
+    assert (rows[0]["t_star"], rows[0]["k2"]) == (best_t, best_k)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0,
+                max_value=4.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=64,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_hamming_topk_matches_bruteforce_popcount(spark, vecs):
+    """Law behind simsearch_hamming_topk: for arbitrary (short, odd,
+    zero) vectors, every reported distance equals the brute-force
+    popcount over positional sign bits of the first 64 dims, and the
+    ranking respects the (distance, candidate_id) total order."""
+    import tempfile
+
+    import pandas as pd
+
+    from jorvik_spark.queries import QUERIES
+
+    d = tempfile.mkdtemp(prefix="ham_prop_")
+    pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [list(map(float, v)) for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    ).to_parquet(f"{d}/embeddings.parquet")
+
+    def bits(v):
+        return {i for i, x in enumerate(v[:64]) if x > 0}
+
+    got = QUERIES["simsearch_hamming_topk"](spark, d).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows_q in by_q.items():
+        bq = bits(vecs[q])
+        for r in rows_q:
+            bc = bits(vecs[r["candidate_id"]])
+            assert r["hamming"] == len(bq ^ bc)
+        ranked = sorted(rows_q, key=lambda r: r["rnk"])
+        keys = [(r["hamming"], r["candidate_id"]) for r in ranked]
+        assert keys == sorted(keys)

@@ -605,3 +605,53 @@ def test_holt_tracks_a_linear_ramp(spark, tmp_path):
     assert abs(last["forecast_u"] - 260_000_000) < abs(
         ewma[16]["ewma_u"] - 260_000_000
     )
+
+
+def test_running_holt_matches_batch_across_restart(spark, tmp_path):
+    """The live Holt smoother must equal its batch window form
+    bit-for-bit, with the ≤16-value ring surviving a kill mid-stream:
+    the post-cut folds are right only if the ring came back exactly
+    from the checkpoint."""
+    from jorvik_spark.streaming.ops import running_holt
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (i + 1, base + datetime.timedelta(minutes=i), 1 + (i % 2),
+         "purchase", 100.0 + 7.0 * i + (13.0 if i % 3 == 0 else 0.0), None)
+        for i in range(24)
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    src, dst, cp = (str(tmp_path / d) for d in ("src", "dst", "cp"))
+    cut = base + datetime.timedelta(minutes=11, seconds=30)
+    df.filter(F.col("ts") < cut).coalesce(1).write.parquet(f"{src}/p=a")
+
+    def drain_once() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/p=*")
+        )
+        q = (
+            running_holt(stream)
+            .writeStream.format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    drain_once()
+    df.filter(F.col("ts") >= cut).coalesce(1).write.parquet(f"{src}/p=b")
+    drain_once()
+
+    live = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    batch = sorted(tuple(r) for r in running_holt(df).collect())
+    assert live == batch
+    assert len(live) == 24
