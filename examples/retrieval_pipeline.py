@@ -330,7 +330,94 @@ def make_gold_topk(lake: str) -> ETL:
 
 
 def run_pipeline(sf_dir: str, lake: str) -> None:
-    """bronze → silver (index artifacts) → gold (served top-k)."""
+    """bronze → silver (index artifacts) → gold (served top-k + the
+    binary first stage off the sign index)."""
     make_bronze_embeddings(sf_dir, lake).run()
     make_silver_ann_index(lake).run()
     make_gold_topk(lake).run()
+    make_silver_sign_index(lake).run()
+    make_gold_hamming_topk(lake).run()
+
+
+# --- round 14: binarized first-stage (sign index) ---------------------------
+
+SIGN_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("w1", LongType()),
+        StructField("w2", LongType()),
+    ]
+)
+
+HAMMING_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("candidate_id", LongType()),
+        StructField("hamming", LongType()),
+        StructField("rnk", IntegerType()),
+    ]
+)
+
+
+def make_silver_sign_index(lake: str) -> ETL:
+    """Silver: the 16-byte-per-vector BINARY index — each vector's sign
+    bits packed into two 32-bit words with the engine's own positional
+    packing expression (``similarity.sign_pack_expr``, imported so the
+    persisted artifact can never drift from ``simsearch_hamming_topk``'s
+    geometry). One narrow map pass; no screen — Hamming needs no norm,
+    zero vectors pack to word 0 by design."""
+    from jorvik_spark.queries.similarity import sign_pack_expr
+
+    bronze = FileInput(path=f"{lake}/bronze/embeddings", schema=EMB_SCHEMA)
+    out = FileOutput(
+        path=f"{lake}/silver/sign_index", mode="overwrite", schema=SIGN_SCHEMA
+    )
+
+    @etl(bronze, out)
+    def build_sign_index(emb: DataFrame) -> DataFrame:
+        return _vectors(emb).select(
+            "vec_id",
+            F.expr(sign_pack_expr(0)).alias("w1"),
+            F.expr(sign_pack_expr(32)).alias("w2"),
+        )
+
+    return build_sign_index
+
+
+def make_gold_hamming_topk(lake: str) -> ETL:
+    """Gold: the binary FIRST-STAGE served from the persisted sign
+    index alone — XOR+popcount over 16 bytes/candidate, never touching
+    a float vector (the stage a 100 TB store runs on its cheap tier;
+    the shortlist then feeds the exact rerank exactly as the ADC path
+    does). Pinned row-equal to the engine's in-memory
+    ``simsearch_hamming_topk`` by the example test."""
+    from jorvik_spark.queries.similarity import _HAMMING_TOP_K
+
+    in_sign = FileInput(path=f"{lake}/silver/sign_index", schema=SIGN_SCHEMA)
+    gold = FileOutput(
+        path=f"{lake}/gold/hamming_topk",
+        mode="overwrite",
+        schema=HAMMING_SCHEMA,
+    )
+
+    @etl(in_sign, gold)
+    def serve_hamming(sign: DataFrame) -> DataFrame:
+        q = F.broadcast(
+            sign.filter(F.col("vec_id") < _N_QUERIES).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("w1").alias("q1"),
+                F.col("w2").alias("q2"),
+            )
+        )
+        dist = F.expr("bit_count(w1 ^ q1) + bit_count(w2 ^ q2)")
+        w = Window.partitionBy("query_id").orderBy("hamming", "candidate_id")
+        return (
+            sign.select(F.col("vec_id").alias("candidate_id"), "w1", "w2")
+            .join(q, F.col("candidate_id") != F.col("query_id"))
+            .withColumn("hamming", dist.cast("long"))
+            .withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= _HAMMING_TOP_K)
+            .select("query_id", "candidate_id", "hamming", "rnk")
+        )
+
+    return serve_hamming

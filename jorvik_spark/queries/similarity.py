@@ -2842,6 +2842,21 @@ def embed_sqnorm_octave_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HAMMING_TOP_K = 5
 
 
+def sign_pack_expr(lo: int) -> str:
+    """Positional sign-bit packing of ``v[lo+1 .. lo+32]`` into one
+    non-negative 32-bit word (SQL expression over the double array
+    ``v``). Module-level so the retrieval example's persisted sign
+    index can never drift from ``simsearch_hamming_topk``'s geometry
+    (the PQ/IVF constant-sharing convention)."""
+    return (
+        f"aggregate(transform(slice(v, {lo + 1}, 32),"
+        f" (x, i) -> IF(x > CAST(0 AS DOUBLE),"
+        f" shiftleft(CAST(1 AS BIGINT), 31 - i), CAST(0 AS BIGINT))),"
+        " CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+
+
+
 @query(
     "simsearch_hamming_topk",
     oracle=f"""
@@ -2906,18 +2921,10 @@ def simsearch_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index a 100 TB embedding store actually ships to its first-stage
     searchers.
     """
-    def pack(lo: int) -> str:
-        return (
-            f"aggregate(transform(slice(v, {lo + 1}, 32),"
-            f" (x, i) -> IF(x > CAST(0 AS DOUBLE),"
-            f" shiftleft(CAST(1 AS BIGINT), 31 - i), CAST(0 AS BIGINT))),"
-            " CAST(0 AS BIGINT), (a, b) -> a + b)"
-        )
-
     packed = _vec_double(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
-        F.expr(pack(0)).alias("w1"),
-        F.expr(pack(32)).alias("w2"),
+        F.expr(sign_pack_expr(0)).alias("w1"),
+        F.expr(sign_pack_expr(32)).alias("w2"),
     )
     q = F.broadcast(
         packed.filter(F.col("vec_id") < _N_QUERIES).select(

@@ -116,3 +116,25 @@ def test_served_equals_engine_on_degenerate_vectors(spark, tmp_path):
         ).collect()
     }
     assert served and served == engine
+
+
+def test_served_hamming_equals_engine_query(spark, lake):
+    """The binary first stage served from the persisted sign index must
+    be row-equal to the in-memory simsearch_hamming_topk — build-once
+    and compute-on-demand are the same answer (the two-phase serving
+    contract, extended to the binary tier)."""
+    import examples.retrieval_pipeline as pipe
+    from jorvik_spark.queries import QUERIES
+
+    lk, sf_dir = lake, SF_DIR
+    pipe.make_silver_sign_index(lk).run()
+    pipe.make_gold_hamming_topk(lk).run()
+    served = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{lk}/gold/hamming_topk").collect()
+    )
+    engine = sorted(
+        tuple(r)
+        for r in QUERIES["simsearch_hamming_topk"](spark, sf_dir).collect()
+    )
+    assert served == engine
