@@ -41,11 +41,14 @@ intermediates (tokenized docs, shingle index) per session by design, so
 after the warm-up the measured time is the operator's marginal cost over
 a hot corpus cache — the steady-state regime a pipeline runs in. The
 headline six build everything fresh per run (no memoized stages).
-Since round 14 the JSON also carries "queries_2c_cold" (report-only):
+Since round 14 the run also measures "queries_2c_cold" (report-only):
 each §2C shape run ONCE from a cleared memo state, so a regression in
 the one-time build stages (tokenizer materialization, shingle index,
 IVF quantizer) is visible round-over-round instead of hiding behind the
-warm gate (r13 verdict item #4; cold/warm ratios in PROFILE.md).
+warm gate (r13 verdict item #4; cold/warm ratios in PROFILE.md). Since
+round 15 the cold pass, the per-cohort times, and the full per-flag
+adjudication rows ride the BENCH_DETAIL stderr line (and PROFILE.md);
+stdout stays under the driver's 2000-char tail capture.
 """
 
 from __future__ import annotations
@@ -87,22 +90,22 @@ BENCH_2C_QUERIES = {
     "c_bloom": "decontaminate_bloom",
 }
 
-# Round-7 sf0.1 medians (BENCH_r07.json) — the §2C regression reference.
-GATE_2C_REF = {
-    "c_dedup_banded": 0.2035,
-    "c_simsearch": 0.5385,
-    "c_pack": 0.6486,
-    "c_tokstats": 0.0749,
-    # RE-PINNED mid-round-13: the round-13 hash-spread centroid seed
-    # changes the shared IVF cell geometry ivfpq probes (the same
-    # algorithm-change justification as r12_sweep), on top of the host
-    # drift documented in PROFILE.md "Round 13 — cross-round host
-    # drift" (three clean captures measured 1.3-1.8x the round-7 pin
-    # on unchanged probe code).
-    "c_ivfpq": 0.65,  # was 0.3884 (r7 host, first-K-by-id seed)
-    "c_passage": 0.6037,
-    "c_bloom": 0.7169,
-}
+# Gate reference seconds live in PINS.json (round-14 verdict item #3):
+# one entry per gated label with the measurement provenance (method,
+# source artifact, run list where recorded, date, load window, session
+# type, superseded value, justification). The dicts in this file are
+# cohort MEMBERSHIP only; tests/test_pins.py asserts the two stay in
+# sync. Re-pin history that used to live in comments here moved to the
+# corresponding PINS.json "reason"/"old_ref" fields.
+with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "PINS.json")) as _fh:
+    _PINS = json.load(_fh)["gates"]
+
+
+def _pins_ref(gate_key: str) -> dict:
+    return {lb: p["ref"] for lb, p in _PINS[gate_key]["pins"].items()}
+
+
+GATE_2C_REF = _pins_ref("2c")
 _GATE_2C_LIMIT = 1.5
 # Cohort-drift normalization floor: the cohort median must itself show
 # uniform inflation before ratio-to-cohort-median can exonerate a flag
@@ -162,17 +165,9 @@ BENCH_R10_QUERIES = {
     "r10_shards": "multimodal_shard_manifest",
 }
 
-# Round-8 sf0.1 medians (BENCH_r08.json) — the r8-cohort regression
-# reference, same limit and adjudication mechanism as the §2C gate.
-GATE_R8_REF = {
-    "r8_q6": 0.2158,
-    "r8_q13": 0.3977,
-    "r8_q18": 0.5376,
-    "r8_q19": 0.3508,
-    "r8_novelty": 0.6414,
-    "r8_recall": 0.682,
-    "r8_dedup_impact": 0.3955,
-}
+# Round-8 sf0.1 medians — the r8-cohort regression reference, same
+# limit and adjudication mechanism as the §2C gate.
+GATE_R8_REF = _pins_ref("r8")
 
 # Round-11 additions, gated from round 12 against their round-11
 # quiet-capture medians (the standard cohort lifecycle). Representatives per new shape:
@@ -214,55 +209,9 @@ BENCH_R12_QUERIES = {
     "r12_pkaudit": "audit_primary_keys",
 }
 
-# Round-12 sf0.1 medians (BENCH_r12.json, the driver's own capture —
-# the same values the round-12 VERDICT lists as the pin source) — the
-# r12-cohort regression reference, pinned in round 13 after one
-# report-only round (standard cohort lifecycle). graph_connected_
-# components changed algorithm in round 13 (diameter-bounded label
-# propagation → O(log n) star contraction) but holds its r12 ref
-# comfortably (0.119 s = 1.04× on the first r13 capture), so no
-# re-pin was needed.
-GATE_R12_REF = {
-    # RE-PINNED mid-round-13 (host oscillation; PROFILE.md round-13):
-    # quiet medians 0.85/1.06/1.22/1.27 s across four clean captures on
-    # unchanged code — the old 1.21 s gate line sat inside the
-    # oscillation band and flapped every other run.
-    "r12_iivf": 1.14,  # was 0.8047 (r12 loaded driver capture)
-    # RE-PINNED round 14 (r13 verdict item #2) after first OPTIMIZING
-    # the query: the per-purchase top-1 was rewritten from a rank
-    # window to a map-side-combined min(struct) reduction (joins.py,
-    # measured ~20% faster deep-warm: 0.617 vs 0.772), yet the shape
-    # still measured 1.65-1.74x the old pin across THREE time-
-    # decorrelated quiet windows (loads 2.2-3.1) in the round-14
-    # captures — the old 0.2741 came from the r12 host, and PROFILE.md
-    # documents the join-heavy class running 1.5-1.7x on this
-    # container. Pinned at the current algorithm's fresh-session
-    # deep-warm quiet 5-run median: 0.6543 [0.818, 0.661, 0.606,
-    # 0.629, 0.654] (2026-08-16); long-lived bench sessions measure
-    # 0.45-0.48, well inside.
-    "r12_nearest": 0.65,  # was 0.2741 (r12 host, rank-window algorithm)
-    "r12_interp": 1.2247,
-    # sweep/zipf/overlap RE-PINNED mid-round-13 (host drift + one
-    # algorithm change; PROFILE.md "Round 13 — cross-round host drift"):
-    # the round-13 container runs the tokenize/explode/self-join class
-    # ~1.7-2.7x slower than the round-12 host on UNCHANGED code (proven
-    # by a clean checkout of the pre-change commit on an idle machine,
-    # 0% steal, deep-warm medians), while scan/window/fixpoint shapes
-    # (cc, lateness, runcensus, iivf) sit exactly on their r12 refs.
-    # sweep additionally changed algorithm this round (hash-spread
-    # centroid seed -> different cell geometry). Old refs in comments.
-    "r12_sweep": 1.85,  # was 1.1166 (r12 host, first-K-by-id seed)
-    "r12_zipf": 0.73,  # was 0.3274 (r12 host)
-    "r12_cc": 0.1142,
-    "r12_overlap": 1.57,  # was 0.8238 (r12 host)
-    "r12_lateness": 0.3398,
-    "r12_runcensus": 0.4619,
-    # RE-PINNED mid-round-13 (host drift, audits.py unchanged since the
-    # r12 pin): measured 1.33/1.58/1.84 s quiet medians across three
-    # clean captures — the minutes-scale oscillation documented in
-    # PROFILE.md straddles the old 1.58 s gate line every other run.
-    "r12_pkaudit": 1.65,  # was 1.0507 (r12 host)
-}
+# Round-12 cohort regression reference (pin provenance incl. the
+# round-13 host-drift re-pins: PINS.json).
+GATE_R12_REF = _pins_ref("r12")
 
 # Round-13 additions, gated from round 14 against their round-14
 # opening captures (the standard cohort lifecycle; the driver's r13
@@ -279,18 +228,10 @@ BENCH_R13_QUERIES = {
     "r13_quantruns": "window_flatline_quantized",
 }
 
-GATE_R13_REF = {
-    "r13_ewma": 0.4514,
-    "r13_rollmed": 0.41,
-    "r13_bootstrap": 5.5335,
-    "r13_heaps": 0.6953,
-    "r13_drawdown": 0.3311,
-    "r13_purity": 0.7111,
-    "r13_quantruns": 0.6345,
-}
+GATE_R13_REF = _pins_ref("r13")
 
-# Round-14 additions, report-only this round (first measurements here,
-# pinned into a gate_r14 next round — the standard cohort lifecycle).
+# Round-14 additions, gated from round 15 against their round-14
+# first measurements (the standard cohort lifecycle).
 # Representatives per new shape family: the four-window rank fold, the
 # 3-round unrolled peel, the LM-score-reusing sampler, the windowed
 # funnel's shrinking join chain, and the bucket-partitioned density
@@ -305,78 +246,39 @@ BENCH_R14_QUERIES: dict[str, str] = {
     "r14_keydensity": "audit_key_density",
 }
 
-# Round-11 sf0.1 medians (PROFILE.md round-11 final quiet capture,
-# load_avg 1.66) — the r11-cohort regression reference, pinned in
-# round 12 after one report-only round (standard cohort lifecycle).
-GATE_R11_REF = {
-    "r11_mad": 0.943,
-    # RE-PINNED mid-round-13: same host-drift evidence as the r12
-    # sweep/zipf/overlap re-pins (PROFILE.md "Round 13 — cross-round
-    # host drift") — the shingle inverted-index class runs ~1.8x slower
-    # on this round's container with dedup_containment_ngram UNCHANGED
-    # since its round-11 pin (git-verified).
-    "r11_containment": 5.63,  # was 2.680 (r11 host)
-    "r11_pps": 0.492,
-    "r11_ks": 0.300,
-    "r11_keyskew": 1.198,
-    "r11_intervals": 0.410,
+GATE_R14_REF = _pins_ref("r14")
+
+# Round-15 additions, report-only this round (first measurements here,
+# pinned into a gate_r15 next round — the standard cohort lifecycle).
+# Representatives per new shape family: the JL sketch's broadcast
+# projection, its pair-sampled distortion eval (DECIMAL accumulators),
+# the memoized-frontier BFS, the user-keyed Kendall pair join, the
+# two-level keyspace stride windows, and the cohort join + cumulative
+# window. The two narrower shapes (hapax census — the zipf/heaps
+# two-aggregate spine; epoch shuffle — explode + shard-local sort)
+# ride the stress profile instead (the r12 convention).
+BENCH_R15_QUERIES: dict[str, str] = {
+    "r15_rp16": "embed_rp16_sketch",
+    "r15_jldist": "embed_jl_distortion_census",
+    "r15_bfs": "graph_bfs_reach3",
+    "r15_kendall": "window_kendall_tau_trend",
+    "r15_gaps": "audit_orderkey_gap_census",
+    "r15_ltv": "agg_cohort_ltv",
 }
 
-# Round-9 sf0.1 medians (BENCH_r09.json) — the r9-cohort regression
-# reference, pinned in round 10 after one report-only round.
-GATE_R9_REF = {
-    "r9_stateful": 1.7119,
-    "r9_hitters": 0.0815,
-    "r9_hardneg": 0.4313,
-    "r9_sql": 0.621,
-    "r9_spearman": 0.9257,
-    "r9_compact": 0.7265,
-    "r9_rerank": 0.3746,
-    "r9_tfidf": 1.0155,
-}
+# Round-11 cohort regression reference (PROFILE.md round-11 final quiet
+# capture; containment re-pinned r13 — provenance in PINS.json).
+GATE_R11_REF = _pins_ref("r11")
 
-# Round-10 sf0.1 medians (BENCH_r10.json) — the r10-cohort regression
-# reference, pinned in round 11 after one report-only round. The r10
-# capture ran at load_avg 15.95; a quiet-load (1.66) round-11 re-run
-# reproduced every value within noise (PROFILE.md adjudication), so
-# these are honest references, with triangle's 12.3 s depending on the
-# deliberate degree-broadcast hint (see graphs.py — dropping it costs
-# 2.4×).
-GATE_R10_REF = {
-    # RE-PINNED mid-round-13 (host drift, same evidence trail as the
-    # r11/r12 re-pins): stable 12.3-12.9 s for three rounds, then
-    # 17.9-19.7 s on this round's container with graphs.py's wedge join
-    # unchanged — 1.46-1.6x, exactly the drift factor of the other
-    # join-heavy shapes. Left un-re-pinned it would flap right at the
-    # 1.5x limit every capture.
-    "r10_triangle": 18.87,  # was 12.3049 (r10 host)
-    # r10_knn / r10_semdedup RE-PINNED in round 12 (PROFILE.md
-    # adjudication): the shared IVF quantizer became corpus-adaptive
-    # (K = ceil(sqrt(n)); the round-11 verdict's headline item), which
-    # trades ~0.3 s of extra per-call fixed cost at the 2k-vector sf0.1
-    # scale for a 13x wall reduction at 20x (145 s -> 10.9 s) and a
-    # bounded n^1.5 instead of n^2/8 at 100 TB. The old refs (0.3448 /
-    # 0.315) measured the fixed-K=8 algorithm; these are the r12 quiet
-    # first-measurements (load < 1) of the adaptive one.
-    # r10_knn RE-PINNED round 14 (r13 verdict item #2): the round-13
-    # hash-spread centroid seed changed the shared IVF cell geometry —
-    # knn's Σ|cell|² pair work probes those cells — the SAME
-    # algorithm-change evidence that re-pinned c_ivfpq (0.3884→0.65)
-    # and r12_sweep mid-round-13, but knn's ref was never adjusted for
-    # it and flagged "regression" in the r13 judge capture (1.56-1.64x
-    # in two quiet windows). Pinned at this host's fresh-session
-    # deep-warm quiet 5-run median per the PROFILE.md precedent
-    # methodology: 1.1027 s [1.161, 1.124, 0.966, 0.788, 1.103]
-    # (2026-08-16, load 1.4-6.7); long-lived bench sessions measure
-    # 0.69-0.80, well inside.
-    "r10_knn": 1.10,  # was 0.665 (r12 capture, pre-hash-spread seed)
-    "r10_semdedup": 0.845,
-    "r10_passjoin": 0.3259,
-    "r10_asof_tol": 1.0819,
-    "r10_markov": 0.3642,
-    "r10_zscore": 0.3832,
-    "r10_shards": 0.581,
-}
+# Round-9 cohort regression reference, pinned in round 10.
+GATE_R9_REF = _pins_ref("r9")
+
+# Round-10 cohort regression reference, pinned in round 11. The r10
+# driver capture ran at load_avg 15.95; a quiet-load (1.66) round-11
+# re-run reproduced every value within noise (PROFILE.md), so these
+# are honest references; triangle/knn/semdedup re-pin provenance
+# (host drift + IVF algorithm changes) lives in PINS.json.
+GATE_R10_REF = _pins_ref("r10")
 
 N_RUNS = 3
 
@@ -453,6 +355,9 @@ def main() -> None:
     }
     times_r14 = {
         lb: timed(lb, qn) for lb, qn in BENCH_R14_QUERIES.items() if qn in QUERIES
+    }
+    times_r15 = {
+        lb: timed(lb, qn) for lb, qn in BENCH_R15_QUERIES.items() if qn in QUERIES
     }
 
     def gate(queries_g: dict, times_g: dict, ref: dict, ref_round: int, label: str) -> dict:
@@ -553,12 +458,27 @@ def main() -> None:
     # warm-up + 5-run window, cohort median ~1.0 both times) — so an
     # immediate re-measure is CORRELATED with the slow window that
     # caused the flag. Each pending flag is re-measured once more after
-    # every cohort has finished (several minutes later): a query inside
-    # the gate in EITHER window is exonerated (slow-window sampling); a
-    # query outside it in BOTH independent windows is a real regression.
+    # every cohort has finished (several minutes later).
+    #
+    # Adjudication ladder (tightened round 15, the r14 verdict's item
+    # #4 — previously ONE passing window exonerated, which let
+    # r10_passjoin ride a single lucky delayed window at 1.41x after
+    # failing its immediate quiet window at 1.59x two rounds running):
+    #   window 1 = the immediate quiet re-measure (failed, or we would
+    #              not be here);
+    #   window 2 = the delayed re-measure. If it ALSO fails, the flag
+    #              is a regression unless cohort-drift normalization
+    #              (uniform cohort inflation) brings it back inside.
+    #   window 3 = tie-break, run only when window 2 PASSES: a flag is
+    #              "exonerated_delayed" only on a 2-of-3 majority
+    #              (windows 2 AND 3 inside the gate). 1-of-3 falls
+    #              through to cohort-drift normalization, else stays a
+    #              regression. Tie-breaks run after every pending
+    #              flag's window 2 so they land in a later time slice.
     pending_flags: list = []
 
     def _finalize_flags(gates: dict) -> None:
+        tiebreaks: list = []
         for lb, qname, ref_t, violations, cohort_x in pending_flags:
             row = violations[lb]
             try:
@@ -569,18 +489,39 @@ def main() -> None:
             row["quiet2_median"] = qm2
             row["quiet2_x"] = round(qm2 / ref_t, 2)
             if qm2 <= ref_t * _GATE_2C_LIMIT:
-                row["verdict"] = "exonerated_delayed"
-            elif cohort_x and cohort_x >= _DRIFT_MIN_COHORT_X:
-                # uniform cohort inflation = host drift; normalize by
-                # the cohort median instead of widening the pin
-                norm_x = round(row["quiet2_x"] / cohort_x, 2)
-                row["cohort_norm_x"] = norm_x
-                if norm_x <= _GATE_2C_LIMIT:
-                    row["verdict"] = "exonerated_cohort_drift"
+                # delayed window passes but the immediate quiet window
+                # failed — needs the 2-of-3 tie-break, not instant
+                # exoneration
+                tiebreaks.append((lb, qname, ref_t, row, cohort_x))
+            else:
+                _try_cohort_drift(row, cohort_x)
+        for lb, qname, ref_t, row, cohort_x in tiebreaks:
+            try:
+                row["quiet3_load"] = round(os.getloadavg()[0], 2)
+            except OSError:
+                row["quiet3_load"] = None
+            qm3 = time_query(qname, n_runs=5)
+            row["quiet3_median"] = qm3
+            row["quiet3_x"] = round(qm3 / ref_t, 2)
+            if qm3 <= ref_t * _GATE_2C_LIMIT:
+                row["verdict"] = "exonerated_delayed"  # 2-of-3 quiet windows pass
+            else:
+                _try_cohort_drift(row, cohort_x)
         for g in gates.values():
             g["ok"] = not any(
                 r["verdict"] == "regression" for r in g["violations"].values()
             )
+
+    def _try_cohort_drift(row: dict, cohort_x) -> None:
+        # uniform cohort inflation = host drift; normalize by the
+        # cohort median instead of widening the pin. A genuine
+        # single-query regression rides a ~1.0 cohort median, so
+        # normalization cannot save it.
+        if cohort_x and cohort_x >= _DRIFT_MIN_COHORT_X:
+            norm_x = round(row["quiet2_x"] / cohort_x, 2)
+            row["cohort_norm_x"] = norm_x
+            if norm_x <= _GATE_2C_LIMIT:
+                row["verdict"] = "exonerated_cohort_drift"
 
     gate_2c = gate(BENCH_2C_QUERIES, times_2c, GATE_2C_REF, 7, "2C")
     gate_r8 = gate(BENCH_R8_QUERIES, times_r8, GATE_R8_REF, 8, "R8")
@@ -589,17 +530,18 @@ def main() -> None:
     gate_r11 = gate(BENCH_R11_QUERIES, times_r11, GATE_R11_REF, 11, "R11")
     gate_r12 = gate(BENCH_R12_QUERIES, times_r12, GATE_R12_REF, 12, "R12")
     gate_r13 = gate(BENCH_R13_QUERIES, times_r13, GATE_R13_REF, 14, "R13")
-    _finalize_flags(
-        {
-            "2c": gate_2c,
-            "r8": gate_r8,
-            "r9": gate_r9,
-            "r10": gate_r10,
-            "r11": gate_r11,
-            "r12": gate_r12,
-            "r13": gate_r13,
-        }
-    )
+    gate_r14 = gate(BENCH_R14_QUERIES, times_r14, GATE_R14_REF, 14, "R14")
+    gates_all = {
+        "2c": gate_2c,
+        "r8": gate_r8,
+        "r9": gate_r9,
+        "r10": gate_r10,
+        "r11": gate_r11,
+        "r12": gate_r12,
+        "r13": gate_r13,
+        "r14": gate_r14,
+    }
+    _finalize_flags(gates_all)
 
     # Cold-build §2C pass (round-13 verdict item #4, report-only): the
     # warm regime above times marginal cost over memoized corpus
@@ -611,7 +553,12 @@ def main() -> None:
     from jorvik_spark.queries.registry import clear_memos
 
     times_2c_cold = {}
-    for lb, qn in BENCH_2C_QUERIES.items():
+    # r14_lmimp joins the cold pass from round 15: its LM scoring pass
+    # became a memoized intermediate (the r14_lmimp flag's adjudication),
+    # so the one-time model build is only visible from a cleared state.
+    cold_shapes = dict(BENCH_2C_QUERIES)
+    cold_shapes["r14_lmimp"] = "sample_lm_importance"
+    for lb, qn in cold_shapes.items():
         clear_memos()
         t0 = time.perf_counter()
         QUERIES[qn](spark, sf_dir).collect()
@@ -632,39 +579,74 @@ def main() -> None:
         uptime_sec = None
 
     # "value" stays the SIX-shape headline total so the number remains
-    # comparable against BASELINE.md and every prior round's BENCH file;
-    # the §2C times ride alongside with their own gate.
+    # comparable against BASELINE.md and every prior round's BENCH file.
+    #
+    # Output contract (round-14 verdict item #6): the driver captures
+    # only the LAST 2000 chars of stdout, so the stdout line must stay
+    # under that or it arrives head-truncated and unparseable (the
+    # r13/r14 `parsed: null` failures). stdout therefore carries the
+    # headline + compact per-gate verdicts; the FULL detail object
+    # (per-cohort times, per-flag adjudication rows, per-query loads,
+    # cold §2C pass) goes to stderr as a labeled JSON line and is
+    # archived in PROFILE.md per round.
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
+    gates_compact = {}
+    for gk, g in gates_all.items():
+        row: dict = {"ok": g["ok"], "x": g["cohort_median_x"]}
+        if not g["applied"]:
+            row["applied"] = False
+        flagged = {
+            lb: r["verdict"] for lb, r in g["violations"].items()
+        }
+        if flagged:
+            row["flags"] = flagged
+        gates_compact[gk] = row
+    detail = {
+        "queries_2c": times_2c,
+        "queries_r8": times_r8,
+        "queries_r9": times_r9,
+        "queries_r10": times_r10,
+        "queries_r11": times_r11,
+        "queries_r12": times_r12,
+        "queries_r13": times_r13,
+        "queries_r14": times_r14,
+        "queries_r15": times_r15,
+        "queries_2c_cold": times_2c_cold,
+        "gates": gates_all,
+        "load_per_query": measure_load,
+    }
+    print("BENCH_DETAIL " + json.dumps(detail), file=sys.stderr)
+    line = json.dumps(
+        {
+            "metric": "headline_median_total",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "gates": gates_compact,
+            "gates_ok": all(g["ok"] for g in gates_all.values()),
+            "queries_r15": times_r15,
+            "load_avg": load_avg,
+            "uptime_sec": uptime_sec,
+            "sf": sf,
+        }
+    )
+    if len(line) > 1900:
+        # never let adjudication detail push the line past the driver's
+        # 2000-char tail capture: degrade gates to ok-booleans
+        line = json.dumps(
             {
                 "metric": "headline_median_total",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "queries_2c": times_2c,
-                "queries_r8": times_r8,
-                "queries_r9": times_r9,
-                "queries_r10": times_r10,
-                "queries_r11": times_r11,
-                "queries_r12": times_r12,
-                "queries_r13": times_r13,
-                "queries_r14": times_r14,
-                "queries_2c_cold": times_2c_cold,
-                "gate_2c": gate_2c,
-                "gate_r8": gate_r8,
-                "gate_r9": gate_r9,
-                "gate_r10": gate_r10,
-                "gate_r11": gate_r11,
-                "gate_r12": gate_r12,
-                "gate_r13": gate_r13,
+                "gates": {gk: g["ok"] for gk, g in gates_all.items()},
+                "gates_ok": all(g["ok"] for g in gates_all.values()),
                 "load_avg": load_avg,
-                "load_per_query": measure_load,
                 "uptime_sec": uptime_sec,
                 "sf": sf,
             }
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -197,3 +197,304 @@ def run_pipeline(sf_dir: str, lake: str) -> None:
     make_bronze_documents(sf_dir, lake).run()
     make_silver_curated(lake).run()
     make_gold_corpus_stats(lake).run()
+
+
+# --- round 15: the FULL curation funnel (r14 verdict item #5) ----------------
+#
+# Silver/gold hops a 100 TB pipeline team runs after the exact-dedup +
+# quality gate: near-dedup (banded MinHash + star-contraction
+# components), decontamination against the held-out eval split,
+# temperature sampling, sequence packing, and the shard manifest — each
+# an @etl hop with a declared schema, each reusing the ENGINE's own
+# expressions/constants so the example can never drift from the
+# registered operators. gold/funnel publishes the attrition table and
+# tests/test_documents_pipeline.py pins its additive-drops invariant
+# (the corpus_curation_funnel contract: n_raw − Σ drops = survivors).
+
+SAMPLED_SCHEMA = StructType(
+    CURATED_SCHEMA.fields + [StructField("keep_rate", DoubleType())]
+)
+
+PACKED_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("pack_id", LongType()),
+        StructField("offset_in_pack", LongType()),
+    ]
+)
+
+SHARDS_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("shard_id", LongType()),
+        StructField("n_packs", LongType()),
+        StructField("n_docs", LongType()),
+        StructField("n_tokens", LongType()),
+    ]
+)
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("stage_name", StringType()),
+        StructField("n_surviving", LongType()),
+        StructField("n_dropped_here", LongType()),
+    ]
+)
+
+# Packing/sharding knobs — the engine's own constants (sampling.py), so
+# the example's packs are the registered operator's packs.
+from jorvik_spark.queries.sampling import (  # noqa: E402
+    _PACK_BUDGET,
+    _PACK_CHUNK,
+    _VAL_LO,
+)
+from jorvik_spark.queries.registry import (  # noqa: E402
+    hash_bucket as _bucket,
+)
+
+_PACKS_PER_SHARD = 64
+
+
+def make_silver_near_dedup(lake: str) -> ETL:
+    """Silver: near-duplicate collapse — banded MinHash (the engine's
+    band geometry via ``bands_of_docs``) + O(log n) star-contraction
+    components; each near-dup cluster keeps its smallest doc_id."""
+    from jorvik_spark.queries.components import star_contract_components
+    from jorvik_spark.queries.dedup import bands_of_docs
+
+    curated = FileInput(path=f"{lake}/silver/curated", schema=CURATED_SCHEMA)
+    out = FileOutput(
+        path=f"{lake}/silver/near_dedup", mode="overwrite", schema=CURATED_SCHEMA
+    )
+
+    @etl(curated, out)
+    def near_dedup(docs: DataFrame) -> DataFrame:
+        bands = bands_of_docs(docs)
+        pairs = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+            .distinct()
+        )
+        comps = star_contract_components(pairs, "doc_id", "comp")
+        return (
+            docs.join(comps, "doc_id", "left")
+            .filter(F.col("comp").isNull() | (F.col("comp") == F.col("doc_id")))
+            .select(*[f.name for f in CURATED_SCHEMA.fields])
+        )
+
+    return near_dedup
+
+
+def make_silver_decontaminated(lake: str) -> ETL:
+    """Silver: decontamination — drop TRAIN-split docs sharing any
+    3-token shingle with the held-out val/test split (the engine's
+    split convention and shingle width: sampling._VAL_LO, dedup's
+    ``_SHINGLES_T``). The held-out docs themselves leave the training
+    lake here too — this hop emits the clean TRAIN corpus."""
+    from jorvik_spark.queries.dedup import _SHINGLES_T
+
+    src = FileInput(path=f"{lake}/silver/near_dedup", schema=CURATED_SCHEMA)
+    out = FileOutput(
+        path=f"{lake}/silver/decontaminated",
+        mode="overwrite",
+        schema=CURATED_SCHEMA,
+    )
+
+    @etl(src, out)
+    def decontaminate(docs: DataFrame) -> DataFrame:
+        split = docs.withColumn("split_bucket", _bucket(F.col("doc_id"), "split:"))
+        sh = split.withColumn("t", F.expr(_TOKENS)).filter(
+            F.size("t") >= 3
+        ).select("doc_id", "split_bucket", F.explode(F.expr(_SHINGLES_T)).alias("shingle"))
+        held_out = (
+            sh.filter(F.col("split_bucket") >= _VAL_LO)
+            .select("shingle")
+            .distinct()
+        )
+        contaminated = (
+            sh.filter(F.col("split_bucket") < _VAL_LO)
+            .join(held_out, "shingle")
+            .select("doc_id")
+            .distinct()
+        )
+        return (
+            split.filter(F.col("split_bucket") < _VAL_LO)
+            .join(contaminated, "doc_id", "left_anti")
+            .select(*[f.name for f in CURATED_SCHEMA.fields])
+        )
+
+    return decontaminate
+
+
+def make_silver_sampled(lake: str) -> ETL:
+    """Silver: temperature sampling (α = 0.5, the sample_temperature
+    operator's exact rate and hash-mod admission) over the clean train
+    corpus — over-represented sources thin toward uniform."""
+    src = FileInput(path=f"{lake}/silver/decontaminated", schema=CURATED_SCHEMA)
+    out = FileOutput(
+        path=f"{lake}/silver/sampled", mode="overwrite", schema=SAMPLED_SCHEMA
+    )
+
+    @etl(src, out)
+    def temperature_sample(docs: DataFrame) -> DataFrame:
+        shares = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        mn = shares.agg(F.min("n").alias("n_min"))
+        rates = shares.crossJoin(F.broadcast(mn)).select(
+            "source",
+            F.sqrt(F.col("n_min") * F.lit(1.0) / F.col("n")).alias("keep_rate"),
+        )
+        return (
+            docs.join(F.broadcast(rates), "source")
+            .filter(
+                _bucket(F.col("doc_id"), "temp:")
+                < F.floor(F.col("keep_rate") * 1000).cast("long")
+            )
+            .select(
+                *[f.name for f in CURATED_SCHEMA.fields],
+                F.round("keep_rate", 6).alias("keep_rate"),
+            )
+        )
+
+    return temperature_sample
+
+
+def make_gold_packed(lake: str) -> ETL:
+    """Gold: fixed-budget sequence packing per language — the
+    pack_sequences two-level prefix sum (chunk-local cumsum + a tiny
+    cross-chunk rollup; no global sort) over the sampled corpus."""
+    src = FileInput(path=f"{lake}/silver/sampled", schema=SAMPLED_SCHEMA)
+    out = FileOutput(
+        path=f"{lake}/gold/packed", mode="overwrite", schema=PACKED_SCHEMA
+    )
+
+    @etl(src, out)
+    def pack(docs: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        chunked = docs.select(
+            "lang", "doc_id", "n_tokens"
+        ).withColumn("chunk", F.expr(f"doc_id div {_PACK_CHUNK}"))
+        win = Window.partitionBy("lang", "chunk").orderBy("doc_id")
+        local = chunked.withColumn(
+            "local_cum", F.sum("n_tokens").over(win)
+        )
+        chunk_tot = chunked.groupBy("lang", "chunk").agg(
+            F.sum("n_tokens").alias("chunk_tokens")
+        )
+        cwin = (
+            Window.partitionBy("lang")
+            .orderBy("chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prefix = chunk_tot.withColumn(
+            "chunk_prefix", F.coalesce(F.sum("chunk_tokens").over(cwin), F.lit(0))
+        ).select("lang", "chunk", "chunk_prefix")
+        return (
+            local.join(prefix, ["lang", "chunk"])
+            .withColumn(
+                "start", F.col("chunk_prefix") + F.col("local_cum") - F.col("n_tokens")
+            )
+            .select(
+                "lang",
+                "doc_id",
+                "n_tokens",
+                F.expr(f"start div {_PACK_BUDGET}").cast("long").alias("pack_id"),
+                (F.col("start") % _PACK_BUDGET).cast("long").alias(
+                    "offset_in_pack"
+                ),
+            )
+        )
+
+    return pack
+
+
+def make_gold_shards(lake: str) -> ETL:
+    """Gold: the shard manifest a dataloader consumes — 64 packs per
+    shard, counts and token mass per (lang, shard)."""
+    src = FileInput(path=f"{lake}/gold/packed", schema=PACKED_SCHEMA)
+    out = FileOutput(
+        path=f"{lake}/gold/shards", mode="overwrite", schema=SHARDS_SCHEMA
+    )
+
+    @etl(src, out)
+    def shard_manifest(packed: DataFrame) -> DataFrame:
+        return (
+            packed.groupBy(
+                "lang",
+                F.expr(f"pack_id div {_PACKS_PER_SHARD}").cast("long").alias(
+                    "shard_id"
+                ),
+            )
+            .agg(
+                F.countDistinct("pack_id").cast("long").alias("n_packs"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+        )
+
+    return shard_manifest
+
+
+def make_gold_funnel(lake: str) -> ETL:
+    """Gold: the attrition table across EVERY hop — the
+    corpus_curation_funnel contract (cumulative stages, additive drops:
+    n_raw − Σ n_dropped_here = final survivors) extended to the full
+    silver/gold chain."""
+    ins = [
+        FileInput(path=f"{lake}/bronze/documents", schema=DOCUMENTS_SCHEMA),
+        FileInput(path=f"{lake}/silver/curated", schema=CURATED_SCHEMA),
+        FileInput(path=f"{lake}/silver/near_dedup", schema=CURATED_SCHEMA),
+        FileInput(path=f"{lake}/silver/decontaminated", schema=CURATED_SCHEMA),
+        FileInput(path=f"{lake}/silver/sampled", schema=SAMPLED_SCHEMA),
+    ]
+    out = FileOutput(
+        path=f"{lake}/gold/funnel", mode="overwrite", schema=FUNNEL_SCHEMA
+    )
+
+    @etl(ins, out)
+    def funnel(bronze, curated, near_dedup, decontaminated, sampled):
+        names = [
+            "raw",
+            "exact_dedup_quality",
+            "near_dedup",
+            "decontaminated",
+            "temperature_sampled",
+        ]
+        counts = [
+            df.count()
+            for df in (bronze, curated, near_dedup, decontaminated, sampled)
+        ]
+        spark = bronze.sparkSession
+        rows = [
+            (
+                i,
+                names[i],
+                counts[i],
+                0 if i == 0 else counts[i - 1] - counts[i],
+            )
+            for i in range(len(names))
+        ]
+        return spark.createDataFrame(rows, FUNNEL_SCHEMA)
+
+    return funnel
+
+
+def run_full_funnel(sf_dir: str, lake: str) -> None:
+    """bronze → silver (curate, near-dedup, decontaminate, sample) →
+    gold (pack, shards, funnel), in dependency order."""
+    run_pipeline(sf_dir, lake)
+    make_silver_near_dedup(lake).run()
+    make_silver_decontaminated(lake).run()
+    make_silver_sampled(lake).run()
+    make_gold_packed(lake).run()
+    make_gold_shards(lake).run()
+    make_gold_funnel(lake).run()

@@ -110,7 +110,11 @@ def monitor(spark: SparkSession, sf_dir: str) -> dict:
     # event that actually arrived — the alert threshold that doesn't
     # permanently lag a ramping series the way a plain EWMA does).
     pettitt = window_pettitt_changepoint(spark, sf_dir).collect()
-    strongest = max(pettitt, key=lambda r: (r["k2"], -r["user_id"]))
+    # the census is empty when no user has >= 3 valid purchases (tiny
+    # or dirty lakes) — degrade the strongest-shift fields, don't crash
+    strongest = (
+        max(pettitt, key=lambda r: (r["k2"], -r["user_id"])) if pettitt else None
+    )
     holt = window_holt_smooth(spark, sf_dir).collect()
     # per user: compare each event's value to the PREVIOUS event's
     # forecast (that is what "one-step-ahead" means operationally)
@@ -142,8 +146,10 @@ def monitor(spark: SparkSession, sf_dir: str) -> dict:
         "quietest_cell": quietest[:2],
         "seasonal_outlier_events": seasonal_outlier_events,
         "pettitt_users": len(pettitt),
-        "strongest_shift_user": int(strongest["user_id"]),
-        "strongest_shift_k": int(strongest["k2"]),
+        "strongest_shift_user": (
+            int(strongest["user_id"]) if strongest is not None else None
+        ),
+        "strongest_shift_k": int(strongest["k2"]) if strongest is not None else 0,
         "forecast_misses_gt50pct": forecast_misses,
     }
 

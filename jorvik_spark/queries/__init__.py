@@ -23,91 +23,80 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 
 # The verification driver records a bounded prefix of the queries() dict
 # (observed: exactly the first 50 entries, in registration order). Dict
-# order therefore encodes *driver-check priority*. Round-14 rotation
-# (the round-13 verdict's item #1):
-#   * The 14 queries registered after the r13 prefix froze FIRST — they
-#     carry LOCAL_PARITY + judge sf0.01 evidence (14/14 hash-green per
-#     VERDICT r13) but no driver row yet; this round makes the driver's
-#     signature theirs.
-#   * Then the r9-age cohort in CORRECTNESS_r09 order (the 49 members
-#     whose newest driver row is r9, minus join_q2_best_supplier which
-#     rotated through slot 50 in r13). 36 fit; the 13 leftover
-#     (udf_map_in_pandas, dedup_minhash_lsh, simsearch_lsh,
-#     agg_pricing_summary, agg_percentiles, agg_collect_set,
-#     agg_funnel_steps, agg_retention_cohort, window_rank_per_user,
-#     window_moving_avg, window_sessionize, stream_tumbling_agg,
-#     stream_session_window) lead the round-15 rotation.
-#   * Operators NEW in round 14 are staged BEHIND the r9 backlog for
-#     the r15 prefix (LOCAL_PARITY_r14 at sf0.01 AND the sf0.1 sweep
-#     both hash-green at birth): draining the two-round-old evidence
-#     cohort outranks birth rows this round because 14 + 49 > 50.
-#     Staged round-15 list: the 13 r9-age leftovers above FIRST, then
-#     the 14 round-14 newcomers — text_bpe_pair_counts,
-#     window_pettitt_changepoint, audit_key_density,
-#     embed_sqnorm_octave_census, text_readability_ari,
-#     text_gibberish_score, agg_funnel_windowed, graph_kcore_peel3,
-#     sample_lm_importance, simsearch_hamming_topk,
-#     agg_conversion_hazard, audit_order_total_reconciliation,
-#     join_attribution_linear, window_holt_smooth — then the r10
-#     cohort in CORRECTNESS_r10 order (13 + 14 + 23 = 50).
+# order therefore encodes *driver-check priority*. Round-15 rotation
+# (the round-14 verdict's item #1, executed exactly as staged there):
+#   * The 13 r9-age leftovers FIRST (the members whose newest driver
+#     row is still r9 after the r13/r14 rotations), in CORRECTNESS_r09
+#     order — this retires the r9 evidence tail entirely.
+#   * Then the 14 round-14 newcomers (judge-verified 14/14 at sf0.01
+#     in VERDICT r14, LOCAL_PARITY sf0.01 + sf0.1 green at birth, but
+#     no driver row yet).
+#   * Then the 23 oldest r10-age members in CORRECTNESS_r10 order
+#     (13 + 14 + 23 = 50). After this round no registry member's
+#     newest driver row is older than r10.
+#   * Operators NEW in round 15 are staged BEHIND the r10 backlog:
+#     they carry LOCAL_PARITY_r15 sf0.01 + sf0.1 birth evidence, and
+#     the round-16 rotation should take them first, then continue the
+#     r10 cohort (27 remaining after this round, in CORRECTNESS_r10
+#     order: udtf_sentence_split onward).
 #   * Still excluded: text_bpe_train (rows-only by contract — iterative
-#     BPE merge table; its corpus-pass core gains a hash-mode companion
-#     this round, text_bpe_pair_counts, which DOES hold a slot via the
-#     r15 staging).
+#     BPE merge table; its corpus-pass core is hash-checked via
+#     text_bpe_pair_counts, which holds a slot below).
 # tests/test_registry_order.py pins list(queries())[:50] == this list.
 _CHECK_PRIORITY = [
-    # -- round-13 wave: no driver rows yet (14) --
-    "agg_ab_value_ttest",
-    "scan_text_roundtrip",
-    "audit_benford_digits",
-    "audit_functional_dependencies",
-    "window_autocorr_census",
-    "window_diurnal_profile",
-    "corpus_source_tv_distance",
-    "embed_angular_pair_census",
-    "audit_value_expectations",
-    "window_seasonal_residual_census",
-    "embed_centroid_split_drift",
-    "window_burstiness_census",
-    "agg_conversion_lag_census",
-    "join_attribution_last_touch",
-    # -- r9 cohort (CORRECTNESS_r09 order), 36 of 49 fit --
-    "join_q4_priority_exists",
-    "join_q7_nation_volume",
-    "join_q8_market_share",
-    "join_q9_profit_proxy",
-    "join_q10_returned_revenue",
-    "join_q12_late_lines",
-    "join_q13_custdist",
-    "join_q14_promo_share",
-    "join_q15_top_supplier",
-    "join_q17_small_quantity",
-    "join_q18_large_orders",
-    "join_q19_brackets",
-    "join_q21_waiting_supplier",
-    "join_q22_idle_customers",
-    "join_market_basket",
-    "agg_q6_selective",
-    "agg_histogram_quantile_rollup",
-    "text_boilerplate_ngrams",
-    "text_simpson_diversity",
-    "text_lm_score_histogram",
-    "text_ngram_novelty",
-    "dedup_cluster_sizes",
-    "dedup_quality_representative",
-    "dedup_banding_recall_eval",
-    "simsearch_recall_eval",
-    "embed_cluster_balance",
-    "multimodal_dedup_binary",
-    "multimodal_size_histogram",
-    "decontaminate_ngram_fraction",
-    "corpus_mixture_epochs",
-    "corpus_source_gini",
-    "corpus_dedup_impact",
-    "sample_dedup_downweight",
-    "sample_reservoir_per_source",
-    "agg_approx_distinct",
-    "agg_hll_rollup",
+    # -- r9-age leftovers (CORRECTNESS_r09 order), 13 --
+    "udf_map_in_pandas",
+    "dedup_minhash_lsh",
+    "simsearch_lsh",
+    "agg_pricing_summary",
+    "agg_percentiles",
+    "agg_collect_set",
+    "agg_funnel_steps",
+    "agg_retention_cohort",
+    "window_rank_per_user",
+    "window_moving_avg",
+    "window_sessionize",
+    "stream_tumbling_agg",
+    "stream_session_window",
+    # -- round-14 wave: no driver rows yet (14) --
+    "text_bpe_pair_counts",
+    "window_pettitt_changepoint",
+    "audit_key_density",
+    "embed_sqnorm_octave_census",
+    "text_readability_ari",
+    "text_gibberish_score",
+    "agg_funnel_windowed",
+    "graph_kcore_peel3",
+    "sample_lm_importance",
+    "simsearch_hamming_topk",
+    "agg_conversion_hazard",
+    "audit_order_total_reconciliation",
+    "join_attribution_linear",
+    "window_holt_smooth",
+    # -- r10 cohort (CORRECTNESS_r10 order), first 23 of 50 --
+    "stream_stateful_running_totals",
+    "sink_compact_small_files",
+    "sql_api_revenue_report",
+    "scan_merge_schema_union",
+    "scan_python_datasource",
+    "merge_scd2_apply",
+    "scan_csv_corrupt_records",
+    "scan_xml_roundtrip",
+    "catalog_table_roundtrip",
+    "expr_array_higher_order",
+    "expr_variant_json",
+    "join_scd2_pointintime",
+    "join_null_safe_equi",
+    "join_q11_important_stock",
+    "join_q16_supplier_cnt",
+    "join_q20_surplus_suppliers",
+    "join_fuzzy_name_blocked",
+    "agg_approx_percentiles",
+    "agg_heavy_hitters",
+    "agg_regression_moments",
+    "agg_countmin_sketch",
+    "window_percent_rank_cume",
+    "stream_attribution_coverage",
 ]
 
 

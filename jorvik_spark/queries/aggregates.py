@@ -2016,3 +2016,105 @@ def agg_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hazard_ppm"
         ),
     ).orderBy("octave")
+
+
+# --- round 15: signup-cohort LTV curve ---------------------------------------
+
+
+@query(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    cohort AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM ev GROUP BY user_id),
+    buys AS (
+        SELECT e.user_id, c.cohort_week,
+               CAST((epoch_us(date_trunc('week', e.ts))
+                     - epoch_us(c.cohort_week)) // 604800000000
+                    AS INTEGER) AS age_week,
+               CAST(floor(e.value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.value IS NOT NULL),
+    cells AS (
+        SELECT cohort_week, age_week,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+               CAST(SUM(vu) AS BIGINT) AS rev_u
+        FROM buys GROUP BY cohort_week, age_week)
+    SELECT cohort_week, age_week, n_buyers,
+           rev_u / 1000000.0 AS revenue,
+           CAST(SUM(rev_u) OVER (
+               PARTITION BY cohort_week ORDER BY age_week) AS BIGINT)
+               / 1000000.0 AS cum_revenue
+    FROM cells ORDER BY cohort_week, age_week
+    """,
+)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-cohort lifetime-value curve: users bucketed by the week
+    of their FIRST event (any type — the signup proxy), purchase
+    revenue rolled up per (cohort_week, weeks-since-signup) cell, and
+    the cumulative LTV running along each cohort's age axis — the
+    retention-economics readout every growth team draws as the cohort
+    triangle, and the value-side complement to agg_retention_cohort
+    (which counts presence, not spend).
+
+    Cross-engine mechanics: week alignment via date_trunc on TIMESTAMP
+    (both engines truncate to Monday 00:00; the verify-skill DateType
+    gotcha avoided), age = µs difference div the exact week quantum
+    (both week-aligned, so the division is exact), revenue in
+    micro-units summed exactly and unscaled once — including through
+    the cumulative window, which sums the exact integers.
+
+    Scale shape: the cohort relation is one map-combined min-aggregate
+    on user_id; the purchase join is user-keyed (broadcast below
+    threshold, co-partitioned above); the cell rollup is map-combined
+    on its own key; the cumulative window partitions by cohort_week
+    over the ALREADY-AGGREGATED cells (≤ weeks² rows) — never over raw
+    events.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    buys = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.unix_micros(F.date_trunc("week", F.col("ts")))
+                - F.unix_micros(F.col("cohort_week"))
+            ).alias("diff_us"),
+            F.floor(F.col("value") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("vu"),
+        )
+        # both timestamps are week-aligned, so the division is exact;
+        # div mirrors the oracle's integer //
+        .withColumn(
+            "age_week", F.expr("diff_us div 604800000000").cast("int")
+        )
+    )
+    cells = buys.groupBy("cohort_week", "age_week").agg(
+        F.countDistinct("user_id").cast("long").alias("n_buyers"),
+        F.sum("vu").cast("long").alias("rev_u"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cohort_week").orderBy("age_week")
+    return cells.select(
+        "cohort_week",
+        "age_week",
+        "n_buyers",
+        (F.col("rev_u") / F.lit(1000000.0)).alias("revenue"),
+        (F.sum("rev_u").over(w).cast("long") / F.lit(1000000.0)).alias(
+            "cum_revenue"
+        ),
+    ).orderBy("cohort_week", "age_week")

@@ -973,3 +973,84 @@ def audit_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("band")
     )
+
+
+# --- round 15: keyspace gap census (distributed gaps-and-islands) ------------
+
+# Bucket width for the two-level pass: within-bucket gaps come from a
+# bucket-partitioned window; cross-bucket gaps from one tiny window
+# over the per-bucket extrema (keyspace/4096 rows).
+_GAP_BUCKET = 4096
+
+
+@query(
+    "audit_orderkey_gap_census",
+    oracle="""
+    WITH k AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+    g AS (SELECT key - lag(key) OVER (ORDER BY key) AS gap FROM k)
+    SELECT CAST(gap AS BIGINT) AS stride,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY gap ORDER BY stride
+    """,
+)
+def audit_orderkey_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride census of the orders key space: for EVERY pair of
+    globally consecutive distinct o_orderkeys, the stride between them,
+    grouped — stride 1 is the contiguous baseline (this lake's
+    generator emits a dense 0..N−1 keyspace, so the census always
+    carries the full (1, N−1) row — never naturally empty), and any
+    stride > 1 is a HOLE: a dropped ingest batch (a gap the size of
+    the batch), a truncated backfill, or a sparse-keyspace generator
+    artifact (classic TPC-H uses 8 of every 32 keys). The dual of
+    audit_key_density: density says how FULL each region is, the
+    stride census says exactly what the pairing structure looks like.
+
+    Cross-engine note: the oracle states the spec directly — one lag
+    over the globally sorted key list. The engine must NOT (a global
+    sort of the keyspace dies first at scale): it decomposes every
+    globally-consecutive pair as either (a) within a div-4096 bucket —
+    a bucket-partitioned lag window, embarrassingly parallel — or (b)
+    straddling two adjacent non-empty buckets — bucket_min minus the
+    PREVIOUS non-empty bucket's max, one lag over the per-bucket
+    extrema relation (keyspace/4096 rows, bound-guarded). The
+    decomposition is exhaustive and disjoint, so the union equals the
+    oracle's single-sort answer exactly.
+
+    Scale shape: one map-combined distinct on the key, one
+    bucket-keyed exchange feeding both the within-bucket window and
+    the extrema aggregate (same key, reused), then a ≤ |gap sizes|
+    census. Nothing global except the extrema window, whose input is
+    4096x smaller than the keyspace.
+    """
+    from pyspark.sql import Window
+
+    from jorvik_spark.queries.registry import guarded_global_window
+
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+        .withColumn("bucket", F.expr(f"key div {_GAP_BUCKET}"))
+    )
+    wb = Window.partitionBy("bucket").orderBy("key")
+    within = keys.select(
+        (F.col("key") - F.lag("key").over(wb)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    ext = keys.groupBy("bucket").agg(
+        F.min("key").alias("bmin"), F.max("key").alias("bmax")
+    )
+    we = Window.orderBy("bucket")
+    boundary = ext.select(
+        guarded_global_window(
+            F.col("bmin") - F.lag("bmax").over(we),
+            ["bucket"],
+            "audit_orderkey_gap_census.boundary",
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return (
+        within.unionByName(boundary)
+        .groupBy(F.col("gap").cast("long").alias("stride"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("stride")
+    )

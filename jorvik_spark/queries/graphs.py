@@ -746,3 +746,136 @@ def graph_kcore_peel3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(census(keep, r))
     return out.orderBy("round", "node_type")
+
+
+# --- round 15: seeded 3-hop BFS reach census ---------------------------------
+
+# Seed predicate: every ~97th customer (custkey % 97 == 0) — sparse,
+# deterministic, and guaranteed non-empty at every test SF.
+_BFS_SEED_MOD = 97
+_BFS_HOPS = 3
+
+
+@query(
+    "graph_bfs_reach3",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node FROM nodes
+           WHERE node % 2 = 0 AND (node // 2) % {_BFS_SEED_MOD} = 0),
+    n1 AS (SELECT DISTINCT e.dst AS node
+           FROM edges e JOIN r0 ON e.src = r0.node),
+    d1 AS (SELECT node FROM n1 EXCEPT SELECT node FROM r0),
+    re1 AS (SELECT node FROM r0 UNION SELECT node FROM d1),
+    n2 AS (SELECT DISTINCT e.dst AS node
+           FROM edges e JOIN d1 ON e.src = d1.node),
+    d2 AS (SELECT node FROM n2 EXCEPT SELECT node FROM re1),
+    re2 AS (SELECT node FROM re1 UNION SELECT node FROM d2),
+    n3 AS (SELECT DISTINCT e.dst AS node
+           FROM edges e JOIN d2 ON e.src = d2.node),
+    d3 AS (SELECT node FROM n3 EXCEPT SELECT node FROM re2),
+    re3 AS (SELECT node FROM re2 UNION SELECT node FROM d3),
+    un AS (SELECT node FROM nodes EXCEPT SELECT node FROM re3),
+    lv AS (SELECT 0 AS depth, node FROM r0
+           UNION ALL SELECT 1, node FROM d1
+           UNION ALL SELECT 2, node FROM d2
+           UNION ALL SELECT 3, node FROM d3
+           UNION ALL SELECT -1, node FROM un)
+    SELECT CAST(depth AS INTEGER) AS depth,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM lv GROUP BY 1, 2 ORDER BY depth, node_type
+    """,
+)
+def graph_bfs_reach3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded breadth-first reach census: minimum hop distance (0-3,
+    or -1 = unreached) from a sparse deterministic seed set (every 97th
+    customer) over the trading graph, collapsed to a per-(depth,
+    node_type) census with node-id extrema as value-carrying evidence.
+    This is the blast-radius / influence-propagation primitive — "how
+    much of the graph is within k hops of these accounts" — and the
+    reachability layer recommendation/abuse pipelines run before any
+    per-node scoring.
+
+    Scale shape: textbook frontier BFS — each hop is ONE equi join of
+    the edge relation against the previous frontier on the stable node
+    key, a distinct, and an anti join against the reached set; the hop
+    count is a compile-time constant, so the plan stays declarative.
+    Frontier and reached relations are memoized behind localCheckpoint
+    leaves (the kcore discipline): hop r's subplan would otherwise be
+    re-derived by every later hop AND by the census union. Data motion
+    per hop is bounded by |edges touching the frontier|; no global
+    collection anywhere.
+    """
+    edges = _edges(spark, sf_dir)
+    nodes = memo_df(
+        f"bfs_nodes:{sf_dir}",
+        spark,
+        lambda: edges.select("src").distinct().withColumnRenamed("src", "node"),
+        cut_lineage=True,
+    )
+    seeds = memo_df(
+        f"bfs_seed0:{sf_dir}",
+        spark,
+        lambda: nodes.filter(
+            (F.col("node") % 2 == 0)
+            & (F.expr("node div 2") % _BFS_SEED_MOD == 0)
+        ),
+        cut_lineage=True,
+    )
+    levels = [(0, seeds)]
+    reached = seeds
+    frontier = seeds
+    for hop in range(1, _BFS_HOPS + 1):
+        frontier = memo_df(
+            f"bfs_front{hop}:{sf_dir}",
+            spark,
+            lambda frontier=frontier, reached=reached: (
+                edges.join(
+                    frontier.withColumnRenamed("node", "src"), "src"
+                )
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(reached, "node", "left_anti")
+            ),
+            cut_lineage=True,
+        )
+        levels.append((hop, frontier))
+        reached = memo_df(
+            f"bfs_reach{hop}:{sf_dir}",
+            spark,
+            lambda reached=reached, frontier=frontier: reached.unionByName(
+                frontier
+            ),
+            cut_lineage=True,
+        )
+    levels.append((-1, nodes.join(reached, "node", "left_anti")))
+
+    node_type = F.when(F.col("node") % 2 == 0, F.lit("customer")).otherwise(
+        F.lit("supplier")
+    )
+
+    def census(depth: int, rel: DataFrame) -> DataFrame:
+        return rel.groupBy(node_type.alias("node_type")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+            F.max("node").cast("long").alias("max_node"),
+        ).select(
+            F.lit(depth).cast("int").alias("depth"),
+            "node_type",
+            "n_nodes",
+            "min_node",
+            "max_node",
+        )
+
+    out = census(levels[0][0], levels[0][1])
+    for depth, rel in levels[1:]:
+        out = out.unionByName(census(depth, rel))
+    return out.orderBy("depth", "node_type")

@@ -2210,8 +2210,14 @@ def join_fuzzy_name_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pk"),
     ).select("name", "pk.lp", "pk.j", "pk.key")
+    # Build side = the INDEX (4 rows/name), stream side = the PROBE
+    # (≤ ~196 rows/name): without the hint AQE sizes both from the tiny
+    # pre-explode inputs and broadcasts the ~35x-larger probe relation
+    # (measured round 15) — backwards at any scale where the vocabulary
+    # is large. The explicit broadcast keeps the heavy probe explode
+    # pipelined straight into the join and the partial dedup aggregate.
     cand = (
-        idx.alias("i")
+        F.broadcast(idx.alias("i"))
         .join(
             probe.alias("p"),
             (F.col("i.lp") == F.col("p.lp"))

@@ -1886,8 +1886,12 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round 14: LM-familiarity importance sampling ---------------------------
 
 # Linear keep-rate band in permille: the least corpus-typical documents
-# keep 250‰, the most typical 1000‰ — downweighting (never zeroing) the
-# high-perplexity tail, the CCNet-style soft quality mix.
+# keep 250‰ and rates climb linearly with familiarity over [250, 1000)
+# — the +1 in the (fmax - fmin + 1) denominator deliberately keeps the
+# top of the band at ≤ 999‰, so NO document is kept with certainty
+# (every stratum stays subsampled, and fmax == fmin needs no guard).
+# Downweighting, never zeroing, the high-perplexity tail — the
+# CCNet-style soft quality mix.
 _LMIMP_FLOOR_PM = 250
 _LMIMP_SPAN_PM = 750
 
@@ -1970,3 +1974,106 @@ def sample_lm_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- round 15: deterministic epoch-shuffle training-order plan ---------------
+
+# 3 training epochs × 8 output shards: the corpus order a dataloader
+# consumes. Both constants are illustrative knobs — production sets
+# shards to O(cluster width).
+_ESHUF_EPOCHS = 3
+_ESHUF_SHARDS = 8
+
+
+@query(
+    "sample_epoch_shuffle",
+    oracle=f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    ep AS (SELECT doc_id, CAST(e AS INTEGER) AS epoch
+           FROM d, unnest(range({_ESHUF_EPOCHS})) AS t(e)),
+    keyed AS (
+        SELECT epoch, doc_id,
+               md5('eshuf:' || epoch || ':' || doc_id) AS order_key,
+               CAST(('0x' || substr(md5('eshard:' || epoch || ':' || doc_id),
+                                    1, 8))::BIGINT % {_ESHUF_SHARDS}
+                    AS INTEGER) AS shard
+        FROM ep)
+    SELECT epoch, shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY epoch, shard
+               ORDER BY order_key, doc_id) AS BIGINT) AS position,
+           doc_id
+    FROM keyed
+    ORDER BY epoch, shard, position
+    """,
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch corpus shuffle: for each training
+    epoch, every document gets a fresh pseudo-random position inside a
+    hash-assigned shard — the training-order PLAN a 100 TB pipeline
+    materializes so that (a) every epoch visits the corpus in a
+    different order, (b) the order is reproducible from the salt alone
+    (restart/resume without stored RNG state), and (c) no global sort
+    ever happens: ordering is established independently per shard.
+
+    Cross-engine mechanics: order key = md5('eshuf:epoch:doc_id') (a
+    hex string — lexicographic order identical on both engines), shard
+    = md5-mod (the shared hash_bucket convention), within-shard
+    position = ROW_NUMBER over (order_key, doc_id) — fully
+    deterministic, ties impossible (doc_id is unique).
+
+    Scale shape: one narrow map pass (two md5s per doc×epoch), one
+    shuffle keyed on (epoch, shard), and a per-shard local sort — the
+    window partitions by the shard key, so the sort is shard-local and
+    the plan parallelizes to epochs×shards tasks. Epochs multiply rows
+    3× but the blowup is an in-stage explode, never a join.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    ep = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_ESHUF_EPOCHS - 1))).alias(
+            "epoch"
+        ),
+    )
+    keyed = ep.select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("eshuf:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("order_key"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("eshard:"),
+                            F.col("epoch").cast("string"),
+                            F.lit(":"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _ESHUF_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("order_key", "doc_id")
+    return keyed.select(
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("long").alias("position"),
+        "doc_id",
+    ).orderBy("epoch", "shard", "position")

@@ -2944,3 +2944,283 @@ def simsearch_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "candidate_id", "hamming", F.col("rnk").cast("int"))
         .orderBy("query_id", "rnk")
     )
+
+
+# --- round 15: Johnson-Lindenstrauss ±1 random-projection sketch -------------
+
+# Output dimensionality of the sketch. 16 dims of ±1 projections keep
+# pairwise distances within ~1/sqrt(16) relative distortion (the JL
+# regime the Achlioptas sign-matrix construction is proven for) while
+# compressing a 64-float vector 4x before quantization even starts.
+_RP_DIMS = 16
+
+
+def _rp16_signs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ±1 projection matrix as DATA: one row per (proj_dim, pos)
+    with a deterministic md5-parity sign. Built once per session
+    (memoized) and broadcast into the projection join — at corpus scale
+    the matrix is a 16×dim constant relation, never recomputed per
+    vector (the alternative — md5 inside the per-row fold — re-hashes
+    the same 16·dim salts once per vector)."""
+    emb = _vec_double(load_table(spark, sf_dir, "embeddings"))
+    # two stacked explodes, not a cross join: 16×dim rows with zero
+    # join nodes in the plan (the no-CartesianProduct convention)
+    grid = (
+        emb.select(F.explode(F.sequence(F.lit(0), F.size("v") - 1)).alias("pos"))
+        .distinct()
+        .select(
+            "pos",
+            F.explode(F.sequence(F.lit(0), F.lit(_RP_DIMS - 1))).alias(
+                "proj_dim"
+            ),
+        )
+    )
+    sgn = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("rp16:"),
+                        F.col("proj_dim").cast("string"),
+                        F.lit(":"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return memo_df(
+        f"rp16_signs:{sf_dir}",
+        spark,
+        lambda: grid.select("proj_dim", "pos", sgn.cast("int").alias("sgn")),
+    )
+
+
+@query(
+    "embed_rp16_sketch",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id,
+               unnest(range(len(embedding))) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings),
+    q AS (SELECT vec_id, pos,
+                 CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS eu
+          FROM ex),
+    s AS (SELECT CAST(d AS INTEGER) AS proj_dim, pos,
+                 CASE WHEN ('0x' || substr(md5('rp16:' || d || ':' || pos),
+                                           1, 8))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS sgn
+          FROM (SELECT unnest(range({_RP_DIMS})) AS d),
+               (SELECT DISTINCT pos FROM q))
+    SELECT q.vec_id, s.proj_dim,
+           CAST(SUM(s.sgn * q.eu) AS BIGINT) AS proj_units
+    FROM q JOIN s ON s.pos = q.pos
+    GROUP BY q.vec_id, s.proj_dim
+    ORDER BY vec_id, proj_dim
+    """,
+)
+def embed_rp16_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch: every embedding × a deterministic
+    ±1 sign matrix (Achlioptas construction, md5-parity entries) down to
+    16 integer components — the distance-preserving compression
+    a 100 TB embedding store builds ONCE so that dedup screens, drift
+    censuses and coarse ANN can run on 16 ints/vector instead of the
+    full float payload. Unlike the sign-bit pack (simsearch_hamming_topk,
+    which keeps only directions), the JL sketch preserves DISTANCES, so
+    downstream L2/cosine math stays meaningful.
+
+    Cross-engine mechanics: components micro-quantize to integer units
+    (floor(x·1e6 + 0.5)) BEFORE projection, so every projected value is
+    an EXACT integer sum of ±unit terms (|Σ| ≤ dim·1e7 ≪ int64) — no
+    float summation-order hazard on either engine; the sign matrix is
+    md5 parity over the shared 'rp16:d:pos' salt (the hash_bucket
+    convention), identical text on both engines.
+
+    Scale shape: posexplode → one BROADCAST join against the 16×dim
+    sign relation → a map-side-combined (vec_id, proj_dim) sum. The
+    only exchange carries 16 rows per vector (the sketch itself); the
+    16× blowup of the exploded relation dies in the partial aggregate
+    inside the same stage. The matrix build is memoized per session.
+    """
+    return _rp16_sketch_rel(spark, sf_dir).orderBy("vec_id", "proj_dim")
+
+
+def _rp16_sketch_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, proj_dim, proj_units) — the JL sketch relation, memoized
+    so the census query and the distortion eval share one build."""
+
+    def build() -> DataFrame:
+        ex = (
+            _vec_double(load_table(spark, sf_dir, "embeddings"))
+            .select("vec_id", F.posexplode("v").alias("pos", "x"))
+            .select(
+                "vec_id",
+                "pos",
+                F.floor(F.col("x") * 1000000 + F.lit(0.5))
+                .cast("long")
+                .alias("eu"),
+            )
+        )
+        signs = F.broadcast(_rp16_signs(spark, sf_dir))
+        return (
+            ex.join(signs, "pos")
+            .groupBy("vec_id", "proj_dim")
+            .agg(
+                F.sum(F.col("sgn") * F.col("eu")).cast("long").alias("proj_units")
+            )
+        )
+
+    return memo_df(f"rp16_sketch:{sf_dir}", spark, build)
+
+
+@query(
+    "embed_jl_distortion_census",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id,
+               unnest(range(len(embedding))) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings),
+    q AS (SELECT vec_id, pos,
+                 CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS eu
+          FROM ex),
+    s AS (SELECT CAST(d AS INTEGER) AS proj_dim, pos,
+                 CASE WHEN ('0x' || substr(md5('rp16:' || d || ':' || pos),
+                                           1, 8))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS sgn
+          FROM (SELECT unnest(range({_RP_DIMS})) AS d),
+               (SELECT DISTINCT pos FROM q)),
+    sk AS (SELECT q.vec_id, s.proj_dim,
+                  CAST(SUM(s.sgn * q.eu) AS BIGINT) AS proj_units
+           FROM q JOIN s ON s.pos = q.pos
+           GROUP BY q.vec_id, s.proj_dim),
+    full_d AS (
+        SELECT a.vec_id AS va,
+               CAST(SUM((a.eu - b.eu) * (a.eu - b.eu)) AS BIGINT) AS d2_full
+        FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 AND b.pos = a.pos
+        GROUP BY a.vec_id),
+    sk_d AS (
+        SELECT a.vec_id AS va,
+               SUM((a.proj_units - b.proj_units)
+                   * (a.proj_units - b.proj_units)) AS d2_sk
+        FROM sk a JOIN sk b
+          ON b.vec_id = a.vec_id + 1 AND b.proj_dim = a.proj_dim
+        GROUP BY a.vec_id),
+    r AS (SELECT f.va,
+                 CAST(s.d2_sk * 1000000 // ({_RP_DIMS} * f.d2_full)
+                      AS BIGINT) AS distortion_ppm
+          FROM full_d f JOIN sk_d s ON f.va = s.va
+          WHERE f.d2_full > 0)
+    SELECT CAST(LEAST(distortion_ppm // 250000, 8) AS INTEGER)
+               AS distortion_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(distortion_ppm) AS BIGINT) AS min_ppm,
+           CAST(MAX(distortion_ppm) AS BIGINT) AS max_ppm
+    FROM r GROUP BY 1 ORDER BY distortion_band
+    """,
+)
+def embed_jl_distortion_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-preservation eval of the JL sketch: over the
+    deterministic consecutive-id pair sample (vec_id, vec_id+1), the
+    ratio of the sketch-space squared L2 estimator ||ŷa−ŷb||²/16 to the
+    true full-space ||a−b||², banded at quarter-x — the eval that says
+    whether 16 sketch dims are ENOUGH for this corpus before anything
+    downstream trusts them (the banding_recall_eval convention: every
+    compressed index ships with its own recall/distortion readout). A
+    healthy JL sketch concentrates around band 4 (ratio ≈ 1.0×);
+    mass in bands 0 or 8 means the sketch is too narrow for the
+    corpus's intrinsic dimension.
+
+    Cross-engine mechanics: both distances are EXACT integers (the
+    sketch relation is exact by construction; full-space component
+    diffs ≤ 2e7 so Σdiff² ≤ 64·4e14 ≪ int64; sketch diffs ≤ 2.6e9 so
+    Σdiff² needs the DECIMAL(38,0)/HUGEINT accumulator — the spearman
+    overflow convention), ratio as integer-ppm division on
+    non-negative operands, zero-distance pairs excluded on both sides.
+
+    Scale shape: reuses the memoized sketch relation; the pair sample
+    is an EQUI join on vec_id+1 (never a pair product), full-space
+    distances ride the exploded relation with a map-combined per-pair
+    sum, and the census is a ≤ 9-group collapse.
+    """
+    sk = _rp16_sketch_rel(spark, sf_dir)
+    sk_d = (
+        sk.alias("a")
+        .join(
+            sk.alias("b"),
+            (F.col("b.vec_id") == F.col("a.vec_id") + 1)
+            & (F.col("b.proj_dim") == F.col("a.proj_dim")),
+        )
+        .groupBy(F.col("a.vec_id").alias("va"))
+        .agg(
+            F.sum(
+                (
+                    (F.col("a.proj_units") - F.col("b.proj_units")).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                * (
+                    (F.col("a.proj_units") - F.col("b.proj_units")).cast(
+                        "decimal(38,0)"
+                    )
+                )
+            ).alias("d2_sk")
+        )
+    )
+    ex = (
+        _vec_double(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.posexplode("v").alias("pos", "x"))
+        .select(
+            "vec_id",
+            "pos",
+            F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("long").alias("eu"),
+        )
+    )
+    full_d = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("b.vec_id") == F.col("a.vec_id") + 1)
+            & (F.col("b.pos") == F.col("a.pos")),
+        )
+        .groupBy(F.col("a.vec_id").alias("va"))
+        .agg(
+            F.sum(
+                (F.col("a.eu") - F.col("b.eu"))
+                * (F.col("a.eu") - F.col("b.eu"))
+            )
+            .cast("long")
+            .alias("d2_full")
+        )
+    )
+    r = (
+        full_d.join(sk_d, "va")
+        .filter(F.col("d2_full") > 0)
+        .select(
+            F.expr(
+                f"CAST(d2_sk * 1000000 div ({_RP_DIMS} * CAST(d2_full AS"
+                " DECIMAL(38,0))) AS BIGINT)"
+            ).alias("distortion_ppm")
+        )
+    )
+    return (
+        r.groupBy(
+            F.least(F.expr("distortion_ppm div 250000"), F.lit(8))
+            .cast("int")
+            .alias("distortion_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("distortion_ppm").cast("long").alias("min_ppm"),
+            F.max("distortion_ppm").cast("long").alias("max_ppm"),
+        )
+        .orderBy("distortion_band")
+    )

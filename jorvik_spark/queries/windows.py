@@ -3304,3 +3304,112 @@ def window_holt_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("forecast_u"),
     )
+
+
+# --- round 15: Kendall-tau trend census (per-user robust monotonicity) -------
+
+
+@query(
+    "window_kendall_tau_trend",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL AND event_type = 'purchase'),
+    n AS (SELECT user_id, COUNT(*) AS n_purchases FROM p GROUP BY user_id),
+    pr AS (
+        SELECT a.user_id,
+               CASE WHEN b.vu > a.vu THEN 1 ELSE 0 END AS conc,
+               CASE WHEN b.vu < a.vu THEN 1 ELSE 0 END AS disc
+        FROM p a JOIN p b
+          ON a.user_id = b.user_id
+         AND (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id))),
+    agg AS (
+        SELECT user_id,
+               CAST(SUM(conc) AS BIGINT) AS concordant,
+               CAST(SUM(disc) AS BIGINT) AS discordant,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pr GROUP BY user_id)
+    SELECT n.user_id,
+           CAST(n.n_purchases AS BIGINT) AS n_purchases,
+           agg.n_pairs, agg.concordant, agg.discordant,
+           CAST((agg.concordant - agg.discordant) * 1000000
+                // agg.n_pairs AS BIGINT) AS tau_ppm
+    FROM n JOIN agg ON n.user_id = agg.user_id
+    WHERE n.n_purchases >= 2
+    ORDER BY n.user_id
+    """,
+)
+def window_kendall_tau_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a of (time, purchase value) per user: concordant vs
+    discordant time-ordered pairs, the RANK-based trend detector that
+    is immune to the outliers and non-linearity that bias a
+    least-squares slope (agg_regression_moments) — tau near +1e6 ppm
+    means the user's spend is monotonically ramping regardless of
+    scale, near 0 means no trend, value ties count neither way (tau-a).
+    The complement to Pettitt (WHERE a shift happened) and Holt (what
+    the level is): tau answers IS there a monotone drift at all.
+
+    Cross-engine mechanics: exact integers end-to-end — values
+    micro-quantized once, pairs ordered by the strict (ts, event_id)
+    composite (same tie-break as every window op in this module),
+    tau_ppm = (C − D)·1e6 div n_pairs with both engines truncating
+    toward zero identically (the numerator may be negative; Spark `div`
+    and DuckDB integer `//` agree everywhere — verified round 15).
+
+    Scale shape: the pair join is user-keyed (one shuffle each side on
+    the SAME key, so the per-user aggregate reuses the exchange) and
+    per-user quadratic IN THE PURCHASE COUNT only — bounded by the
+    heaviest user's k(k−1)/2, the same envelope as the autocorr/
+    spearman pair ops; a pathological hot user shows in
+    audit_join_key_skew first. No window, no sort, no driver state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("event_type") == "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("vu"),
+    )
+    n = p.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (
+            (F.col("a.t") < F.col("b.t"))
+            | ((F.col("a.t") == F.col("b.t")) & (F.col("a.event_id") < F.col("b.event_id")))
+        ),
+    )
+    agg = pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
+        F.sum(F.when(F.col("b.vu") > F.col("a.vu"), 1).otherwise(0))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(F.when(F.col("b.vu") < F.col("a.vu"), 1).otherwise(0))
+        .cast("long")
+        .alias("discordant"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return (
+        n.join(agg, "user_id")
+        .filter(F.col("n_purchases") >= 2)
+        .select(
+            "user_id",
+            "n_purchases",
+            "n_pairs",
+            "concordant",
+            "discordant",
+            F.expr("(concordant - discordant) * 1000000 div n_pairs")
+            .cast("long")
+            .alias("tau_ppm"),
+        )
+        .orderBy("user_id")
+    )

@@ -161,6 +161,14 @@ DOC_QUERIES = [
     "text_gibberish_score",
     "text_bpe_pair_counts",
     "sample_lm_importance",
+    # round 15: the hapax census must count null/empty docs as zero
+    # contribution (a source whose only doc is null still reports no
+    # row, not a 0/0 division) and agree on single-token sources
+    # (hapax_ppm = 1e6); the epoch shuffle plans EVERY doc — including
+    # null-text ones (the plan keys on doc_id alone), positions
+    # re-derivable from the salts on both engines.
+    "text_hapax_legomena",
+    "sample_epoch_shuffle",
 ]
 
 
@@ -249,6 +257,13 @@ EMB_QUERIES = [
     # Hamming needs no norm); positional packing must produce
     # identical words for short/odd-dimension dirty vectors.
     "simsearch_hamming_topk",
+    # round 15: the JL sketch KEEPS the zero vector (projects to the
+    # all-zero sketch — no norm needed) and must quantize-then-project
+    # identically on the exact-dup pair; the distortion census must
+    # EXCLUDE zero-distance consecutive pairs (the exact dup) rather
+    # than divide by zero, on both engines.
+    "embed_rp16_sketch",
+    "embed_jl_distortion_census",
 ]
 
 

@@ -170,6 +170,16 @@ EVENT_QUERIES = [
     # break the event-3/4 same-ts tie identically inside the frame
     # list; null-value purchases stay out of scope like the EWMA.
     "window_holt_smooth",
+    # round 15: Kendall tau must pair the event-3/4 same-ts tie via the
+    # (ts, event_id) strict composite, declare null-ts/null-value
+    # purchases out of scope, count exact value ties (user 1 has none
+    # here but user-2-style constants elsewhere) as neither concordant
+    # nor discordant, and truncate the possibly-negative (C-D)·1e6 div
+    # identically; cohort LTV anchors each user's cohort at the MIN ts
+    # over non-null-ts events of ANY type and must credit the
+    # null-value purchase zero mass by exclusion on both engines.
+    "window_kendall_tau_trend",
+    "agg_cohort_ltv",
 ]
 
 

@@ -175,6 +175,12 @@ def test_fuzzy_name_passjoin_stays_equi_keyed(spark):
     assert ("SortMergeJoin" in tree) or ("ShuffledHashJoin" in tree) or (
         "BroadcastHashJoin" in tree
     ), tree
+    # round-15: the candidate join must BUILD on the index side (the
+    # 4-rows/name relation, broadcast(idx) as the LEFT input) and
+    # STREAM the ~196-rows/name probe side — without the hint AQE
+    # broadcast the ~35x-larger probe relation (sized from the tiny
+    # pre-explode input)
+    assert "BroadcastHashJoin Inner BuildLeft" in tree, tree
 
 
 def test_bucketed_join_has_no_join_shuffle(spark):
@@ -437,12 +443,23 @@ def test_length_bucketed_single_aggregation_shuffle(spark):
 
 def test_bigram_lm_model_joins_are_equi(spark):
     """The LM score must build its model with hash aggregates and score
-    through equi joins — no cartesian, no nested loop, no Python."""
-    plan = _plan(spark, "text_bigram_lm_score")
+    through equi joins — no cartesian, no nested loop, no Python. Since
+    round 15 the scored relation is served from a cut-lineage memo, so
+    the BUILD plan is pinned directly (consumers see only the leaf)."""
+    from jorvik_spark.queries.text_analysis import _lm_scored_build
+
+    build = _lm_scored_build(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        build.explain("formatted")
+    plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan
+    # and the registered consumer serves from the memo leaf
+    consumer = _plan(spark, "text_bigram_lm_score")
+    assert "Scan ExistingRDD" in consumer
 
 
 def test_range_search_is_broadcast_pipeline(spark):
@@ -1128,9 +1145,9 @@ def test_key_density_has_no_global_window(spark):
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "Join" not in tree
-    # the lead's window partitions by bucket — never an empty partition
-    # spec (global sort) anywhere in the plan
-    assert "SinglePartition" not in plan.split("(subqueries)")[0] or True
+    # the lead's window partitions by bucket — exactly one Window node,
+    # and no unpartitioned window/global sort in the main tree
+    assert "SinglePartition" not in tree
     assert tree.count(" Window (") == 1
 
 
@@ -1190,3 +1207,81 @@ def test_linear_attribution_is_bucketed_not_per_user(spark):
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+# --- round 15 -----------------------------------------------------------------
+
+
+def test_rp16_sketch_broadcasts_the_sign_matrix(spark):
+    # posexplode -> one BROADCAST join against the 16×dim sign relation
+    # -> map-combined (vec_id, proj_dim) sum; the sign-matrix build is a
+    # memoized leaf with no join of its own
+    plan = _plan(spark, "embed_rp16_sketch")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "BroadcastHashJoin" in tree
+    assert "BatchEvalPython" not in plan
+
+
+def test_jl_distortion_pairs_are_equi_joins(spark):
+    # the consecutive-id pair sample is an EQUI join (vec_id+1), never a
+    # pair product, on both the sketch and the full-space side
+    plan = _plan(spark, "embed_jl_distortion_census")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_bfs_reach_serves_frontiers_from_memo_leaves(spark):
+    # every hop reads materialized frontier/reached leaves (the kcore
+    # discipline) — the census union must not re-derive the peel chain
+    plan = _plan(spark, "graph_bfs_reach3")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "Scan ExistingRDD" in plan  # localCheckpoint leaves
+
+
+def test_kendall_pair_join_is_user_keyed(spark):
+    # self-join keyed on user_id with the (ts, event_id) residual; the
+    # per-user aggregate reuses the same key — no window, no cartesian
+    plan = _plan(spark, "window_kendall_tau_trend")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert " Window (" not in tree
+
+
+def test_epoch_shuffle_sorts_shard_local(spark):
+    # the only window partitions by (epoch, shard) — no SinglePartition
+    # global sort anywhere in the main tree before the report orderBy
+    plan = _plan(spark, "sample_epoch_shuffle")
+    tree = plan.split("\n\n")[0]
+    assert tree.count(" Window (") == 1
+    assert "Join" not in tree
+
+
+def test_hapax_census_is_two_aggregates_no_join(spark):
+    plan = _plan(spark, "text_hapax_legomena")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_cohort_ltv_windows_over_aggregated_cells(spark):
+    # cohort min-agg + user-keyed equi join + cell rollup; the cum
+    # window partitions by cohort_week over aggregated cells only
+    plan = _plan(spark, "agg_cohort_ltv")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "SinglePartition" not in tree
+
+
+def test_orderkey_gaps_have_no_global_key_sort(spark):
+    # within-bucket lag partitions by bucket; the only unpartitioned
+    # window runs over the per-bucket extrema (guarded, keyspace/4096)
+    plan = _plan(spark, "audit_orderkey_gap_census")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert tree.count(" Window (") == 2

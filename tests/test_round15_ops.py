@@ -1,0 +1,251 @@
+"""Round-15 operator tests.
+
+Behavior pins for the operators added this round: the JL sketch and its
+distortion eval, the seeded BFS reach census, the Kendall-tau trend
+census, the epoch-shuffle training-order plan, the hapax census, the
+cohort-LTV curve, and the keyspace gap census.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import os
+
+import pandas as pd
+
+from jorvik_spark.queries import QUERIES
+
+
+def _md5_parity_sign(salt: str) -> int:
+    return 1 if int(hashlib.md5(salt.encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+
+
+def _write_events(spark, d, rows):
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, schema).write.parquet(f"{d}/events.parquet")
+
+
+def test_rp16_sketch_single_component_vector(spark, tmp_path):
+    """A vector with ONE nonzero component x at position p must project
+    to exactly sign(d, p) * floor(x*1e6 + 0.5) in every sketch dim —
+    pins the quantization, the salt text, and the parity convention
+    against an independent Python md5."""
+    d = str(tmp_path / "rp")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        {
+            "vec_id": [1, 2],
+            "embedding": [
+                [0.0, 0.0, 0.0, 2.5],  # one component at pos 3
+                [0.0, 0.0, 0.0, 0.0],  # zero vector -> all-zero sketch
+            ],
+            "label": [0, 0],
+        }
+    ).to_parquet(f"{d}/embeddings.parquet")
+    got = {
+        (r["vec_id"], r["proj_dim"]): r["proj_units"]
+        for r in QUERIES["embed_rp16_sketch"](spark, d).collect()
+    }
+    assert len(got) == 2 * 16
+    for dd in range(16):
+        expected = _md5_parity_sign(f"rp16:{dd}:3") * 2500000
+        assert got[(1, dd)] == expected, (dd, got[(1, dd)], expected)
+        assert got[(2, dd)] == 0
+
+
+def test_jl_distortion_is_exact_for_axis_pair(spark, tmp_path):
+    """Consecutive vectors differing in exactly one component: every
+    sketch dim picks up ±diff, so the estimator ||ŷa−ŷb||²/16 equals
+    the true distance EXACTLY — distortion_ppm = 1e6, band 4. A
+    zero-distance pair must be excluded, not divide by zero."""
+    d = str(tmp_path / "jl")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [
+                [1.0, 2.0],
+                [1.0, 5.0],  # pair (1,2): diff only at pos 1
+                [7.0, 7.0],
+                [7.0, 7.0],  # pair (3,4): zero distance -> excluded
+            ],
+            "label": [0, 0, 0, 0],
+        }
+    ).to_parquet(f"{d}/embeddings.parquet")
+    rows = QUERIES["embed_jl_distortion_census"](spark, d).collect()
+    # pairs sampled: (1,2), (2,3), (3,4); (3,4) excluded -> bands cover
+    # (1,2) at exactly 1e6 and (2,3) wherever its corpus geometry lands
+    total = sum(r["n_pairs"] for r in rows)
+    assert total == 2
+    band4 = {r["distortion_band"]: r for r in rows}.get(4)
+    assert band4 is not None
+    assert band4["min_ppm"] <= 1000000 <= band4["max_ppm"]
+
+
+def test_bfs_reach_census_depths(spark, tmp_path):
+    """Chain c0—s10—c1—s20—c5—s30 with c0 the only seed: depths are
+    0,1,2,3 along the chain and the remainder (c5, s30) reports -1."""
+    d = str(tmp_path / "bfs")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4, 5], "o_custkey": [0, 1, 1, 5, 5]}
+    ).to_parquet(f"{d}/orders.parquet")
+    pd.DataFrame(
+        {"l_orderkey": [1, 2, 3, 4, 5], "l_suppkey": [10, 10, 20, 20, 30]}
+    ).to_parquet(f"{d}/lineitem.parquet")
+    got = {
+        (r["depth"], r["node_type"]): r
+        for r in QUERIES["graph_bfs_reach3"](spark, d).collect()
+    }
+    # node ids: customer c -> 2c, supplier s -> 2s+1
+    assert got[(0, "customer")]["n_nodes"] == 1  # c0 (custkey 0 % 97 == 0)
+    assert got[(0, "customer")]["min_node"] == 0
+    assert got[(1, "supplier")]["n_nodes"] == 1  # s10
+    assert got[(1, "supplier")]["min_node"] == 21
+    assert got[(2, "customer")]["n_nodes"] == 1  # c1
+    assert got[(2, "customer")]["min_node"] == 2
+    assert got[(3, "supplier")]["n_nodes"] == 1  # s20
+    assert got[(3, "supplier")]["min_node"] == 41
+    assert got[(-1, "customer")]["n_nodes"] == 1  # c5, 4 hops away
+    assert got[(-1, "supplier")]["n_nodes"] == 1  # s30, 5 hops away
+
+
+def test_kendall_tau_trend_signs_and_truncation(spark, tmp_path):
+    """Monotone-up user pins +1e6, monotone-down −1e6, all-ties 0; a
+    single-purchase user is excluded; and a (C−D) = −1 over 3 pairs
+    pins the toward-zero truncation (−333333, not −333334)."""
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    rows, eid = [], 0
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):  # user 1: up
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(minutes=i), 1, "purchase", v, None))
+    for i, v in enumerate([4.0, 3.0, 2.0]):  # user 2: down
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(minutes=i), 2, "purchase", v, None))
+    for i in range(3):  # user 3: constant (ties)
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(minutes=i), 3, "purchase", 5.0, None))
+    eid += 1
+    rows.append((eid, base, 4, "purchase", 9.0, None))  # user 4: n=1
+    for i, v in enumerate([5.0, 1.0, 2.0]):  # user 5: C=1, D=2
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(minutes=i), 5, "purchase", v, None))
+    d = str(tmp_path / "tau")
+    _write_events(spark, d, rows)
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["window_kendall_tau_trend"](spark, d).collect()
+    }
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1]["tau_ppm"] == 1000000 and got[1]["n_pairs"] == 6
+    assert got[2]["tau_ppm"] == -1000000
+    assert got[3]["tau_ppm"] == 0 and got[3]["concordant"] == 0
+    assert (got[5]["concordant"], got[5]["discordant"]) == (1, 2)
+    assert got[5]["tau_ppm"] == -333333  # toward-zero, both engines
+
+
+def test_epoch_shuffle_matches_python_mirror(spark, tmp_path):
+    """The whole plan (shard assignment, within-shard order, position)
+    re-derives from the salts alone — pinned against an independent
+    Python md5 mirror, which also proves restart/resume determinism."""
+    d = str(tmp_path / "eshuf")
+    os.makedirs(d, exist_ok=True)
+    doc_ids = [11, 23, 35, 47, 59, 61, 73, 85]
+    pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "text": ["x"] * 8,
+            "lang": ["en"] * 8,
+            "source": ["s"] * 8,
+            "n_chars": [1] * 8,
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+    expected = []
+    for e in range(3):
+        by_shard: dict = {}
+        for doc in doc_ids:
+            shard = (
+                int(hashlib.md5(f"eshard:{e}:{doc}".encode()).hexdigest()[:8], 16)
+                % 8
+            )
+            key = hashlib.md5(f"eshuf:{e}:{doc}".encode()).hexdigest()
+            by_shard.setdefault(shard, []).append((key, doc))
+        for shard in sorted(by_shard):
+            for pos, (_, doc) in enumerate(sorted(by_shard[shard]), start=1):
+                expected.append((e, shard, pos, doc))
+    got = [
+        (r["epoch"], r["shard"], r["position"], r["doc_id"])
+        for r in QUERIES["sample_epoch_shuffle"](spark, d).collect()
+    ]
+    assert got == expected
+    # epochs must genuinely reshuffle: the doc order of epoch 0 and 1
+    # (concatenated across shards) differs
+    e0 = [t[3] for t in expected if t[0] == 0]
+    e1 = [t[3] for t in expected if t[0] == 1]
+    assert e0 != e1
+
+
+def test_hapax_census_counts(spark, tmp_path):
+    d = str(tmp_path / "hapax")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["alpha alpha beta", "gamma gamma delta delta epsilon"],
+            "lang": ["en", "en"],
+            "source": ["a", "b"],
+            "n_chars": [16, 31],
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+    got = {
+        r["source"]: r for r in QUERIES["text_hapax_legomena"](spark, d).collect()
+    }
+    a, b = got["a"], got["b"]
+    assert (a["n_tokens"], a["n_types"], a["n_hapax"], a["n_dis"]) == (3, 2, 1, 1)
+    assert a["hapax_ppm"] == 500000
+    assert (b["n_tokens"], b["n_types"], b["n_hapax"], b["n_dis"]) == (5, 3, 1, 2)
+    assert b["hapax_ppm"] == 333333
+
+
+def test_cohort_ltv_cells_and_cumulative(spark, tmp_path):
+    """User 1 signs up (first event) Monday week 0, buys 10 in week 0
+    and 5 in week 2: cells (age 0, 10.0, cum 10.0) and (age 2, 5.0,
+    cum 15.0). A click-only user contributes no cells."""
+    w0 = datetime.datetime(2024, 5, 6, 12, 0, 0)  # Monday
+    rows = [
+        (1, w0, 1, "signup", None, None),
+        (2, w0 + datetime.timedelta(hours=1), 1, "purchase", 10.0, None),
+        (3, w0 + datetime.timedelta(days=14), 1, "purchase", 5.0, None),
+        (4, w0, 2, "click", 1.0, None),
+    ]
+    d = str(tmp_path / "ltv")
+    _write_events(spark, d, rows)
+    got = QUERIES["agg_cohort_ltv"](spark, d).collect()
+    assert len(got) == 2
+    assert [r["age_week"] for r in got] == [0, 2]
+    assert [r["revenue"] for r in got] == [10.0, 5.0]
+    assert [r["cum_revenue"] for r in got] == [10.0, 15.0]
+    assert all(r["n_buyers"] == 1 for r in got)
+    # cohort_week is the Monday of the signup week
+    assert all(r["cohort_week"] == datetime.datetime(2024, 5, 6) for r in got)
+
+
+def test_orderkey_gap_census_within_and_across_buckets(spark, tmp_path):
+    """A hole inside a bucket and a hole straddling a bucket boundary
+    both report at their stride; contiguous pairs report at stride 1
+    (the always-value-carrying baseline) — pins the two-level
+    decomposition against the single-sort spec."""
+    d = str(tmp_path / "gaps")
+    os.makedirs(d, exist_ok=True)
+    keys = [1, 2, 3, 10, 8192, 8193]  # 3→10 within bucket 0; 10→8192 boundary
+    pd.DataFrame({"o_orderkey": keys}).to_parquet(f"{d}/orders.parquet")
+    got = {
+        r["stride"]: r["n_pairs"]
+        for r in QUERIES["audit_orderkey_gap_census"](spark, d).collect()
+    }
+    assert got == {1: 3, 7: 1, 8182: 1}  # (1,2),(2,3),(8192,8193) at stride 1
