@@ -264,6 +264,8 @@ BENCH_R15_QUERIES: dict[str, str] = {
     "r15_kendall": "window_kendall_tau_trend",
     "r15_gaps": "audit_orderkey_gap_census",
     "r15_ltv": "agg_cohort_ltv",
+    "r15_churn": "audit_user_churn_census",
+    "r15_mhdecon": "decontaminate_minhash",
 }
 
 # Round-11 cohort regression reference (PROFILE.md round-11 final quiet

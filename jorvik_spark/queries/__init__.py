@@ -36,9 +36,15 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 #     newest driver row is older than r10.
 #   * Operators NEW in round 15 are staged BEHIND the r10 backlog:
 #     they carry LOCAL_PARITY_r15 sf0.01 + sf0.1 birth evidence, and
-#     the round-16 rotation should take them first, then continue the
-#     r10 cohort (27 remaining after this round, in CORRECTNESS_r10
-#     order: udtf_sentence_split onward).
+#     the round-16 rotation should take them FIRST (11 ops:
+#     embed_rp16_sketch, embed_jl_distortion_census, graph_bfs_reach3,
+#     window_kendall_tau_trend, sample_epoch_shuffle,
+#     text_hapax_legomena, agg_cohort_ltv, audit_orderkey_gap_census,
+#     agg_rfm_octave_census, audit_user_churn_census,
+#     decontaminate_minhash), then continue the r10 cohort (27
+#     remaining after this round, in CORRECTNESS_r10 order:
+#     stream_window_unique_users onward — 11 + 27 = 38, topped up with
+#     the oldest r11-age members in CORRECTNESS_r11 order).
 #   * Still excluded: text_bpe_train (rows-only by contract — iterative
 #     BPE merge table; its corpus-pass core is hash-checked via
 #     text_bpe_pair_counts, which holds a slot below).

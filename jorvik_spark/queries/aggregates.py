@@ -2118,3 +2118,86 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue"
         ),
     ).orderBy("cohort_week", "age_week")
+
+
+# --- round 15 wave 2: RFM octave census ---------------------------------------
+
+
+@query(
+    "agg_rfm_octave_census",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL AND event_type = 'purchase'),
+    u AS (SELECT user_id, MAX(t) AS last_t, COUNT(*) AS f,
+                 SUM(vu) AS mu
+          FROM p GROUP BY user_id),
+    mx AS (SELECT MAX(t) AS t_now FROM p),
+    bands AS (
+        SELECT CAST(CASE WHEN (m.t_now - u.last_t) // 3600000000 <= 0
+                         THEN 0 ELSE length(bin((m.t_now - u.last_t)
+                                                // 3600000000)) END
+                    AS INTEGER) AS r_band,
+               CAST(length(bin(u.f)) AS INTEGER) AS f_band,
+               CAST(CASE WHEN u.mu // 1000000 <= 0 THEN 0
+                         ELSE length(bin(u.mu // 1000000)) END
+                    AS INTEGER) AS m_band
+        FROM u CROSS JOIN mx m)
+    SELECT r_band, f_band, m_band,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM bands GROUP BY 1, 2, 3 ORDER BY r_band, f_band, m_band
+    """,
+)
+def agg_rfm_octave_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation census in
+    octave bands: per purchasing user, hours-since-last-purchase,
+    purchase count, and whole-currency spend, each collapsed to its
+    integer bit length and counted per (r, f, m) cell — the classic
+    CRM segmentation grid, banded instead of NTILE-quartiled because
+    exact quartiles need a GLOBAL sort of the user relation (billions
+    of rows at scale) while octaves are a narrow map expression with
+    identical cross-engine semantics (the degree/size-histogram
+    convention). Recency anchors at the corpus's last purchase so the
+    census is reproducible from the lake alone.
+
+    Scale shape: one map-combined user aggregate, a single-row
+    broadcast for the time anchor, and a ≤ ~|bands|³ census collapse.
+    All exact integer arithmetic (µs recency, micro-unit spend).
+    """
+    p = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("event_type") == "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("vu"),
+    )
+    u = p.groupBy("user_id").agg(
+        F.max("t").alias("last_t"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum("vu").alias("mu"),
+    )
+    mx = F.broadcast(p.agg(F.max("t").alias("t_now")))
+
+    def bits(col):
+        return (
+            F.when(col <= 0, F.lit(0))
+            .otherwise(F.length(F.conv(col.cast("string"), 10, 2)))
+            .cast("int")
+        )
+
+    bands = u.crossJoin(mx).select(
+        bits(F.expr("(t_now - last_t) div 3600000000")).alias("r_band"),
+        bits(F.col("f")).alias("f_band"),
+        bits(F.expr("mu div 1000000")).alias("m_band"),
+    )
+    return (
+        bands.groupBy("r_band", "f_band", "m_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("r_band", "f_band", "m_band")
+    )

@@ -1054,3 +1054,107 @@ def audit_orderkey_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("stride")
     )
+
+
+# --- round 15 wave 2: user-churn gap census -----------------------------------
+
+# Half-x bands of open-gap / max-historical-gap; band 8 = 4x-or-more
+# past the user's own worst silence.
+_CHURN_BAND_CAP = 8
+
+
+@query(
+    "audit_user_churn_census",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    mx AS (SELECT MAX(t) AS t_now FROM e),
+    g AS (SELECT user_id,
+                 t - lag(t) OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id) AS gap
+          FROM e),
+    u AS (SELECT user_id, MAX(gap) AS max_hist_gap
+          FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+    last AS (SELECT user_id, MAX(t) AS last_t FROM e GROUP BY user_id),
+    r AS (SELECT l.user_id,
+                 CASE WHEN u.max_hist_gap IS NULL OR u.max_hist_gap <= 0
+                      THEN NULL
+                      ELSE (m.t_now - l.last_t) * 1000000 // u.max_hist_gap
+                 END AS ratio_ppm
+          FROM last l LEFT JOIN u ON u.user_id = l.user_id CROSS JOIN mx m)
+    SELECT CAST(CASE WHEN ratio_ppm IS NULL THEN NULL
+                     ELSE LEAST(ratio_ppm // 500000, {_CHURN_BAND_CAP})
+                END AS INTEGER) AS churn_band,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(ratio_ppm) AS BIGINT) AS min_ppm,
+           CAST(MAX(ratio_ppm) AS BIGINT) AS max_ppm
+    FROM r GROUP BY 1 ORDER BY churn_band NULLS FIRST
+    """,
+)
+def audit_user_churn_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-risk census: each user's OPEN silence (time from their last
+    event to the corpus's last event) as a ratio of their own worst
+    HISTORICAL gap, in half-x ppm bands — the "is this user gone or
+    just quiet" screen that normalizes per user instead of applying one
+    global inactivity threshold (a daily user 3 days silent is churned;
+    a monthly user 3 days silent is fine). Band 0-1 = within historical
+    behavior, band ≥ 2 = silent past their worst gap, NULL band = users
+    with no measurable history (single-event or all-tied timestamps —
+    declared out of scope, reported, never guessed).
+
+    Cross-engine mechanics: exact µs integers end-to-end; ratio_ppm =
+    open·1e6 div max_hist_gap on non-negative operands; ties in the
+    event stream break by event_id (the module convention).
+
+    Scale shape: one user-keyed exchange feeds the lag window, the
+    per-user gap aggregate AND the last-seen aggregate (same key, one
+    shuffle); the corpus anchor is a single-row broadcast; the census
+    is a ≤ 10-group collapse.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", F.unix_micros("ts").alias("t"), "event_id")
+    mx = F.broadcast(e.agg(F.max("t").alias("t_now")))
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    g = e.select(
+        "user_id", "t", (F.col("t") - F.lag("t").over(w)).alias("gap")
+    )
+    u = (
+        g.filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(F.max("gap").alias("max_hist_gap"))
+    )
+    last = e.groupBy("user_id").agg(F.max("t").alias("last_t"))
+    r = (
+        last.join(u, "user_id", "left")
+        .crossJoin(mx)
+        .select(
+            F.when(
+                F.col("max_hist_gap").isNull() | (F.col("max_hist_gap") <= 0),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(
+                F.expr("(t_now - last_t) * 1000000 div max_hist_gap")
+            )
+            .alias("ratio_ppm")
+        )
+    )
+    band = F.when(
+        F.col("ratio_ppm").isNull(), F.lit(None).cast("int")
+    ).otherwise(
+        F.least(
+            F.expr("ratio_ppm div 500000"), F.lit(_CHURN_BAND_CAP)
+        ).cast("int")
+    )
+    return (
+        r.groupBy(band.alias("churn_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("ratio_ppm").cast("long").alias("min_ppm"),
+            F.max("ratio_ppm").cast("long").alias("max_ppm"),
+        )
+        .orderBy(F.col("churn_band").asc_nulls_first())
+    )

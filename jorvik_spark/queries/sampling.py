@@ -2077,3 +2077,99 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("position"),
         "doc_id",
     ).orderBy("epoch", "shard", "position")
+
+
+# --- round 15 wave 2: near-duplicate (MinHash-band) decontamination ----------
+
+
+@query(
+    "decontaminate_minhash",
+    oracle=None,  # assembled below from dedup's shared band CTEs
+)
+def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate eval contamination: test-split documents whose
+    banded-MinHash signature collides with ANY train-split document —
+    the fuzzy decontamination layer run when exact n-gram overlap
+    (``decontaminate_overlap`` / ``_ngram_fraction``) is not enough:
+    a lightly-paraphrased eval item shares few verbatim shingles but
+    still lands in the same MinHash band with high probability. Emits
+    every test doc with its colliding-band count (0 = clean), so the
+    report is value-carrying on every corpus and thresholding stays
+    the caller's policy.
+
+    Cross-engine mechanics: reuses dedup's exact band geometry (md5
+    MinHash, 4 bands × 3 rows) and the sampler family's md5 split
+    convention — identical constants by import, so this screen can
+    never drift from the near-dup resolver it mirrors.
+
+    Scale shape: the shared banded index is memoized (built once per
+    session for ALL its consumers); the screen itself is one equi join
+    on (band, key) between the test-side band rows and the DISTINCT
+    train-side band keys, then a per-doc count — the test side is
+    eval-sized, never corpus-sized, and no doc×doc pair ever exists.
+    """
+    from jorvik_spark.queries.dedup import _mh_bands
+
+    bands = _mh_bands(spark, sf_dir).withColumn(
+        "split_bucket", _bucket(F.col("doc_id"), "split:")
+    )
+    train_keys = (
+        bands.filter(F.col("split_bucket") < _VAL_LO)
+        .select("band", "key")
+        .distinct()
+    )
+    test_bands = bands.filter(F.col("split_bucket") >= _TEST_LO)
+    hits = (
+        test_bands.join(train_keys, ["band", "key"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_colliding_bands"))
+    )
+    test_docs = test_bands.select("doc_id").distinct()
+    return (
+        test_docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_colliding_bands", F.lit(0))
+            .cast("long")
+            .alias("n_colliding_bands"),
+            (F.coalesce("n_colliding_bands", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# decontaminate_minhash's oracle assembles from dedup's SHARED band CTE
+# pieces (same constants by import — the screen can never drift from the
+# near-dup resolver's geometry).
+from jorvik_spark.queries.dedup import (  # noqa: E402
+    _MH_SEEDS,
+    _SQL_SHINGLES,
+    _sql_mh,
+    _sql_mh_bands,
+)
+
+_ORACLES["decontaminate_minhash"] = f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+    shex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sig AS (SELECT doc_id,
+            {', '.join(f'{_sql_mh(i)} AS h{i}' for i in range(_MH_SEEDS))}
+            FROM shex GROUP BY doc_id),
+    bands AS ({_sql_mh_bands()}),
+    sb AS (SELECT doc_id, band, key,
+                  {_sql_bucket('doc_id', 'split:')} AS b
+           FROM bands),
+    train AS (SELECT DISTINCT band, key FROM sb WHERE b < {_VAL_LO}),
+    test AS (SELECT * FROM sb WHERE b >= {_TEST_LO}),
+    hits AS (SELECT t.doc_id, COUNT(*) AS n
+             FROM test t JOIN train USING (band, key)
+             GROUP BY t.doc_id),
+    td AS (SELECT DISTINCT doc_id FROM test)
+    SELECT td.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_colliding_bands,
+           coalesce(h.n, 0) > 0 AS contaminated
+    FROM td LEFT JOIN hits h ON td.doc_id = h.doc_id
+    ORDER BY td.doc_id
+"""

@@ -2144,10 +2144,14 @@ def text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one narrow map pass over documents (three regex/split
     expressions), then a map-combined aggregate over ≤ 21·|sources|
-    groups. No shuffle larger than the report.
+    groups. No shuffle larger than the report. The scan goes through
+    ``_repartitioned_docs`` (round-15 fix): the regex work is CPU-bound
+    per row, and an under-split input serializes it — measured at the
+    100x stress corpus's 14-uneven-splits layout as ONE 40 s task
+    against a 0.37 s median before the spread.
     """
     d = (
-        load_table(spark, sf_dir, "documents")
+        _repartitioned_docs(spark, sf_dir)
         .select(
             "source",
             F.expr(
@@ -2228,9 +2232,12 @@ def text_gibberish_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one narrow map pass (regexes per doc), then a
     map-combined ≤ 10·|sources|-group aggregate. No joins, no windows.
+    The scan goes through ``_repartitioned_docs`` (round-15 fix, same
+    as ARI): CPU-bound regexes serialize on an under-split input —
+    one 20.7 s task against a 77 ms median at the 100x stress layout.
     """
     d = (
-        load_table(spark, sf_dir, "documents")
+        _repartitioned_docs(spark, sf_dir)
         .filter(F.col("text").isNotNull() & (F.length("text") >= 1))
         .select(
             "source",

@@ -169,6 +169,11 @@ DOC_QUERIES = [
     # re-derivable from the salts on both engines.
     "text_hapax_legomena",
     "sample_epoch_shuffle",
+    # wave 2: minhash decontamination must ignore docs that shingle to
+    # nothing (null/empty/short texts have no bands, hence no row if
+    # they land in the test split) and flag the cross-split exact-dup
+    # pair on all 4 bands when the split buckets happen to straddle.
+    "decontaminate_minhash",
 ]
 
 

@@ -180,6 +180,14 @@ EVENT_QUERIES = [
     # null-value purchase zero mass by exclusion on both engines.
     "window_kendall_tau_trend",
     "agg_cohort_ltv",
+    # wave 2: RFM must scope to non-null-ts/value purchases and band
+    # the zero/negative-spend users identically (m_band 0 via the <= 0
+    # clamp); churn must send single-event and all-tied-gap users to
+    # the NULL band on both engines, with the event-3/4 same-ts tie
+    # contributing a 0 gap (history exists, gap 0 -> still NULL only
+    # if it is the MAX) and null-ts rows out of scope.
+    "agg_rfm_octave_census",
+    "audit_user_churn_census",
 ]
 
 
@@ -237,7 +245,11 @@ ORDER_ROWS = [
     (108, 4, "O", 70.0, B),
 ]
 
-ASOF_QUERIES = ["join_asof", "join_asof_tolerance"]
+# round 15: the keyspace stride census rides the same dirty orders —
+# duplicate keys collapse through DISTINCT, the sparse key list spans
+# several strides, and the two-level bucket decomposition must equal
+# the oracle's single global lag on this adversarial little keyspace.
+ASOF_QUERIES = ["join_asof", "join_asof_tolerance", "audit_orderkey_gap_census"]
 
 
 @pytest.fixture(scope="module")

@@ -1244,12 +1244,13 @@ def test_bfs_reach_serves_frontiers_from_memo_leaves(spark):
 
 def test_kendall_pair_join_is_user_keyed(spark):
     # self-join keyed on user_id with the (ts, event_id) residual; the
-    # per-user aggregate reuses the same key — no window, no cartesian
+    # recency-cap rank windows and the per-user aggregate all partition
+    # by the same user key (never SinglePartition), no cartesian
     plan = _plan(spark, "window_kendall_tau_trend")
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
-    assert " Window (" not in tree
+    assert "SinglePartition" not in tree
 
 
 def test_epoch_shuffle_sorts_shard_local(spark):
@@ -1285,3 +1286,31 @@ def test_orderkey_gaps_have_no_global_key_sort(spark):
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert tree.count(" Window (") == 2
+
+
+def test_rfm_census_is_one_user_aggregate(spark):
+    # one map-combined user agg + single-row broadcast anchor + census;
+    # octave bands instead of NTILE so no global sort exists
+    plan = _plan(spark, "agg_rfm_octave_census")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "SinglePartition" not in tree.split("Sort")[0]
+    assert " Window (" not in tree
+
+
+def test_churn_census_reuses_the_user_exchange(spark):
+    # the lag window, gap agg and last-seen agg all key on user_id;
+    # the anchor is a broadcast; no cartesian, no global window
+    plan = _plan(spark, "audit_user_churn_census")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert tree.count(" Window (") == 1
+
+
+def test_minhash_decontamination_joins_on_band_key(spark):
+    # test-side band rows equi-join the distinct train band keys; the
+    # shared band index is a memoized leaf — no doc x doc pair product
+    plan = _plan(spark, "decontaminate_minhash")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree

@@ -249,3 +249,86 @@ def test_orderkey_gap_census_within_and_across_buckets(spark, tmp_path):
         for r in QUERIES["audit_orderkey_gap_census"](spark, d).collect()
     }
     assert got == {1: 3, 7: 1, 8182: 1}  # (1,2),(2,3),(8192,8193) at stride 1
+
+
+# --- wave 2 -------------------------------------------------------------------
+
+
+def test_rfm_census_bands(spark, tmp_path):
+    """User A: last purchase 8h before the corpus anchor, 2 purchases,
+    4 currency units → bands (4, 2, 3); user B holds the anchor with 1
+    purchase of 2.5 → bands (0, 1, 2)."""
+    base = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1, "purchase", 3.0, None),
+        (2, base + datetime.timedelta(hours=2), 1, "purchase", 1.0, None),
+        (3, base + datetime.timedelta(hours=10), 2, "purchase", 2.5, None),
+    ]
+    d = str(tmp_path / "rfm")
+    _write_events(spark, d, rows)
+    got = {
+        (r["r_band"], r["f_band"], r["m_band"]): r["n_users"]
+        for r in QUERIES["agg_rfm_octave_census"](spark, d).collect()
+    }
+    assert got == {(4, 2, 3): 1, (0, 1, 2): 1}
+
+
+def test_churn_census_bands_and_null_scope(spark, tmp_path):
+    """User 1's open silence is 8x their worst historical gap → band 8
+    (capped); user 2 holds the anchor with gaps → band 0; user 3 is
+    single-event (no history) → NULL band, reported not dropped."""
+    base = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1, "view", 1.0, None),
+        (2, base + datetime.timedelta(seconds=60), 1, "view", 1.0, None),
+        (3, base + datetime.timedelta(seconds=120), 1, "view", 1.0, None),
+        (4, base, 2, "view", 1.0, None),
+        (5, base + datetime.timedelta(seconds=600), 2, "view", 1.0, None),
+        (6, base + datetime.timedelta(seconds=300), 3, "view", 1.0, None),
+    ]
+    d = str(tmp_path / "churn")
+    _write_events(spark, d, rows)
+    got = {
+        r["churn_band"]: r
+        for r in QUERIES["audit_user_churn_census"](spark, d).collect()
+    }
+    # user 1: open gap 480 s vs worst hist gap 60 s → 8e6 ppm → band 8
+    assert got[8]["n_users"] == 1 and got[8]["min_ppm"] == 8000000
+    # user 2: open gap 0 → ratio 0 → band 0
+    assert got[0]["n_users"] == 1 and got[0]["max_ppm"] == 0
+    # user 3: single event → NULL band
+    assert got[None]["n_users"] == 1
+
+
+def test_minhash_decontamination_flags_exact_dup_across_split(spark, tmp_path):
+    """A test-split doc that is an exact copy of a train-split doc must
+    collide on every band; an unrelated test doc reports 0 and
+    contaminated = false."""
+    def bucket(doc_id):
+        return int(hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:8], 16) % 1000
+
+    train_id = next(i for i in range(1, 500) if bucket(i) < 800)
+    test_dup = next(i for i in range(1, 500) if bucket(i) >= 900)
+    test_clean = next(
+        i for i in range(test_dup + 1, 2000) if bucket(i) >= 900
+    )
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    d = str(tmp_path / "mhdecon")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [train_id, test_dup, test_clean],
+            "text": [shared, shared, "completely different words everywhere zebra"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(shared), len(shared), 44],
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["decontaminate_minhash"](spark, d).collect()
+    }
+    assert set(got) == {test_dup, test_clean}
+    assert got[test_dup]["contaminated"] and got[test_dup]["n_colliding_bands"] == 4
+    assert not got[test_clean]["contaminated"]
+    assert got[test_clean]["n_colliding_bands"] == 0
