@@ -1804,3 +1804,95 @@ def running_holt(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_churn(
+    df: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Online per-key inactivity tracker — the LIVE stateful sibling of
+    the batch ``audit_user_churn_census`` (round 15): per event, the
+    closed gap to the key's previous event and the running maximum
+    historical gap. The census's churn ratio is then one narrow
+    expression over each key's LATEST row (open silence ÷
+    max_hist_gap_us) — an ops dashboard keeps this per-key state hot
+    instead of re-scanning history per refresh.
+
+    State per key is TWO longs (last event µs, max closed gap µs) —
+    the smallest state in the running_* family. Ties inside a
+    micro-batch break by (ts_us, event_id), the module convention, so
+    live and batch agree bit-for-bit (the restart test pins row
+    equality across a kill-and-resume). Batch input delegates to the
+    identical declarative window form instead of raising.
+    """
+    filtered = df.filter(
+        F.col("ts").isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        key_col,
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy("ts_us", "event_id")
+        gap = F.col("ts_us") - F.lag("ts_us").over(w)
+        run = Window.partitionBy(key_col).orderBy("ts_us", "event_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            filtered.withColumn("gap_us", gap)
+            .withColumn("max_hist_gap_us", F.max("gap_us").over(run))
+            .select(
+                key_col,
+                "event_id",
+                F.col("ts_us").cast("long").alias("t"),
+                F.col("gap_us").cast("long"),
+                F.col("max_hist_gap_us").cast("long"),
+            )
+        )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_t, maxg = state.get if state.exists else (None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        out = {k: [] for k in ("eid", "t", "gap", "maxg")}
+        for _, row in rows.iterrows():
+            t = int(row["ts_us"])
+            gap = None if last_t is None else t - last_t
+            if gap is not None and (maxg is None or gap > maxg):
+                maxg = gap
+            out["eid"].append(int(row["event_id"]))
+            out["t"].append(t)
+            out["gap"].append(gap)
+            out["maxg"].append(maxg)
+            last_t = t
+        # state columns are non-nullable longs in practice once a key
+        # has 2+ events; a single-event key stores (last_t, -1) and
+        # decodes -1 back to "no history yet"
+        state.update((last_t, -1 if maxg is None else maxg))
+        yield pd.DataFrame(
+            {
+                key_col: pd.array([key[0]] * len(out["eid"]), dtype="Int64"),
+                "event_id": pd.array(out["eid"], dtype="Int64"),
+                "t": pd.array(out["t"], dtype="Int64"),
+                "gap_us": pd.array(out["gap"], dtype="Int64"),
+                "max_hist_gap_us": pd.array(out["maxg"], dtype="Int64"),
+            }
+        )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return filtered.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, event_id long, t long,"
+            " gap_us long, max_hist_gap_us long"
+        ),
+        stateStructType="last_t long, maxg long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

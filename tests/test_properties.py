@@ -980,3 +980,160 @@ def test_hamming_topk_matches_bruteforce_popcount(spark, vecs):
         ranked = sorted(rows_q, key=lambda r: r["rnk"])
         keys = [(r["hamming"], r["candidate_id"]) for r in ranked]
         assert keys == sorted(keys)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    series=st.lists(st.integers(-10_000, 10_000), min_size=2, max_size=40)
+)
+def test_kendall_tau_matches_bruteforce_pairs(spark, series):
+    """Law behind window_kendall_tau_trend: for any single-user value
+    series (shorter than the recency cap), concordant/discordant equal
+    the brute-force time-ordered pair counts and tau_ppm equals
+    (C − D)·1e6 truncated toward zero over n(n−1)/2 pairs."""
+    import tempfile
+
+    import pandas as pd
+
+    from jorvik_spark.queries import QUERIES
+
+    d = tempfile.mkdtemp(prefix="tau_prop_")
+    base = 1_700_000_000_000_000
+    pd.DataFrame(
+        {
+            "event_id": range(1, len(series) + 1),
+            "ts": pd.to_datetime(
+                [base + i * 60_000_000 for i in range(len(series))], unit="us"
+            ),
+            "user_id": [1] * len(series),
+            "event_type": ["purchase"] * len(series),
+            "value": [float(v) for v in series],
+            "props": [None] * len(series),
+        }
+    ).to_parquet(f"{d}/events.parquet")
+
+    n = len(series)
+    q = [round(v * 1_000_000) for v in series]  # micro-quantized
+    conc = sum(
+        1 for i in range(n) for j in range(i + 1, n) if q[j] > q[i]
+    )
+    disc = sum(
+        1 for i in range(n) for j in range(i + 1, n) if q[j] < q[i]
+    )
+    pairs = n * (n - 1) // 2
+    num = (conc - disc) * 1_000_000
+    # exact toward-zero integer division (Python // floors)
+    want_tau = -((-num) // pairs) if num < 0 else num // pairs
+    rows = QUERIES["window_kendall_tau_trend"](spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["concordant"], r["discordant"], r["n_pairs"]) == (
+        conc,
+        disc,
+        pairs,
+    )
+    assert r["tau_ppm"] == want_tau
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.sets(
+        st.integers(0, 20_000), min_size=2, max_size=60
+    )
+)
+def test_stride_census_matches_single_sort(spark, keys):
+    """Law behind audit_orderkey_gap_census: the two-level
+    (bucket-partitioned lag + boundary extrema) decomposition equals
+    the single-global-sort stride census for ANY keyspace, including
+    keys straddling the 4096 bucket boundary."""
+    import tempfile
+    from collections import Counter
+
+    import pandas as pd
+
+    from jorvik_spark.queries import QUERIES
+
+    d = tempfile.mkdtemp(prefix="stride_prop_")
+    pd.DataFrame({"o_orderkey": sorted(keys)}).to_parquet(
+        f"{d}/orders.parquet"
+    )
+    ks = sorted(keys)
+    want = Counter(b - a for a, b in zip(ks, ks[1:]))
+    got = {
+        r["stride"]: r["n_pairs"]
+        for r in QUERIES["audit_orderkey_gap_census"](spark, d).collect()
+    }
+    assert got == dict(want)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0,
+                max_value=4.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_rp16_sketch_matches_bruteforce_projection(spark, vecs):
+    """Law behind embed_rp16_sketch: every sketch component equals the
+    brute-force Σ_i sgn(d, i)·floor(v_i·1e6 + 0.5) with the md5-parity
+    sign — for arbitrary (short, odd-dimension, zero) vectors. All
+    vectors in one table share the position grid, so ragged inputs are
+    padded by the test, not the engine."""
+    import hashlib
+    import math
+    import tempfile
+
+    import pandas as pd
+
+    from jorvik_spark.queries import QUERIES
+
+    dim = max(len(v) for v in vecs)
+    vecs = [v + [0.0] * (dim - len(v)) for v in vecs]
+    d = tempfile.mkdtemp(prefix="rp_prop_")
+    pd.DataFrame(
+        {
+            "vec_id": range(1, len(vecs) + 1),
+            "embedding": vecs,
+            "label": [0] * len(vecs),
+        }
+    ).to_parquet(f"{d}/embeddings.parquet")
+
+    def sgn(dd, pos):
+        h = hashlib.md5(f"rp16:{dd}:{pos}".encode()).hexdigest()[:8]
+        return 1 if int(h, 16) % 2 == 0 else -1
+
+    want = {}
+    for vid, v in enumerate(vecs, start=1):
+        qv = [math.floor(float(x) * 1_000_000 + 0.5) for x in v]
+        for dd in range(16):
+            want[(vid, dd)] = sum(
+                sgn(dd, i) * qv[i] for i in range(len(qv))
+            )
+    got = {
+        (r["vec_id"], r["proj_dim"]): r["proj_units"]
+        for r in QUERIES["embed_rp16_sketch"](spark, d).collect()
+    }
+    assert got == want

@@ -332,3 +332,135 @@ def test_minhash_decontamination_flags_exact_dup_across_split(spark, tmp_path):
     assert got[test_dup]["contaminated"] and got[test_dup]["n_colliding_bands"] == 4
     assert not got[test_clean]["contaminated"]
     assert got[test_clean]["n_colliding_bands"] == 0
+
+
+def test_kendall_recency_cap_binds_at_512(spark, tmp_path):
+    """With > 512 purchases, only the MOST RECENT 512 evaluate: 8 huge
+    early values followed by 512 strictly increasing ones yield a
+    perfect +1e6 tau over exactly 512·511/2 pairs — any leak of the
+    early rows would create discordant pairs."""
+    base = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    rows = []
+    for i in range(8):
+        rows.append(
+            (i + 1, base + datetime.timedelta(minutes=i), 1, "purchase",
+             1e6, None)
+        )
+    for i in range(512):
+        rows.append(
+            (100 + i, base + datetime.timedelta(minutes=8 + i), 1,
+             "purchase", float(i), None)
+        )
+    d = str(tmp_path / "taucap")
+    _write_events(spark, d, rows)
+    got = QUERIES["window_kendall_tau_trend"](spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_purchases"] == 512
+    assert r["n_pairs"] == 512 * 511 // 2
+    assert r["tau_ppm"] == 1000000
+
+
+def test_running_churn_matches_batch_across_restart(spark, tmp_path):
+    """The live churn tracker must equal its batch window form
+    bit-for-bit, with the 2-long state surviving a kill mid-stream —
+    the post-cut gaps are right only if (last_t, max_gap) came back
+    exactly from the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from jorvik_spark.streaming.ops import running_churn
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    # user 1: irregular gaps incl. a tie; user 2: single pre-cut event
+    rows = [
+        (1, base, 1, "view", 1.0, None),
+        (2, base + datetime.timedelta(seconds=60), 1, "click", 1.0, None),
+        (3, base + datetime.timedelta(seconds=60), 1, "view", 1.0, None),
+        (4, base + datetime.timedelta(seconds=400), 1, "view", 1.0, None),
+        (5, base + datetime.timedelta(seconds=410), 1, "view", 1.0, None),
+        (6, base + datetime.timedelta(seconds=1000), 1, "view", 1.0, None),
+        (7, base + datetime.timedelta(seconds=5), 2, "view", 1.0, None),
+        (8, base + datetime.timedelta(seconds=900), 2, "view", 1.0, None),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    src, dst, cp = (str(tmp_path / d) for d in ("src", "dst", "cp"))
+    cut = base + datetime.timedelta(seconds=405)
+    df.filter(F.col("ts") < cut).coalesce(1).write.parquet(f"{src}/p=a")
+
+    def drain_once() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/p=*")
+        )
+        q = (
+            running_churn(stream)
+            .writeStream.format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    drain_once()
+    df.filter(F.col("ts") >= cut).coalesce(1).write.parquet(f"{src}/p=b")
+    drain_once()
+
+    live = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    batch = sorted(tuple(r) for r in running_churn(df).collect())
+    assert live == batch
+    assert len(live) == 8
+
+
+def test_running_churn_final_rows_rederive_the_census(spark, tmp_path):
+    """Reconciliation: each user's LATEST running_churn row plus the
+    corpus anchor re-derives exactly the registered
+    audit_user_churn_census bands."""
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1, "view", 1.0, None),
+        (2, base + datetime.timedelta(seconds=60), 1, "view", 1.0, None),
+        (3, base + datetime.timedelta(seconds=120), 1, "view", 1.0, None),
+        (4, base, 2, "view", 1.0, None),
+        (5, base + datetime.timedelta(seconds=600), 2, "view", 1.0, None),
+        (6, base + datetime.timedelta(seconds=300), 3, "view", 1.0, None),
+    ]
+    d = str(tmp_path / "churnrec")
+    _write_events(spark, d, rows)
+    from jorvik_spark.streaming.ops import running_churn
+
+    ev = __import__("jorvik_spark.tables", fromlist=["load_table"]).load_table(
+        spark, d, "events"
+    )
+    twin = running_churn(ev).collect()
+    t_now = max(r["t"] for r in twin)
+    latest: dict = {}
+    for r in twin:
+        k = r["user_id"]
+        if k not in latest or (r["t"], r["event_id"]) > (
+            latest[k]["t"],
+            latest[k]["event_id"],
+        ):
+            latest[k] = r
+    want: dict = {}
+    for k, r in latest.items():
+        mg = r["max_hist_gap_us"]
+        if mg is None or mg <= 0:
+            band = None
+        else:
+            band = min((t_now - r["t"]) * 1000000 // mg // 500000, 8)
+        want[band] = want.get(band, 0) + 1
+    got = {
+        r["churn_band"]: r["n_users"]
+        for r in QUERIES["audit_user_churn_census"](spark, d).collect()
+    }
+    assert got == want
