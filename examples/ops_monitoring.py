@@ -128,6 +128,37 @@ def monitor(spark: SparkSession, sf_dir: str) -> dict:
             lvl = cur["level_u"]  # smoothed arrival, micro units
             if f > 0 and abs(lvl - f) * 2 > f:  # >50% miss
                 forecast_misses += 1
+    # Round-15 layer: WHO is going quiet (churn bands — each user's
+    # open silence vs their own worst historical gap; band >= 2 means
+    # silent past anything they ever did before, the population the
+    # deviation screens above can never flag because absence produces
+    # no events to deviate), and the RFM engagement grid the business
+    # side reads next to it.
+    from jorvik_spark.queries.aggregates import agg_rfm_octave_census
+    from jorvik_spark.queries.audits import audit_user_churn_census
+
+    churn = audit_user_churn_census(spark, sf_dir).collect()
+    churn_risk_users = sum(
+        r["n_users"]
+        for r in churn
+        if r["churn_band"] is not None and r["churn_band"] >= 2
+    )
+    churn_no_history = sum(
+        r["n_users"] for r in churn if r["churn_band"] is None
+    )
+    rfm = agg_rfm_octave_census(spark, sf_dir).collect()
+    # the cell a retention campaign targets: previously heavy spenders
+    # (m_band at or above the corpus median band) gone quiet (r_band
+    # above the median recency band)
+    m_bands = sorted(r["m_band"] for r in rfm for _ in range(r["n_users"]))
+    r_bands = sorted(r["r_band"] for r in rfm for _ in range(r["n_users"]))
+    m_med = m_bands[len(m_bands) // 2] if m_bands else 0
+    r_med = r_bands[len(r_bands) // 2] if r_bands else 0
+    lapsed_spenders = sum(
+        r["n_users"]
+        for r in rfm
+        if r["m_band"] >= m_med and r["r_band"] > r_med
+    )
     return {
         "suggested_watermark": watermark,
         "zscore_users": len(z_users),
@@ -151,6 +182,9 @@ def monitor(spark: SparkSession, sf_dir: str) -> dict:
         ),
         "strongest_shift_k": int(strongest["k2"]) if strongest is not None else 0,
         "forecast_misses_gt50pct": forecast_misses,
+        "churn_risk_users": churn_risk_users,
+        "churn_no_history_users": churn_no_history,
+        "lapsed_heavy_spenders": lapsed_spenders,
     }
 
 

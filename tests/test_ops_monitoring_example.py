@@ -54,3 +54,28 @@ def test_monitor_shift_and_forecast_layer(spark):
     assert report["strongest_shift_k"] > 0
     assert report["strongest_shift_user"] >= 0
     assert report["forecast_misses_gt50pct"] >= 0
+
+
+def test_monitor_churn_and_rfm_layer(spark):
+    """Round-15 layer: the churn/RFM fields exist, reconcile against the
+    registered censuses directly, and partition cleanly (risk + no-history
+    never exceeds the user population)."""
+    from jorvik_spark.queries.aggregates import agg_rfm_octave_census
+    from jorvik_spark.queries.audits import audit_user_churn_census
+
+    sf = default_sf_dir()
+    report = monitor(spark, sf)
+    churn = audit_user_churn_census(spark, sf).collect()
+    want_risk = sum(
+        r["n_users"]
+        for r in churn
+        if r["churn_band"] is not None and r["churn_band"] >= 2
+    )
+    assert report["churn_risk_users"] == want_risk
+    total_users = sum(r["n_users"] for r in churn)
+    assert (
+        report["churn_risk_users"] + report["churn_no_history_users"]
+        <= total_users
+    )
+    rfm_users = sum(r["n_users"] for r in agg_rfm_octave_census(spark, sf).collect())
+    assert 0 <= report["lapsed_heavy_spenders"] <= rfm_users
