@@ -67,6 +67,21 @@ def _vec_double(df: DataFrame) -> DataFrame:
     )
 
 
+def _spread_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, spread across all cores when the scan is under-split —
+    the text module's ``_repartitioned_docs`` discipline applied to the
+    vector table (round 15): per-component explode/quantize/project work
+    is CPU-bound per row and otherwise fuses INTO the scan stage, so an
+    under-split input serializes it (measured: the JL projection ran as
+    one ~19 s task against a sub-second median on the 100x stress
+    corpus's dominant-file layout). No-op on a well-split lake."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() >= n:
+        return emb
+    return emb.repartition(n)
+
+
 @query(
     "simsearch_topk",
     oracle=f"""
@@ -3059,7 +3074,7 @@ def _rp16_sketch_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         ex = (
-            _vec_double(load_table(spark, sf_dir, "embeddings"))
+            _vec_double(_spread_embeddings(spark, sf_dir))
             .select("vec_id", F.posexplode("v").alias("pos", "x"))
             .select(
                 "vec_id",
@@ -3176,7 +3191,7 @@ def embed_jl_distortion_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ex = (
-        _vec_double(load_table(spark, sf_dir, "embeddings"))
+        _vec_double(_spread_embeddings(spark, sf_dir))
         .select("vec_id", F.posexplode("v").alias("pos", "x"))
         .select(
             "vec_id",
