@@ -496,7 +496,7 @@ def main() -> None:
                 # exoneration
                 tiebreaks.append((lb, qname, ref_t, row, cohort_x))
             else:
-                _try_cohort_drift(row, cohort_x)
+                _try_cohort_drift(row, cohort_x, row["quiet2_x"])
         for lb, qname, ref_t, row, cohort_x in tiebreaks:
             try:
                 row["quiet3_load"] = round(os.getloadavg()[0], 2)
@@ -508,19 +508,24 @@ def main() -> None:
             if qm3 <= ref_t * _GATE_2C_LIMIT:
                 row["verdict"] = "exonerated_delayed"  # 2-of-3 quiet windows pass
             else:
-                _try_cohort_drift(row, cohort_x)
+                # 1-of-3: normalize the FAILING window's ratio, not
+                # quiet2_x (which passed by construction — normalizing
+                # it would auto-exonerate every 1-of-3 flag whenever
+                # cohort_x >= _DRIFT_MIN_COHORT_X, gutting the ladder).
+                _try_cohort_drift(row, cohort_x, row["quiet3_x"])
         for g in gates.values():
             g["ok"] = not any(
                 r["verdict"] == "regression" for r in g["violations"].values()
             )
 
-    def _try_cohort_drift(row: dict, cohort_x) -> None:
+    def _try_cohort_drift(row: dict, cohort_x, failing_x: float) -> None:
         # uniform cohort inflation = host drift; normalize by the
         # cohort median instead of widening the pin. A genuine
         # single-query regression rides a ~1.0 cohort median, so
-        # normalization cannot save it.
+        # normalization cannot save it. failing_x is the ratio of the
+        # window that FAILED the gate — never a passing window's.
         if cohort_x and cohort_x >= _DRIFT_MIN_COHORT_X:
-            norm_x = round(row["quiet2_x"] / cohort_x, 2)
+            norm_x = round(failing_x / cohort_x, 2)
             row["cohort_norm_x"] = norm_x
             if norm_x <= _GATE_2C_LIMIT:
                 row["verdict"] = "exonerated_cohort_drift"

@@ -1080,7 +1080,8 @@ _CHURN_BAND_CAP = 8
     r AS (SELECT l.user_id,
                  CASE WHEN u.max_hist_gap IS NULL OR u.max_hist_gap <= 0
                       THEN NULL
-                      ELSE (m.t_now - l.last_t) * 1000000 // u.max_hist_gap
+                      ELSE CAST(CAST(m.t_now - l.last_t AS HUGEINT) * 1000000
+                                // u.max_hist_gap AS BIGINT)
                  END AS ratio_ppm
           FROM last l LEFT JOIN u ON u.user_id = l.user_id CROSS JOIN mx m)
     SELECT CAST(CASE WHEN ratio_ppm IS NULL THEN NULL
@@ -1104,8 +1105,12 @@ def audit_user_churn_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared out of scope, reported, never guessed).
 
     Cross-engine mechanics: exact µs integers end-to-end; ratio_ppm =
-    open·1e6 div max_hist_gap on non-negative operands; ties in the
-    event stream break by event_id (the module convention).
+    open·1e6 div max_hist_gap on non-negative operands, widened through
+    the DECIMAL(38,0)/HUGEINT accumulator convention before the ·1e6
+    scale-up — in bare int64 an open silence past ~106 days
+    (9.2e18 µs / 1e6) overflows, an ANSI runtime error under Spark 4
+    and a BIGINT overflow in DuckDB; ties in the event stream break by
+    event_id (the module convention).
 
     Scale shape: one user-keyed exchange feeds the lag window, the
     per-user gap aggregate AND the last-seen aggregate (same key, one
@@ -1137,7 +1142,10 @@ def audit_user_churn_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("long"),
             )
             .otherwise(
-                F.expr("(t_now - last_t) * 1000000 div max_hist_gap")
+                F.expr(
+                    "CAST(CAST(t_now - last_t AS DECIMAL(38,0)) * 1000000"
+                    " div max_hist_gap AS BIGINT)"
+                )
             )
             .alias("ratio_ppm")
         )

@@ -833,17 +833,36 @@ def graph_bfs_reach3(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = [(0, seeds)]
     reached = seeds
     frontier = seeds
+    # Broadcast bound (round-15 ADVICE): a sparse-seed hop-1 frontier is
+    # ≪ edges, but over a dense bipartite trading graph the hop-2/3
+    # frontier approaches the full node population — unconditionally
+    # broadcasting it at large SF is a driver-collect + per-executor OOM
+    # risk. The frontier is already materialized behind a localCheckpoint
+    # leaf, so counting it is a cheap leaf scan; only hint when it fits
+    # the session's autoBroadcastJoinThreshold at ~16 bytes/row, else
+    # fall back to the shuffle join (bit-identical results either way).
+    try:
+        _thresh = int(
+            str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+            .lower().removesuffix("b")
+        )
+    except (TypeError, ValueError):
+        _thresh = 10 * 1024 * 1024
+    bcast_max_rows = max(_thresh, 0) // 16
     for hop in range(1, _BFS_HOPS + 1):
+        small = frontier.count() <= bcast_max_rows
         frontier = memo_df(
             f"bfs_front{hop}:{sf_dir}",
             spark,
-            # the frontier BROADCASTS (a frontier is ≪ edges at every
-            # hop of a sparse-seed BFS), so the edge relation never
-            # re-shuffles on the hub-skewed src key — measured 19.8
-            # task skew at 10x when this join shuffled instead
-            lambda frontier=frontier, reached=reached: (
+            # the frontier BROADCASTS while small (a sparse-seed frontier
+            # is ≪ edges), so the edge relation never re-shuffles on the
+            # hub-skewed src key — measured 19.8 task skew at 10x when
+            # this join shuffled instead
+            lambda frontier=frontier, reached=reached, small=small: (
                 edges.join(
-                    F.broadcast(frontier.withColumnRenamed("node", "src")),
+                    F.broadcast(frontier.withColumnRenamed("node", "src"))
+                    if small
+                    else frontier.withColumnRenamed("node", "src"),
                     "src",
                 )
                 .select(F.col("dst").alias("node"))

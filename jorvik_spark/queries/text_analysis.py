@@ -243,7 +243,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: length, mean token length, stopword
     ratio, and a pass/fail gate — the standard pre-training corpus filter
     shape."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _repartitioned_docs(spark, sf_dir)
     n_tokens = F.expr(f"size({_TOKENS})").cast("long")
     sum_len = F.expr(f"aggregate({_TOKENS}, 0L, (acc, x) -> acc + length(x))")
     stop_hits = F.expr(
@@ -300,7 +300,7 @@ def _lang_hits_spark(lang: str) -> str:
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-list language ID with a deterministic priority tiebreak
     (en > de > es > fr > zh, via CASE evaluation order)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _repartitioned_docs(spark, sf_dir)
     scored = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -766,12 +766,15 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     <URL>), so downstream exact dedup can collapse docs that differ only
     in contact details or tracking links.
 
-    Pure narrow regexp built-ins — no shuffle, scan speed at 100 TB. The
+    Pure narrow regexp built-ins over the spread scan (CPU-bound regex
+    passes route through ``_repartitioned_docs`` so an under-split input
+    cannot serialize them — the ARI/gibberish lesson; no-op at 100 TB
+    where the source is already well-split). The
     fingerprint is md5 of the scrubbed text, which hashes identically on
     both engines (probed; the patterns use only simple character classes
     shared by Java regex and RE2).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _repartitioned_docs(spark, sf_dir)
     scrubbed = (
         f"regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>'), "
         f"'{_PII_URL}', '<URL>')"

@@ -1858,6 +1858,9 @@ def running_churn(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         last_t, maxg = state.get if state.exists else (None, None)
+        # decode the single-event sentinel stored below: a restored key
+        # with (last_t, -1) has a timestamp but no gap history yet
+        maxg = None if maxg == -1 else maxg
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts_us", "event_id"])
         out = {k: [] for k in ("eid", "t", "gap", "maxg")}

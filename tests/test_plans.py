@@ -125,9 +125,13 @@ def test_q5_degrades_to_smj_past_broadcast_threshold(spark):
 def test_project_select_prunes_read_schema(spark):
     plan = _plan(spark, "project_select")
     assert "ReadSchema" in plan
-    assert "o_totalprice" not in plan.split("ReadSchema")[1].splitlines()[0] or True
-    # The orders scan must not read columns the projection drops.
-    assert "o_orderpriority" not in plan
+    # The part scan must not read the columns the projection drops
+    # (the query keeps p_partkey/p_name/p_retailprice of part's six).
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    for dropped in ("p_brand", "p_type", "p_size"):
+        assert dropped not in read_schema
+    for kept in ("p_partkey", "p_name", "p_retailprice"):
+        assert kept in read_schema
 
 
 def test_semi_anti_joins_stay_joins(spark):

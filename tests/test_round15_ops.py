@@ -464,3 +464,118 @@ def test_running_churn_final_rows_rederive_the_census(spark, tmp_path):
         for r in QUERIES["audit_user_churn_census"](spark, d).collect()
     }
     assert got == want
+
+
+def test_running_churn_restored_single_event_sentinel_decodes(spark, tmp_path):
+    """A single-event key stores the (last_t, -1) no-history sentinel;
+    on restore it must decode back to None. The masked failure mode
+    (round-15 ADVICE): after a kill-and-resume, an out-of-order
+    NEGATIVE-gap event is not > -1, so an undecoded sentinel leaks -1
+    into max_hist_gap_us and diverges from the uninterrupted stream."""
+    from jorvik_spark.streaming.ops import running_churn
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    first = [(1, base + datetime.timedelta(seconds=100), 3, "view", 1.0, None)]
+    # arrives later but carries an EARLIER timestamp: gap = -50 s
+    second = [(2, base + datetime.timedelta(seconds=50), 3, "view", 1.0, None)]
+
+    def drain(src: str, dst: str, cp: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/p=*")
+        )
+        q = (
+            running_churn(stream)
+            .writeStream.format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    # restarted run: kill between the two files
+    src1, dst1, cp1 = (str(tmp_path / d) for d in ("s1", "d1", "c1"))
+    spark.createDataFrame(first, schema).coalesce(1).write.parquet(f"{src1}/p=a")
+    drain(src1, dst1, cp1)
+    spark.createDataFrame(second, schema).coalesce(1).write.parquet(f"{src1}/p=b")
+    drain(src1, dst1, cp1)
+
+    # uninterrupted run: same files, same arrival order, one query
+    src2, dst2, cp2 = (str(tmp_path / d) for d in ("s2", "d2", "c2"))
+    spark.createDataFrame(first, schema).coalesce(1).write.parquet(f"{src2}/p=a")
+    spark.createDataFrame(second, schema).coalesce(1).write.parquet(f"{src2}/p=b")
+    drain(src2, dst2, cp2)
+
+    restarted = sorted(tuple(r) for r in spark.read.parquet(dst1).collect())
+    uninterrupted = sorted(tuple(r) for r in spark.read.parquet(dst2).collect())
+    assert restarted == uninterrupted
+    by_eid = {r[1]: r for r in restarted}
+    assert by_eid[2][3] == -50_000_000  # gap_us
+    assert by_eid[2][4] == -50_000_000  # max_hist_gap_us: decoded, not -1
+
+
+def test_churn_census_survives_year_long_open_silence(spark, tmp_path):
+    """ratio_ppm widens through DECIMAL(38,0)/HUGEINT before the 1e6
+    scale-up (round-15 ADVICE): a 400-day open silence overflows bare
+    int64 µs·1e6 (> 9.2e18) — pre-fix an ANSI runtime error on Spark
+    and a BIGINT overflow in DuckDB."""
+    base = datetime.datetime(2020, 1, 1)
+    rows = [
+        (1, base, 1, "view", 1.0, None),
+        (2, base + datetime.timedelta(hours=1), 1, "view", 1.0, None),
+        (3, base + datetime.timedelta(days=400), 2, "view", 1.0, None),
+        (4, base + datetime.timedelta(days=400, seconds=30), 2, "view",
+         1.0, None),
+    ]
+    d = str(tmp_path / "churnwide")
+    _write_events(spark, d, rows)
+    got = {
+        r["churn_band"]: (r["n_users"], r["max_ppm"])
+        for r in QUERIES["audit_user_churn_census"](spark, d).collect()
+    }
+    # user 1: open = 400d + 30s (corpus anchor) - 1h, worst gap = 1h
+    # -> deep in the cap band
+    open_us = (400 * 86400 + 30 - 3600) * 1_000_000
+    gap_us = 3600 * 1_000_000
+    assert got[8] == (1, open_us * 1_000_000 // gap_us)
+    assert got[0][0] == 1  # user 2 anchors the corpus, open gap 0
+
+
+def test_bfs_broadcast_guard_falls_back_identically(spark, tmp_path):
+    """The frontier broadcast is guarded by a row bound derived from
+    autoBroadcastJoinThreshold (round-15 ADVICE: a dense-graph hop-2/3
+    frontier can approach the full node population — broadcasting it is
+    an OOM, not an optimization). With the threshold disabled the
+    shuffle-join fallback must produce bit-identical censuses."""
+    from jorvik_spark.queries.registry import clear_memos
+
+    d = str(tmp_path / "bfsguard")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4, 5], "o_custkey": [0, 1, 1, 5, 5]}
+    ).to_parquet(f"{d}/orders.parquet")
+    pd.DataFrame(
+        {"l_orderkey": [1, 2, 3, 4, 5], "l_suppkey": [10, 10, 20, 20, 30]}
+    ).to_parquet(f"{d}/lineitem.parquet")
+    hinted = sorted(
+        tuple(r) for r in QUERIES["graph_bfs_reach3"](spark, d).collect()
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    clear_memos()
+    try:
+        fallback = sorted(
+            tuple(r) for r in QUERIES["graph_bfs_reach3"](spark, d).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        clear_memos()
+    assert fallback == hinted
