@@ -23,86 +23,81 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 
 # The verification driver records a bounded prefix of the queries() dict
 # (observed: exactly the first 50 entries, in registration order). Dict
-# order therefore encodes *driver-check priority*. Round-15 rotation
-# (the round-14 verdict's item #1, executed exactly as staged there):
-#   * The 13 r9-age leftovers FIRST (the members whose newest driver
-#     row is still r9 after the r13/r14 rotations), in CORRECTNESS_r09
-#     order — this retires the r9 evidence tail entirely.
-#   * Then the 14 round-14 newcomers (judge-verified 14/14 at sf0.01
-#     in VERDICT r14, LOCAL_PARITY sf0.01 + sf0.1 green at birth, but
-#     no driver row yet).
-#   * Then the 23 oldest r10-age members in CORRECTNESS_r10 order
-#     (13 + 14 + 23 = 50). After this round no registry member's
-#     newest driver row is older than r10.
-#   * Operators NEW in round 15 are staged BEHIND the r10 backlog:
-#     they carry LOCAL_PARITY_r15 sf0.01 + sf0.1 birth evidence, and
-#     the round-16 rotation should take them FIRST (11 ops:
-#     embed_rp16_sketch, embed_jl_distortion_census, graph_bfs_reach3,
-#     window_kendall_tau_trend, sample_epoch_shuffle,
-#     text_hapax_legomena, agg_cohort_ltv, audit_orderkey_gap_census,
-#     agg_rfm_octave_census, audit_user_churn_census,
-#     decontaminate_minhash), then continue the r10 cohort (27
-#     remaining after this round, in CORRECTNESS_r10 order:
-#     stream_window_unique_users onward — 11 + 27 = 38, topped up with
-#     the oldest r11-age members in CORRECTNESS_r11 order).
+# order therefore encodes *driver-check priority*. Round-16 rotation
+# (the round-15 verdict's item #1, executed exactly as staged there):
+#   * The 11 round-15 newcomers FIRST (judge-verified 11/11 at the
+#     driver's sf0.01 in VERDICT r15, LOCAL_PARITY sf0.01 + sf0.1 green
+#     at birth, but no driver row yet), in the r15 staging order.
+#   * Then the 27 remaining r10-age members (newest driver row = r10
+#     after the r13/r14/r15 rotations), in CORRECTNESS_r10 order —
+#     this retires the r10 evidence tail entirely.
+#   * Then the 12 oldest r11-age members in CORRECTNESS_r11 order
+#     (11 + 27 + 12 = 50). After this round no registry member's
+#     newest driver row is older than r11.
+#   * Operators NEW in round 16 are staged BEHIND the r11 backlog:
+#     they carry LOCAL_PARITY_r16 birth evidence, and the round-17
+#     rotation should take them FIRST, then continue the r11 cohort
+#     (38 remaining after this round, in CORRECTNESS_r11 order:
+#     window_anomaly_mad onward), topping up from the oldest r12-age
+#     members if slots remain.
 #   * Still excluded: text_bpe_train (rows-only by contract — iterative
 #     BPE merge table; its corpus-pass core is hash-checked via
-#     text_bpe_pair_counts, which holds a slot below).
+#     text_bpe_pair_counts, driver-green r15).
 # tests/test_registry_order.py pins list(queries())[:50] == this list.
 _CHECK_PRIORITY = [
-    # -- r9-age leftovers (CORRECTNESS_r09 order), 13 --
-    "udf_map_in_pandas",
-    "dedup_minhash_lsh",
-    "simsearch_lsh",
-    "agg_pricing_summary",
-    "agg_percentiles",
-    "agg_collect_set",
-    "agg_funnel_steps",
-    "agg_retention_cohort",
-    "window_rank_per_user",
-    "window_moving_avg",
-    "window_sessionize",
-    "stream_tumbling_agg",
-    "stream_session_window",
-    # -- round-14 wave: no driver rows yet (14) --
-    "text_bpe_pair_counts",
-    "window_pettitt_changepoint",
-    "audit_key_density",
-    "embed_sqnorm_octave_census",
-    "text_readability_ari",
-    "text_gibberish_score",
-    "agg_funnel_windowed",
-    "graph_kcore_peel3",
-    "sample_lm_importance",
-    "simsearch_hamming_topk",
-    "agg_conversion_hazard",
-    "audit_order_total_reconciliation",
-    "join_attribution_linear",
-    "window_holt_smooth",
-    # -- r10 cohort (CORRECTNESS_r10 order), first 23 of 50 --
-    "stream_stateful_running_totals",
-    "sink_compact_small_files",
-    "sql_api_revenue_report",
-    "scan_merge_schema_union",
-    "scan_python_datasource",
-    "merge_scd2_apply",
-    "scan_csv_corrupt_records",
-    "scan_xml_roundtrip",
-    "catalog_table_roundtrip",
-    "expr_array_higher_order",
-    "expr_variant_json",
-    "join_scd2_pointintime",
-    "join_null_safe_equi",
-    "join_q11_important_stock",
-    "join_q16_supplier_cnt",
-    "join_q20_surplus_suppliers",
-    "join_fuzzy_name_blocked",
-    "agg_approx_percentiles",
-    "agg_heavy_hitters",
-    "agg_regression_moments",
-    "agg_countmin_sketch",
-    "window_percent_rank_cume",
-    "stream_attribution_coverage",
+    # -- round-15 wave: no driver rows yet (11) --
+    "embed_rp16_sketch",
+    "embed_jl_distortion_census",
+    "graph_bfs_reach3",
+    "window_kendall_tau_trend",
+    "sample_epoch_shuffle",
+    "text_hapax_legomena",
+    "agg_cohort_ltv",
+    "audit_orderkey_gap_census",
+    "agg_rfm_octave_census",
+    "audit_user_churn_census",
+    "decontaminate_minhash",
+    # -- r10 cohort tail (CORRECTNESS_r10 order), 27 --
+    "stream_window_unique_users",
+    "set_unpivot_melt",
+    "window_first_last_nth",
+    "stream_static_enrich",
+    "window_resample_ffill",
+    "window_time_weighted_avg",
+    "window_peak_concurrency",
+    "udtf_sentence_split",
+    "corpus_quality_rank_correlation",
+    "text_tfidf_topterms",
+    "simsearch_hard_negatives",
+    "simsearch_rerank_twophase",
+    "stream_binary_ingest",
+    "multimodal_pair_manifest",
+    "sample_domain_topk_cap",
+    "text_chunk_overlap",
+    "corpus_chunk_dedup_rate",
+    "audit_column_profile",
+    "audit_referential_integrity",
+    "graph_degree_distribution",
+    "graph_pagerank_unrolled",
+    "udf_pandas_scalar",
+    "udaf_grouped_apply",
+    "text_explode_positional",
+    "embed_quantize_int8",
+    "multimodal_frame_sample",
+    "agg_global",
+    # -- oldest r11-age members (CORRECTNESS_r11 order), 12 --
+    "join_fuzzy_name_passjoin",
+    "join_asof_tolerance",
+    "agg_markov_transitions",
+    "graph_triangle_count",
+    "simsearch_knn_graph",
+    "embed_semdedup_prune",
+    "sink_dynamic_partition_overwrite",
+    "text_langid_confusion",
+    "window_anomaly_zscore",
+    "window_session_duration_histogram",
+    "multimodal_shard_manifest",
+    "sample_balanced_classes",
 ]
 
 
