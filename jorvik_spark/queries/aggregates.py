@@ -2201,3 +2201,101 @@ def agg_rfm_octave_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("r_band", "f_band", "m_band")
     )
+
+
+# --- round 16: revenue-concentration (Pareto) census --------------------------
+
+
+@query(
+    "agg_pareto_share_census",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey,
+               CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) AS rev_u
+        FROM orders WHERE o_totalprice IS NOT NULL),
+    u AS (SELECT o_custkey,
+                 CAST(SUM(CAST(rev_u AS HUGEINT)) AS HUGEINT) AS crev
+          FROM r GROUP BY o_custkey),
+    bands AS (
+        SELECT CAST(CASE WHEN crev // 1000000 <= 0 THEN 0
+                         ELSE length(bin(crev // 1000000)) END
+                    AS INTEGER) AS rev_band,
+               crev
+        FROM u),
+    cells AS (
+        SELECT rev_band,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               SUM(crev) AS band_rev
+        FROM bands GROUP BY rev_band)
+    SELECT rev_band, n_customers,
+           CAST(band_rev // 1000000 AS BIGINT) AS band_rev_units,
+           CAST(SUM(band_rev) OVER (ORDER BY rev_band DESC) * 1000000
+                // (SELECT SUM(band_rev) FROM cells) AS BIGINT)
+               AS top_share_ppm
+    FROM cells ORDER BY rev_band DESC
+    """,
+)
+def agg_pareto_share_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/Lorenz) census: customers banded by
+    the bit length of their whole-currency lifetime order revenue, each
+    band reporting its population, revenue, and the CUMULATIVE share of
+    total revenue held by this band and every richer one (top_share_ppm)
+    — the "top X% of customers drive Y% of revenue" readout, banded
+    instead of NTILE-percentiled because exact percentiles need a GLOBAL
+    sort of the customer relation while octaves are a narrow map
+    expression (the RFM convention).
+
+    Cross-engine mechanics: revenue micro-quantizes per order and
+    accumulates through the DECIMAL(38,0)/HUGEINT convention (a corpus
+    revenue sum at 100 TB overflows int64); the share division is exact
+    integer ppm on the widened sums.
+
+    Scale shape: one map-combined customer aggregate, a ≤ ~60-cell band
+    collapse, and the cumulative window runs over the AGGREGATED cells
+    only (guarded — it can never see more rows than bands).
+    """
+    r = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("rev_u"),
+    )
+    u = r.groupBy("o_custkey").agg(
+        F.sum(F.col("rev_u").cast("decimal(38,0)")).alias("crev")
+    )
+    band = (
+        F.when(F.expr("crev div 1000000") <= 0, F.lit(0))
+        .otherwise(
+            F.length(F.conv(F.expr("crev div 1000000").cast("string"), 10, 2))
+        )
+        .cast("int")
+    )
+    cells = u.groupBy(band.alias("rev_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("crev").alias("band_rev"),
+    )
+    w_top = Window.orderBy(F.col("rev_band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = cells.select(
+        "rev_band",
+        "n_customers",
+        "band_rev",
+        guarded_global_window(
+            F.sum("band_rev").over(w_top),
+            [F.col("rev_band").desc()],
+            "agg_pareto_share_census",
+        ).alias("cum_rev"),
+        F.sum("band_rev").over(w_all).alias("total_rev"),
+    )
+    return cum.select(
+        "rev_band",
+        "n_customers",
+        F.expr("CAST(band_rev div 1000000 AS BIGINT)").alias("band_rev_units"),
+        F.expr("CAST(cum_rev * 1000000 div total_rev AS BIGINT)").alias(
+            "top_share_ppm"
+        ),
+    ).orderBy(F.col("rev_band").desc())

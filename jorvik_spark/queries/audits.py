@@ -1166,3 +1166,61 @@ def audit_user_churn_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("churn_band").asc_nulls_first())
     )
+
+
+# --- round 16: FK fan-out census ----------------------------------------------
+
+
+@query(
+    "audit_fk_fanout_census",
+    oracle="""
+    WITH cnt AS (
+        SELECT l_orderkey, COUNT(*) AS fanout
+        FROM lineitem GROUP BY l_orderkey),
+    fo AS (
+        SELECT o.o_orderkey,
+               COALESCE(c.fanout, 0) AS fanout
+        FROM orders o LEFT JOIN cnt c ON c.l_orderkey = o.o_orderkey)
+    SELECT CAST(fanout AS BIGINT) AS fanout,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+    FROM fo GROUP BY fanout ORDER BY fanout
+    """,
+)
+def audit_fk_fanout_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key fan-out census: the distribution of lineitems per
+    order, INCLUDING zero-fanout orders (parents with no children — the
+    half referential-integrity checks miss when they only probe
+    orphans). This is the join-cardinality audit a planner-minded team
+    runs before sizing any orders⋈lineitem pipeline: the histogram's
+    tail IS the skew a shuffle join will see, and row-count extrema per
+    cell make the evidence value-carrying.
+
+    Scale shape: one map-combined count on the child key, one equi join
+    back to the parent relation (both sides shuffle on the same key —
+    a single co-partitioned exchange each), and a ≤ ~tail-size census
+    collapse. No global sort, no driver collection.
+    """
+    cnt = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("fanout"))
+    )
+    fo = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .join(cnt, "o_orderkey", "left")
+        .select(
+            "o_orderkey", F.coalesce("fanout", F.lit(0)).alias("fanout")
+        )
+    )
+    return (
+        fo.groupBy(F.col("fanout").cast("long").alias("fanout"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_orderkey").cast("long").alias("min_orderkey"),
+            F.max("o_orderkey").cast("long").alias("max_orderkey"),
+        )
+        .orderBy("fanout")
+    )

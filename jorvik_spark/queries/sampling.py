@@ -2173,3 +2173,109 @@ _ORACLES["decontaminate_minhash"] = f"""
     FROM td LEFT JOIN hits h ON td.doc_id = h.doc_id
     ORDER BY td.doc_id
 """
+
+
+# --- round 16: source-interleaved training order --------------------------------
+
+# Shard count for the interleave plan (same role as _ESHUF_SHARDS: the
+# unit of shard-local ordering, so no global sort ever happens).
+_ILV_SHARDS = 8
+
+
+@query(
+    "sample_interleave_sources",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source FROM documents
+               WHERE source IS NOT NULL),
+    slots AS (
+        SELECT source,
+               CAST(ROW_NUMBER() OVER (ORDER BY md5('ilvsrc:' || source),
+                                       source) AS INTEGER) AS slot
+        FROM (SELECT DISTINCT source FROM d)),
+    keyed AS (
+        SELECT d.doc_id, d.source, s.slot,
+               CAST(('0x' || substr(md5('ilvshard:' || d.doc_id),
+                                    1, 8))::BIGINT % {_ILV_SHARDS}
+                    AS INTEGER) AS shard,
+               md5('ilv:' || d.doc_id) AS order_key
+        FROM d JOIN slots s ON s.source = d.source)
+    SELECT shard, doc_id, source, slot,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shard, source
+               ORDER BY order_key, doc_id) AS BIGINT) AS round
+    FROM keyed
+    ORDER BY shard, round, slot, doc_id
+    """,
+)
+def sample_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-interleaved training order: a deterministic plan that
+    round-robins documents ACROSS sources (one from each source, then
+    the next round) so a source-clumped lake doesn't train in source
+    order — the mixing companion to ``sample_epoch_shuffle`` (which
+    randomizes order but ignores provenance). Reading order is
+    (shard, round, slot): within a shard, round r emits one pseudo-
+    randomly chosen doc per source, sources in a fixed hashed slot
+    order; uneven sources simply stop contributing in later rounds.
+
+    Cross-engine mechanics: slot = rank of md5('ilvsrc:'||source) over
+    the DISTINCT sources (a bounded relation); shard = md5-mod of
+    doc_id; round = shard-local ROW_NUMBER per (shard, source) over the
+    md5 order key — all reproducible from the salts alone.
+
+    Scale shape: the only unbounded window partitions by
+    (shard, source) — shard-local sorts, epochs×shards×sources tasks,
+    no global sort; the slot ranking sorts the DISTINCT-source relation
+    (bounded by the source vocabulary, guarded).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    ).select("doc_id", "source")
+    slots = d.select("source").distinct().select(
+        "source",
+        guarded_global_window(
+            F.row_number().over(
+                Window.orderBy(
+                    F.md5(F.concat(F.lit("ilvsrc:"), F.col("source"))),
+                    "source",
+                )
+            ),
+            [F.md5(F.concat(F.lit("ilvsrc:"), F.col("source"))), "source"],
+            "sample_interleave_sources.slots",
+        ).cast("int").alias("slot"),
+    )
+    keyed = d.join(F.broadcast(slots), "source").select(
+        "doc_id",
+        "source",
+        "slot",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ilvshard:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _ILV_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+        F.md5(
+            F.concat(F.lit("ilv:"), F.col("doc_id").cast("string"))
+        ).alias("order_key"),
+    )
+    w = Window.partitionBy("shard", "source").orderBy("order_key", "doc_id")
+    return keyed.select(
+        "shard",
+        "doc_id",
+        "source",
+        "slot",
+        F.row_number().over(w).cast("long").alias("round"),
+    ).orderBy("shard", "round", "slot", "doc_id")

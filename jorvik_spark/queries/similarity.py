@@ -3239,3 +3239,317 @@ def embed_jl_distortion_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("distortion_band")
     )
+
+
+# --- round 16: matrix-free PCA (power iteration, exact integers) ---------------
+
+# Fixed power-iteration count: three matrix applications dominate the
+# spectrum well enough for screening work, and a COMPILE-TIME constant
+# keeps the plan fully declarative (the BFS/kcore unroll convention).
+_PI_ITERS = 3
+_PI_SCALE = 1000000
+
+
+def _pi_units_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, eu) with the micro-quantized integer component array,
+    memoized — every power-iteration pass reads this leaf."""
+    return memo_df(
+        f"pi_units:{sf_dir}",
+        spark,
+        lambda: _vec_double(_spread_embeddings(spark, sf_dir)).select(
+            "vec_id",
+            F.expr(
+                "transform(v, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
+            ).alias("eu"),
+        ),
+        cut_lineage=True,
+    )
+
+
+@query(
+    "embed_power_iteration_pc1",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id,
+               unnest(range(len(embedding))) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings),
+    q AS (SELECT vec_id, pos,
+                 CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS eu
+          FROM ex),
+    dot1 AS (SELECT vec_id,
+                    SUM(CAST(eu AS HUGEINT)) * 1000000 AS dot
+             FROM q GROUP BY vec_id),
+    w1 AS (SELECT q.pos, SUM(CAST(q.eu AS HUGEINT) * d.dot) AS w
+           FROM q JOIN dot1 d USING (vec_id) GROUP BY q.pos),
+    m1 AS (SELECT MAX(ABS(w)) AS m FROM w1),
+    v1 AS (SELECT pos, CASE WHEN m1.m = 0 THEN 0
+                            ELSE w * 1000000 // m1.m END AS v
+           FROM w1, m1),
+    dot2 AS (SELECT q.vec_id, SUM(CAST(q.eu AS HUGEINT) * v1.v) AS dot
+             FROM q JOIN v1 USING (pos) GROUP BY q.vec_id),
+    w2 AS (SELECT q.pos, SUM(CAST(q.eu AS HUGEINT) * d.dot) AS w
+           FROM q JOIN dot2 d USING (vec_id) GROUP BY q.pos),
+    m2 AS (SELECT MAX(ABS(w)) AS m FROM w2),
+    v2 AS (SELECT pos, CASE WHEN m2.m = 0 THEN 0
+                            ELSE w * 1000000 // m2.m END AS v
+           FROM w2, m2),
+    dot3 AS (SELECT q.vec_id, SUM(CAST(q.eu AS HUGEINT) * v2.v) AS dot
+             FROM q JOIN v2 USING (pos) GROUP BY q.vec_id),
+    w3 AS (SELECT q.pos, SUM(CAST(q.eu AS HUGEINT) * d.dot) AS w
+           FROM q JOIN dot3 d USING (vec_id) GROUP BY q.pos),
+    m3 AS (SELECT MAX(ABS(w)) AS m FROM w3)
+    SELECT CAST(pos AS INTEGER) AS pos,
+           CAST(CASE WHEN m3.m = 0 THEN 0
+                     ELSE w * 1000000 // m3.m END AS BIGINT) AS pc1_units
+    FROM w3, m3 ORDER BY pos
+    """,
+)
+def embed_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal direction of the embedding corpus by MATRIX-FREE
+    power iteration — three applications of v ← Xᵀ(Xv) from the all-ones
+    seed, each a single distributed pass (never materializing the dim×dim
+    covariance), rescaled to ±1e6 units per step. The PCA primitive
+    behind whitening, drift monitoring and ABI-style dimensionality
+    checks, at the only cost a 100 TB embedding store can afford: three
+    corpus scans and O(dim) driver state.
+
+    Cross-engine mechanics: components micro-quantize to integer units
+    BEFORE any accumulation, every dot product and column sum runs in
+    the DECIMAL(38,0)/HUGEINT convention (exact — no float summation-
+    order hazard), and the per-step rescale is truncating integer
+    division by max|w| on both engines. The all-zero corpus degenerates
+    to the zero vector, never a division error.
+
+    Scale shape: per iteration, the per-vector dot is a NARROW array
+    fold over the memoized quantized leaf (no explode survives a
+    shuffle), the column sums are one posexplode into a map-side-
+    combined ≤ dim-group aggregate, and only the ≤ dim-row result is
+    collected to re-seed the next pass (the bounded driver-scalar class:
+    BPE argmax, IVF cell census). The FINAL pass stays a distributed
+    plan — the returned DataFrame ends at a broadcast of the single-row
+    max, not a collect.
+    """
+    rel = _pi_units_rel(spark, sf_dir)
+    zero = F.lit(0).cast("decimal(38,0)")
+
+    def column_sums(dot_col) -> DataFrame:
+        scored = rel.select(
+            F.posexplode("eu").alias("pos", "e"), dot_col.alias("dot")
+        )
+        return scored.groupBy("pos").agg(
+            F.sum(F.col("e") * F.col("dot")).alias("w")
+        )
+
+    def rescale_driver(w_rows) -> list:
+        vals = {int(r["pos"]): int(r["w"]) for r in w_rows}
+        if not vals:
+            return []
+        m = max(abs(v) for v in vals.values())
+        out = []
+        for p in range(max(vals) + 1):
+            w = vals.get(p, 0)
+            if m == 0:
+                out.append(0)
+            else:
+                q = (abs(w) * _PI_SCALE) // m  # truncation toward zero
+                out.append(q if w >= 0 else -q)
+        return out
+
+    # iteration 1: v0 = all-ones (1e6 units) — the dot needs no array
+    dot1 = (
+        F.aggregate(F.col("eu"), zero, lambda acc, x: acc + x)
+        * F.lit(_PI_SCALE)
+    )
+    v = rescale_driver(column_sums(dot1).collect()) or [0]
+    for _ in range(_PI_ITERS - 2):
+        v_arr = F.array([F.lit(x).cast("long") for x in v])
+        dot_k = F.aggregate(
+            F.zip_with(F.col("eu"), v_arr, lambda x, y: x * y),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        v = rescale_driver(column_sums(dot_k).collect()) or [0]
+    # final iteration stays distributed: broadcast the single-row max
+    v_arr = F.array([F.lit(x).cast("long") for x in v])
+    dot_f = F.aggregate(
+        F.zip_with(F.col("eu"), v_arr, lambda x, y: x * y),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    w3 = column_sums(dot_f)
+    m3 = F.broadcast(w3.agg(F.max(F.abs(F.col("w"))).alias("m")))
+    return (
+        w3.crossJoin(m3)
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            F.expr(
+                "CAST(CASE WHEN m = 0 THEN 0"
+                f" ELSE w * {_PI_SCALE} div m END AS BIGINT)"
+            ).alias("pc1_units"),
+        )
+        .orderBy("pos")
+    )
+
+
+# --- round 16: int8-quantization recall eval ------------------------------------
+
+# Local-top-k chunk fan-out for the int8 rerank (the _twophase_topk
+# tree-reduction trick: per-(query, chunk) local winners, then a tiny
+# guarded merge — never a per-query sort of the corpus).
+_I8_CHUNKS = 32
+
+
+@query(
+    "embed_int8_recall_eval",
+    oracle=f"""
+    WITH nz AS (SELECT * FROM embeddings WHERE {_SQL_POS_NORM}),
+    codes AS (
+        SELECT vec_id,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> CAST(CASE
+                        WHEN list_max(list_transform(
+                                 CAST(embedding AS DOUBLE[]),
+                                 y -> abs(y))) = 0 THEN 0
+                        ELSE floor(x / list_max(list_transform(
+                                 CAST(embedding AS DOUBLE[]),
+                                 y -> abs(y))) * 127 + 0.5)
+                        END AS BIGINT)) AS c
+        FROM nz),
+    q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM nz WHERE vec_id < {_N_QUERIES}),
+    gt_scored AS (
+        SELECT q.query_id, c.vec_id AS candidate_id,
+               {_SQL_COS.format(a='q.qe', b='c.embedding')} AS cos
+        FROM q JOIN nz c ON c.vec_id <> q.query_id),
+    gt AS (SELECT query_id, candidate_id FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, candidate_id) AS rnk
+               FROM gt_scored) WHERE rnk <= {_TOPK}),
+    qc AS (SELECT query_id, c FROM codes JOIN q ON codes.vec_id = q.query_id),
+    cand AS (SELECT vec_id, c,
+                    list_dot_product(CAST(c AS DOUBLE[]),
+                                     CAST(c AS DOUBLE[])) AS n2
+             FROM codes),
+    i8_scored AS (
+        SELECT qc.query_id, cand.vec_id AS candidate_id,
+               list_dot_product(CAST(qc.c AS DOUBLE[]),
+                                CAST(cand.c AS DOUBLE[]))
+               / sqrt(list_dot_product(CAST(qc.c AS DOUBLE[]),
+                                       CAST(qc.c AS DOUBLE[])) * cand.n2)
+                   AS cos8
+        FROM qc JOIN cand ON cand.vec_id <> qc.query_id
+        WHERE cand.n2 > 0),
+    i8 AS (SELECT query_id, candidate_id FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos8 DESC, candidate_id) AS rnk
+               FROM i8_scored) WHERE rnk <= {_TOPK})
+    SELECT gt.query_id,
+           CAST(COUNT(i8.candidate_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i8.candidate_id) * 1000000 // {_TOPK} AS BIGINT)
+               AS recall_ppm
+    FROM gt LEFT JOIN i8
+      ON i8.query_id = gt.query_id AND i8.candidate_id = gt.candidate_id
+    GROUP BY gt.query_id ORDER BY gt.query_id
+    """,
+)
+def embed_int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of int8-quantized search against exact float search —
+    the eval that decides whether the 4× storage/bandwidth win of
+    ``embed_quantize_int8``'s symmetric codes costs any retrieval
+    quality (it usually doesn't; this measures instead of guessing,
+    the ``simsearch_recall_eval`` discipline applied to quantization
+    rather than indexing).
+
+    Mechanics: candidates quantize per vector (codes ∈ [-127,127],
+    exact integers from explicit floor(x+0.5)); int8 cosine ranks by
+    doubles computed FROM identical exact integers on both engines
+    (IEEE sqrt/divide are correctly rounded, so the ranking — ties by
+    candidate_id — is engine-independent); recall is integer ppm.
+
+    Scale shape: the query set broadcasts; scoring is a narrow fold
+    over the spread scan; per-query winners come from a local
+    top-k per (query, candidate-chunk) then a guarded ≤ chunks·k merge
+    (the _twophase_topk tree reduction), never a per-query global sort;
+    the eval join is |queries|·k rows.
+    """
+    from pyspark.sql import Window
+
+    nz = _vec_double(_spread_embeddings(spark, sf_dir)).withColumn(
+        "n2f", F.expr(_DOT.format(a="v", b="v"))
+    ).filter(F.col("n2f") > 0)
+    codes = nz.select(
+        "vec_id",
+        F.expr(
+            "transform(v, x -> CAST(CASE WHEN array_max(transform(v,"
+            " y -> abs(y))) = 0 THEN 0 ELSE floor(x / array_max(transform(v,"
+            " y -> abs(y))) * 127 + 0.5) END AS BIGINT))"
+        ).alias("c"),
+    )
+    gt = simsearch_topk(spark, sf_dir).select("query_id", "candidate_id")
+    qc = F.broadcast(
+        codes.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("c").alias("qc")
+        )
+    )
+    cand = codes.withColumn(
+        "n2",
+        F.aggregate(
+            F.zip_with(F.col("c"), F.col("c"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    ).filter(F.col("n2") > 0)
+    scored = cand.join(qc, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("candidate_id"),
+        (
+            F.aggregate(
+                F.zip_with(F.col("qc"), F.col("c"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.sqrt(
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qc"), F.col("qc"), lambda x, y: x * y
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                    * F.col("n2")
+                ).cast("double")
+            )
+        ).alias("cos8"),
+    )
+    w_local = Window.partitionBy(
+        "query_id", F.pmod(F.col("candidate_id"), F.lit(_I8_CHUNKS))
+    ).orderBy(F.col("cos8").desc(), "candidate_id")
+    local = scored.withColumn("lrnk", F.row_number().over(w_local)).filter(
+        F.col("lrnk") <= _TOPK
+    )
+    w_merge = Window.partitionBy("query_id").orderBy(
+        F.col("cos8").desc(), "candidate_id"
+    )
+    i8 = local.withColumn("rnk", F.row_number().over(w_merge)).filter(
+        F.col("rnk") <= _TOPK
+    ).select("query_id", "candidate_id")
+    hit = gt.alias("g").join(
+        i8.alias("a"),
+        (F.col("g.query_id") == F.col("a.query_id"))
+        & (F.col("g.candidate_id") == F.col("a.candidate_id")),
+        "left",
+    )
+    return (
+        hit.groupBy(F.col("g.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("a.candidate_id")).cast("long").alias("n_hits"),
+            F.expr(
+                f"CAST(COUNT(a.candidate_id) * 1000000 div {_TOPK}"
+                " AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -2354,3 +2354,110 @@ def text_hapax_legomena(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- round 16: co-occurrence lift (PMI-class phrase statistics) ----------------
+
+# Per-doc distinct-token cap for the pair stage: the lexicographically
+# first 64 distinct tokens participate, so pairs-per-doc is hard-bounded
+# at 64·63/2 regardless of document length (the kendall recent-512
+# lesson applied at birth: per-row quadratic stages get their bound ON
+# the row, not on the corpus).
+_COOC_CAP = 64
+_COOC_TOP_N = 20
+_COOC_MIN_PAIR_DOCS = 2
+
+
+@query(
+    "text_cooccurrence_lift_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_sort(list_distinct({_SQL_TOKENS}))[1:{_COOC_CAP}] AS t
+        FROM documents),
+    docs AS (SELECT doc_id, t FROM toks WHERE len(t) >= 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM docs),
+    ex AS (SELECT doc_id, unnest(t) AS w FROM docs),
+    df AS (SELECT w, COUNT(*) AS c FROM ex GROUP BY w),
+    pairs AS (
+        SELECT a.w AS tok_a, b.w AS tok_b
+        FROM ex a JOIN ex b
+          ON a.doc_id = b.doc_id AND a.w < b.w),
+    pc AS (SELECT tok_a, tok_b, COUNT(*) AS c_ab
+           FROM pairs GROUP BY tok_a, tok_b
+           HAVING COUNT(*) >= {_COOC_MIN_PAIR_DOCS}),
+    lifted AS (
+        SELECT pc.tok_a, pc.tok_b, pc.c_ab,
+               CAST(CAST(n.n_docs AS HUGEINT) * pc.c_ab * 1000000
+                    // (CAST(da.c AS HUGEINT) * db.c) AS BIGINT) AS lift_ppm
+        FROM pc
+        JOIN df da ON da.w = pc.tok_a
+        JOIN df db ON db.w = pc.tok_b
+        CROSS JOIN n)
+    SELECT tok_a, tok_b, CAST(c_ab AS BIGINT) AS n_docs_pair, lift_ppm
+    FROM lifted
+    ORDER BY lift_ppm DESC, tok_a, tok_b LIMIT {_COOC_TOP_N}
+    """,
+)
+def text_cooccurrence_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence LIFT top-k: for token pairs sharing a
+    document, observed-over-expected co-occurrence
+    (n_docs·c_ab / (c_a·c_b)) in exact integer ppm — the PMI-class
+    association statistic behind phrase mining and topic drift checks.
+    ``join_market_basket`` reports RAW pair counts over order items;
+    this op adds the marginal normalization that separates "common
+    because both tokens are common" from genuine association, and runs
+    it over the documents corpus.
+
+    Cross-engine mechanics: all counts are exact integers; the lift
+    numerator widens through the DECIMAL(38,0)/HUGEINT convention
+    (n_docs·c_ab·1e6 overflows int64 on a billion-doc corpus); lift is
+    truncating integer division on both engines; ties in the top-k break
+    lexicographically.
+
+    Scale shape: the pair stage self-joins the exploded capped token
+    sets ON doc_id (one keyed exchange; ≤ 64·63/2 pairs per doc by the
+    hard cap), pair counts map-side combine, the two marginal joins are
+    vocabulary-sized, and the final top-k sorts AGGREGATED pair cells
+    only (vocabulary², never corpus rows).
+    """
+    toks = _tokenized_docs(spark, sf_dir).select(
+        "doc_id",
+        F.slice(
+            F.array_sort(F.array_distinct("t")), 1, _COOC_CAP
+        ).alias("t"),
+    )
+    docs = toks.filter(F.size("t") >= 1)
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    ex = docs.select("doc_id", F.explode("t").alias("w"))
+    df = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pc = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.w") < F.col("b.w")))
+        .groupBy(
+            F.col("a.w").alias("tok_a"), F.col("b.w").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _COOC_MIN_PAIR_DOCS)
+    )
+    da = df.select(F.col("w").alias("tok_a"), F.col("c").alias("c_a"))
+    db = df.select(F.col("w").alias("tok_b"), F.col("c").alias("c_b"))
+    lifted = (
+        pc.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(n)
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("c_ab").cast("long").alias("n_docs_pair"),
+            F.expr(
+                "CAST(CAST(n_docs AS DECIMAL(38,0)) * c_ab * 1000000"
+                " div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return lifted.orderBy(
+        F.col("lift_ppm").desc(), "tok_a", "tok_b"
+    ).limit(_COOC_TOP_N)

@@ -3441,3 +3441,111 @@ def window_kendall_tau_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- round 16: rolling-max breakout census -------------------------------------
+
+# Lookback width for the breakout screen: a reading is a breakout when it
+# strictly exceeds the max of the up-to-8 PRECEDING readings of its own
+# (user, event_type) stream. Fixed and small so the window state stays
+# bounded everywhere (batch rowsBetween frame, live ring buffer).
+_BREAKOUT_LOOKBACK = 8
+
+
+@query(
+    "window_breakout_census",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND user_id IS NOT NULL),
+    w AS (
+        SELECT user_id, vu,
+               MAX(vu) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS BETWEEN {_BREAKOUT_LOOKBACK} PRECEDING
+                             AND 1 PRECEDING) AS prev_max
+        FROM ev),
+    u AS (
+        SELECT user_id,
+               COUNT(*) AS n_obs,
+               SUM(CASE WHEN prev_max IS NOT NULL AND vu > prev_max
+                        THEN 1 ELSE 0 END) AS n_breakouts
+        FROM w GROUP BY user_id
+        HAVING COUNT(*) >= 2)
+    SELECT CAST(n_breakouts * 1000000 // (n_obs - 1) // 100000
+                AS INTEGER) AS rate_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_obs) AS BIGINT) AS n_obs,
+           CAST(SUM(n_breakouts) AS BIGINT) AS n_breakouts,
+           CAST(MIN(n_breakouts) AS BIGINT) AS min_breakouts,
+           CAST(MAX(n_breakouts) AS BIGINT) AS max_breakouts
+    FROM u GROUP BY 1 ORDER BY rate_decile
+    """,
+)
+def window_breakout_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-max breakout census: per user, how often a reading
+    strictly exceeds the max of its own previous ≤ 8 readings (new-high
+    detection — the alerting primitive behind "usage just spiked past
+    anything recent"), collapsed to a per-breakout-rate-decile census.
+    The micro-quantized values make every comparison exact integer
+    arithmetic, and the rate is integer ppm over (n_obs − 1) scoring
+    opportunities (the first reading has no lookback).
+
+    Scale shape: ONE user-keyed exchange feeds both the rolling-max
+    window and the per-user aggregate (same key); the lookback frame is
+    a hard ≤ 8-row bound, so window state never grows with a hot user;
+    the census is a ≤ 11-cell collapse. Live twin:
+    ``jorvik_spark.streaming.ops.running_breakout`` (ring-buffer state,
+    same definition, reconciled in tests).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("vu"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(
+        -_BREAKOUT_LOOKBACK, -1
+    )
+    scored = ev.select(
+        "user_id",
+        "vu",
+        F.max("vu").over(w).alias("prev_max"),
+    )
+    u = (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(
+                F.when(
+                    F.col("prev_max").isNotNull()
+                    & (F.col("vu") > F.col("prev_max")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_breakouts"),
+        )
+        .filter(F.col("n_obs") >= 2)
+    )
+    decile = F.expr(
+        "CAST(n_breakouts * 1000000 div (n_obs - 1) div 100000 AS INT)"
+    )
+    return (
+        u.groupBy(decile.alias("rate_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_obs").cast("long").alias("n_obs"),
+            F.sum("n_breakouts").cast("long").alias("n_breakouts"),
+            F.min("n_breakouts").cast("long").alias("min_breakouts"),
+            F.max("n_breakouts").cast("long").alias("max_breakouts"),
+        )
+        .orderBy("rate_decile")
+    )

@@ -1899,3 +1899,98 @@ def running_churn(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_breakout(
+    df: DataFrame,
+    key_col: str = "user_id",
+    lookback: int = 8,
+) -> DataFrame:
+    """Online rolling-max breakout detector — the LIVE stateful sibling
+    of the batch ``window_breakout_census`` (round 16): per event, the
+    max of the key's previous ≤ ``lookback`` micro-quantized values and
+    whether this reading strictly exceeds it (a new recent high). The
+    census's per-user breakout counts are then a plain aggregate over
+    these rows — an alerting pipeline consumes the per-event flag
+    directly instead of re-windowing history.
+
+    State per key is a hard-bounded ring of ≤ ``lookback`` longs (the
+    holt/EWMA ring convention); ties inside a micro-batch break by
+    (ts_us, event_id), the module convention, so live and batch agree
+    bit-for-bit. Batch input delegates to the identical declarative
+    window form instead of raising.
+    """
+    filtered = df.filter(
+        F.col("ts").isNotNull()
+        & F.col(key_col).isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        key_col,
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("vu"),
+    )
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy("ts_us", "event_id").rowsBetween(
+            -lookback, -1
+        )
+        prev_max = F.max("vu").over(w)
+        return filtered.select(
+            key_col,
+            "event_id",
+            F.col("ts_us").cast("long").alias("t"),
+            F.col("vu").cast("long"),
+            prev_max.cast("long").alias("prev_max_u"),
+            (
+                prev_max.isNotNull() & (F.col("vu") > prev_max)
+            ).alias("is_breakout"),
+        )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (ring,) = state.get if state.exists else ([],)
+        ring = list(ring)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        out = {k: [] for k in ("eid", "t", "vu", "pm", "br")}
+        for _, row in rows.iterrows():
+            t, vu = int(row["ts_us"]), int(row["vu"])
+            pm = max(ring) if ring else None
+            out["eid"].append(int(row["event_id"]))
+            out["t"].append(t)
+            out["vu"].append(vu)
+            out["pm"].append(pm)
+            out["br"].append(pm is not None and vu > pm)
+            ring.append(vu)
+            if len(ring) > lookback:
+                ring.pop(0)
+        state.update((ring,))
+        yield pd.DataFrame(
+            {
+                key_col: pd.array([key[0]] * len(out["eid"]), dtype="Int64"),
+                "event_id": pd.array(out["eid"], dtype="Int64"),
+                "t": pd.array(out["t"], dtype="Int64"),
+                "vu": pd.array(out["vu"], dtype="Int64"),
+                "prev_max_u": pd.array(out["pm"], dtype="Int64"),
+                "is_breakout": pd.array(out["br"], dtype="boolean"),
+            }
+        )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return filtered.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, event_id long, t long, vu long,"
+            " prev_max_u long, is_breakout boolean"
+        ),
+        stateStructType="ring array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

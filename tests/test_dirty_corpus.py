@@ -174,6 +174,15 @@ DOC_QUERIES = [
     # they land in the test split) and flag the cross-split exact-dup
     # pair on all 4 bands when the split buckets happen to straddle.
     "decontaminate_minhash",
+    # round 16: the co-occurrence lift must tokenize null/empty docs to
+    # nothing (no pairs), keep the unicode doc's distinct-token set
+    # order identical under the lexicographic cap, and count the exact
+    # duplicate pair as TWO supporting docs; the interleave plan keys
+    # on (doc_id, source) alone, so null-text docs still get a slot and
+    # every (slot, shard, round) re-derives from the salts on both
+    # engines.
+    "text_cooccurrence_lift_topk",
+    "sample_interleave_sources",
 ]
 
 
@@ -269,6 +278,14 @@ EMB_QUERIES = [
     # than divide by zero, on both engines.
     "embed_rp16_sketch",
     "embed_jl_distortion_census",
+    # round 16: the power iteration KEEPS the zero vector (it
+    # contributes nothing to any column sum — never a division error)
+    # and must quantize/rescale identically on the exact-dup pair; the
+    # int8 recall eval EXCLUDES the zero vector from both the exact
+    # truth and the quantized path (cosine undefined) and must agree on
+    # the all-zero-code guard.
+    "embed_power_iteration_pc1",
+    "embed_int8_recall_eval",
 ]
 
 

@@ -188,6 +188,11 @@ EVENT_QUERIES = [
     # if it is the MAX) and null-ts rows out of scope.
     "agg_rfm_octave_census",
     "audit_user_churn_census",
+    # round 16: the breakout census must scope to non-null-ts/value
+    # rows, break the event-3/4 same-ts tie via (ts, event_id) inside
+    # the lookback frame, and band the single-event user out of scope
+    # (no opportunity) identically on both engines.
+    "window_breakout_census",
 ]
 
 
@@ -249,7 +254,15 @@ ORDER_ROWS = [
 # duplicate keys collapse through DISTINCT, the sparse key list spans
 # several strides, and the two-level bucket decomposition must equal
 # the oracle's single global lag on this adversarial little keyspace.
-ASOF_QUERIES = ["join_asof", "join_asof_tolerance", "audit_orderkey_gap_census"]
+# round 16: the Pareto census rides it too — multi-order customers
+# accumulate through the widened sum, and the top-down cumulative ppm
+# must truncate identically on this adversarial revenue spread.
+ASOF_QUERIES = [
+    "join_asof",
+    "join_asof_tolerance",
+    "audit_orderkey_gap_census",
+    "agg_pareto_share_census",
+]
 
 
 @pytest.fixture(scope="module")
