@@ -248,8 +248,9 @@ BENCH_R14_QUERIES: dict[str, str] = {
 
 GATE_R14_REF = _pins_ref("r14")
 
-# Round-15 additions, report-only this round (first measurements here,
-# pinned into a gate_r15 next round — the standard cohort lifecycle).
+# Round-15 additions, gated from round 16 against fresh-session
+# deep-warm quiet 5-run medians (PINS.json carries the run lists —
+# the standard cohort lifecycle under the recorded-runs discipline).
 # Representatives per new shape family: the JL sketch's broadcast
 # projection, its pair-sampled distortion eval (DECIMAL accumulators),
 # the memoized-frontier BFS, the user-keyed Kendall pair join, the
@@ -267,6 +268,12 @@ BENCH_R15_QUERIES: dict[str, str] = {
     "r15_churn": "audit_user_churn_census",
     "r15_mhdecon": "decontaminate_minhash",
 }
+
+# Round-15 cohort regression reference, gated from round 16 (pins carry
+# recorded fresh-session run lists per the PINS.json discipline; bfs and
+# churn were pinned on the round-16 code — broadcast guard / DECIMAL
+# widening — so the gate measures the shipped shapes).
+GATE_R15_REF = _pins_ref("r15")
 
 # Round-11 cohort regression reference (PROFILE.md round-11 final quiet
 # capture; containment re-pinned r13 — provenance in PINS.json).
@@ -538,6 +545,7 @@ def main() -> None:
     gate_r12 = gate(BENCH_R12_QUERIES, times_r12, GATE_R12_REF, 12, "R12")
     gate_r13 = gate(BENCH_R13_QUERIES, times_r13, GATE_R13_REF, 14, "R13")
     gate_r14 = gate(BENCH_R14_QUERIES, times_r14, GATE_R14_REF, 14, "R14")
+    gate_r15 = gate(BENCH_R15_QUERIES, times_r15, GATE_R15_REF, 16, "R15")
     gates_all = {
         "2c": gate_2c,
         "r8": gate_r8,
@@ -547,6 +555,7 @@ def main() -> None:
         "r12": gate_r12,
         "r13": gate_r13,
         "r14": gate_r14,
+        "r15": gate_r15,
     }
     _finalize_flags(gates_all)
 

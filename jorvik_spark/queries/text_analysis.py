@@ -1612,21 +1612,24 @@ def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum·N ≤ N1·N2 ≈ 6e8 at sf0.1 (·1e6 ≈ 6e14); past ~3e6 docs per
     source lift to DECIMAL(38,0)/HUGEINT, structure unchanged.
 
-    Scale shape: two map-combined aggregates (per-(source, value) and
-    per-value), then the evaluation grid is |sources| × |distinct
-    values| — bounded by the VALUE GRID, not the corpus (doc lengths
-    collide massively; the 20×|values| grid here is ~2e4 rows from 5e4
-    docs) — cum-summed per source in one window pass over that small
-    relation. The corpus itself is scanned once and never joined
-    pairwise.
+    Scale shape: ONE map-combined (source, value) aggregate — the
+    totals, the per-value marginal, and the grand count all re-derive
+    from it, so Catalyst reuses a single exchange (ReusedExchange,
+    plan-pinned) and the corpus is scanned once (round 16: the r11_ks
+    adjudication found three redundant scans here — the value-grid
+    BUILD, not the KS fold, was the mover). The evaluation grid is
+    |sources| × |distinct values| — bounded by the VALUE GRID, not the
+    corpus (doc lengths collide massively; the 20×|values| grid here
+    is ~2e4 rows from 5e4 docs) — cum-summed per source in one window
+    pass over that small relation.
     """
     base = load_table(spark, sf_dir, "documents").select(
         "source", F.col("n_chars").alias("v")
     )
-    totals = base.groupBy("source").agg(F.count(F.lit(1)).alias("n1"))
-    grand = base.agg(F.count(F.lit(1)).alias("n"))
     sv = base.groupBy("source", "v").agg(F.count(F.lit(1)).alias("sc"))
-    gv = base.groupBy("v").agg(F.count(F.lit(1)).alias("gc"))
+    totals = sv.groupBy("source").agg(F.sum("sc").alias("n1"))
+    grand = sv.agg(F.sum("sc").alias("n"))
+    gv = sv.groupBy("v").agg(F.sum("sc").alias("gc"))
     grid = (
         totals.crossJoin(gv)
         .join(sv, ["source", "v"], "left")

@@ -38,6 +38,7 @@ GATED_COHORTS = {
     "r12": (bench.BENCH_R12_QUERIES, bench.GATE_R12_REF),
     "r13": (bench.BENCH_R13_QUERIES, bench.GATE_R13_REF),
     "r14": (bench.BENCH_R14_QUERIES, bench.GATE_R14_REF),
+    "r15": (bench.BENCH_R15_QUERIES, bench.GATE_R15_REF),
 }
 
 

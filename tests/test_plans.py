@@ -1318,3 +1318,82 @@ def test_minhash_decontamination_joins_on_band_key(spark):
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+# --- round 16 plan pins ---------------------------------------------------
+
+
+def test_pareto_cumulative_runs_over_cells_only(spark):
+    # the customer aggregate shuffles on o_custkey; the only
+    # unpartitioned window sits ABOVE the band collapse (guarded, <=
+    # ~60 cells) — never over the customer relation
+    plan = _plan(spark, "agg_pareto_share_census")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    # the global window's input is the rev_band aggregate, not the scan:
+    # every unpartitioned Sort in the tree sorts rev_band, never rev_u
+    for seg in tree.split("SinglePartition")[1:]:
+        assert "rev_band" in seg.split("]")[0]
+
+
+def test_fanout_join_shares_the_orderkey_exchange(spark):
+    # child count and parent join key on the SAME column — one
+    # co-partitioned exchange pair, no broadcast-nested-loop fallback
+    plan = _plan(spark, "audit_fk_fanout_census")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "o_orderkey" in plan
+
+
+def test_breakout_window_and_agg_share_user_exchange(spark):
+    # rolling-max frame and per-user aggregate both key on user_id;
+    # the census is a tiny collapse — no global window anywhere
+    plan = _plan(spark, "window_breakout_census")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "SinglePartition" not in tree
+    assert tree.count(" Window (") == 1
+
+
+def test_cooccurrence_pair_join_is_doc_keyed(spark):
+    # the pair stage equi-joins the capped exploded sets ON doc_id
+    # (a < b is a residual filter, not a cartesian); marginals and the
+    # doc-count anchor broadcast
+    plan = _plan(spark, "text_cooccurrence_lift_topk")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "doc_id" in plan
+    assert "BroadcastHashJoin" in tree  # the vocabulary-sized marginals
+
+
+def test_interleave_sorts_are_shard_local(spark):
+    # the corpus window partitions by (shard, source); the only global
+    # sort/window input is the DISTINCT-source slot ranking (guarded)
+    plan = _plan(spark, "sample_interleave_sources")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    for seg in tree.split("SinglePartition")[1:]:
+        head = seg.split("]")[0]
+        assert "doc_id" not in head  # never the corpus relation
+
+
+def test_power_iteration_final_pass_is_distributed(spark):
+    # the returned plan reads the memoized quantized leaf, reduces via
+    # a <= dim-group aggregate and joins ONE broadcast max row — the
+    # only nested-loop is that single-row broadcast
+    plan = _plan(spark, "embed_power_iteration_pc1")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "Scan ExistingRDD" in plan  # localCheckpoint leaf
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_int8_recall_has_no_cartesian_and_bounded_merge(spark):
+    # query codes broadcast (<= _N_QUERIES rows) into the scoring pass;
+    # the per-query merge ranks only local winners
+    plan = _plan(spark, "embed_int8_recall_eval")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "pmod" in plan  # the local-chunk top-k stage exists
