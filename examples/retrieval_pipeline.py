@@ -330,13 +330,16 @@ def make_gold_topk(lake: str) -> ETL:
 
 
 def run_pipeline(sf_dir: str, lake: str) -> None:
-    """bronze → silver (index artifacts) → gold (served top-k + the
-    binary first stage off the sign index)."""
+    """bronze → silver (index artifacts) → gold (served top-k, the
+    binary first stage off the sign index, and the JL sketch →
+    coarse screen → exact rerank hop)."""
     make_bronze_embeddings(sf_dir, lake).run()
     make_silver_ann_index(lake).run()
     make_gold_topk(lake).run()
     make_silver_sign_index(lake).run()
     make_gold_hamming_topk(lake).run()
+    make_silver_jl_sketch(lake).run()
+    make_gold_jl_topk(lake).run()
 
 
 # --- round 14: binarized first-stage (sign index) ---------------------------
@@ -421,3 +424,171 @@ def make_gold_hamming_topk(lake: str) -> ETL:
         )
 
     return serve_hamming
+
+
+# --- round 16: the JL-sketch serving hop (sketch -> screen -> rerank) --------
+
+JL_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("proj_dim", IntegerType()),
+        StructField("proj_units", LongType()),
+    ]
+)
+
+JL_TOPK_SCHEMA = TOPK_SCHEMA
+
+# The JL screen's shortlist depth. Deliberately DEEPER than the PQ-ADC
+# path's _RERANK_SHORTLIST: a 16-dim sketch estimates dot products with
+# ~1/sqrt(16) relative noise, and on a near-isotropic corpus the true
+# top-k cosine margins sit BELOW that resolution — the engine's own
+# embed_jl_distortion_census measures exactly this band. The recall
+# eval in tests/test_retrieval_example.py pins the measured number on
+# the seeded corpus (~0.64 mean recall@5 at depth 128 of 500); a team
+# whose margins look like this reads that eval and either deepens the
+# shortlist further or serves the PQ path — which is the decision the
+# composition exists to surface (measure, don't guess).
+_JL_SHORTLIST = 128
+
+
+def make_silver_jl_sketch(lake: str) -> ETL:
+    """Silver: the 16-int-per-vector JL SKETCH index — the engine's
+    ``embed_rp16_sketch`` geometry persisted as an artifact (sign matrix
+    imported via ``similarity.rp16_sign_col`` so the table can never
+    drift from the operator; micro-quantize THEN project, so every
+    sketch value is an exact integer). This is the build-once
+    compression a 100 TB embedding store runs its coarse screens on:
+    16 longs/vector instead of the float payload, distances preserved
+    (unlike the sign index, which keeps only directions)."""
+    from jorvik_spark.queries.similarity import _RP_DIMS, rp16_sign_col
+
+    bronze = FileInput(path=f"{lake}/bronze/embeddings", schema=EMB_SCHEMA)
+    out = FileOutput(
+        path=f"{lake}/silver/jl_sketch", mode="overwrite", schema=JL_SCHEMA
+    )
+
+    @etl(bronze, out)
+    def build_jl_sketch(emb: DataFrame) -> DataFrame:
+        ex = _vectors(emb).select(
+            "vec_id",
+            F.posexplode(
+                F.expr("transform(v, x -> CAST(floor(x * 1000000 + 0.5)"
+                       " AS BIGINT))")
+            ).alias("pos", "eu"),
+        )
+        signs = F.broadcast(
+            ex.select("pos")
+            .distinct()
+            .select(
+                "pos",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(_RP_DIMS - 1))
+                ).alias("proj_dim"),
+            )
+            .select(
+                "pos", "proj_dim", rp16_sign_col().cast("int").alias("sgn")
+            )
+        )
+        return (
+            ex.join(signs, "pos")
+            .groupBy("vec_id", F.col("proj_dim").cast("int").alias("proj_dim"))
+            .agg(
+                F.sum(F.col("sgn") * F.col("eu"))
+                .cast("long")
+                .alias("proj_units")
+            )
+        )
+
+    return build_jl_sketch
+
+
+def make_gold_jl_topk(lake: str) -> ETL:
+    """Gold: sketch → coarse screen → exact rerank, served entirely from
+    persisted artifacts. The screen scores 16-int sketch cosines (the
+    distance-preserving JL estimate — ⟨Ra,Rb⟩ ≈ 16⟨a,b⟩), shortlists
+    ``_RERANK_SHORTLIST`` candidates per query, and only the shortlist
+    ever touches a full float vector — the serving composition an
+    embedding-store team runs when the PQ index is too lossy for the
+    workload but full-vector scans are unaffordable. Recall vs the
+    exact path is pinned by tests/test_retrieval_example.py (measure,
+    don't guess)."""
+    in_jl = FileInput(path=f"{lake}/silver/jl_sketch", schema=JL_SCHEMA)
+    in_emb = FileInput(path=f"{lake}/bronze/embeddings", schema=EMB_SCHEMA)
+    gold = FileOutput(
+        path=f"{lake}/gold/jl_topk", mode="overwrite", schema=JL_TOPK_SCHEMA
+    )
+
+    @etl([in_jl, in_emb], gold)
+    def serve_jl_topk(jl: DataFrame, emb: DataFrame) -> DataFrame:
+        # sketch relation in wide form: one row per vector, 16 ints.
+        wide = jl.groupBy("vec_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("proj_dim", "proj_units"))
+            ).alias("sk")
+        ).select(
+            "vec_id",
+            F.expr("transform(sk, s -> s.proj_units)").alias("sk"),
+        )
+        n2s = F.aggregate(
+            F.zip_with(F.col("sk"), F.col("sk"), lambda x, y: x * y),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + x,
+        )
+        cand = wide.withColumn("n2s", n2s).filter(F.col("n2s") > 0)
+        q = F.broadcast(
+            cand.filter(F.col("vec_id") < _N_QUERIES).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("sk").alias("qsk"),
+                F.col("n2s").alias("qn2"),
+            )
+        )
+        # sketch-cosine screen: exact integer dot, double only at the
+        # final compare (identical inputs -> identical ranking).
+        dot = F.aggregate(
+            F.zip_with(F.col("qsk"), F.col("sk"), lambda x, y: x * y),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + x,
+        )
+        scored = cand.join(q, F.col("vec_id") != F.col("query_id")).select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            (
+                dot.cast("double")
+                / F.sqrt((F.col("qn2") * F.col("n2s")).cast("double"))
+            ).alias("sk_cos"),
+        )
+        w_short = Window.partitionBy("query_id").orderBy(
+            F.desc("sk_cos"), F.asc("candidate_id")
+        )
+        short = (
+            scored.withColumn("srn", F.row_number().over(w_short))
+            .filter(F.col("srn") <= _JL_SHORTLIST)
+            .select("query_id", "candidate_id")
+        )
+        # exact-cosine rerank of ONLY the shortlist (the ADC path's
+        # phase-2, reused verbatim).
+        queries = _pos_norm(emb).filter(F.col("vec_id") < _N_QUERIES)
+        qv = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("n2").alias("nq"),
+        )
+        probe = F.broadcast(short.join(qv, "query_id"))
+        cosine = F.round(
+            F.expr(_DOT.format(a="qv", b="v")) / (F.sqrt("nq") * F.sqrt("n2")),
+            6,
+        )
+        w_rank = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("candidate_id")
+        )
+        return (
+            _pos_norm(emb)
+            .select(F.col("vec_id").alias("candidate_id"), "v", "n2")
+            .join(probe, "candidate_id")
+            .select("query_id", "candidate_id", cosine.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+            .filter(F.col("rank") <= _TOPK)
+            .select("query_id", "candidate_id", "cosine", "rank")
+        )
+
+    return serve_jl_topk

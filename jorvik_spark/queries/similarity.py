@@ -2990,15 +2990,31 @@ def _rp16_signs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    sgn = F.when(
+    return memo_df(
+        f"rp16_signs:{sf_dir}",
+        spark,
+        lambda: grid.select(
+            "proj_dim", "pos", rp16_sign_col().cast("int").alias("sgn")
+        ),
+    )
+
+
+def rp16_sign_col(proj_dim: str = "proj_dim", pos: str = "pos"):
+    """The JL sketch's deterministic ±1 sign as a Column over
+    (proj_dim, pos) — md5 parity of the shared 'rp16:d:pos' salt.
+    PUBLIC so artifact builders (examples/retrieval_pipeline's persisted
+    sketch table) share the exact matrix by import and can never drift
+    from ``embed_rp16_sketch``'s geometry (the sign_pack_expr
+    convention)."""
+    return F.when(
         F.conv(
             F.substring(
                 F.md5(
                     F.concat(
                         F.lit("rp16:"),
-                        F.col("proj_dim").cast("string"),
+                        F.col(proj_dim).cast("string"),
                         F.lit(":"),
-                        F.col("pos").cast("string"),
+                        F.col(pos).cast("string"),
                     )
                 ),
                 1,
@@ -3011,11 +3027,6 @@ def _rp16_signs(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0,
         F.lit(1),
     ).otherwise(F.lit(-1))
-    return memo_df(
-        f"rp16_signs:{sf_dir}",
-        spark,
-        lambda: grid.select("proj_dim", "pos", sgn.cast("int").alias("sgn")),
-    )
 
 
 @query(
