@@ -137,8 +137,15 @@ def _twophase_topk(
     share one implementation. The zero-norm exclusion applies to the
     TRUNCATED vector when dims is set: a prefix can be all-zero even
     when the full vector is not, and cosine is undefined for it either
-    way."""
-    emb = _vec_double(load_table(spark, sf_dir, "embeddings"))
+    way.
+
+    Round 16: the candidate scan routes through ``_spread_embeddings``
+    — the per-candidate cosine fold is CPU-bound per row and fused into
+    the scan stage, so an under-split input serialized the whole exact
+    phase on one core (measured: an 8.8 s single task on the 100x
+    stress corpus's dominant file while every other task took 11 ms;
+    a no-op on a well-split lake)."""
+    emb = _vec_double(_spread_embeddings(spark, sf_dir))
     if dims is not None:
         emb = emb.withColumn("v", F.slice("v", 1, dims))
     emb = emb.withColumn("n2", F.expr(_DOT.format(a="v", b="v"))).filter(
@@ -3342,14 +3349,20 @@ def embed_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     max, not a collect.
     """
     rel = _pi_units_rel(spark, sf_dir)
-    zero = F.lit(0).cast("decimal(38,0)")
+    # The per-VECTOR dot folds accumulate in LONG: |dot| ≤ dim·|eu|·|v|
+    # ≤ dim·(1e6·max|x|)·1e6, corpus-size-independent — safe through
+    # dim·max|x| ≈ 9e6 (e.g. 4096 dims at |x| ≤ 100), far past any
+    # embedding payload. Only the column sums (Σ over the corpus) need
+    # the DECIMAL(38,0) accumulator. (Round-16 stress: the decimal fold
+    # was ~4x the codegen cost of the long fold per pass.)
+    zero = F.lit(0).cast("long")
 
     def column_sums(dot_col) -> DataFrame:
         scored = rel.select(
             F.posexplode("eu").alias("pos", "e"), dot_col.alias("dot")
         )
         return scored.groupBy("pos").agg(
-            F.sum(F.col("e") * F.col("dot")).alias("w")
+            F.sum(F.col("e").cast("decimal(38,0)") * F.col("dot")).alias("w")
         )
 
     def rescale_driver(w_rows) -> list:
@@ -3409,6 +3422,37 @@ def embed_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tree-reduction trick: per-(query, chunk) local winners, then a tiny
 # guarded merge — never a per-query sort of the corpus).
 _I8_CHUNKS = 32
+
+
+def _i8_codes_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, c) — per-vector int8 code arrays for the positive-norm
+    corpus, memoized behind a localCheckpoint leaf (the _pi_units_rel
+    discipline). Round-16 stress lesson: computed inline, the quantize
+    fold was re-evaluated by every consumer expression (the n2 fold
+    plus one dot fold PER broadcast query) and the per-element
+    ``array_max`` scale made it O(dim²) — a 3.5-minute single task at
+    100x. The scale is hoisted to its own column (one O(dim) pass) and
+    the relation materializes once."""
+
+    def build() -> DataFrame:
+        nz = (
+            _vec_double(_spread_embeddings(spark, sf_dir))
+            .withColumn("n2f", F.expr(_DOT.format(a="v", b="v")))
+            .filter(F.col("n2f") > 0)
+        )
+        return nz.select(
+            "vec_id",
+            F.expr("array_max(transform(v, y -> abs(y)))").alias("scale"),
+            "v",
+        ).select(
+            "vec_id",
+            F.expr(
+                "transform(v, x -> CAST(CASE WHEN scale = 0 THEN 0"
+                " ELSE floor(x / scale * 127 + 0.5) END AS BIGINT))"
+            ).alias("c"),
+        )
+
+    return memo_df(f"i8_codes:{sf_dir}", spark, build, cut_lineage=True)
 
 
 @query(
@@ -3487,17 +3531,7 @@ def embed_int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    nz = _vec_double(_spread_embeddings(spark, sf_dir)).withColumn(
-        "n2f", F.expr(_DOT.format(a="v", b="v"))
-    ).filter(F.col("n2f") > 0)
-    codes = nz.select(
-        "vec_id",
-        F.expr(
-            "transform(v, x -> CAST(CASE WHEN array_max(transform(v,"
-            " y -> abs(y))) = 0 THEN 0 ELSE floor(x / array_max(transform(v,"
-            " y -> abs(y))) * 127 + 0.5) END AS BIGINT))"
-        ).alias("c"),
-    )
+    codes = _i8_codes_rel(spark, sf_dir)
     gt = simsearch_topk(spark, sf_dir).select("query_id", "candidate_id")
     qc = F.broadcast(
         codes.filter(F.col("vec_id") < _N_QUERIES).select(

@@ -79,8 +79,6 @@ SANCTIONED: dict[tuple[str, str], str] = {
     ("sampling.py", "sample_interleave_sources"):
         "single-digest: md5 slot/shard/order keys, shard-local row_number",
     # --- similarity.py ---
-    ("similarity.py", "_twophase_topk"):
-        "helper-of-pinned: c_simsearch/r9_rerank exact path (PINS.json)",
     ("similarity.py", "simsearch_lsh"):
         "pinned-shape: plan pinned (test_plans); hyperplane fold feeds a "
         "band shuffle that dominates the scan stage",
