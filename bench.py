@@ -275,6 +275,23 @@ BENCH_R15_QUERIES: dict[str, str] = {
 # widening — so the gate measures the shipped shapes).
 GATE_R15_REF = _pins_ref("r15")
 
+# Round-16 additions, report-only this round (first measurements here,
+# pinned into a gate_r16 next round — the standard cohort lifecycle).
+# Representatives per new shape family: the widened-sum Pareto collapse,
+# the co-partitioned fan-out join, the bounded-frame breakout windows,
+# the doc-keyed capped pair join, the three-pass integer power
+# iteration, and the memoized-codes int8 eval. The narrow shard-local
+# interleave plan rides the stress profile instead (the epoch-shuffle
+# convention).
+BENCH_R16_QUERIES: dict[str, str] = {
+    "r16_pareto": "agg_pareto_share_census",
+    "r16_fanout": "audit_fk_fanout_census",
+    "r16_breakout": "window_breakout_census",
+    "r16_cooc": "text_cooccurrence_lift_topk",
+    "r16_pc1": "embed_power_iteration_pc1",
+    "r16_i8recall": "embed_int8_recall_eval",
+}
+
 # Round-11 cohort regression reference (PROFILE.md round-11 final quiet
 # capture; containment re-pinned r13 — provenance in PINS.json).
 GATE_R11_REF = _pins_ref("r11")
@@ -367,6 +384,9 @@ def main() -> None:
     }
     times_r15 = {
         lb: timed(lb, qn) for lb, qn in BENCH_R15_QUERIES.items() if qn in QUERIES
+    }
+    times_r16 = {
+        lb: timed(lb, qn) for lb, qn in BENCH_R16_QUERIES.items() if qn in QUERIES
     }
 
     def gate(queries_g: dict, times_g: dict, ref: dict, ref_round: int, label: str) -> dict:
@@ -627,6 +647,7 @@ def main() -> None:
         "queries_r13": times_r13,
         "queries_r14": times_r14,
         "queries_r15": times_r15,
+        "queries_r16": times_r16,
         "queries_2c_cold": times_2c_cold,
         "gates": gates_all,
         "load_per_query": measure_load,
@@ -640,7 +661,7 @@ def main() -> None:
             "queries": times,
             "gates": gates_compact,
             "gates_ok": all(g["ok"] for g in gates_all.values()),
-            "queries_r15": times_r15,
+            "queries_r16": times_r16,
             "load_avg": load_avg,
             "uptime_sec": uptime_sec,
             "sf": sf,

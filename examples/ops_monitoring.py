@@ -159,6 +159,21 @@ def monitor(spark: SparkSession, sf_dir: str) -> dict:
         for r in rfm
         if r["m_band"] >= m_med and r["r_band"] > r_med
     )
+    # Round-16 layer: WHO just spiked (the breakout census — readings
+    # strictly above anything in the user's own recent window; the
+    # mirror image of the churn screen: churn flags absence, breakout
+    # flags new highs, both normalized per user instead of one global
+    # threshold). The ops view is the census's top decile band — users
+    # whose readings break out in >= 1 of every ~10 opportunities.
+    from jorvik_spark.queries.windows import window_breakout_census
+
+    breakout = window_breakout_census(spark, sf_dir).collect()
+    breakout_users = sum(r["n_users"] for r in breakout)
+    breakout_hot_users = sum(
+        r["n_users"] for r in breakout if r["rate_decile"] >= 1
+    )
+    breakout_events = sum(r["n_breakouts"] for r in breakout)
+
     return {
         "suggested_watermark": watermark,
         "zscore_users": len(z_users),
@@ -185,6 +200,9 @@ def monitor(spark: SparkSession, sf_dir: str) -> dict:
         "churn_risk_users": churn_risk_users,
         "churn_no_history_users": churn_no_history,
         "lapsed_heavy_spenders": lapsed_spenders,
+        "breakout_users": breakout_users,
+        "breakout_hot_users": breakout_hot_users,
+        "breakout_events": breakout_events,
     }
 
 

@@ -79,3 +79,21 @@ def test_monitor_churn_and_rfm_layer(spark):
     )
     rfm_users = sum(r["n_users"] for r in agg_rfm_octave_census(spark, sf).collect())
     assert 0 <= report["lapsed_heavy_spenders"] <= rfm_users
+
+
+def test_monitor_breakout_layer(spark):
+    """Round-16 layer: the breakout fields reconcile against the
+    registered census and nest correctly (hot users are a subset of
+    scored users; events at least cover the hot population)."""
+    from jorvik_spark.queries.windows import window_breakout_census
+
+    sf = default_sf_dir()
+    report = monitor(spark, sf)
+    census = window_breakout_census(spark, sf).collect()
+    assert report["breakout_users"] == sum(r["n_users"] for r in census)
+    want_hot = sum(r["n_users"] for r in census if r["rate_decile"] >= 1)
+    assert report["breakout_hot_users"] == want_hot
+    assert 0 <= report["breakout_hot_users"] <= report["breakout_users"]
+    assert report["breakout_events"] == sum(
+        r["n_breakouts"] for r in census
+    )
