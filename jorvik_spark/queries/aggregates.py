@@ -2299,3 +2299,123 @@ def agg_pareto_share_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share_ppm"
         ),
     ).orderBy(F.col("rev_band").desc())
+
+
+# --- round 16 wave 2: conversion-lift table ------------------------------------
+
+# Engagement-band cap (bit length of pre-period event count).
+_LIFT_BAND_CAP = 16
+
+
+@query(
+    "agg_conversion_lift_bands",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    spl AS (SELECT (MIN(t) + MAX(t)) // 2 AS t_split FROM e),
+    u AS (
+        SELECT e.user_id,
+               SUM(CASE WHEN e.t < s.t_split THEN 1 ELSE 0 END) AS pre_n,
+               MAX(CASE WHEN e.t >= s.t_split
+                        AND e.event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS converted
+        FROM e CROSS JOIN spl s GROUP BY e.user_id),
+    scoped AS (SELECT * FROM u WHERE pre_n >= 1),
+    cells AS (
+        SELECT CAST(LEAST(length(bin(pre_n)), {_LIFT_BAND_CAP})
+                    AS INTEGER) AS band,
+               COUNT(*) AS n_users,
+               SUM(converted) AS n_converted
+        FROM scoped GROUP BY 1),
+    tot AS (SELECT SUM(n_users) AS tu, SUM(n_converted) AS tc FROM cells)
+    SELECT c.band,
+           CAST(c.n_users AS BIGINT) AS n_users,
+           CAST(c.n_converted AS BIGINT) AS n_converted,
+           CAST(c.n_converted * 1000000 // c.n_users AS BIGINT)
+               AS conv_ppm,
+           CAST(CASE WHEN t.tc = 0 THEN NULL
+                     ELSE (c.n_converted * 1000000 // c.n_users)
+                          * CAST(1000000 AS HUGEINT)
+                          // (t.tc * 1000000 // t.tu)
+                END AS BIGINT) AS lift_ppm
+    FROM cells c CROSS JOIN tot t ORDER BY band
+    """,
+)
+def agg_conversion_lift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-lift table: users banded by the bit length of their
+    PRE-period activity (events before the corpus's temporal midpoint),
+    each band reporting its POST-period purchase-conversion rate and the
+    lift vs the corpus average (1e6 = average) — the model-eval /
+    campaign-targeting readout ("does engagement predict conversion,
+    and how steeply") in the decile-lift family, banded by octaves
+    instead of NTILE deciles because exact deciles need a global sort of
+    the user relation (the RFM convention). The split anchors at
+    (min+max)/2 of the corpus so the table is reproducible from the
+    lake alone.
+
+    Cross-engine mechanics: exact integer counts; rates and lift are
+    truncating integer ppm divisions, the lift numerator widened through
+    the DECIMAL(38,0)/HUGEINT convention; a zero-conversion corpus
+    reports NULL lift on both engines, never a division error.
+
+    Scale shape: one map-combined user aggregate against a single-row
+    broadcast anchor, a ≤ {_LIFT_BAND_CAP}-cell census collapse, and
+    the corpus totals attach to the CELLS (window over aggregated rows
+    only, guarded by size).
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+    spl = F.broadcast(
+        e.agg(
+            F.expr("CAST((MIN(t) + MAX(t)) div 2 AS BIGINT)").alias("t_split")
+        )
+    )
+    u = (
+        e.crossJoin(spl)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("t") < F.col("t_split"), 1).otherwise(0)).alias(
+                "pre_n"
+            ),
+            F.max(
+                F.when(
+                    (F.col("t") >= F.col("t_split"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            ).alias("converted"),
+        )
+        .filter(F.col("pre_n") >= 1)
+    )
+    band = F.least(
+        F.length(F.conv(F.col("pre_n").cast("string"), 10, 2)),
+        F.lit(_LIFT_BAND_CAP),
+    ).cast("int")
+    cells = u.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    w_all = Window.partitionBy()
+    with_tot = cells.select(
+        "band",
+        "n_users",
+        "n_converted",
+        F.sum("n_users").over(w_all).alias("tu"),
+        F.sum("n_converted").over(w_all).alias("tc"),
+    )
+    return with_tot.select(
+        "band",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_converted").cast("long").alias("n_converted"),
+        F.expr("CAST(n_converted * 1000000 div n_users AS BIGINT)").alias(
+            "conv_ppm"
+        ),
+        F.expr(
+            "CAST(CASE WHEN tc = 0 THEN NULL"
+            " ELSE CAST(n_converted * 1000000 div n_users AS DECIMAL(38,0))"
+            "      * 1000000 div (tc * 1000000 div tu)"
+            " END AS BIGINT)"
+        ).alias("lift_ppm"),
+    ).orderBy("band")

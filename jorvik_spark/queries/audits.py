@@ -1224,3 +1224,78 @@ def audit_fk_fanout_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fanout")
     )
+
+
+# --- round 16 wave 2: value-precision (unit-drift) census -----------------------
+
+
+@query(
+    "audit_value_precision_census",
+    oracle="""
+    WITH v AS (
+        SELECT user_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        FROM events WHERE value IS NOT NULL),
+    d AS (
+        SELECT user_id, vu,
+               CASE WHEN vu % 1000000 = 0 THEN 0
+                    WHEN vu % 100000 = 0 THEN 1
+                    WHEN vu % 10000 = 0 THEN 2
+                    WHEN vu % 1000 = 0 THEN 3
+                    WHEN vu % 100 = 0 THEN 4
+                    WHEN vu % 10 = 0 THEN 5
+                    ELSE 6 END AS n_decimals
+        FROM v)
+    SELECT CAST(n_decimals AS INTEGER) AS n_decimals,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(vu) AS BIGINT) AS min_vu,
+           CAST(MAX(vu) AS BIGINT) AS max_vu
+    FROM d GROUP BY 1 ORDER BY n_decimals
+    """,
+)
+def audit_value_precision_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-precision census: how many decimal digits (0-6 at the µ-unit
+    grid) each event's ``value`` actually uses — the unit-drift screen
+    that catches a feed silently switching cents↔dollars, a producer
+    rounding to whole units, or a quantized sensor pretending to be
+    continuous. A healthy continuous feed concentrates at 6; a sudden
+    mass at 0-2 is an upstream format change no range check notices
+    (the values stay in range — their GRID changes).
+
+    Cross-engine mechanics: precision is measured on the micro-quantized
+    integer (floor(value·1e6 + 0.5)), so the census is exact modular
+    arithmetic — no float-representation ambiguity on either engine;
+    vu = 0 lands in the 0-decimals band by the same rule.
+
+    Scale shape: one narrow map pass (a 7-arm CASE over remainders) into
+    a ≤ 7-cell map-combined census; the distinct-user count rides the
+    same aggregate. No joins, no windows.
+    """
+    v = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("vu"),
+    )
+    n_dec = F.expr(
+        "CASE WHEN vu % 1000000 = 0 THEN 0"
+        " WHEN vu % 100000 = 0 THEN 1"
+        " WHEN vu % 10000 = 0 THEN 2"
+        " WHEN vu % 1000 = 0 THEN 3"
+        " WHEN vu % 100 = 0 THEN 4"
+        " WHEN vu % 10 = 0 THEN 5"
+        " ELSE 6 END"
+    ).cast("int")
+    return (
+        v.groupBy(n_dec.alias("n_decimals"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("vu").cast("long").alias("min_vu"),
+            F.max("vu").cast("long").alias("max_vu"),
+        )
+        .orderBy("n_decimals")
+    )

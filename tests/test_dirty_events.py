@@ -193,6 +193,13 @@ EVENT_QUERIES = [
     # the lookback frame, and band the single-event user out of scope
     # (no opportunity) identically on both engines.
     "window_breakout_census",
+    # round 16 wave 2: the lift table anchors its split at (min+max)/2
+    # over non-null-ts rows and must scope pre-period-empty users out
+    # identically; the precision census measures the µ-quantized grid,
+    # so NULL values drop and vu = 0 lands in the 0-decimals band on
+    # both engines.
+    "agg_conversion_lift_bands",
+    "audit_value_precision_census",
 ]
 
 

@@ -1406,3 +1406,22 @@ def test_int8_recall_has_no_cartesian_and_bounded_merge(spark):
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "pmod" in plan  # the local-chunk top-k stage exists
+
+
+def test_lift_bands_window_runs_over_cells_only(spark):
+    # the user aggregate shuffles on user_id; the corpus-total window
+    # input is the <= 16-cell band collapse, never the user relation
+    plan = _plan(spark, "agg_conversion_lift_bands")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    for seg in tree.split("SinglePartition")[1:]:
+        assert "band" in seg.split("]")[0]
+
+
+def test_precision_census_is_one_scan_no_joins(spark):
+    # a narrow 7-arm CASE into a map-combined census — the only
+    # exchange is the census collapse; no join nodes at all
+    plan = _plan(spark, "audit_value_precision_census")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert "CartesianProduct" not in tree

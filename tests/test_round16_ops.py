@@ -297,3 +297,67 @@ def test_int8_recall_is_perfect_on_separated_corpus(spark, tmp_path):
     assert len(rows) == 5  # one per query (vec_id < 5)
     assert all(r["recall_ppm"] == 1_000_000 for r in rows)
     assert all(r["n_hits"] == 5 for r in rows)
+
+
+def test_conversion_lift_bands_known_split(spark, tmp_path):
+    """Corpus spanning [0, 100] minutes -> split at the 50-minute
+    midpoint. Heavy users (band 2: pre_n 2-3) convert 100%, light users
+    (band 1) convert 0%, corpus rate 50% -> lifts 2e6 and 0."""
+    B = datetime.datetime(2024, 5, 1)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        # user 1: 3 pre events, purchase post (band 2, converted)
+        (1, B, 1, "view", 1.0, None),
+        (2, B + 10 * m, 1, "view", 1.0, None),
+        (3, B + 20 * m, 1, "view", 1.0, None),
+        (4, B + 80 * m, 1, "purchase", 5.0, None),
+        # user 2: 2 pre events, purchase post (band 2, converted)
+        (5, B + 5 * m, 2, "view", 1.0, None),
+        (6, B + 15 * m, 2, "view", 1.0, None),
+        (7, B + 90 * m, 2, "purchase", 5.0, None),
+        # user 3: 1 pre event, post view only (band 1, not converted)
+        (8, B + 30 * m, 3, "view", 1.0, None),
+        (9, B + 70 * m, 3, "view", 1.0, None),
+        # user 4: 1 pre event, nothing post (band 1, not converted)
+        (10, B + 40 * m, 4, "view", 1.0, None),
+        # user 5: post-only (pre_n = 0 -> out of scope)
+        (11, B + 95 * m, 5, "purchase", 5.0, None),
+        # anchor the max timestamp
+        (12, B + 100 * m, 1, "view", 1.0, None),
+    ]
+    d = str(tmp_path / "lift")
+    _write_events(spark, d, rows)
+    got = {
+        r["band"]: (r["n_users"], r["n_converted"], r["conv_ppm"],
+                    r["lift_ppm"])
+        for r in QUERIES["agg_conversion_lift_bands"](spark, d).collect()
+    }
+    # corpus: 4 scoped users, 2 converted -> rate 500000 ppm
+    assert got[2] == (2, 2, 1_000_000, 2_000_000)
+    assert got[1] == (2, 0, 0, 0)
+    assert len(got) == 2
+
+
+def test_value_precision_census_detects_grid_change(spark, tmp_path):
+    """Whole units, cents, and full-precision values land in distinct
+    bands; a NULL value is out of scope."""
+    B = datetime.datetime(2024, 5, 1)
+    rows = [
+        (1, B, 1, "view", 3.0, None),        # 0 decimals
+        (2, B, 1, "view", 3.25, None),       # 2 decimals
+        (3, B, 2, "view", 3.141592, None),   # 6 decimals
+        (4, B, 2, "view", 0.5, None),        # 1 decimal
+        (5, B, 3, "view", None, None),       # out of scope
+        (6, B, 3, "view", 0.0, None),        # vu = 0 -> 0 decimals
+    ]
+    d = str(tmp_path / "prec")
+    _write_events(spark, d, rows)
+    got = {
+        r["n_decimals"]: (r["n_events"], r["n_users"], r["min_vu"], r["max_vu"])
+        for r in QUERIES["audit_value_precision_census"](spark, d).collect()
+    }
+    assert got[0] == (2, 2, 0, 3_000_000)
+    assert got[1] == (1, 1, 500_000, 500_000)
+    assert got[2] == (1, 1, 3_250_000, 3_250_000)
+    assert got[6] == (1, 1, 3_141_592, 3_141_592)
+    assert set(got) == {0, 1, 2, 6}
