@@ -35,11 +35,11 @@ from jorvik_spark.queries import graphs  # noqa: F401,E402
 #     (11 + 27 + 12 = 50). After this round no registry member's
 #     newest driver row is older than r11.
 #   * Operators NEW in round 16 are staged BEHIND the r11 backlog:
-#     they carry LOCAL_PARITY_r16 birth evidence (the two wave-2 ops —
-#     agg_conversion_lift_bands, audit_value_precision_census — carry
-#     sf0.01 parity + dirty-suite birth evidence), and the round-17
-#     rotation should take all 9 newcomers FIRST, then continue the
-#     r11 cohort
+#     they carry LOCAL_PARITY_r16 birth evidence (the three wave-2/3
+#     ops — agg_conversion_lift_bands, audit_value_precision_census,
+#     audit_category_mix_drift — carry sf0.01 parity + dirty-suite
+#     birth evidence), and the round-17 rotation should take all 10
+#     newcomers FIRST, then continue the r11 cohort
 #     (38 remaining after this round, in CORRECTNESS_r11 order:
 #     window_anomaly_mad onward), topping up from the oldest r12-age
 #     members if slots remain.

@@ -1299,3 +1299,107 @@ def audit_value_precision_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_decimals")
     )
+
+
+# --- round 16 wave 3: temporal category-mix drift -------------------------------
+
+
+@query(
+    "audit_category_mix_drift",
+    oracle="""
+    WITH o AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+               o_orderpriority AS cat
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL),
+    mc AS (SELECT month, cat, COUNT(*) AS c FROM o GROUP BY month, cat),
+    tm AS (SELECT month, SUM(c) AS t FROM mc GROUP BY month),
+    cc AS (SELECT cat, SUM(c) AS g FROM mc GROUP BY cat),
+    tg AS (SELECT SUM(g) AS tg FROM cc),
+    grid AS (
+        SELECT t.month, c.cat, t.t, c.g, g.tg,
+               COALESCE(mc.c, 0) AS c
+        FROM tm t CROSS JOIN cc c CROSS JOIN tg g
+        LEFT JOIN mc ON mc.month = t.month AND mc.cat = c.cat),
+    diffs AS (
+        SELECT month, cat, t,
+               ABS(CAST(c AS HUGEINT) * tg - CAST(g AS HUGEINT) * t)
+                   AS diff
+        FROM grid)
+    SELECT d.month,
+           CAST(MAX(d.t) AS BIGINT) AS n_orders,
+           CAST(SUM(d.diff) * 1000000
+                // (2 * CAST(MAX(d.t) AS HUGEINT) * MAX(g.tg))
+                AS BIGINT) AS tv_ppm,
+           (MAX({'diff': d.diff, 'cat': d.cat})).cat AS worst_category
+    FROM diffs d CROSS JOIN tg g
+    GROUP BY d.month ORDER BY d.month
+    """,
+)
+def audit_category_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal category-mix drift: per month, the exact total-variation
+    distance between that month's order-priority mix and the corpus mix,
+    in integer ppm, plus the category driving it — the "did the MIX
+    shift this month" screen (a feed that reroutes priorities keeps
+    every count in range; only its composition moves). The temporal
+    twin of ``corpus_source_tv_distance``'s rational-arithmetic
+    construction: with counts c and totals t/T, |p − q| =
+    |c·T − g·t| / (t·T), so the statistic is one exact widened integer
+    per cell and a truncating ppm division per month — no float CDFs,
+    identical on both engines. The worst category ties break
+    lexicographically via the (diff, cat) struct max.
+
+    Scale shape: the corpus collapses to the (month, category) count in
+    one map-combined pass; every marginal re-derives from it (the
+    corpus_drift_ks one-scan discipline); the evaluation grid is
+    |months| × |categories| — bounded by the vocabularies, never the
+    order count — and the month totals attach by broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_orderpriority").isNotNull()
+    ).select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.col("o_orderpriority").alias("cat"),
+    )
+    mc = o.groupBy("month", "cat").agg(F.count(F.lit(1)).alias("c"))
+    tm = mc.groupBy("month").agg(F.sum("c").alias("t"))
+    cc = mc.groupBy("cat").agg(F.sum("c").alias("g"))
+    tg = F.broadcast(mc.agg(F.sum("c").alias("tg")))
+    grid = (
+        tm.crossJoin(F.broadcast(cc))
+        .crossJoin(tg)
+        .join(mc, ["month", "cat"], "left")
+        .select(
+            "month",
+            "cat",
+            "t",
+            "g",
+            "tg",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    diffs = grid.select(
+        "month",
+        "cat",
+        "t",
+        "tg",
+        F.abs(
+            F.col("c").cast("decimal(38,0)") * F.col("tg")
+            - F.col("g").cast("decimal(38,0)") * F.col("t")
+        ).alias("diff"),
+    )
+    return (
+        diffs.groupBy("month")
+        .agg(
+            F.max("t").cast("long").alias("n_orders"),
+            F.expr(
+                "CAST(SUM(diff) * 1000000"
+                " div (2 * CAST(MAX(t) AS DECIMAL(38,0)) * MAX(tg))"
+                " AS BIGINT)"
+            ).alias("tv_ppm"),
+            F.max(F.struct("diff", "cat")).getField("cat").alias(
+                "worst_category"
+            ),
+        )
+        .orderBy("month")
+    )

@@ -264,11 +264,16 @@ ORDER_ROWS = [
 # round 16: the Pareto census rides it too — multi-order customers
 # accumulate through the widened sum, and the top-down cumulative ppm
 # must truncate identically on this adversarial revenue spread.
+# round 16 wave 3: the mix-drift screen rides the same dirty orders —
+# the null-orderdate row (order 105) must drop from scope identically,
+# and the single-category months pin the degenerate-mix TV on both
+# engines.
 ASOF_QUERIES = [
     "join_asof",
     "join_asof_tolerance",
     "audit_orderkey_gap_census",
     "agg_pareto_share_census",
+    "audit_category_mix_drift",
 ]
 
 

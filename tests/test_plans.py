@@ -1425,3 +1425,13 @@ def test_precision_census_is_one_scan_no_joins(spark):
     tree = plan.split("\n\n")[0]
     assert "Join" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_mix_drift_grid_is_vocabulary_bounded(spark):
+    # one (month, category) aggregate feeds every marginal; the grid
+    # joins broadcast vocabulary relations — no cartesian blowup beyond
+    # the bounded broadcast cross of month x category x total
+    plan = _plan(spark, "audit_category_mix_drift")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "SinglePartition" not in tree.split("Sort")[0].split("Exchange")[0]

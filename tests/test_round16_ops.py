@@ -361,3 +361,32 @@ def test_value_precision_census_detects_grid_change(spark, tmp_path):
     assert got[2] == (1, 1, 3_250_000, 3_250_000)
     assert got[6] == (1, 1, 3_141_592, 3_141_592)
     assert set(got) == {0, 1, 2, 6}
+
+
+def test_category_mix_drift_exact_tv(spark, tmp_path):
+    """Two months with mirrored priority mixes around a known corpus
+    mix: TV = 0.25 exactly for both, and the urgent category (largest
+    |c·T − g·t| cell) is the named driver."""
+    B = datetime.datetime(2024, 1, 15)
+    M2 = datetime.datetime(2024, 2, 15)
+    rows = []
+    oid = 0
+    for cat, n in (("1-URGENT", 2), ("2-HIGH", 1), ("5-LOW", 1)):
+        for _ in range(n):
+            oid += 1
+            rows.append((oid, 1, "O", 1.0, B, cat))
+    for cat, n in (("2-HIGH", 2), ("5-LOW", 2)):
+        for _ in range(n):
+            oid += 1
+            rows.append((oid, 1, "O", 1.0, M2, cat))
+    d = str(tmp_path / "mixdrift")
+    _write_orders(d, rows)
+    got = {
+        r["month"].month: (r["n_orders"], r["tv_ppm"], r["worst_category"])
+        for r in QUERIES["audit_category_mix_drift"](spark, d).collect()
+    }
+    # corpus mix: urgent 2/8, high 3/8, low 3/8
+    # Jan (2u,1h,1l): diffs u|2·8−2·4|=8, h|1·8−3·4|=4, l 4 → TV 16/64
+    # Feb (0u,2h,2l): diffs u 8, h 4, l 4 → TV 16/64
+    assert got[1] == (4, 250_000, "1-URGENT")
+    assert got[2] == (4, 250_000, "1-URGENT")
