@@ -423,8 +423,10 @@ def main() -> None:
         further re-pins: a flag that failed both quiet windows is still
         "exonerated_cohort_drift" iff the whole cohort is uniformly
         inflated (cohort_median_x >= _DRIFT_MIN_COHORT_X) AND the
-        query's drift-normalized ratio quiet2_x / cohort_median_x is
-        back inside the limit. A genuine single-query regression rides
+        FAILING window's drift-normalized ratio (quiet2_x, or quiet3_x
+        after a 1-of-3 tie-break — see _finalize_flags) divided by
+        cohort_median_x is back inside the limit. A genuine
+        single-query regression rides
         a ~1.0 cohort median, so normalization cannot save it; uniform
         host slowdowns cancel without touching any per-query budget.
         No existing pin was widened for this round."""

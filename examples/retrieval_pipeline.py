@@ -506,7 +506,7 @@ def make_gold_jl_topk(lake: str) -> ETL:
     """Gold: sketch → coarse screen → exact rerank, served entirely from
     persisted artifacts. The screen scores 16-int sketch cosines (the
     distance-preserving JL estimate — ⟨Ra,Rb⟩ ≈ 16⟨a,b⟩), shortlists
-    ``_RERANK_SHORTLIST`` candidates per query, and only the shortlist
+    ``_JL_SHORTLIST`` candidates per query, and only the shortlist
     ever touches a full float vector — the serving composition an
     embedding-store team runs when the PQ index is too lossy for the
     workload but full-vector scans are unaffordable. Recall vs the

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from jorvik_spark.tables import load_table
+from jorvik_spark.tables import load_table, spread_scan
 from jorvik_spark.queries.registry import (
     davg,
     dsum,
@@ -1481,6 +1481,11 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vu"),
         )
     )
+    # r17: the B-fold md5 expansion is ~64 hash evaluations per input
+    # row — on an under-split scan that entire CPU pass serialized on
+    # ONE core (guide §2.5 input skew; measured 6.1 s → 1.2 s at sf0.1).
+    # spread_scan no-ops when the source already has enough splits.
+    ev = spread_scan(ev, spark)
     expanded = ev.select(
         "event_type",
         "vu",
@@ -2334,7 +2339,8 @@ _LIFT_BAND_CAP = 16
            CAST(c.n_converted AS BIGINT) AS n_converted,
            CAST(c.n_converted * 1000000 // c.n_users AS BIGINT)
                AS conv_ppm,
-           CAST(CASE WHEN t.tc = 0 THEN NULL
+           CAST(CASE WHEN t.tc = 0 OR (t.tc * 1000000 // t.tu) = 0
+                     THEN NULL
                      ELSE (c.n_converted * 1000000 // c.n_users)
                           * CAST(1000000 AS HUGEINT)
                           // (t.tc * 1000000 // t.tu)
@@ -2412,8 +2418,11 @@ def agg_conversion_lift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_converted * 1000000 div n_users AS BIGINT)").alias(
             "conv_ppm"
         ),
+        # tc = 0 OR truncated global rate = 0 (overall conversion under
+        # 1 ppm) both yield NULL — DuckDB would otherwise raise on the
+        # zero divisor where Spark's non-ANSI div nulls (r17 ADVICE fix)
         F.expr(
-            "CAST(CASE WHEN tc = 0 THEN NULL"
+            "CAST(CASE WHEN tc = 0 OR (tc * 1000000 div tu) = 0 THEN NULL"
             " ELSE CAST(n_converted * 1000000 div n_users AS DECIMAL(38,0))"
             "      * 1000000 div (tc * 1000000 div tu)"
             " END AS BIGINT)"

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from jorvik_spark.tables import load_table
+from jorvik_spark.tables import load_table, spread_scan
 from jorvik_spark.queries.registry import query
 
 # Columns profiled by audit_column_profile — a fixed, small list: each
@@ -418,7 +418,14 @@ def audit_primary_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     out: DataFrame | None = None
     for t, keys in _TABLE_KEYS:
-        df = load_table(spark, sf_dir, t)
+        df = load_table(spark, sf_dir, t).select(*keys)
+        if t in ("lineitem", "orders", "events"):
+            # r17: the fact tables' exact-distinct PARTIAL aggregate is
+            # the query's wall and fuses into the scan stage — on an
+            # under-split scan it hashes the whole key space on one core
+            # (guide §2.5). spread_scan no-ops on a well-split lake; the
+            # dimension tables stay unspread (exchange > gain there).
+            df = spread_scan(df, spark)
         nn = F.lit(True)
         for k in keys:
             nn = nn & F.col(k).isNotNull()

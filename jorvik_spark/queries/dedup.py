@@ -199,15 +199,26 @@ def _capped_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall at 10× driver scale, and the same change took the containment
     pair stage's skew from 4.9× / 992 MB-task to the jaccard profile.
     """
-    ex = _shingle_index(spark, sf_dir)
-    rare = (
-        ex.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    return ex.join(rare, "shingle").repartition(
-        spark.sparkContext.defaultParallelism * 2, "shingle"
+    # r17: memoized behind a localCheckpoint leaf. The filtered index
+    # feeds BOTH sides of the pair self-joins plus the per-doc sizes in
+    # jaccard/containment/recall-eval — a plain plan recomputed the
+    # rare-filter join per consumer, and the checkpoint leaf RETAINS the
+    # explicit shingle partitioning, so the self-join runs exchange-free
+    # off the leaf (measured: containment 3.3 s → 1.3 s at sf0.1).
+    def build() -> DataFrame:
+        ex = _shingle_index(spark, sf_dir)
+        rare = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= _MAX_SHINGLE_DF)
+            .select("shingle")
+        )
+        return ex.join(rare, "shingle").repartition(
+            spark.sparkContext.defaultParallelism * 2, "shingle"
+        )
+
+    return memo_df(
+        f"capped_shingle_index:{sf_dir}", spark, build, cut_lineage=True
     )
 
 

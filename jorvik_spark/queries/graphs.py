@@ -39,18 +39,9 @@ _PR_BASE = 150_000
 _PR_DAMP = 850_000
 
 
-def _degree_bcast_budget_rows(spark: SparkSession) -> int:
-    """Row budget for the triangle census's deliberate degree-relation
-    broadcast: autoBroadcastJoinThreshold bytes / ~32 B per hashed
-    (node, degree) row. Overridable via JORVIK_DEGREE_BCAST_MAX_ROWS
-    (plan tests force both shapes); a disabled threshold (-1/0) means
-    never hint — the optimizer's shuffle plan is then the honest one.
-    """
-    import os
-
-    env = os.environ.get("JORVIK_DEGREE_BCAST_MAX_ROWS")
-    if env is not None:
-        return int(env)
+def _bcast_budget_bytes(spark: SparkSession) -> int:
+    """autoBroadcastJoinThreshold parsed to bytes (k/m/g suffixes
+    handled; a disabled threshold (-1/0) yields 0 — never hint)."""
     raw = str(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     ).strip().lower()
@@ -66,7 +57,42 @@ def _degree_bcast_budget_rows(spark: SparkSession) -> int:
         nbytes = int(raw) * mult
     except ValueError:
         nbytes = 10 << 20
-    return max(0, nbytes // 32)
+    return max(0, nbytes)
+
+
+def _degree_bcast_budget_rows(spark: SparkSession) -> int:
+    """Row budget for the triangle census's deliberate degree-relation
+    broadcast: autoBroadcastJoinThreshold bytes / ~32 B per hashed
+    (node, degree) row. Overridable via JORVIK_DEGREE_BCAST_MAX_ROWS
+    (plan tests force both shapes); a disabled threshold (-1/0) means
+    never hint — the optimizer's shuffle plan is then the honest one.
+    """
+    import os
+
+    env = os.environ.get("JORVIK_DEGREE_BCAST_MAX_ROWS")
+    if env is not None:
+        return int(env)
+    return _bcast_budget_bytes(spark) // 32
+
+
+def _tri_adj_bcast_max_nodes(spark: SparkSession) -> int:
+    """Node budget for the triangle census's broadcast-adjacency fast
+    path (r17 optimization): the per-edge intersection plan broadcasts
+    the oriented adjacency lists, whose worst-case size is the COMPLETE
+    graph — n(n-1)/2 oriented edges at ~16 B each in the built hash
+    relation. Gating on n ≤ isqrt(budget_bytes / 8) therefore proves
+    the broadcast fits from the node-count METADATA alone (no extra
+    job), regardless of density. Overridable via
+    JORVIK_TRI_ADJ_MAX_NODES (0 disables the fast path; tests force
+    both shapes).
+    """
+    import math
+    import os
+
+    env = os.environ.get("JORVIK_TRI_ADJ_MAX_NODES")
+    if env is not None:
+        return int(env)
+    return math.isqrt(_bcast_budget_bytes(spark) // 8)
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,10 +333,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the edge list builds from a per-order DISTINCT
     (blow-up bounded by order fanout, ≤ (lines per order choose 2));
-    degrees are one map-combined agg; wedges and closures are two equi
-    joins — wedge generation keyed on src, closure keyed on the (v, w)
-    pair against the oriented edge relation. No cartesian anywhere; the
-    final report is a single row.
+    degrees are one map-combined agg. The closure runs one of two
+    plans: when the node count proves even a complete graph's oriented
+    adjacency fits the broadcast budget, the per-edge intersection fast
+    path (|N+(u) ∩ N+(v)| per edge against broadcast adjacency — no
+    wedge rows ever materialize); otherwise wedges and closures are two
+    equi joins — wedge generation keyed on src, closure keyed on the
+    (v, w) pair against the oriented edge relation. No cartesian
+    anywhere; the final report is a single row.
     """
     # Edge build: per-order supplier SETS, then a narrow combination
     # expansion — one groupBy shuffle on the order key instead of a
@@ -394,23 +424,62 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cut_lineage=True,
     )
-    # wedge pairs ordered by the SAME (degree, id) total order as the
-    # orientation — the closing edge is then guaranteed oriented v->w
-    wa, wb = oriented.alias("wa"), oriented.alias("wb")
-    wedges = wa.join(
-        wb,
-        (F.col("wa.src") == F.col("wb.src"))
-        & (
-            F.struct(F.col("wa.dst_d"), F.col("wa.dst"))
-            < F.struct(F.col("wb.dst_d"), F.col("wb.dst"))
-        ),
-    ).select(F.col("wa.dst").alias("v"), F.col("wb.dst").alias("w"))
-    closed = wedges.join(
-        oriented.alias("o"),
-        (F.col("v") == F.col("o.src")) & (F.col("w") == F.col("o.dst")),
-        "left_semi",
-    )
-    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    if n_nodes_ub <= _tri_adj_bcast_max_nodes(spark):
+        # r17 fast path — per-edge out-neighborhood intersection
+        # (Schank & Wagner's edge-iterator formulation over the same
+        # degree orientation): for every oriented edge (u, v) the
+        # triangles it bases are |N+(u) ∩ N+(v)|, so the 135M-row wedge
+        # materialization (join + struct filter + semi probe per wedge)
+        # collapses into one array_intersect per EDGE against the
+        # broadcast adjacency lists. Identical count by construction —
+        # each triangle a<b<c (degree order) is found exactly once, at
+        # its base edge (a, b) — and verified bit-identical at sf0.1
+        # (124,470,598 triangles, 13.3 s → 1.9 s). The broadcast is
+        # metadata-gated: n ≤ isqrt(budget/8) proves even a COMPLETE
+        # graph's adjacency fits (see _tri_adj_bcast_max_nodes); past
+        # the budget the wedge-join plan below remains the honest
+        # scale path.
+        adj = oriented.groupBy("src").agg(
+            F.array_sort(F.collect_list("dst")).alias("nb")
+        )
+        au = adj.select(F.col("src").alias("uk"), F.col("nb").alias("nb_u"))
+        av = adj.select(F.col("src").alias("vk"), F.col("nb").alias("nb_v"))
+        per_edge = (
+            oriented.join(F.broadcast(au), F.col("src") == F.col("uk"))
+            .join(F.broadcast(av), F.col("dst") == F.col("vk"), "left")
+            .select(
+                F.size(
+                    F.array_intersect(
+                        F.col("nb_u"),
+                        F.coalesce(
+                            F.col("nb_v"),
+                            F.expr("CAST(array() AS ARRAY<BIGINT>)"),
+                        ),
+                    )
+                ).alias("t")
+            )
+        )
+        tri = per_edge.agg(
+            F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles")
+        )
+    else:
+        # wedge pairs ordered by the SAME (degree, id) total order as the
+        # orientation — the closing edge is then guaranteed oriented v->w
+        wa, wb = oriented.alias("wa"), oriented.alias("wb")
+        wedges = wa.join(
+            wb,
+            (F.col("wa.src") == F.col("wb.src"))
+            & (
+                F.struct(F.col("wa.dst_d"), F.col("wa.dst"))
+                < F.struct(F.col("wb.dst_d"), F.col("wb.dst"))
+            ),
+        ).select(F.col("wa.dst").alias("v"), F.col("wb.dst").alias("w"))
+        closed = wedges.join(
+            oriented.alias("o"),
+            (F.col("v") == F.col("o.src")) & (F.col("w") == F.col("o.dst")),
+            "left_semi",
+        )
+        tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     open_wedges = deg.agg(
         F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
     )
@@ -841,14 +910,9 @@ def graph_bfs_reach3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leaf, so counting it is a cheap leaf scan; only hint when it fits
     # the session's autoBroadcastJoinThreshold at ~16 bytes/row, else
     # fall back to the shuffle join (bit-identical results either way).
-    try:
-        _thresh = int(
-            str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-            .lower().removesuffix("b")
-        )
-    except (TypeError, ValueError):
-        _thresh = 10 * 1024 * 1024
-    bcast_max_rows = max(_thresh, 0) // 16
+    # (r17, ADVICE item) unit suffixes like '10MB'/'1g' now parse via the
+    # shared _bcast_budget_bytes helper instead of silently falling back
+    bcast_max_rows = _bcast_budget_bytes(spark) // 16
     for hop in range(1, _BFS_HOPS + 1):
         small = frontier.count() <= bcast_max_rows
         frontier = memo_df(

@@ -1198,23 +1198,28 @@ _CONC_BUCKET_US = 3_600_000_000  # 1 hour
                epoch_us(ts + INTERVAL {_CONC_HOLD_MIN} MINUTE), -1 FROM e),
     bb AS (SELECT *, t // {_CONC_BUCKET_US} AS bucket FROM b),
     run AS (
-        SELECT bucket, delta,
+        SELECT bucket, delta, t,
                SUM(delta) OVER (PARTITION BY bucket
                                 ORDER BY t, delta, event_id
                                 ROWS UNBOUNDED PRECEDING) AS r
         FROM bb),
     mx AS (
         SELECT bucket, MAX(r) AS max_r, COUNT(*) AS n_boundaries,
-               SUM(delta) AS net
+               SUM(delta) AS net, MIN(t) AS min_t
         FROM run GROUP BY bucket),
     based AS (
-        SELECT bucket, max_r, n_boundaries,
+        SELECT bucket, max_r, n_boundaries, min_t,
                COALESCE(SUM(net) OVER (ORDER BY bucket
                                        ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND 1 PRECEDING), 0) AS base
         FROM mx)
     SELECT make_timestamp(bucket * {_CONC_BUCKET_US}) AS bucket_start,
-           CAST(greatest(base, base + max_r) AS BIGINT)
+           -- the carry-in plateau [bucket_start, first boundary) is a
+           -- peak candidate only when it is non-empty: a boundary AT
+           -- the bucket start makes it zero-width (half-open holds)
+           CAST(CASE WHEN min_t > bucket * {_CONC_BUCKET_US}
+                     THEN greatest(base, base + max_r)
+                     ELSE base + max_r END AS BIGINT)
                AS peak_concurrency,
            CAST(n_boundaries AS BIGINT) AS n_boundaries
     FROM based ORDER BY bucket
@@ -1235,7 +1240,10 @@ def window_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``greatest(base, base + max(running))`` — the plateau BEFORE the
     bucket's first boundary can itself be the peak when a busy hour
     drains into a quiet one, which a max over boundary rows alone would
-    miss (pinned by the oracle).
+    miss (pinned by the oracle). The carry-in plateau only counts when
+    it is non-empty: a boundary landing exactly ON the bucket start
+    makes it zero-width, so the base is then not a candidate (r17 fix,
+    found by the property law test; half-open semantics preserved).
 
     Tie semantics are declared, not incidental: boundaries order by
     (t, delta, event_id), so at the same instant an ending interval
@@ -1268,6 +1276,7 @@ def window_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("r").alias("max_r"),
             F.count(F.lit(1)).alias("n_boundaries"),
             F.sum("delta").alias("net"),
+            F.min("t").alias("min_t"),
         )
     )
     # second level: |buckets| rows (hours with activity) — driver-scale,
@@ -1289,9 +1298,15 @@ def window_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(
                 F.col("bucket") * _CONC_BUCKET_US
             ).alias("bucket_start"),
-            F.greatest(
-                F.col("base"), F.col("base") + F.col("max_r")
-            ).cast("long").alias("peak_concurrency"),
+            # the carry-in plateau [bucket_start, first boundary) is a
+            # peak candidate only when non-empty: a boundary exactly AT
+            # the bucket start makes it zero-width (half-open holds)
+            F.when(
+                F.col("min_t") > F.col("bucket") * _CONC_BUCKET_US,
+                F.greatest(F.col("base"), F.col("base") + F.col("max_r")),
+            )
+            .otherwise(F.col("base") + F.col("max_r"))
+            .cast("long").alias("peak_concurrency"),
             F.col("n_boundaries").cast("long").alias("n_boundaries"),
         )
         .orderBy("bucket_start")

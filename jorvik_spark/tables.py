@@ -67,3 +67,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def spread_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin-spread an under-split scan across all cores — only
+    when the per-row work downstream is CPU-heavy enough to pay for the
+    exchange (md5-per-replicate explodes, tokenize/shingle passes).
+
+    The testdata ships one parquet file per table, so a single input
+    split serializes such stages on one core; at 100 TB the source has
+    thousands of splits and this is a no-op (the guard checks the
+    planned split count, no job runs). Counterpart of
+    ``text_analysis._repartitioned_docs`` for the events/fact tables.
+    Measured discipline: apply ONLY where an A/B shows a win — for
+    cheap per-row work the added exchange costs more than the
+    single-task map stage it parallelizes (headline q1-q5 measured
+    1.5-2x SLOWER with an unconditional spread at sf0.1).
+    """
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)

@@ -1368,13 +1368,23 @@ def test_breakout_window_and_agg_share_user_exchange(spark):
 
 def test_cooccurrence_pair_join_is_doc_keyed(spark):
     # the pair stage equi-joins the capped exploded sets ON doc_id
-    # (a < b is a residual filter, not a cartesian); marginals and the
-    # doc-count anchor broadcast
+    # (a < b is a residual filter, not a cartesian). r17: the
+    # vocabulary-sized DF marginals must NOT carry an UNCONDITIONAL
+    # broadcast hint — the only declared hint is the single-row
+    # doc-count anchor; whether the marginals broadcast is left to the
+    # optimizer's/AQE's size information (the graphs.py frontier-guard
+    # precedent, round-16 verdict item #2). Size-estimate-driven
+    # BroadcastExchange nodes in the physical plan are fine.
+    from jorvik_spark.queries import QUERIES
+    from jorvik_spark.tables import default_sf_dir
+
+    df = QUERIES["text_cooccurrence_lift_topk"](spark, default_sf_dir())
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1  # the 1-row anchor only
     plan = _plan(spark, "text_cooccurrence_lift_topk")
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "doc_id" in plan
-    assert "BroadcastHashJoin" in tree  # the vocabulary-sized marginals
 
 
 def test_interleave_sorts_are_shard_local(spark):

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import random
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql.types import (
     ArrayType,
@@ -812,6 +812,9 @@ def test_time_weighted_avg_law(spark, events):
         max_size=18,
     )
 )
+# r17 regression pin: a hold ending exactly ON the next hour boundary
+# leaked a zero-width carry-in plateau into that bucket's peak
+@example(offsets=[6900])
 def test_peak_concurrency_law(spark, offsets):
     """Law behind window_peak_concurrency, vs a brute-force sweep: for
     each hour bucket, the reported peak equals the max over the bucket's

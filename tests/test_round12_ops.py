@@ -217,6 +217,10 @@ def test_triangle_degree_broadcast_is_size_gated(spark, monkeypatch):
             G.graph_triangle_count(spark, SF_DIR).explain("formatted")
         return buf.getvalue().split("\n\n")[0]
 
+    # pin this test to the WEDGE-JOIN plan: the r17 broadcast-adjacency
+    # fast path (its own gate + test below) would otherwise change the
+    # shapes asserted here
+    monkeypatch.setenv("JORVIK_TRI_ADJ_MAX_NODES", "0")
     monkeypatch.setenv("JORVIK_DEGREE_BCAST_MAX_ROWS", "10000000")
     hinted = tree()
     # r12 ADVICE hardening: the pass-through memo_df means each phase
@@ -244,6 +248,41 @@ def test_triangle_degree_broadcast_is_size_gated(spark, monkeypatch):
             "spark.sql.autoBroadcastJoinThreshold", old_thresh
         )
     assert got == want and len(got) == 1
+
+
+def test_triangle_intersect_fast_path_matches_wedge_join(spark, monkeypatch):
+    """r17 optimization: the broadcast-adjacency per-edge intersection
+    fast path must return the identical census row as the wedge-join
+    plan, and its gate must actually switch the shape (array_intersect
+    present only under the node budget)."""
+    import contextlib
+    import io
+
+    import jorvik_spark.queries.graphs as G
+
+    monkeypatch.setattr(G, "memo_df", lambda key, s, build, **kw: build())
+
+    def tree() -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            G.graph_triangle_count(spark, SF_DIR).explain("formatted")
+        return buf.getvalue()
+
+    monkeypatch.setenv("JORVIK_TRI_ADJ_MAX_NODES", "10000000")
+    fast_plan = tree()
+    assert "array_intersect" in fast_plan
+    fast = G.graph_triangle_count(spark, SF_DIR).collect()
+
+    monkeypatch.setenv("JORVIK_TRI_ADJ_MAX_NODES", "0")
+    slow_plan = tree()
+    assert "array_intersect" not in slow_plan
+    slow = G.graph_triangle_count(spark, SF_DIR).collect()
+
+    assert fast == slow and len(fast) == 1
+
+    # default budget (no env): metadata-derived isqrt(bytes/8) — sane
+    monkeypatch.delenv("JORVIK_TRI_ADJ_MAX_NODES", raising=False)
+    assert G._tri_adj_bcast_max_nodes(spark) > 0
 
 
 def test_degree_bcast_budget_parses_conf_sizes(spark, monkeypatch):
