@@ -86,7 +86,14 @@ def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     because Spark and DuckDB print shortest-round-trip doubles; decimals
     are the production choice for money audits.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # r17: four different-column exact distincts plan as an Expand (×5
+    # rows) feeding the partial aggregate INSIDE the scan stage — on an
+    # under-split scan that runs one-core (guide §2.5). Project to the
+    # profiled columns first, then conditionally spread (no-op on a
+    # well-split lake; measured 1.7 s → 1.1 s at sf0.1).
+    o = spread_scan(
+        load_table(spark, sf_dir, "orders").select(*_PROFILE_COLS), spark
+    )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for i, c in enumerate(_PROFILE_COLS, 1):
         aggs += [
