@@ -253,8 +253,8 @@ def test_triangle_degree_broadcast_is_size_gated(spark, monkeypatch):
 def test_triangle_intersect_fast_path_matches_wedge_join(spark, monkeypatch):
     """r17 optimization: the broadcast-adjacency per-edge intersection
     fast path must return the identical census row as the wedge-join
-    plan, and its gate must actually switch the shape (array_intersect
-    present only under the node budget)."""
+    plan, and its gate must actually switch the shape (the packed-bitmap
+    bit_count intersection present only under the node budget)."""
     import contextlib
     import io
 
@@ -270,12 +270,12 @@ def test_triangle_intersect_fast_path_matches_wedge_join(spark, monkeypatch):
 
     monkeypatch.setenv("JORVIK_TRI_ADJ_MAX_NODES", "10000000")
     fast_plan = tree()
-    assert "array_intersect" in fast_plan
+    assert "bit_count" in fast_plan
     fast = G.graph_triangle_count(spark, SF_DIR).collect()
 
     monkeypatch.setenv("JORVIK_TRI_ADJ_MAX_NODES", "0")
     slow_plan = tree()
-    assert "array_intersect" not in slow_plan
+    assert "bit_count" not in slow_plan
     slow = G.graph_triangle_count(spark, SF_DIR).collect()
 
     assert fast == slow and len(fast) == 1
