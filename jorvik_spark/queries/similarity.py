@@ -314,8 +314,21 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cut_lineage=True,
     )
-    raw = _vec_double(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "v"
+    # Spread + MATERIALIZED double vectors behind a memo leaf (r17):
+    # un-memoized, CollapseProject inlines the _vec_double transform
+    # into the per-pair distance expression (recomputing the 64-cast
+    # HOF once per PAIR, not per vector), and the single-file scan makes
+    # the ground-truth broadcast NL join one task. Spread+leaf A/B'd
+    # 0.86 s → 0.17 s on the truth shape; the unrolled element_at
+    # distance form A/B'd 5× WORSE (4.1 s) — array access dominates, so
+    # the zip_with/aggregate HOF stays.
+    raw = memo_df(
+        f"emb_vecd_spread:{sf_dir}",
+        spark,
+        lambda: _vec_double(_spread_embeddings(spark, sf_dir)).select(
+            "vec_id", "v"
+        ),
+        cut_lineage=True,
     )
     # Probe-directed candidates: bucket-join the probes' hash entries
     # against the full index, then re-check the EXACT distance (rounded,
@@ -355,25 +368,35 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") <= 1.2)
         .select("probe_id", "vec_id")
     )
-    n_true = true_p.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    n_hit = true_p.join(
-        found_p, ["probe_id", "vec_id"], "left_semi"
-    ).agg(F.count(F.lit(1)).alias("n_hit"))
-    n_extra = found_p.join(
-        true_p, ["probe_id", "vec_id"], "left_anti"
-    ).agg(F.count(F.lit(1)).alias("n_extra"))
-    return (
-        n_true.crossJoin(F.broadcast(n_hit))
-        .crossJoin(F.broadcast(n_extra))
-        .select(
-            "n_true_pairs",
-            F.coalesce(
-                F.col("n_hit")
-                >= _LSH_RECALL_MIN * F.col("n_true_pairs"),
-                F.lit(True),  # zero true pairs → vacuously ok
-            ).alias("recall_ok"),
-            (F.col("n_extra") == 0).alias("precision_ok"),
-        )
+    # ONE pass over both pair sets: the former three-branch shape
+    # (count / semi-join count / anti-join count cross-joined together)
+    # shared no subplans, so Spark recomputed true_p three times and
+    # found_p twice per collect — measured 2.47 s warm at sf0.1. A full
+    # outer join on the (unique-by-construction) pair keys classifies
+    # every pair once, and a single aggregate yields all three counts:
+    # 2.47 s → see OPTIMIZATION_r17.md. Semantics per branch unchanged:
+    # n_hit ≡ the semi join (both sides present), n_extra ≡ the anti
+    # join (found without truth).
+    tagged = true_p.withColumn("t", F.lit(1)).join(
+        found_p.withColumn("f", F.lit(1)),
+        ["probe_id", "vec_id"],
+        "full_outer",
+    )
+    counts = tagged.agg(
+        F.count("t").alias("n_true_pairs"),
+        F.count(F.when(F.col("t").isNotNull() & F.col("f").isNotNull(), 1))
+        .alias("n_hit"),
+        F.count(F.when(F.col("t").isNull() & F.col("f").isNotNull(), 1))
+        .alias("n_extra"),
+    )
+    return counts.select(
+        "n_true_pairs",
+        F.coalesce(
+            F.col("n_hit")
+            >= _LSH_RECALL_MIN * F.col("n_true_pairs"),
+            F.lit(True),  # zero true pairs → vacuously ok
+        ).alias("recall_ok"),
+        (F.col("n_extra") == 0).alias("precision_ok"),
     )
 
 

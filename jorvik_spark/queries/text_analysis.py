@@ -920,9 +920,18 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-count aggregation over vocab rows (weighted by word count),
     one driver-side argmax of a single row (the same bounded-action
     pattern as the connected-components fixpoint), and one narrow
-    regexp merge rewrite. The vocab is localCheckpointed per round to
-    truncate the 10-deep lineage, with superseded checkpoints released
-    eagerly.
+    regexp merge rewrite. Rounds chain lazily off the ONE persisted
+    vocab leaf — with _BPE_TRAIN_ROUNDS bounded, round k's argmax
+    recomputes at most k narrow regexp maps over the (corpus-
+    independent) vocab, and the r17 A/B measured that strictly cheaper
+    than a per-round localCheckpoint (2.2 s → 1.9 s) or per-round
+    persist (3.4 s) at sf0.1: each materialization is a whole extra job
+    against a leaf the rounds only ever read once. AQE is disabled for
+    the loop (saved/restored): every per-round aggregate is a tiny
+    vocab-sized shuffle, and AQE's per-exchange replanning measured
+    +0.25 s across the 10 rounds with nothing to adapt; the conf is
+    restored before the (driver-local) result is returned, so nothing
+    lazy escapes the override.
 
     Ties are broken deterministically (count DESC, then left/right
     lexicographic), so reruns — and the model-based pytest — see the
@@ -930,8 +939,6 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     not single-statement SQL; tests/test_llm_ops.py checks the merge
     table against a brute-force Python BPE reference instead.
     """
-    from jorvik_spark.queries.dedup import _release_local_checkpoint
-
     # (word, n): weighted vocabulary, one corpus pass. Symbols start as
     # characters, space-joined with sentinel spaces at both ends so a
     # lookaround merge pattern applies at word edges too.
@@ -952,6 +959,8 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = []
     cur = vocab
+    aqe_saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for rnd in range(_BPE_TRAIN_ROUNDS):
             pairs = (
@@ -989,16 +998,12 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             # symbol containing either would throw (no such group) or
             # corrupt the rewrite — Matcher.quoteReplacement semantics.
             repl = (l + r).replace("\\", "\\\\").replace("$", "\\$")
-            nxt = cur.select(
+            cur = cur.select(
                 F.regexp_replace("w", pat, repl).alias("w"), "n"
-            ).localCheckpoint()
-            if cur is not vocab:
-                _release_local_checkpoint(cur)
-            cur = nxt
+            )
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_saved)
         vocab.unpersist()
-        if cur is not vocab:
-            _release_local_checkpoint(cur)
     return spark.createDataFrame(
         merges, "round int, left string, right string, pair_count bigint"
     )

