@@ -1358,11 +1358,22 @@ def dedup_banding_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     cand = dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
-    n_hits = (
-        truth.join(cand, ["doc_a", "doc_b"], "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    # ONE pass over both pair sets (r17, same rewrite as simsearch_lsh):
+    # the former count / count / semi-join-count branches cross-joined
+    # together shared no subplans, so the exact-Jaccard pair join and the
+    # banded self-join each re-executed per branch. A full outer join on
+    # the (unique-by-construction, doc_a < doc_b grouped) pair keys
+    # classifies every pair once; n_hits ≡ the semi join (both present).
+    tagged = truth.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    counts = tagged.agg(
+        F.count("t").alias("n_true_pairs"),
+        F.count("c").alias("n_candidate_pairs"),
+        F.count(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1))
+        .alias("n_hits"),
     )
 
     def ratio(num: str, den: str):
@@ -1377,8 +1388,7 @@ def dedup_banding_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        n_true.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hits))
+        counts
         .select(
             "n_true_pairs",
             "n_candidate_pairs",
