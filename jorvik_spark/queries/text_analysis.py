@@ -1756,6 +1756,27 @@ def text_zipf_rank_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, tok, c) token-count relation behind a memo leaf — at most
+    |vocab| × |sources| rows, never corpus-sized. Shared by
+    ``corpus_source_overlap`` (which uses only the distinct key set) and
+    ``corpus_source_tv_distance`` (which weights by the counts): both
+    reference the relation 4+ times (self-join sides plus the size/total
+    aggregates), and without the memo every reference re-ran the corpus
+    explode + aggregation (r17 — the crossJoin-branch-recompute pattern;
+    warm 1.4-1.8 s → ~0.4 s each). cut_lineage so the tiny leaf, not the
+    tokenizer lineage, embeds in the pair-join task binaries."""
+    return memo_df(
+        f"source_token_counts:{sf_dir}",
+        spark,
+        lambda: _tokenized_docs(spark, sf_dir)
+        .select("source", F.explode("t").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c")),
+        cut_lineage=True,
+    )
+
+
 # --- round 12 wave 2: inter-source vocabulary overlap matrix -------------
 
 
@@ -1801,11 +1822,12 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins on the |sources| relation; Jaccard is exact integer ppm by
     inclusion-exclusion.
     """
-    st = (
-        _tokenized_docs(spark, sf_dir)
-        .select("source", F.explode("t").alias("tok"))
-        .distinct()
-    )
+    # (source, tok) incidence = the key set of the shared
+    # _source_token_counts memo (already distinct on the pair) — the
+    # self-join and both size aggregates below reference this relation
+    # FOUR times, and un-memoized each reference re-ran the corpus
+    # explode+aggregate (r17; same fix as corpus_source_tv_distance).
+    st = _source_token_counts(spark, sf_dir).select("source", "tok")
     sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = st.alias("a")
     b = st.alias("b")
@@ -2036,12 +2058,7 @@ def corpus_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (its TV is well-defined and maximal: tv_ppm = 1,000,000) instead
     of silently vanishing from the very report meant to flag it.
     """
-    tc = (
-        _tokenized_docs(spark, sf_dir)
-        .select("source", F.explode("t").alias("tok"))
-        .groupBy("source", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    tc = _source_token_counts(spark, sf_dir)
     tot = tc.groupBy("source").agg(F.sum("c").cast("long").alias("tt"))
     a, b = tc.alias("a"), tc.alias("b")
     ta = F.broadcast(
