@@ -1125,8 +1125,14 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("k"))
     )
     bucket = F.expr(_CMS_BUCKET.format(d="depth", k="k"))
+    # r17: the sketch build is _CMS_DEPTH md5 evaluations per input row —
+    # CPU the single-file scan serialized on one task (interleaved A/B
+    # 0.625 → 0.515 s median at sf0.1, checksums bit-identical). Spread
+    # ONLY this branch: the exact/tot branches are plain aggregations
+    # whose map-side combine gains nothing from an extra exchange.
     cells = (
-        src.select(
+        spread_scan(src, spark)
+        .select(
             F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias(
                 "depth"
             ),
