@@ -84,14 +84,19 @@ def _tri_adj_bcast_max_nodes(spark: SparkSession) -> int:
     the broadcast fits from the node-count METADATA alone (no extra
     job), regardless of density. Overridable via
     JORVIK_TRI_ADJ_MAX_NODES (0 disables the fast path; tests force
-    both shapes).
+    both shapes) — a TEST-ONLY knob, clamped (r17 ADVICE) to the node
+    count whose worst-case packed bitmap saturates Spark's 8 GiB
+    broadcast hard cap, isqrt(8 GiB / 8) = 32768: past that the
+    double-broadcast is illegal regardless of what the override asks
+    for, and build_bitmaps' single-partition rank window (fine at
+    ≤ 32k rows) would become a genuine one-task sort.
     """
     import math
     import os
 
     env = os.environ.get("JORVIK_TRI_ADJ_MAX_NODES")
     if env is not None:
-        return int(env)
+        return min(int(env), math.isqrt((8 << 30) // 8))
     return math.isqrt(_bcast_budget_bytes(spark) // 8)
 
 
@@ -464,15 +469,31 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         nw = (n_nodes_ub + 63) // 64
 
         def build_bitmaps() -> DataFrame:
+            # ADVICE r17: nw is sized from the supplier row count — an
+            # UPPER bound on the co-supply node set when the lineitem→
+            # supplier FK holds. Bit positions come from ranks over the
+            # ACTUAL distinct nodes; an FK violation (suppkey absent
+            # from supplier) would push max(rk) ≥ nw*64 and the IF in
+            # the fold below would silently drop the bit — an
+            # undercount. Guard: any out-of-bound rank raises instead
+            # (data-dependent expression, cannot constant-fold; all
+            # in-bound rows pay one comparison).
+            rk0 = F.row_number().over(Window.orderBy("node")) - 1
             ranks = (
                 edges.select(F.col("u").alias("node"))
                 .unionAll(edges.select(F.col("v").alias("node")))
                 .distinct()
                 .select(
                     "node",
-                    (F.row_number().over(Window.orderBy("node")) - 1).alias(
-                        "rk"
-                    ),
+                    F.when(rk0 < nw * 64, rk0)
+                    .otherwise(
+                        F.expr(
+                            "raise_error('triangle bitmap rank overflow: "
+                            "co-supply node set exceeds the supplier-count "
+                            "bound (FK violation)')"
+                        ).cast("int")
+                    )
+                    .alias("rk"),
                 )
             )
             return (

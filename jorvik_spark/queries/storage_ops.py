@@ -18,6 +18,7 @@ invocation in the OS temp dir, reclaimed by tmp cleaning.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 
@@ -26,11 +27,61 @@ from pyspark.sql import functions as F
 
 from jorvik_spark.queries.registry import dsum, query, sql_dsum
 from jorvik_spark.storage.basic import BasicStorage
-from jorvik_spark.tables import load_table
+from jorvik_spark.tables import load_table, table_source_bytes
 
 
 def _scratch(tag: str) -> str:
     return tempfile.mkdtemp(prefix=f"jorvik_spark_{tag}_")
+
+
+# --- streaming drain state sizing (r18, r17 VERDICT #4) ----------------------
+#
+# A stateful streaming query instantiates one state-store per shuffle
+# partition, and every micro-batch pays per-store checkpoint/delta-file
+# IO — with the session's cluster-sized spark.sql.shuffle.partitions, a
+# TINY-state drain spends a measurable fraction of its wall on empty
+# state machinery (decomposition in scripts/stream_decompose.py: the
+# dedup-watermark drain dropped 1.89 → 1.25 s and the stateful drain
+# 1.76 → 1.48 s at sf0.1 going 32 → 8 partitions, while 1 partition
+# serialized the Python state worker 2×). So the drains size their
+# state partitions from the SOURCE bytes (guide §2.2 "fewer, larger
+# partitions", applied to state stores), with a parallelism floor and
+# the session conf as the cap — at 100 TB the byte-derived count
+# saturates the cap and this is exactly the cluster-sized setting.
+
+_STREAM_SHUFFLE_ENV = "SPARK_GRAFT_STREAM_SHUFFLE"
+_STREAM_STATE_TARGET_BYTES = 32 << 20  # source bytes per state partition
+_STREAM_STATE_MIN_PARTS = 8  # keep the Python-state workers parallel
+
+
+def _stream_state_partitions(spark: SparkSession, src_bytes: int) -> int:
+    """State-store/shuffle partition count for one drain: source-bytes
+    derived, floored at min(8, cores) (1 partition serializes the
+    applyInPandas state worker — measured 2× the drain wall), capped at
+    the session's shuffle partitions (the cluster-sized conf), env-
+    overridable for tuning (``SPARK_GRAFT_STREAM_SHUFFLE``)."""
+    env = os.environ.get(_STREAM_SHUFFLE_ENV)
+    if env is not None:
+        return max(1, int(env))
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    floor = min(
+        _STREAM_STATE_MIN_PARTS, spark.sparkContext.defaultParallelism
+    )
+    need = -(-src_bytes // _STREAM_STATE_TARGET_BYTES)
+    return max(floor, min(session_parts, need))
+
+
+@contextlib.contextmanager
+def _scoped_sql_conf(spark: SparkSession, key: str, value) -> None:
+    """Save/set/restore one session conf around a drain — the BPE-loop
+    save/restore pattern (exception-safe; session-global for the scope's
+    duration, same serial-execution assumption documented there)."""
+    saved = spark.conf.get(key)
+    spark.conf.set(key, str(value))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, saved)
 
 
 _ORDER_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice"]
@@ -546,16 +597,23 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # at-least-once: every event delivered twice
     st.write(events.unionAll(events), src, "parquet", "overwrite")
-    stream = (
-        st.readStream(src, "parquet")
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["event_id"])
+    # r18: state partitions sized from the source bytes (×2 for the
+    # doubled delivery) — see _stream_state_partitions. Keyed dedup is
+    # partition-count-invariant, so results are unchanged.
+    n_parts = _stream_state_partitions(
+        spark, 2 * table_source_bytes(spark, sf_dir, "events")
     )
-    q = st.writeStream(stream, dst, "parquet", checkpoint=cp)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _scoped_sql_conf(spark, "spark.sql.shuffle.partitions", n_parts):
+        stream = (
+            st.readStream(src, "parquet")
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = st.writeStream(stream, dst, "parquet", checkpoint=cp)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return st.read(dst, "parquet").select("event_id", "ts", "user_id", "value")
 
 
@@ -707,21 +765,29 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     src, dst, cp = f"{base}/src", f"{base}/dst", f"{base}/cp"
     events = load_table(spark, sf_dir, "events").select("user_id", "value")
     st.write(events, src, "parquet", "overwrite")
-    out = running_user_totals_fixedpoint(st.readStream(src, "parquet"))
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("append").parquet(dst)
 
-    q = (
-        out.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", cp)
-        .outputMode("update")
-        .start()
+    # r18: state partitions sized from the source bytes — see
+    # _stream_state_partitions (the floor keeps the applyInPandasWithState
+    # Python workers parallel). Per-key state folds are partition-count-
+    # invariant (exact integer micro-units), so results are unchanged.
+    n_parts = _stream_state_partitions(
+        spark, table_source_bytes(spark, sf_dir, "events")
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _scoped_sql_conf(spark, "spark.sql.shuffle.partitions", n_parts):
+        out = running_user_totals_fixedpoint(st.readStream(src, "parquet"))
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     back = spark.read.parquet(dst)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (

@@ -959,6 +959,12 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = []
     cur = vocab
+    # Serial-execution assumption (r17 ADVICE): this override is
+    # SESSION-GLOBAL for the loop's duration — any concurrent query on
+    # the same SparkSession would silently run with AQE off. The engine's
+    # contract runs query functions serially (driver/bench/oracle all
+    # do); if a threaded host ever shares the session, scope this via a
+    # per-thread SQLConf local property instead.
     aqe_saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:

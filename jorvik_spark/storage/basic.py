@@ -58,6 +58,9 @@ _MERGE_CREATE_FORMAT = "delta" if _HAS_DELTA else "parquet"
 
 _MATCH = "__jorvik_merge_match__"
 _FID = "__jorvik_merge_fid__"
+# Distinctive raise_error payload for the in-plan multi-match guard;
+# merge() translates it back into the contract's ValueError.
+_MULTI_MATCH_MARKER = "JORVIK_MERGE_MULTI_MATCH"
 
 
 def _check_format(format: str) -> None:
@@ -290,53 +293,73 @@ class BasicStorage:
         )
 
         # Delta MERGE raises when several source rows would apply a matched
-        # clause to the same target row; reproduce that contract. The
-        # guard count and the final write are two actions over a plan
-        # anchored on monotonically_increasing_id — persist the joined
-        # frame across both so they cannot see different id assignments
-        # (e.g. if the source's partitioning changes between actions).
+        # clause to the same target row; reproduce that contract. r18
+        # (guide §1.2 / r17 VERDICT #5): the guard is FOLDED into the
+        # rewrite plan instead of running as its own count action — the
+        # old two-action form (guard count, then write) had to persist
+        # the joined frame so both actions saw one
+        # monotonically_increasing_id assignment, paying a full extra
+        # materialization per merge (measured 1.53-1.71 s → see
+        # OPTIMIZATION_r18.md). Now a guarded filter raises from inside
+        # the single write action BEFORE any row is dropped (delete
+        # multi-matches included — the guard sits above the ~__del__
+        # filter), the raise surfaces before any rename in
+        # _atomic_overwrite (the target is untouched on failure; the
+        # partial __tmp__ dir is overwritten by the next merge), and the
+        # marker is translated back to the contract's ValueError below.
         w = Window.partitionBy(F.col(f"full.{_FID}"))
         joined = joined.withColumn(
             "__n_upd__",
             F.sum((F.col("__upd__") | F.col("__del__")).cast("int")).over(w),
-        ).persist()
+        )
+
+        # One output row per target row: the applying source row if any
+        # (clause flags sort True first), dropped entirely when that
+        # clause is the delete, else the original row once. The guard is
+        # folded into the __rn__ VALUE, not a filter predicate: every
+        # joined row — delete-flagged ones included — evaluates it in
+        # the projection above the Window, before either filter can drop
+        # the row, so no predicate reordering can skip the raise (and
+        # the ~__del__ filter cannot be pushed below the Window anyway:
+        # it is not a partition-key predicate).
+        pick = Window.partitionBy(F.col(f"full.{_FID}")).orderBy(
+            F.col("__del__").desc(), F.col("__upd__").desc()
+        )
+        rn_guarded = F.when(
+            F.col("__n_upd__") <= 1, F.row_number().over(pick)
+        ).otherwise(
+            F.expr(f"raise_error('{_MULTI_MATCH_MARKER}')").cast("int")
+        )
+        kept_or_updated = (
+            joined.withColumn("__rn__", rn_guarded)
+            .filter(F.col("__rn__") == 1)
+            .filter(~F.col("__del__"))
+            .select(
+                [
+                    F.when(F.col("__upd__"), F.col(f"incremental.{c}"))
+                    .otherwise(F.col(f"full.{c}"))
+                    .alias(c)
+                    for c in out_cols
+                ]
+            )
+        )
+
+        inserts = df.alias("incremental").join(
+            full.alias("full"), F.expr(merge_condition), "left_anti"
+        )
+        if insert_condition is not None:
+            inserts = inserts.filter(F.expr(insert_condition))
+        result = kept_or_updated.unionByName(inserts.select(out_cols))
+
         try:
-            if joined.filter(F.col("__n_upd__") > 1).limit(1).count() > 0:
+            self._atomic_overwrite(result, path, fmt, partition_fields)
+        except Exception as e:  # noqa: BLE001 — marker-translated below
+            if _MULTI_MATCH_MARKER in str(e):
                 raise ValueError(
                     "Multiple source rows matched and would update the same "
                     "target row (merge condition is not selective enough)."
-                )
-
-            # One output row per target row: the applying source row if any
-            # (clause flags sort True first), dropped entirely when that
-            # clause is the delete, else the original row once.
-            pick = Window.partitionBy(F.col(f"full.{_FID}")).orderBy(
-                F.col("__del__").desc(), F.col("__upd__").desc()
-            )
-            kept_or_updated = (
-                joined.withColumn("__rn__", F.row_number().over(pick))
-                .filter(F.col("__rn__") == 1)
-                .filter(~F.col("__del__"))
-                .select(
-                    [
-                        F.when(F.col("__upd__"), F.col(f"incremental.{c}"))
-                        .otherwise(F.col(f"full.{c}"))
-                        .alias(c)
-                        for c in out_cols
-                    ]
-                )
-            )
-
-            inserts = df.alias("incremental").join(
-                full.alias("full"), F.expr(merge_condition), "left_anti"
-            )
-            if insert_condition is not None:
-                inserts = inserts.filter(F.expr(insert_condition))
-            result = kept_or_updated.unionByName(inserts.select(out_cols))
-
-            self._atomic_overwrite(result, path, fmt, partition_fields)
-        finally:
-            joined.unpersist()
+                ) from e
+            raise
         self.notify_output_observers(df, path)
 
     def _merge_schema(

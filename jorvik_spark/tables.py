@@ -56,7 +56,16 @@ _TABLE_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one lake table; normalizes ``events.ts`` (ns → µs timestamp)."""
+    """Read one lake table; normalizes ``events.ts`` (ns → µs timestamp).
+
+    Shared-object contract (r17 ADVICE): every caller gets the SAME
+    DataFrame object per (sf_dir, name). A query that loads one table
+    twice and joins the two results with column-object predicates
+    (``df1.col == df2.col``) is therefore a same-object self-join and
+    hits Spark's AMBIGUOUS_SELF_JOIN resolution — ``.alias()`` both
+    sides and use qualified ``F.col("a.x")`` references (every current
+    self-joining query does).
+    """
     key = (sf_dir, name)
     hit = _TABLE_CACHE.get(key)
     if hit is not None and hit[0] is spark:
@@ -94,6 +103,31 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+# (sf_dir, name) → on-disk bytes. Lake tables are immutable per sf_dir
+# for a process lifetime (same contract as _TABLE_CACHE), so one
+# filesystem metadata call per table per process suffices.
+_SOURCE_BYTES_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_source_bytes(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """On-disk bytes of one lake table — pure filesystem METADATA (no
+    job, no footer read), via the path's own Hadoop FileSystem so the
+    same call works on local/HDFS/S3A. Used to size-gate scale-dependent
+    plan choices (e.g. the corpus-proportional memo tier) on a
+    deterministic, corpus-monotone signal."""
+    key = (sf_dir, name)
+    hit = _SOURCE_BYTES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    path = f"{sf_dir}/{name}.parquet"
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    nbytes = int(fs.getContentSummary(hpath).getLength())
+    _SOURCE_BYTES_CACHE[key] = nbytes
+    return nbytes
 
 
 def spread_scan(df: DataFrame, spark: SparkSession) -> DataFrame:

@@ -285,6 +285,50 @@ def test_triangle_intersect_fast_path_matches_wedge_join(spark, monkeypatch):
     assert G._tri_adj_bcast_max_nodes(spark) > 0
 
 
+def test_triangle_bitmap_rank_guard(spark, monkeypatch):
+    """r18 (r17 ADVICE): the packed-bitmap fast path sizes nw from the
+    supplier-count UPPER bound, but ranks come from the actual co-supply
+    node set — an FK violation must raise loudly instead of silently
+    dropping bits; and the test-only env override is clamped to the
+    node count whose worst-case bitmap saturates Spark's 8 GiB
+    broadcast hard cap."""
+    import contextlib
+    import io
+
+    import jorvik_spark.queries.graphs as G
+
+    # clamp: the env can never push the gate past isqrt(8 GiB / 8)
+    monkeypatch.setenv("JORVIK_TRI_ADJ_MAX_NODES", "10000000")
+    assert G._tri_adj_bcast_max_nodes(spark) == 32768
+    monkeypatch.setenv("JORVIK_TRI_ADJ_MAX_NODES", "0")
+    assert G._tri_adj_bcast_max_nodes(spark) == 0
+
+    # wiring: the guard expression is in the fast-path plan
+    monkeypatch.setenv("JORVIK_TRI_ADJ_MAX_NODES", "10000000")
+    monkeypatch.setattr(G, "memo_df", lambda key, s, build, **kw: build())
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        G.graph_triangle_count(spark, SF_DIR).explain("formatted")
+    assert "raise_error" in buf.getvalue()
+
+    # mechanism: an out-of-bound rank raises instead of dropping a bit
+    from pyspark.sql import Window
+
+    df = spark.range(70).select(F.col("id").alias("node"))
+    rk0 = F.row_number().over(Window.orderBy("node")) - 1
+    guarded = df.select(
+        F.when(rk0 < 64, rk0)
+        .otherwise(
+            F.expr("raise_error('triangle bitmap rank overflow')").cast(
+                "int"
+            )
+        )
+        .alias("rk")
+    )
+    with pytest.raises(Exception, match="rank overflow"):
+        guarded.collect()
+
+
 def test_degree_bcast_budget_parses_conf_sizes(spark, monkeypatch):
     from jorvik_spark.queries.graphs import _degree_bcast_budget_rows
 

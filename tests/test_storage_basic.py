@@ -221,6 +221,36 @@ def test_merge_duplicate_delete_matches_raise(spark, st, tmp_path):
         )
 
 
+def test_merge_multi_match_failure_leaves_target_intact(spark, st, tmp_path):
+    """r18: the multi-match guard is folded into the single rewrite
+    action (no separate count pass, no persist), so the contract raise
+    now surfaces from inside the write — which must happen BEFORE any
+    rename: the target stays readable and unchanged, and a subsequent
+    clean merge on the same path succeeds (the stranded __tmp__ dir is
+    overwritten, not tripped over)."""
+    target = str(tmp_path / "t")
+    st.write(kv(spark, [(1, "a"), (2, "b")]), target, "parquet", "overwrite")
+    dup = kv(spark, [(1, "x"), (1, "y")])
+    with pytest.raises(ValueError, match="Multiple source rows"):
+        st.merge(dup, target, merge_condition="full.id == incremental.id")
+    # target untouched by the failed merge
+    assert sorted((r.id, r.value) for r in st.read(target, "parquet").collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # a clean retry converges normally
+    st.merge(
+        kv(spark, [(1, "x"), (3, "c")]),
+        target,
+        merge_condition="full.id == incremental.id",
+    )
+    assert sorted((r.id, r.value) for r in st.read(target, "parquet").collect()) == [
+        (1, "x"),
+        (2, "b"),
+        (3, "c"),
+    ]
+
+
 def test_merge_creates_missing_target(spark, st, tmp_path):
     target = str(tmp_path / "t")
     incremental = kv(spark, [(1, "a"), (2, "b")])

@@ -811,3 +811,45 @@ def test_interval_join_batch_accepts_all_spark_interval_forms(spark):
     assert (
         S.interval_join_outer(r, l, lookback="1 month").count() == 1
     )
+
+
+def test_stream_state_partitions_derivation(spark, monkeypatch):
+    """r18 (r17 VERDICT #4): drain state-store partitions are source-
+    bytes derived — floored at min(8, cores) so the Python state worker
+    stays parallel, capped at the session's (cluster-sized) shuffle
+    partitions, env-overridable."""
+    from jorvik_spark.queries.storage_ops import (
+        _STREAM_STATE_TARGET_BYTES,
+        _scoped_sql_conf,
+        _stream_state_partitions,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SHUFFLE", raising=False)
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    floor = min(8, spark.sparkContext.defaultParallelism)
+    # tiny source → the floor, never 1
+    assert _stream_state_partitions(spark, 1) == floor
+    # huge source → saturates at the session conf (the 100 TB case)
+    assert (
+        _stream_state_partitions(spark, 10**15) == session_parts
+    )
+    # in between: ceil(bytes / target), if above the floor
+    mid = _STREAM_STATE_TARGET_BYTES * max(floor, 2)
+    assert _stream_state_partitions(spark, mid) == max(
+        floor, min(session_parts, max(floor, 2))
+    )
+    # env override wins
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE", "3")
+    assert _stream_state_partitions(spark, 10**15) == 3
+
+    # the scoped conf restores on exit, including on error
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    with _scoped_sql_conf(spark, "spark.sql.shuffle.partitions", 5):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    try:
+        with _scoped_sql_conf(spark, "spark.sql.shuffle.partitions", 7):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
