@@ -98,7 +98,17 @@ BENCH_2C_QUERIES = {
 # sync. Re-pin history that used to live in comments here moved to the
 # corresponding PINS.json "reason"/"old_ref" fields.
 with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "PINS.json")) as _fh:
-    _PINS = json.load(_fh)["gates"]
+    _PINS_FILE = json.load(_fh)
+    _PINS = _PINS_FILE["gates"]
+
+# Core count the pin references were measured at (round-18, r17 verdict
+# item #7): every ref in PINS.json is a 32-core quiet-window median, so
+# applying the 1.5x limit unscaled to a low-core capture (the driver's
+# scaling run) flags miscalibration, not regressions — the c8 capture's
+# gate column was meaningless. Gates now APPLY only at the calibrated
+# core count; other counts report applied=false (diagnostic-only), same
+# vacuous-ok convention as a non-0.1 sf.
+_PIN_CPUS = int(_PINS_FILE.get("calibrated_cpus", 32))
 
 
 def _pins_ref(gate_key: str) -> dict:
@@ -296,6 +306,48 @@ BENCH_R16_QUERIES: dict[str, str] = {
 # capture; containment re-pinned r13 — provenance in PINS.json).
 GATE_R11_REF = _pins_ref("r11")
 
+# Cold-build shapes (round-18, r17 verdict item #2): one representative
+# consumer per memo_df KEY FAMILY, so a regression in ANY one-time
+# session build (shingle index, adjacency bitmaps, ANN ground truth,
+# BFS frontiers, …) is visible to the bench instead of hiding behind
+# the warm gates. tests/test_cold_coverage.py asserts this list still
+# covers every memo key prefix in the source — adding a memo without a
+# cold shape fails CI. Timing regime: per shape, 3 runs, each from a
+# clear_memos() state (median reported) — this replaced the r14-era
+# single cold run in round 18 (same regime, n=3 instead of n=1; the
+# old per-label values remain comparable). Report-only against the
+# "cold" pins in PINS.json (cold_x in the BENCH_DETAIL stderr line):
+# single-shape cold runs on a shared host are too noisy for a hard
+# gate in the round they are first pinned — the standard first-
+# measurement lifecycle.
+BENCH_COLD_QUERIES: dict[str, str] = {
+    # the r14-era cold list (§2C + the LM-scored sampler), unchanged
+    **BENCH_2C_QUERIES,
+    "r14_lmimp": "sample_lm_importance",
+    # r18 additions — every remaining memo family
+    "cold_containment": "dedup_containment_ngram",  # (capped_)shingle_index
+    "cold_mhlsh": "dedup_minhash_lsh",  # minhash_feats / minhash_labels
+    "cold_simhash": "dedup_simhash",  # simhash_bands
+    "cold_mhcomp": "dedup_minhash_components",  # mh_components
+    "cold_triangle": "graph_triangle_count",  # cosupply_* (edges/oriented/bitmap)
+    "cold_pagerank": "graph_pagerank_unrolled",  # graph_edges / pr_edges_deg
+    "cold_cc": "graph_connected_components",  # cosupply_components
+    "cold_kcore": "graph_kcore_peel3",  # kcore_keep*/kcore_edges*
+    "cold_bfs": "graph_bfs_reach3",  # bfs_nodes/seed/front*/reach*
+    "cold_passjoin": "join_fuzzy_name_passjoin",  # passjoin_names
+    "cold_hitters": "agg_heavy_hitters",  # hh_counts
+    "cold_anneval": "simsearch_recall_eval",  # exact_topk_gt / ivf_assign
+    "cold_knn": "simsearch_knn_graph",  # cell_pairs
+    "cold_rerank": "simsearch_rerank_twophase",  # rerank_short
+    "cold_lsh": "simsearch_lsh",  # lsh_vectors/lsh_hash_index/emb_vecd_spread
+    "cold_pc1": "embed_power_iteration_pc1",  # pi_units
+    "cold_rp16": "embed_rp16_sketch",  # rp16_sketch/rp16_signs
+    "cold_i8": "embed_int8_recall_eval",  # i8_codes
+    "cold_bpe": "text_token_bpe",  # bpe_tokens
+    "cold_raretok": "text_rare_token_ratio",  # exploded_tokens
+    "cold_srcpair": "corpus_source_overlap",  # source_token_counts
+}
+
 # Round-9 cohort regression reference, pinned in round 10.
 GATE_R9_REF = _pins_ref("r9")
 
@@ -321,6 +373,13 @@ def main() -> None:
         sf = float(tail.replace("sf", ""))
     except ValueError:
         sf = tail
+
+    # Gates are calibrated at (sf0.1, _PIN_CPUS cores) — anything else
+    # is a diagnostic capture and every gate reports applied=false.
+    try:
+        gates_calibrated = sf == 0.1 and int(cpus) == _PIN_CPUS
+    except ValueError:  # local[*] etc.
+        gates_calibrated = False
 
     # Per-label 1-minute load average captured right before each query's
     # timed runs — the evidence a gate flag is adjudicated against.
@@ -394,8 +453,9 @@ def main() -> None:
         _GATE_2C_LIMIT × the reference, applied only at the reference's
         scale. One mechanism for every per-round cohort — a change to
         the adjudication (limit, load-context handling) lands once.
-        applied=false (sf != 0.1) means the gate was SKIPPED — its "ok"
-        is then vacuous, not a pass.
+        applied=false (sf != 0.1, or a core count other than the
+        PINS.json calibrated_cpus — r18) means the gate was SKIPPED —
+        its "ok" is then vacuous, not a pass.
 
         Automated quiet-load adjudication (round-12 verdict item #4):
         same-day captures on this shared host vary ±50% per query, so a
@@ -438,7 +498,9 @@ def main() -> None:
         )
         violations = {}
         for lb, t in times_g.items():
-            if not (sf == 0.1 and lb in ref and t > ref[lb] * _GATE_2C_LIMIT):
+            if not (
+                gates_calibrated and lb in ref and t > ref[lb] * _GATE_2C_LIMIT
+            ):
                 continue
             row = {
                 "flagged": t,
@@ -476,7 +538,7 @@ def main() -> None:
         return {
             "limit_x": _GATE_2C_LIMIT,
             "ref_round": ref_round,
-            "applied": sf == 0.1,
+            "applied": gates_calibrated,
             "ok": not regressions,
             "cohort_median_x": cohort_median_x,
             "violations": violations,
@@ -581,26 +643,35 @@ def main() -> None:
     }
     _finalize_flags(gates_all)
 
-    # Cold-build §2C pass (round-13 verdict item #4, report-only): the
-    # warm regime above times marginal cost over memoized corpus
-    # intermediates, so a regression in the ONE-TIME build stages
-    # (tokenizer materialization, shingle index, IVF quantizer) is
-    # invisible to every gate. Here each §2C shape runs ONCE from a
-    # cleared memo state — the first-invocation cost a fresh session
-    # pays — alongside the warm medians for a cold/warm ratio.
+    # Cold-build pass (round-13 verdict item #4; extended to EVERY memo
+    # family in round 18 — r17 verdict item #2): the warm regime above
+    # times marginal cost over memoized corpus intermediates, so a
+    # regression in the ONE-TIME build stages (tokenizer
+    # materialization, shingle index, adjacency bitmaps, ANN ground
+    # truth, …) is invisible to every warm gate. Here each cold shape
+    # runs from a cleared memo state (median of 3 cleared runs) — the
+    # first-invocation cost a fresh session pays. Report-only: each
+    # label additionally carries cold_x against its PINS.json "cold"
+    # ref when one exists (see BENCH_COLD_QUERIES note).
     from jorvik_spark.queries.registry import clear_memos
 
+    cold_ref = (
+        _pins_ref("cold") if "cold" in _PINS else {}
+    )
     times_2c_cold = {}
-    # r14_lmimp joins the cold pass from round 15: its LM scoring pass
-    # became a memoized intermediate (the r14_lmimp flag's adjudication),
-    # so the one-time model build is only visible from a cleared state.
-    cold_shapes = dict(BENCH_2C_QUERIES)
-    cold_shapes["r14_lmimp"] = "sample_lm_importance"
-    for lb, qn in cold_shapes.items():
-        clear_memos()
-        t0 = time.perf_counter()
-        QUERIES[qn](spark, sf_dir).collect()
-        times_2c_cold[lb] = round(time.perf_counter() - t0, 4)
+    cold_x = {}
+    for lb, qn in BENCH_COLD_QUERIES.items():
+        if qn not in QUERIES:
+            continue
+        cruns = []
+        for _ in range(3):
+            clear_memos()
+            t0 = time.perf_counter()
+            QUERIES[qn](spark, sf_dir).collect()
+            cruns.append(time.perf_counter() - t0)
+        times_2c_cold[lb] = round(statistics.median(cruns), 4)
+        if gates_calibrated and cold_ref.get(lb):
+            cold_x[lb] = round(times_2c_cold[lb] / cold_ref[lb], 2)
     clear_memos()
 
     # Host-load context: a uniformly inflated run on a busy host is
@@ -651,6 +722,7 @@ def main() -> None:
         "queries_r15": times_r15,
         "queries_r16": times_r16,
         "queries_2c_cold": times_2c_cold,
+        "cold_x": cold_x,
         "gates": gates_all,
         "load_per_query": measure_load,
     }
